@@ -1,0 +1,70 @@
+"""Engine: catalog bootstrap + SQL entry point.
+
+Mirrors the reference's query lifecycle (SURVEY.md §3) Spark-first:
+Presto's parse→analyze→optimize→schedule pipeline
+(reference: presto-main/.../execution/SqlQueryExecution.java:168-409)
+collapses to ``spark.sql`` — Catalyst is the analyzer/optimizer, the DAG
+scheduler is the fragmenter/scheduler.  The Engine's job is only:
+
+  - register the fixture tables as temp views (the "connector");
+  - expose ``sql()`` / ``table()``;
+  - own per-table scale metadata (which dims are broadcast-safe at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Tables that stay small no matter the scale factor (TPC-H dims: region=5,
+# nation=25 rows at every SF) — always broadcast-safe at 100 TB.
+ALWAYS_BROADCAST = {"region", "nation"}
+
+
+class Engine:
+    """Session + catalog wrapper.
+
+    >>> eng = Engine(spark, "/root/testdata/sf0.001")
+    >>> eng.sql("SELECT count(*) AS n FROM lineitem")
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str | None = None):
+        self.spark = spark
+        self.sf_dir: str | None = None
+        if sf_dir:
+            self.register(sf_dir)
+
+    def register(self, sf_dir: str) -> "Engine":
+        """Register every fixture table under ``sf_dir`` as a temp view."""
+        from prestodb_presto_spark.queries.util import t as load_table
+
+        for name in TABLES:
+            load_table(self.spark, sf_dir, name).createOrReplaceTempView(name)
+        self.sf_dir = sf_dir
+        return self
+
+    def table(self, name: str, broadcast: bool | None = None) -> DataFrame:
+        df = self.spark.table(name)
+        if broadcast or (broadcast is None and name in ALWAYS_BROADCAST):
+            df = F.broadcast(df)
+        return df
+
+    def sql(self, text: str) -> DataFrame:
+        return self.spark.sql(text)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> Engine:
+    return Engine(spark, sf_dir)

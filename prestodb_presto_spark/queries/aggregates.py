@@ -1,0 +1,451 @@
+"""Aggregation operator catalog — SURVEY.md §2.3.
+
+Reference: HashAggregationOperator (operator/HashAggregationOperator.java:46),
+AggregationOperator (operator/AggregationOperator.java:35), GroupIdOperator
+(operator/GroupIdOperator.java:32), MarkDistinctOperator
+(operator/MarkDistinctOperator.java:35); function impls under
+operator/aggregation/ registered at metadata/FunctionRegistry.java:420-608.
+
+Determinism: see queries.util docstring — exact decimal sums; moment-based
+statistics computed from exact power sums on BOTH engines; approximate
+functions verified as a boolean tolerance check against the exact answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prestodb_presto_spark.queries import query
+from prestodb_presto_spark.queries.util import davg, dec, dsum, t
+
+
+@query(
+    "agg_global",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(l_extendedprice) AS avg_price
+    FROM lineitem
+    """,
+    tags=("aggregation",),
+)
+def agg_global(spark, sf_dir):
+    """Global (no group-by) aggregation — reference AggregationOperator."""
+    return t(spark, sf_dir, "lineitem").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        dsum("l_quantity").alias("total_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        davg("l_extendedprice").alias("avg_price"),
+    )
+
+
+@query(
+    "agg_stats_moments",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+           (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+            - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+              * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) / COUNT(*) AS var_pop,
+           (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+            - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+              * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) / (COUNT(*) - 1) AS var_samp
+    FROM lineitem
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("aggregation", "statistics"),
+)
+def agg_stats_moments(spark, sf_dir):
+    """variance/var_pop/var_samp semantics via exact power sums.
+
+    Reference: VarianceAggregation (operator/aggregation/VarianceAggregation.java).
+    Native F.var_pop/F.stddev are exercised in tests/test_aggregates.py with a
+    numeric tolerance (their merge order makes last-ulp hash-matching
+    impossible across engines); this entry pins the exact algebra.
+    """
+    q = dec("l_quantity")
+    li = t(spark, sf_dir, "lineitem")
+    s1 = F.sum(q).cast("double")
+    s2 = F.sum(q * q).cast("double")
+    n = F.count("*")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            n.alias("n"),
+            s1.alias("s1"),
+            s2.alias("s2"),
+            ((s2 - s1 * s1 / n) / n).alias("var_pop"),
+            ((s2 - s1 * s1 / n) / (n - F.lit(1))).alias("var_samp"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_min_max_by",
+    oracle="""
+    SELECT c_mktsegment,
+           max_by(c_name, CAST(ROUND(c_acctbal * 100) AS BIGINT) * 100000000 - c_custkey) AS richest,
+           min_by(c_name, CAST(ROUND(c_acctbal * 100) AS BIGINT) * 100000000 + c_custkey) AS poorest,
+           MAX(c_acctbal) AS max_bal, MIN(c_acctbal) AS min_bal
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("aggregation",),
+)
+def agg_min_max_by(spark, sf_dir):
+    """min_by/max_by (reference operator/aggregation/minmaxby/).
+
+    min_by/max_by tie-breaking is engine-arbitrary, so the ordering key
+    folds the unique c_custkey into the cents value (acctbal*100 is exact):
+    equal balances resolve to the lowest custkey on both engines.
+    """
+    cust = t(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint") * 100000000
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.max_by("c_name", cents - F.col("c_custkey")).alias("richest"),
+            F.min_by("c_name", cents + F.col("c_custkey")).alias("poorest"),
+            F.max("c_acctbal").alias("max_bal"),
+            F.min("c_acctbal").alias("min_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "agg_array_agg",
+    oracle="""
+    SELECT n_nationkey,
+           array_agg(s_name ORDER BY s_name) AS suppliers,
+           COUNT(*) AS n
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_nationkey ORDER BY n_nationkey
+    """,
+    tags=("aggregation", "array"),
+)
+def agg_array_agg(spark, sf_dir):
+    """array_agg with ORDER BY (reference arrayagg/ArrayAggregationFunction.java;
+    ordered aggregation via AggregationNode orderings)."""
+    supp = t(spark, sf_dir, "supplier")
+    nation = F.broadcast(t(spark, sf_dir, "nation"))
+    return (
+        supp.join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_nationkey")
+        .agg(
+            F.sort_array(F.collect_list("s_name")).alias("suppliers"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+@query(
+    "agg_filter_clause",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_totalprice > 1000) AS n_big,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_totalprice > 100000) AS any_huge
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("aggregation", "filter"),
+)
+def agg_filter_clause(spark, sf_dir):
+    """FILTER (WHERE ...) on aggregates + bool_and/bool_or.
+
+    Reference: ImplementFilteredAggregations rule + BooleanAndAggregation /
+    BooleanOrAggregation (operator/aggregation/BooleanAndAggregation.java).
+    """
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.when(F.col("o_totalprice") > 1000, 1)).alias("n_big"),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+            F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+            F.bool_or(F.col("o_totalprice") > 100000).alias("any_huge"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "agg_multi_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS d_parts,
+           COUNT(DISTINCT l_suppkey) AS d_supps,
+           CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS d_qty_sum,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("aggregation", "distinct"),
+)
+def agg_multi_distinct(spark, sf_dir):
+    """Multiple DISTINCT aggregates in one query.
+
+    Reference: MarkDistinctOperator (operator/MarkDistinctOperator.java:35) —
+    Catalyst plans this as Expand + two-phase aggregate automatically.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("d_parts"),
+            F.countDistinct("l_suppkey").alias("d_supps"),
+            F.sum_distinct(dec("l_quantity")).cast("double").alias("d_qty_sum"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    tags=("aggregation", "groupingsets"),
+)
+def agg_grouping_sets(spark, sf_dir):
+    """GROUPING SETS + grouping_id (reference GroupIdOperator
+    (operator/GroupIdOperator.java:32), grammar SqlBase.g4:167-169)."""
+    li = t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT r_name, n_name, COUNT(*) AS n
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+    """,
+    tags=("aggregation", "groupingsets"),
+)
+def agg_rollup(spark, sf_dir):
+    """ROLLUP via DataFrame API (df.rollup)."""
+    return (
+        t(spark, sf_dir, "nation")
+        .join(F.broadcast(t(spark, sf_dir, "region")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    tags=("aggregation", "groupingsets"),
+)
+def agg_cube(spark, sf_dir):
+    """CUBE via DataFrame API (df.cube)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT COUNT(DISTINCT l_partkey) AS exact_distinct, true AS approx_ok
+    FROM lineitem
+    """,
+    tags=("aggregation", "approximate"),
+)
+def agg_approx_distinct(spark, sf_dir):
+    """approx_distinct (HLL) verified within its rsd envelope against exact.
+
+    Reference: ApproximateCountDistinctAggregation.java:40 (airlift HLL).
+    Spark's HyperLogLog++ and the oracle's exact count can't hash-match, so
+    the contract emitted is "relative error < 5x rsd" as a boolean.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("exact_distinct"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey", 0.02).cast("double")
+                - F.countDistinct("l_partkey").cast("double")
+            )
+            / F.countDistinct("l_partkey").cast("double")
+            < 0.10
+        ).alias("approx_ok"),
+    )
+
+
+@query(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE) AS exact_median,
+           true AS approx_ok
+    FROM lineitem
+    """,
+    tags=("aggregation", "approximate"),
+)
+def agg_approx_percentile(spark, sf_dir):
+    """approx_percentile vs exact continuous median, tolerance-checked.
+
+    Reference: ApproximateLongPercentileAggregations.java:25 (QuantileDigest).
+    The exact median itself is emitted via percentile(0.5), which is exact
+    interpolation on sorted values — deterministic on both engines.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    exact = F.percentile("l_extendedprice", F.lit(0.5))
+    approx = F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000))
+    return li.agg(
+        exact.alias("exact_median"),
+        (F.abs(approx - exact) / exact < 0.05).alias("approx_ok"),
+    )
+
+
+@query(
+    "agg_numeric_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(l_extendedprice / 10000) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM lineitem GROUP BY 1 ORDER BY 1
+    """,
+    tags=("aggregation", "histogram"),
+)
+def agg_numeric_histogram(spark, sf_dir):
+    """numeric_histogram semantics via explicit bucketing (reference
+    operator/aggregation/NumericHistogram.java) — fixed-width variant is a
+    plain group-by, which scales: one shuffle of bucket-partials."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_extendedprice") / 10000).cast("bigint").alias("bucket")
+        )
+        .agg(F.count("*").alias("n"), dsum("l_extendedprice").alias("total"))
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "agg_geometric_mean",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(EXP(AVG(LN(l_quantity))), 6) AS geo_mean
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("aggregation",),
+)
+def agg_geometric_mean(spark, sf_dir):
+    """geometric_mean = exp(avg(ln x)) (reference GeometricMeanAggregations.java).
+
+    Rounded to 6 dp: the log-sum is the one aggregate here whose float
+    merge order can differ across engines; 1e-12 relative error vs a 1e-6
+    bucket makes a boundary hit astronomically unlikely.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.round(F.exp(F.avg(F.log(F.col("l_quantity")))), 6).alias("geo_mean"))
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_count_if",
+    oracle="""
+    SELECT COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           COUNT(*) FILTER (WHERE l_tax = 0.0) AS n_taxfree,
+           COUNT(*) AS n
+    FROM lineitem
+    """,
+    tags=("aggregation",),
+)
+def agg_count_if(spark, sf_dir):
+    """count_if (reference CountIfAggregation.java) — native in Spark 3.5+."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.count_if(F.col("l_tax") == 0.0).alias("n_taxfree"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "agg_any_value",
+    oracle="""
+    SELECT c_mktsegment, MIN(c_custkey) AS sample_key, COUNT(*) AS n
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("aggregation",),
+)
+def agg_any_value(spark, sf_dir):
+    """arbitrary()/any_value semantics (reference ArbitraryAggregationFunction.java).
+
+    any_value is nondeterministic by contract; for the differential gate we
+    pin it to MIN — tests/test_aggregates.py exercises F.any_value itself.
+    """
+    return (
+        t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(F.min("c_custkey").alias("sample_key"), F.count("*").alias("n"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "agg_bitwise",
+    oracle="""
+    SELECT l_linestatus,
+           bit_and(l_linenumber) AS band,
+           bit_or(l_linenumber) AS bor,
+           bit_xor(l_linenumber) AS bxor
+    FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+    tags=("aggregation", "bitwise"),
+)
+def agg_bitwise(spark, sf_dir):
+    """bitwise_and_agg / bitwise_or_agg (reference BitwiseAndAggregation.java)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.bit_and("l_linenumber").alias("band"),
+            F.bit_or("l_linenumber").alias("bor"),
+            F.bit_xor("l_linenumber").alias("bxor"),
+        )
+        .orderBy("l_linestatus")
+    )

@@ -1,0 +1,328 @@
+"""Core relational surface — SURVEY.md §2.1/§2.6: values, limits, distinct,
+sampling, unnest (+ordinality), subqueries (scalar/IN/EXISTS/quantified),
+lateral, CTEs, conditional expressions, pivot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from prestodb_presto_spark.queries import query
+from prestodb_presto_spark.queries.util import dec, t
+
+
+@query(
+    "values_inline",
+    oracle="""
+    SELECT x, y, x * 10 + LENGTH(y) AS z
+    FROM (VALUES (1, 'a'), (2, 'bb'), (3, 'ccc')) AS t(x, y)
+    ORDER BY x
+    """,
+    tags=("values",),
+)
+def values_inline(spark, sf_dir):
+    """Inline literal rows (reference ValuesOperator.java:27)."""
+    return spark.sql(
+        """
+        SELECT x, y, x * 10 + LENGTH(y) AS z
+        FROM VALUES (1, 'a'), (2, 'bb'), (3, 'ccc') AS t(x, y)
+        ORDER BY x
+        """
+    )
+
+
+@query(
+    "distinct_limit",
+    oracle="""
+    SELECT COUNT(*) AS n FROM (
+      SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem LIMIT 4
+    ) x
+    """,
+    tags=("distinct", "limit"),
+)
+def distinct_limit(spark, sf_dir):
+    """DISTINCT ... LIMIT n (reference DistinctLimitOperator.java:37).
+
+    Which 4 of the 6 combos surface is engine-dependent → emit the count.
+    """
+    return (
+        t(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .limit(4)
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "orderby_limit_topn",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 15
+    """,
+    tags=("topn",),
+)
+def orderby_limit_topn(spark, sf_dir):
+    """ORDER BY + LIMIT → TakeOrderedAndProject (reference TopNOperator.java:35);
+    per-partition top-k then a k-row merge — no global sort at 100 TB."""
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(15)
+    )
+
+
+@query(
+    "sample_bernoulli",
+    oracle="SELECT true AS sample_ok",
+    tags=("sample",),
+)
+def sample_bernoulli(spark, sf_dir):
+    """TABLESAMPLE BERNOULLI → df.sample (reference SampleNode +
+    ImplementBernoulliSampleAsFilter.java).  Sampled membership is
+    engine-specific, so the differential contract is the sampled fraction
+    landing within a 6-sigma envelope."""
+    li = t(spark, sf_dir, "lineitem")
+    total = li.count()
+    got = li.sample(fraction=0.2, seed=42).count()
+    ok = abs(got / total - 0.2) < 6 * (0.2 * 0.8 / total) ** 0.5
+    return spark.createDataFrame([(bool(ok),)], "sample_ok boolean")
+
+
+@query(
+    "unnest_explode",
+    oracle="""
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+    FROM documents WHERE doc_id < 10
+    """,
+    tags=("unnest",),
+)
+def unnest_explode(spark, sf_dir):
+    """UNNEST of an array (reference UnnestOperator.java:33) → explode."""
+    return (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 10)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    )
+
+
+@query(
+    "unnest_with_ordinality",
+    oracle="""
+    SELECT doc_id,
+           UNNEST(string_split(text, ' ')) AS word,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents WHERE doc_id < 10
+    """,
+    tags=("unnest",),
+)
+def unnest_with_ordinality(spark, sf_dir):
+    """UNNEST WITH ORDINALITY (reference UnnestOperator.java:45 withOrdinality)
+    → posexplode (1-based to match the reference's ordinality)."""
+    return (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 10)
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "word"))
+        .select("doc_id", "word", (F.col("pos0") + 1).alias("pos"))
+    )
+
+
+@query(
+    "subquery_scalar_correlated",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > 2 * (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                              FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+    ORDER BY o_orderkey
+    """,
+    tags=("subquery",),
+)
+def subquery_scalar_correlated(spark, sf_dir):
+    """Correlated scalar subquery; Catalyst decorrelates to agg+join
+    (reference rule TransformCorrelatedScalarAggregationToJoin)."""
+    orders = t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_sq_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM _sq_orders o
+        WHERE o_totalprice > 2 * (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                                  FROM _sq_orders o2 WHERE o2.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey
+        """
+    )
+
+
+@query(
+    "subquery_in_uncorrelated",
+    oracle="""
+    SELECT COUNT(*) AS n FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)
+    """,
+    tags=("subquery", "semijoin"),
+)
+def subquery_in_uncorrelated(spark, sf_dir):
+    """IN-subquery → left-semi join."""
+    li = t(spark, sf_dir, "lineitem")
+    big = t(spark, sf_dir, "part").filter(F.col("p_size") > 40).select("p_partkey")
+    return li.join(big, li.l_partkey == big.p_partkey, "left_semi").agg(
+        F.count("*").alias("n")
+    )
+
+
+@query(
+    "subquery_quantified_all",
+    oracle="""
+    SELECT COUNT(*) AS n FROM supplier
+    WHERE s_acctbal > ALL (SELECT c_acctbal FROM customer WHERE c_nationkey = 0)
+    """,
+    tags=("subquery", "quantified"),
+)
+def subquery_quantified_all(spark, sf_dir):
+    """Quantified comparison (> ALL) — grammar SqlBase.g4 quantified
+    comparison; Spark lacks ALL/ANY syntax so the engine rewrites
+    x > ALL(S) ≡ x > max(S) (the same rewrite Presto's planner does in
+    TransformQuantifiedComparisonApplyToLateralJoin)."""
+    supp = t(spark, sf_dir, "supplier")
+    mx = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") == 0)
+        .agg(F.max("c_acctbal").alias("mx"))
+    )
+    return (
+        supp.join(F.broadcast(mx))
+        .filter(F.col("s_acctbal") > F.col("mx"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "lateral_top1_per_group",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey AS top_orderkey, o.o_totalprice AS top_price
+    FROM customer c,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                  WHERE o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o
+    WHERE c.c_custkey <= 100
+    ORDER BY c.c_custkey
+    """,
+    tags=("lateral", "topn"),
+)
+def lateral_top1_per_group(spark, sf_dir):
+    """LATERAL correlated top-1 (reference LateralJoinNode / grammar
+    SqlBase.g4:241).  Spark-first: a lateral-join-with-limit is exactly a
+    rank-1 window — one shuffle on the correlation key, no N subqueries."""
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+    top = (
+        t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+    )
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 100)
+    return (
+        cust.join(top, cust.c_custkey == top.o_custkey)
+        .select(
+            "c_custkey",
+            F.col("o_orderkey").alias("top_orderkey"),
+            F.col("o_totalprice").alias("top_price"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "cte_chain",
+    oracle="""
+    WITH big_orders AS (
+      SELECT o_custkey, COUNT(*) AS n_big
+      FROM orders WHERE o_totalprice > 50000 GROUP BY o_custkey
+    ),
+    seg AS (
+      SELECT c_mktsegment, c_custkey FROM customer
+    )
+    SELECT c_mktsegment, CAST(SUM(n_big) AS BIGINT) AS total_big, COUNT(*) AS n_cust
+    FROM seg JOIN big_orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("cte",),
+)
+def cte_chain(spark, sf_dir):
+    """Chained CTEs (grammar SqlBase.g4:105-107) via spark.sql WITH."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("_cte_orders")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("_cte_customer")
+    return spark.sql(
+        """
+        WITH big_orders AS (
+          SELECT o_custkey, COUNT(*) AS n_big
+          FROM _cte_orders WHERE o_totalprice > 50000 GROUP BY o_custkey
+        ),
+        seg AS (
+          SELECT c_mktsegment, c_custkey FROM _cte_customer
+        )
+        SELECT c_mktsegment, CAST(SUM(n_big) AS BIGINT) AS total_big, COUNT(*) AS n_cust
+        FROM seg JOIN big_orders ON c_custkey = o_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """
+    )
+
+
+@query(
+    "conditional_exprs",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 100000 THEN 'high'
+                WHEN o_totalprice > 10000  THEN 'mid'
+                ELSE 'low' END AS bucket,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_label,
+           IF(o_orderpriority = '1-URGENT', 1, 0) AS is_urgent,
+           TRY_CAST(o_orderpriority AS INTEGER) AS bad_cast
+    FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey
+    """,
+    tags=("conditional",),
+)
+def conditional_exprs(spark, sf_dir):
+    """CASE/COALESCE/NULLIF/IF/TRY_CAST (reference TryCastFunction.java,
+    grammar searched-case; try_cast returns NULL like Presto's TRY(CAST))."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 100)
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 100000, "high")
+        .when(F.col("o_totalprice") > 10000, "mid")
+        .otherwise("low")
+        .alias("bucket"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("open")).alias("status_label"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("is_urgent"),
+        F.col("o_orderpriority").try_cast("int").alias("bad_cast"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "pivot_conditional",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_linestatus = 'F') AS status_f,
+           COUNT(*) FILTER (WHERE l_linestatus = 'O') AS status_o
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("pivot",),
+)
+def pivot_conditional(spark, sf_dir):
+    """PIVOT via df.groupBy().pivot() — no reference counterpart operator;
+    Presto users write conditional aggregation, which is what the oracle does."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "l_returnflag",
+            F.col("F").alias("status_f"),
+            F.col("O").alias("status_o"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1,0 +1,174 @@
+"""Embedding similarity search over the `embeddings` table (north star).
+
+Spark-first design:
+  - dot products / norms are JVM array expressions (zip_with + aggregate),
+    not Python UDFs;
+  - brute-force top-k broadcasts the (small) query set against the corpus —
+    at 100 TB corpus scale this is a map-only pass, no shuffle of vectors;
+  - the scale path (LSH bucketing) shuffles only (bucket, id) pairs.
+
+Determinism for the differential oracle: vectors are quantized to
+integers (round(x*1000)); integer dot products and norms are exact in
+double (< 2^53), so cosine = dot/sqrt(na)/sqrt(nb) is bit-identical
+across engines regardless of summation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prestodb_presto_spark.queries import query
+from prestodb_presto_spark.queries.util import t
+
+QUANT_SQL = "[CAST(round(x * 1000) AS BIGINT) for x in embedding]"
+
+
+def quantized(col="embedding"):
+    """array<float> → array<bigint> with round(x*1000)."""
+    return F.transform(F.col(col), lambda x: F.round(x * 1000).cast("bigint"))
+
+
+def dot(a, b):
+    """Exact integer dot product as a JVM expression."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+
+
+@query(
+    "similarity_embedding_stats",
+    oracle=f"""
+    SELECT label,
+           COUNT(*) AS n,
+           CAST(SUM(list_dot_product(q::DOUBLE[], q::DOUBLE[])) AS BIGINT) AS sum_sqnorm,
+           ROUND(AVG(sqrt(list_dot_product(q::DOUBLE[], q::DOUBLE[]))), 6) AS avg_norm
+    FROM (SELECT label, {QUANT_SQL} q FROM embeddings) e
+    GROUP BY label ORDER BY label
+    """,
+    tags=("similarity",),
+)
+def similarity_embedding_stats(spark, sf_dir):
+    """Per-label norm statistics over quantized vectors (exact int math)."""
+    emb = t(spark, sf_dir, "embeddings").select("label", quantized().alias("q"))
+    sqnorm = dot(F.col("q"), F.col("q"))
+    return (
+        emb.select("label", sqnorm.alias("sq"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("sq").cast("bigint").alias("sum_sqnorm"),
+            F.round(F.avg(F.sqrt(F.col("sq").cast("double"))), 6).alias("avg_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+@query(
+    "similarity_knn_top1",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, {QUANT_SQL} q FROM embeddings),
+    n AS (SELECT vec_id, label, q,
+                 list_dot_product(q::DOUBLE[], q::DOUBLE[]) AS nrm FROM e),
+    queries AS (SELECT * FROM n WHERE vec_id < 20),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+             list_dot_product(q.q::DOUBLE[], c.q::DOUBLE[]) / sqrt(q.nrm) / sqrt(c.nrm) AS cos
+      FROM queries q JOIN n c ON q.vec_id <> c.vec_id
+    )
+    SELECT query_id,
+           max_by(neighbor_id, CAST(round(cos * 1e12) AS BIGINT) * 100000 - neighbor_id) AS neighbor_id,
+           ROUND(MAX(cos), 6) AS cosine
+    FROM scored GROUP BY query_id ORDER BY query_id
+    """,
+    tags=("similarity", "knn"),
+)
+def similarity_knn_top1(spark, sf_dir):
+    """Brute-force cosine nearest neighbor (top-1) for 20 query vectors.
+
+    The query set broadcasts; the corpus streams map-side — the plan that
+    survives a 100 TB corpus.  Argmax tiebreak folds neighbor_id into the
+    (quantized-cosine) ordering key so both engines agree exactly.
+    """
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "label", quantized().alias("q"))
+    emb = emb.withColumn("nrm", dot(F.col("q"), F.col("q")).cast("double"))
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("nrm").alias("qn")
+    )
+    scored = (
+        emb.join(F.broadcast(queries), F.col("query_id") != F.col("vec_id"))
+        .withColumn(
+            "cos",
+            dot(F.col("qq"), F.col("q")).cast("double") / F.sqrt("qn") / F.sqrt("nrm"),
+        )
+    )
+    # quantize cos to 1e-12 before the argmax key so the key fits a long;
+    # both engines compute the identical double, so identical key.
+    ordkey = F.round(F.col("cos") * 1e12).cast("bigint") * 100000 - F.col("vec_id")
+    return (
+        scored.groupBy("query_id")
+        .agg(
+            F.max_by("vec_id", ordkey).alias("neighbor_id"),
+            F.round(F.max("cos"), 6).alias("cosine"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@query(
+    "similarity_threshold_pairs",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {QUANT_SQL} q FROM embeddings),
+    n AS (SELECT vec_id, q, list_dot_product(q::DOUBLE[], q::DOUBLE[]) AS nrm FROM e)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.q::DOUBLE[], b.q::DOUBLE[]) / sqrt(a.nrm) / sqrt(b.nrm), 6) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.q::DOUBLE[], b.q::DOUBLE[]) / sqrt(a.nrm) / sqrt(b.nrm) >= 0.4
+    ORDER BY id_a, id_b
+    """,
+    tags=("similarity",),
+)
+def similarity_threshold_pairs(spark, sf_dir):
+    """All-pairs cosine ≥ 0.4 (self-join; the exact baseline the LSH
+    variant is tested against in tests/test_similarity.py)."""
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", quantized().alias("q"))
+    emb = emb.withColumn("nrm", dot(F.col("q"), F.col("q")).cast("double"))
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("q").alias("q_a"), F.col("nrm").alias("n_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("q").alias("q_b"), F.col("nrm").alias("n_b"))
+    cos = dot(F.col("q_a"), F.col("q_b")).cast("double") / F.sqrt("n_a") / F.sqrt("n_b")
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_raw", cos)
+        .filter(F.col("cosine_raw") >= 0.4)
+        .select("id_a", "id_b", F.round("cosine_raw", 6).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query("similarity_lsh_ann", oracle=None, tags=("similarity", "approximate"))
+def similarity_lsh_ann(spark, sf_dir):
+    """Approximate NN via random-hyperplane LSH (the 100 TB scale path).
+
+    16 deterministic pseudo-random hyperplanes (hash-derived coefficients)
+    → 16-bit bucket signature per vector → candidates share a bucket.
+    Rows-only differential check; recall vs the exact pair set is asserted
+    in tests/test_similarity.py.
+    """
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", quantized().alias("q"))
+    # plane p, dim i coefficient: deterministic int in [-8,8) from xxhash64
+    planes = [
+        F.array(*[(F.xxhash64(F.lit(f"plane-{p}-{i}")) % 16 - 8) for i in range(64)])
+        for p in range(16)
+    ]
+    bucket = F.lit(0).cast("bigint")
+    for p, plane in enumerate(planes):
+        proj = dot(F.col("q"), plane)
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p).cast("bigint")).otherwise(F.lit(0))
+    sig = emb.select("vec_id", bucket.alias("bucket"))
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .orderBy("id_a", "id_b")
+    )

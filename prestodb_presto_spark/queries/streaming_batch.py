@@ -1,0 +1,184 @@
+"""Event-stream analytics over `events` — batch expressions of the
+streaming module's semantics (windowed aggs, sessionization, dedup, JSON).
+
+The reference has NO streaming execution (SURVEY.md §2.8) — its Kafka
+connector reads topics as batch splits.  Our streaming module
+(prestodb_presto_spark.streaming) is additive: the SAME window semantics
+below run under Structured Streaming with watermarks; these batch
+entries pin the semantics against the DuckDB oracle, and
+tests/test_streaming.py proves batch/stream equivalence.
+
+Determinism: window boundaries are emitted as unix seconds (BIGINT) —
+never raw ns timestamps (Spark truncates parquet ns to µs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from prestodb_presto_spark.queries import query
+from prestodb_presto_spark.queries.util import dsum, t
+
+
+@query(
+    "events_tumbling_window",
+    oracle="""
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("streaming", "window"),
+)
+def events_tumbling_window(spark, sf_dir):
+    """1-hour tumbling window aggregation via F.window (works identically
+    in batch and Structured Streaming)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "events_sliding_window",
+    oracle="""
+    WITH halves AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+             + CASE WHEN extract(minute FROM ts) >= 30 THEN 1800 ELSE 0 END AS half_start,
+             event_id
+      FROM events
+    ),
+    assigned AS (
+      SELECT half_start AS window_start, event_id FROM halves
+      UNION ALL
+      SELECT half_start - 1800 AS window_start, event_id FROM halves
+    )
+    SELECT window_start, COUNT(*) AS n
+    FROM assigned GROUP BY window_start ORDER BY window_start
+    """,
+    tags=("streaming", "window"),
+)
+def events_sliding_window(spark, sf_dir):
+    """1-hour window sliding every 30 min (each event lands in 2 windows);
+    F.window with slideDuration — the oracle materializes the 2-window
+    assignment explicitly."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.unix_timestamp(F.col("w.start")).alias("window_start"), "n")
+        .orderBy("window_start")
+    )
+
+
+@query(
+    "events_session_window",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM ordered
+    )
+    SELECT COUNT(*) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS total_events,
+           MAX(n_events) AS max_session_events
+    FROM (SELECT user_id, session_id, COUNT(*) AS n_events
+          FROM sessions GROUP BY user_id, session_id) s
+    """,
+    tags=("streaming", "window", "session"),
+)
+def events_session_window(spark, sf_dir):
+    """Session windows (30-min gap) via F.session_window — the Structured
+    Streaming session operator evaluated in batch; the oracle derives the
+    identical sessions with the classic gaps-and-islands SQL."""
+    ev = t(spark, sf_dir, "events")
+    per_session = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    return per_session.agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").cast("bigint").alias("total_events"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
+@query(
+    "events_json_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("streaming", "json"),
+)
+def events_json_extract(spark, sf_dir):
+    """JSON property extraction (reference JsonFunctions.java json_extract_scalar
+    → Spark get_json_object) — the record-decoder path of the reference's
+    Kafka connector (presto-record-decoder/.../decoder/)."""
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(k).cast("bigint").alias("k_sum"),
+            F.max(k).alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "events_dedup_latest",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, value, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT COUNT(*) AS n_kept,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS kept_value_sum
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("streaming", "dedup"),
+)
+def events_dedup_latest(spark, sf_dir):
+    """Keep-latest dedup per (user, event_type) — the batch semantics of
+    streaming dropDuplicatesWithinWatermark; rank-1 window with a unique
+    tiebreak (event_id)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.select("value", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .agg(
+            F.count("*").alias("n_kept"),
+            dsum("value").alias("kept_value_sum"),
+        )
+    )

@@ -1,0 +1,374 @@
+"""Training-data text pipeline — dedup / language-ID / quality / tokens.
+
+No reference counterpart (Presto 0.206 has word_stem only —
+operator/scalar/WordStemFunction.java); these are the LLM-pipeline
+operators the north star requires, designed Spark-first:
+
+  - everything below is pure pyspark.sql.functions (JVM, codegen) — no
+    Python UDFs anywhere in the hot path;
+  - shingling/minhash are per-row array expressions (no explode→shuffle
+    for signature computation);
+  - the near-dup join shuffles only (band-hash, doc_id) pairs, which is
+    the textbook LSH-at-scale layout.
+
+Deterministic oracles: shingle sets and Jaccard are exact integer math;
+fingerprints are md5 of canonicalized text — both engines agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from prestodb_presto_spark.queries import query
+from prestodb_presto_spark.queries.util import t
+
+# --- shared building blocks (importable by library users) -------------------
+
+def tokens(col="text"):
+    """Whitespace tokens."""
+    return F.split(F.col(col), " ")
+
+
+def shingles3(col="text"):
+    """Distinct word-level 3-gram shingles as an array expression (no explode)."""
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(split({col}, ' ')) - 2, 0)),"
+        f" i -> concat_ws(' ', split({col}, ' ')[i-1], split({col}, ' ')[i], split({col}, ' ')[i+1])))"
+    )
+
+
+SHINGLES3_SQL = (
+    "list_distinct([l[i] || ' ' || l[i+1] || ' ' || l[i+2] for i in range(1, len(l)-1)])"
+)
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(len(string_split(text, ' '))) AS min_tokens,
+           MAX(len(string_split(text, ' '))) AS max_tokens
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    tags=("text", "pipeline"),
+)
+def text_token_stats(spark, sf_dir):
+    """Whitespace token counting per language — pure JVM expressions."""
+    docs = t(spark, sf_dir, "documents")
+    ntok = F.size(tokens())
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(ntok).cast("bigint").alias("total_tokens"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min(ntok).alias("min_tokens"),
+            F.max(ntok).alias("max_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           length(text) AS n_chars_m,
+           len(list_filter(string_split(text, ' '),
+               w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop,
+           ROUND(len(list_filter(string_split(text, ' '),
+                     w -> w IN ('the', 'a', 'of', 'and', 'to')))
+                 * 1.0 / len(string_split(text, ' ')), 6) AS stop_ratio,
+           ROUND(length(text) * 1.0 / len(string_split(text, ' ')), 6) AS avg_word_len
+    FROM documents WHERE doc_id < 50 ORDER BY doc_id
+    """,
+    tags=("text", "pipeline"),
+)
+def text_quality_score(spark, sf_dir):
+    """Quality features: token count, stopword ratio, avg word length.
+
+    Single int/int divisions → bit-identical across engines.
+    """
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    tok = tokens()
+    stop = F.filter(tok, lambda w: w.isin("the", "a", "of", "and", "to"))
+    return docs.select(
+        "doc_id",
+        F.size(tok).alias("n_tokens"),
+        F.length("text").alias("n_chars_m"),
+        F.size(stop).alias("n_stop"),
+        F.round(F.size(stop) * 1.0 / F.size(tok), 6).alias("stop_ratio"),
+        F.round(F.length("text") * 1.0 / F.size(tok), 6).alias("avg_word_len"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_langid_heuristic",
+    oracle="""
+    SELECT pred_lang, COUNT(*) AS n FROM (
+      SELECT CASE
+        WHEN len(list_filter(string_split(text,' '), w -> w IN ('the','a','of'))) >=
+             len(list_filter(string_split(text,' '), w -> w IN ('scan','merge','hash')))
+        THEN 'en_like' ELSE 'tech_like' END AS pred_lang
+      FROM documents
+    ) x GROUP BY pred_lang ORDER BY pred_lang
+    """,
+    tags=("text", "pipeline"),
+)
+def text_langid_heuristic(spark, sf_dir):
+    """Language-ID by stopword-list voting (n-gram heuristic family).
+
+    The fixture's text is synthetic word soup, so the heuristic contract is
+    what's verified: identical integer votes → identical labels.
+    """
+    docs = t(spark, sf_dir, "documents")
+    tok = tokens()
+    en = F.size(F.filter(tok, lambda w: w.isin("the", "a", "of")))
+    tech = F.size(F.filter(tok, lambda w: w.isin("scan", "merge", "hash")))
+    return (
+        docs.select(F.when(en >= tech, "en_like").otherwise("tech_like").alias("pred_lang"))
+        .groupBy("pred_lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("pred_lang")
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(array_to_string(list_sort(list_distinct(string_split(lower(trim(text)), ' '))), ' '))) AS n_fingerprints,
+           COUNT(DISTINCT md5(lower(trim(text)))) AS n_exact_hashes
+    FROM documents
+    """,
+    tags=("text", "dedup"),
+)
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprinting: canonical token-set fingerprint (the
+    classic 'fingerprint' clustering key) + exact-content hash."""
+    docs = t(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(norm, " ")))))
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(fp).alias("n_fingerprints"),
+        F.countDistinct(F.md5(norm)).alias("n_exact_hashes"),
+    )
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(lower(trim(text)))) AS n_unique,
+           COUNT(*) - COUNT(DISTINCT md5(lower(trim(text)))) AS n_dup_rows
+    FROM documents
+    """,
+    tags=("text", "dedup"),
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup via content-hash group-by.
+
+    At 100 TB: hash each doc (map-side), group by the 128-bit hash —
+    one shuffle of (hash, 1) pairs; never shuffles document bodies.
+    """
+    docs = t(spark, sf_dir, "documents")
+    h = F.md5(F.lower(F.trim(F.col("text"))))
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(h).alias("n_unique"),
+        (F.count("*") - F.countDistinct(h)).alias("n_dup_rows"),
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH g AS (SELECT doc_id, string_split(text, ' ') l FROM documents),
+    sh AS (SELECT doc_id, {SHINGLES3_SQL} s FROM g),
+    toks AS (SELECT doc_id, unnest(s) w FROM sh),
+    sizes AS (SELECT doc_id, count(*) sz FROM toks GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+              FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b,
+           ROUND(c * 1.0 / (sa.sz + sb.sz - c), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.8
+    ORDER BY id_a, id_b
+    """,
+    tags=("text", "dedup"),
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs (3-gram shingles, J ≥ 0.8).
+
+    Spark plan: per-doc distinct shingle arrays (no UDF) → explode →
+    self-join on shingle → pair-count agg → join back sizes.  Integer
+    set math + one final division → hash-exact vs the oracle.
+
+    At 100 TB the shingle self-join is the quadratic hazard — that's what
+    dedup_minhash_lsh is for; this operator is the exact verifier run on
+    LSH candidates (and stands alone at small scale).
+    """
+    docs = t(spark, sf_dir, "documents").select("doc_id", shingles3().alias("s"))
+    toks = docs.select("doc_id", F.explode("s").alias("w"))
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("c") * 1.0 / (F.col("sz_a") + F.col("sz_b") - F.col("c"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= 0.8)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --- MinHash-LSH (approximate; verified pairs hash-match the exact oracle) --
+
+N_HASHES = 64
+N_BANDS = 32  # rows per band r=2 → catches J≳0.4 candidates w.h.p.
+_P31 = (1 << 31) - 1  # Mersenne prime; keeps a*h+b < 2^62 (no ANSI overflow)
+
+
+def minhash_signature(shingle_array_col) -> F.Column:
+    """64-permutation MinHash signature as ONE JVM expression.
+
+    Universal hashing over a 31-bit base hash: h_i(x) = (a_i*h31(x)+b_i)
+    mod (2^31-1) with deterministic constants — products stay < 2^62 so
+    ANSI-mode long arithmetic cannot overflow.  Elementwise-min folded
+    with aggregate(); no explode, no shuffle — signatures compute map-side.
+    """
+    consts = [
+        ((i * 2654435761 + 1) % _P31 or 1, (i * 40503 + 7) % _P31) for i in range(N_HASHES)
+    ]
+    init = F.array(*[F.lit(_P31).cast("bigint") for _ in range(N_HASHES)])
+    hashes = lambda s: F.array(  # noqa: E731
+        *[
+            ((F.lit(a) * F.pmod(F.xxhash64(s), F.lit(_P31)) + F.lit(b)) % F.lit(_P31))
+            for a, b in consts
+        ]
+    )
+    return F.aggregate(
+        shingle_array_col, init, lambda acc, s: F.zip_with(acc, hashes(s), lambda x, y: F.least(x, y))
+    )
+
+
+def minhash_candidate_pairs(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+    """LSH banding: band the signature, shuffle only (band_idx, band_hash)
+    keys, emit candidate id pairs."""
+    sig = docs.select(id_col, minhash_signature(shingles3(text_col)).alias("sig"))
+    r = N_HASHES // N_BANDS
+    bands = sig.select(
+        id_col,
+        F.posexplode(
+            F.expr(f"transform(sequence(0, {N_BANDS - 1}), b -> slice(sig, b * {r} + 1, {r}))")
+        ).alias("band_idx", "band"),
+    ).select(id_col, "band_idx", F.hash("band_idx", "band").alias("bh"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH g AS (SELECT doc_id, string_split(text, ' ') l FROM documents),
+    sh AS (SELECT doc_id, {SHINGLES3_SQL} s FROM g),
+    toks AS (SELECT doc_id, unnest(s) w FROM sh),
+    sizes AS (SELECT doc_id, count(*) sz FROM toks GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+              FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b
+    FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+    WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.8
+    ORDER BY id_a, id_b
+    """,
+    tags=("text", "dedup", "approximate"),
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup detection, exact-verified.
+
+    Pipeline: shingle → 64-hash MinHash signature (map-side expression) →
+    32-band LSH bucketing (shuffle on band hash only) → candidate pairs →
+    exact-Jaccard verification of candidates only.  The verified output
+    equals the exact J≥0.8 pair set (banding at r=2 catches J≥0.8 pairs
+    with prob 1 - (1-J²)³² ≈ 1-1e-13), which is what the oracle computes.
+
+    At 100 TB this is THE dedup plan: the quadratic shingle self-join is
+    replaced by bucket-local joins; only candidates are re-verified.
+    """
+    docs = t(spark, sf_dir, "documents")
+    cands = minhash_candidate_pairs(docs)
+    # exact verification of candidate pairs only
+    sh = docs.select("doc_id", shingles3().alias("s"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("s_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("s_b"))
+    verified = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("s_a", "s_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter") * 1.0 / (F.size("s_a") + F.size("s_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+    )
+    return verified.select("id_a", "id_b").orderBy("id_a", "id_b")
+
+
+@query("dedup_simhash", oracle=None, tags=("text", "dedup", "approximate"))
+def dedup_simhash(spark, sf_dir):
+    """64-bit SimHash fingerprints (rows-only check; hamming-near pairs are
+    exercised in tests/test_text.py against exact Jaccard).
+
+    SimHash: per token, xxhash64 → for each of 64 bits accumulate +1/-1;
+    sign of each accumulator forms the fingerprint.  Implemented as one
+    aggregate() expression over the token array — map-side only.
+    """
+    docs = t(spark, sf_dir, "documents")
+    tok = F.array_distinct(tokens())
+    init = F.array(*[F.lit(0)] * 64)
+    acc = F.aggregate(
+        tok,
+        init,
+        lambda a, w: F.zip_with(
+            a,
+            F.array(*[F.shiftrightunsigned(F.xxhash64(w), i).bitwiseAND(F.lit(1)) for i in range(64)]),
+            lambda x, bit: x + F.when(bit == 1, 1).otherwise(-1),
+        ),
+    )
+    # fold sign bits with shift+OR (bitwise — no ANSI overflow at bit 63)
+    bits = F.expr(
+        "aggregate(zip_with(sim_acc, sequence(0, 63),"
+        " (x, i) -> IF(x > 0, shiftleft(1L, i), 0L)), 0L, (acc, b) -> acc | b)"
+    )
+    return (
+        docs.select("doc_id", acc.alias("sim_acc"))
+        .select("doc_id", bits.alias("simhash"))
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,59 @@
+"""Shared helpers for the query catalog.
+
+Determinism rules for the differential (hash-match) oracle
+-----------------------------------------------------------
+The driver compares Spark vs DuckDB by order-insensitive value hash, so
+every output cell must be bit-identical across engines:
+
+1. Sums of money-like doubles: cast each addend to DECIMAL(18,2) first.
+   Decimal addition is exact and order-independent, so partial-aggregate
+   merge order (Spark) vs streaming order (DuckDB) cannot diverge.  Cast
+   the final aggregate back to DOUBLE for a simple, engine-neutral schema.
+2. Averages: exact decimal SUM divided by COUNT in double — one IEEE
+   division of identical operands is deterministic.
+3. Never emit raw nanosecond timestamps (Spark truncates parquet ns to
+   micros); emit unix seconds (BIGINT) or DATE instead.
+4. Approximate functions (approx_count_distinct, approx_percentile,
+   minhash) can't hash-match a different implementation — emit a BOOLEAN
+   "within tolerance of exact" check instead, whose oracle is `true`.
+5. Top-k must have a total order: always add a unique tiebreaker key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_CACHE_KEY = "prestodb_presto_spark.tables"
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table.
+
+    events.parquet stores ts as TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; read it as raw nanos (legacy conf, runtime-settable)
+    and floor-truncate to a microsecond TIMESTAMP — matching what DuckDB's
+    native ns timestamp yields for every sub-second-insensitive operation.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def dec(col: str | Column, scale: int = 2) -> Column:
+    """Cast a double column to an exact decimal for order-independent sums."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal(18,{scale})")
+
+
+def dsum(col: str | Column, scale: int = 2) -> Column:
+    """Deterministic SUM over doubles: decimal-sum, emitted as DOUBLE."""
+    return F.sum(dec(col, scale)).cast("double")
+
+
+def davg(col: str | Column, scale: int = 2) -> Column:
+    """Deterministic AVG: exact decimal sum / count, one double division."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(dec(c, scale)).cast("double") / F.count(c)
