@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Benchmark harness — the driver runs this per round (BENCH_r{N}.json).
+
+Runs the headline query set at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+    {"metric": "...", "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1}
+
+Query set mirrors the reference's benchmark shapes
+(presto-benchmark/.../BenchmarkSuite.java:32-90: filter/agg micro,
+hash join, semi join, distinct, top-N, window, hand-built TPC-H) plus
+the north-star pipeline operators (dedup, knn, sessionization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from prestodb_presto_spark.queries import load_all
+from prestodb_presto_spark.session import get_spark
+
+BENCH_QUERIES = [
+    # reference micro-benchmark shapes
+    "tpch_q01",            # hash agg (HandTpchQuery1)
+    "tpch_q06",            # predicate filter + global agg (HandTpchQuery6)
+    "tpch_q03",            # hash join + topN
+    "tpch_q05",            # multi-join
+    "tpch_q09",            # join tree + agg
+    "tpch_q13",            # outer join + double agg
+    "tpch_q18",            # having + topN
+    "join_semi",           # semi join (IN)
+    "agg_multi_distinct",  # multi-field distinct
+    "orderby_limit_topn",  # top-N
+    "window_topn_per_group",
+    # north-star pipeline
+    "dedup_minhash_lsh",
+    "similarity_knn_top1",
+    "events_session_window",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = get_spark("bench")
+    specs = load_all()
+
+    # warm the JVM/reader path once with a trivial action (not timed)
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = specs[name].spark_fn
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        # noop sink: forces full materialization of every output column
+        # (count() would let Catalyst prune the payload)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -151,24 +151,7 @@ def similarity_lsh_ann(spark, sf_dir):
     Rows-only differential check; recall vs the exact pair set is asserted
     in tests/test_similarity.py.
     """
-    emb = t(spark, sf_dir, "embeddings").select("vec_id", quantized().alias("q"))
-    # plane p, dim i coefficient: deterministic int in [-8,8) from xxhash64
-    planes = [
-        F.array(*[(F.xxhash64(F.lit(f"plane-{p}-{i}")) % 16 - 8) for i in range(64)])
-        for p in range(16)
-    ]
-    bucket = F.lit(0).cast("bigint")
-    for p, plane in enumerate(planes):
-        proj = dot(F.col("q"), plane)
-        bucket = bucket + F.when(proj > 0, F.lit(1 << p).cast("bigint")).otherwise(F.lit(0))
-    sig = emb.select("vec_id", bucket.alias("bucket"))
-    a = sig.alias("a")
-    b = sig.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
-        .orderBy("id_a", "id_b")
-    )
+    from prestodb_presto_spark.similarity.lsh import lsh_candidate_pairs
+
+    emb = t(spark, sf_dir, "embeddings")
+    return lsh_candidate_pairs(emb).orderBy("id_a", "id_b")

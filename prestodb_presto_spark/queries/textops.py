@@ -21,21 +21,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from prestodb_presto_spark.queries import query
 from prestodb_presto_spark.queries.util import t
-
-# --- shared building blocks (importable by library users) -------------------
-
-def tokens(col="text"):
-    """Whitespace tokens."""
-    return F.split(F.col(col), " ")
-
-
-def shingles3(col="text"):
-    """Distinct word-level 3-gram shingles as an array expression (no explode)."""
-    return F.expr(
-        f"array_distinct(transform(sequence(1, greatest(size(split({col}, ' ')) - 2, 0)),"
-        f" i -> concat_ws(' ', split({col}, ' ')[i-1], split({col}, ' ')[i], split({col}, ' ')[i+1])))"
-    )
-
+from prestodb_presto_spark.text.analysis import shingles3, token_array as tokens
 
 SHINGLES3_SQL = (
     "list_distinct([l[i] || ' ' || l[i+1] || ' ' || l[i+2] for i in range(1, len(l)-1)])"
@@ -240,58 +226,6 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 # --- MinHash-LSH (approximate; verified pairs hash-match the exact oracle) --
 
-N_HASHES = 64
-N_BANDS = 32  # rows per band r=2 → catches J≳0.4 candidates w.h.p.
-_P31 = (1 << 31) - 1  # Mersenne prime; keeps a*h+b < 2^62 (no ANSI overflow)
-
-
-def minhash_signature(shingle_array_col) -> F.Column:
-    """64-permutation MinHash signature as ONE JVM expression.
-
-    Universal hashing over a 31-bit base hash: h_i(x) = (a_i*h31(x)+b_i)
-    mod (2^31-1) with deterministic constants — products stay < 2^62 so
-    ANSI-mode long arithmetic cannot overflow.  Elementwise-min folded
-    with aggregate(); no explode, no shuffle — signatures compute map-side.
-    """
-    consts = [
-        ((i * 2654435761 + 1) % _P31 or 1, (i * 40503 + 7) % _P31) for i in range(N_HASHES)
-    ]
-    init = F.array(*[F.lit(_P31).cast("bigint") for _ in range(N_HASHES)])
-    hashes = lambda s: F.array(  # noqa: E731
-        *[
-            ((F.lit(a) * F.pmod(F.xxhash64(s), F.lit(_P31)) + F.lit(b)) % F.lit(_P31))
-            for a, b in consts
-        ]
-    )
-    return F.aggregate(
-        shingle_array_col, init, lambda acc, s: F.zip_with(acc, hashes(s), lambda x, y: F.least(x, y))
-    )
-
-
-def minhash_candidate_pairs(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
-    """LSH banding: band the signature, shuffle only (band_idx, band_hash)
-    keys, emit candidate id pairs."""
-    sig = docs.select(id_col, minhash_signature(shingles3(text_col)).alias("sig"))
-    r = N_HASHES // N_BANDS
-    bands = sig.select(
-        id_col,
-        F.posexplode(
-            F.expr(f"transform(sequence(0, {N_BANDS - 1}), b -> slice(sig, b * {r} + 1, {r}))")
-        ).alias("band_idx", "band"),
-    ).select(id_col, "band_idx", F.hash("band_idx", "band").alias("bh"))
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
-
 
 @query(
     "dedup_minhash_lsh",
@@ -322,23 +256,14 @@ def dedup_minhash_lsh(spark, sf_dir):
     At 100 TB this is THE dedup plan: the quadratic shingle self-join is
     replaced by bucket-local joins; only candidates are re-verified.
     """
+    from prestodb_presto_spark.text.minhash import verified_near_dup_pairs
+
     docs = t(spark, sf_dir, "documents")
-    cands = minhash_candidate_pairs(docs)
-    # exact verification of candidate pairs only
-    sh = docs.select("doc_id", shingles3().alias("s"))
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("s_a"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("s_b"))
-    verified = (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("inter", F.size(F.array_intersect("s_a", "s_b")))
-        .withColumn(
-            "jaccard",
-            F.col("inter") * 1.0 / (F.size("s_a") + F.size("s_b") - F.col("inter")),
-        )
-        .filter(F.col("jaccard") >= 0.8)
+    return (
+        verified_near_dup_pairs(docs, threshold=0.8)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
     )
-    return verified.select("id_a", "id_b").orderBy("id_a", "id_b")
 
 
 @query("dedup_simhash", oracle=None, tags=("text", "dedup", "approximate"))
@@ -350,25 +275,9 @@ def dedup_simhash(spark, sf_dir):
     sign of each accumulator forms the fingerprint.  Implemented as one
     aggregate() expression over the token array — map-side only.
     """
+    from prestodb_presto_spark.text.analysis import with_simhash64
+
     docs = t(spark, sf_dir, "documents")
-    tok = F.array_distinct(tokens())
-    init = F.array(*[F.lit(0)] * 64)
-    acc = F.aggregate(
-        tok,
-        init,
-        lambda a, w: F.zip_with(
-            a,
-            F.array(*[F.shiftrightunsigned(F.xxhash64(w), i).bitwiseAND(F.lit(1)) for i in range(64)]),
-            lambda x, bit: x + F.when(bit == 1, 1).otherwise(-1),
-        ),
-    )
-    # fold sign bits with shift+OR (bitwise — no ANSI overflow at bit 63)
-    bits = F.expr(
-        "aggregate(zip_with(sim_acc, sequence(0, 63),"
-        " (x, i) -> IF(x > 0, shiftleft(1L, i), 0L)), 0L, (acc, b) -> acc | b)"
-    )
-    return (
-        docs.select("doc_id", acc.alias("sim_acc"))
-        .select("doc_id", bits.alias("simhash"))
-        .orderBy("doc_id")
+    return with_simhash64(docs, F.array_distinct(tokens())).select("doc_id", "simhash").orderBy(
+        "doc_id"
     )

@@ -1,0 +1,117 @@
+"""Streaming operators: windowed aggregation, sessionization, dedup.
+
+Every transformation here is sink-agnostic and works on both a batch
+DataFrame and a streaming one — the watermark is a no-op in batch, so
+tests can assert stream(availableNow) == batch on the same input.
+
+Scale posture: state size is bounded by (watermark horizon × key
+cardinality); keys are (window, event_type) or user_id — the shuffle
+partitioning of stateful operators follows those keys automatically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# raw parquet schema of events (ts is TIMESTAMP(NANOS) → read as long nanos)
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+_STREAM_DIRS: dict[str, str] = {}
+
+
+def _stream_dir(sf_dir: str) -> str:
+    """File-stream sources need a *directory*; stage one with a symlink to
+    the fixture file (read-only testdata cannot be reorganized)."""
+    if sf_dir not in _STREAM_DIRS:
+        import os
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="events_stream_")
+        os.symlink(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
+        _STREAM_DIRS[sf_dir] = d
+    return _STREAM_DIRS[sf_dir]
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a file-source stream (ts truncated to micros)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_stream_dir(sf_dir))
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def tumbling_counts(events: DataFrame, duration: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window counts+sums per event_type with late-data bound."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    duration: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window counts (each event lands in duration/slide windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration, slide).alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+
+
+def session_agg(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Session windows per user (gap-based), the stateful session operator."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("session_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Drop duplicate event_ids arriving within the watermark horizon
+    (streaming dropDuplicatesWithinWatermark; plain dropDuplicates in batch)."""
+    with_wm = events.withWatermark("ts", watermark)
+    if events.isStreaming:
+        return with_wm.dropDuplicatesWithinWatermark(["event_id"])
+    return with_wm.dropDuplicates(["event_id"])

@@ -1,0 +1,98 @@
+"""Streaming module: stream(availableNow) must equal batch on the same
+input; stateful op must produce per-user totals; dedup within watermark.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark.sql import functions as F
+
+from prestodb_presto_spark.queries.util import t as load_table
+from prestodb_presto_spark.streaming import (
+    dedup_within_watermark,
+    read_events_stream,
+    running_totals_stateful,
+    session_agg,
+    tumbling_counts,
+)
+from tests.conftest import SF_TINY
+
+
+def _run_to_memory(sdf, name):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if not sdf.isStreaming else "complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return name
+
+
+def _norm(rows):
+    return sorted(tuple(r) for r in rows)
+
+
+def test_tumbling_stream_equals_batch(spark):
+    name = f"tumbling_{uuid.uuid4().hex[:8]}"
+    stream = tumbling_counts(read_events_stream(spark, SF_TINY))
+    _run_to_memory(stream, name)
+    got = spark.sql(f"SELECT * FROM {name}").collect()
+    batch = tumbling_counts(load_table(spark, SF_TINY, "events")).collect()
+    assert _norm(got) == _norm(batch)
+    assert len(got) > 0
+
+
+def test_session_stream_equals_batch(spark):
+    name = f"session_{uuid.uuid4().hex[:8]}"
+    stream = session_agg(read_events_stream(spark, SF_TINY))
+    _run_to_memory(stream, name)
+    got = spark.sql(f"SELECT * FROM {name}").collect()
+    batch = session_agg(load_table(spark, SF_TINY, "events")).collect()
+    assert _norm(got) == _norm(batch)
+    assert len(got) > 0
+
+
+def test_dedup_within_watermark_stream(spark):
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    stream = dedup_within_watermark(read_events_stream(spark, SF_TINY))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(f"SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM {name}").first()
+    batch_n = load_table(spark, SF_TINY, "events").select("event_id").distinct().count()
+    assert got.n == got.d == batch_n
+
+
+def test_stateful_running_totals(spark):
+    name = f"stateful_{uuid.uuid4().hex[:8]}"
+    stream = running_totals_stateful(read_events_stream(spark, SF_TINY))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # last update per user must equal the batch per-user totals
+    got = spark.sql(
+        f"SELECT user_id, max(n_events) AS n, max(total_value) AS tv FROM {name} GROUP BY user_id"
+    ).collect()
+    batch = (
+        load_table(spark, SF_TINY, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    )
+    gmap = {r.user_id: (r.n, round(r.tv, 6)) for r in got}
+    bmap = {r.user_id: (r.n, round(r.tv, 6)) for r in batch}
+    assert gmap == bmap

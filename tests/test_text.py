@@ -1,0 +1,78 @@
+"""Text-pipeline library tests: LSH recall vs exact Jaccard, SimHash sanity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prestodb_presto_spark.text import (
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingles3,
+    token_array,
+    verified_near_dup_pairs,
+    with_simhash64,
+)
+from tests.conftest import SF_TINY
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_TINY}/documents.parquet")
+
+
+def _exact_pairs(spark, threshold):
+    sh = _docs(spark).select("doc_id", shingles3().alias("s"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("s_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("s_b"))
+    inter = F.size(F.array_intersect("s_a", "s_b"))
+    jac = inter * 1.0 / (F.size("s_a") + F.size("s_b") - inter)
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("j", jac)
+        .filter(F.col("j") >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
+def test_minhash_signature_shape(spark):
+    sig = minhash_signatures(_docs(spark))
+    row = sig.first()
+    assert len(row["sig"]) == 64
+    assert all(isinstance(v, int) for v in row["sig"])
+
+
+def test_lsh_recall_of_high_jaccard_pairs(spark):
+    """Every exact J>=0.8 pair must appear among LSH candidates (the
+    banding math makes a miss ~1e-13; a failure means a real bug)."""
+    exact = {(r.id_a, r.id_b) for r in _exact_pairs(spark, 0.8).collect()}
+    cands = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(_docs(spark)).collect()}
+    assert exact, "fixture should contain planted near-dup pairs"
+    assert exact <= cands
+
+
+def test_verified_pairs_equal_exact(spark):
+    exact = {(r.id_a, r.id_b) for r in _exact_pairs(spark, 0.8).collect()}
+    verified = {(r.id_a, r.id_b) for r in verified_near_dup_pairs(_docs(spark), 0.8).collect()}
+    assert verified == exact
+
+
+def test_simhash_near_dups_have_small_hamming(spark):
+    """Planted near-dup pairs must agree on most SimHash bits."""
+    fp = with_simhash64(_docs(spark), F.array_distinct(token_array())).select("doc_id", "simhash")
+    pairs = _exact_pairs(spark, 0.9)
+    a = fp.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("h_a"))
+    b = fp.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("h_b"))
+    joined = pairs.join(a, "id_a").join(b, "id_b").select(
+        F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("ham")
+    )
+    rows = joined.collect()
+    assert rows, "fixture should contain planted J>=0.9 pairs"
+    assert all(r.ham <= 16 for r in rows), [r.ham for r in rows]
+
+
+def test_shingles_short_docs(spark):
+    """Docs with <3 tokens yield an empty shingle set, not an error."""
+    df = spark.createDataFrame([(1, "one two"), (2, "a b c d")], "doc_id int, text string")
+    rows = {r.doc_id: r.s for r in df.select("doc_id", shingles3().alias("s")).collect()}
+    assert rows[1] == []
+    assert rows[2] == ["a b c", "b c d"]

@@ -3,8 +3,7 @@
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB
 over the same parquet tables, then compares row count, schema shape, and
-an order-insensitive value hash (floats rounded to 9 significant digits
-before hashing, like a precision-aware comparator).
+an order-insensitive value hash (floats rounded to 9 significant digits).
 
 Usage:
     python tools/check_correctness.py [sf_dir] [query_name ...]
@@ -12,41 +11,12 @@ Usage:
 
 from __future__ import annotations
 
-import math
 import sys
 import time
 
-import duckdb
-
 sys.path.insert(0, "/root/repo")
 
-TABLES = (
-    "region nation customer supplier part orders lineitem events documents embeddings".split()
-)
-
-
-def norm_cell(v):
-    if isinstance(v, bool):
-        return ("b", v)
-    if isinstance(v, float):
-        if math.isnan(v):
-            return ("f", "nan")
-        if v == 0:
-            return ("f", 0.0)
-        # 9 significant digits — tolerant of last-ulp noise, strict otherwise
-        return ("f", round(v, 9 - 1 - int(math.floor(math.log10(abs(v))))) if abs(v) > 1e-300 else 0.0)
-    if isinstance(v, int):
-        return ("i", v)
-    if isinstance(v, (list, tuple)):
-        return ("l", tuple(norm_cell(x) for x in v))
-    if v is None:
-        return ("n",)
-    return ("s", str(v))
-
-
-def norm_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
+from prestodb_presto_spark.testing import compare, duckdb_oracle
 
 
 def main():
@@ -57,9 +27,7 @@ def main():
     from prestodb_presto_spark.session import get_spark
 
     spark = get_spark("check-correctness")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    con = duckdb_oracle(sf_dir)
 
     qs, oracles = e.queries(), e.oracle_sql()
     n_pass = n_fail = n_weak = 0
@@ -69,40 +37,22 @@ def main():
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            scols = [c.lower() for c in sdf.columns]
-            srows = [tuple(r) for r in sdf.collect()]
+            if name not in oracles:
+                n = len(sdf.collect())
+                print(f"WEAK {name}: rows-only ({n} rows) [{time.time()-t0:.1f}s]")
+                n_weak += 1
+                continue
+            err = compare(sdf, con, oracles[name])
         except Exception as ex:
-            print(f"FAIL {name}: spark error: {str(ex)[:300]}")
+            print(f"FAIL {name}: error: {str(ex)[:300]}")
             n_fail += 1
             continue
-        if name not in oracles:
-            print(f"WEAK {name}: rows-only ({len(srows)} rows) [{time.time()-t0:.1f}s]")
-            n_weak += 1
-            continue
-        try:
-            res = con.execute(oracles[name])
-            ocols = [d[0].lower() for d in res.description]
-            orows = res.fetchall()
-        except Exception as ex:
-            print(f"FAIL {name}: oracle error: {str(ex)[:300]}")
+        if err:
+            print(f"FAIL {name}: {err}")
             n_fail += 1
-            continue
-        if sorted(scols) != sorted(ocols):
-            print(f"FAIL {name}: columns {scols} vs {ocols}")
-            n_fail += 1
-            continue
-        if len(srows) != len(orows):
-            print(f"FAIL {name}: rowcount {len(srows)} vs {len(orows)}")
-            n_fail += 1
-            continue
-        a, b = norm_rows(scols, srows), norm_rows(ocols, orows)
-        if a != b:
-            diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
-            print(f"FAIL {name}: value mismatch, e.g. {diff}")
-            n_fail += 1
-            continue
-        print(f"PASS {name} ({len(srows)} rows) [{time.time()-t0:.1f}s]")
-        n_pass += 1
+        else:
+            print(f"PASS {name} [{time.time()-t0:.1f}s]")
+            n_pass += 1
 
     print(f"\n== {n_pass} pass, {n_weak} rows-only, {n_fail} FAIL")
     sys.exit(1 if n_fail else 0)
