@@ -1,0 +1,71 @@
+"""Conditional / comparison functions — reference TryFunction.java,
+TryCastFunction.java, FailureFunction.java, scalar/Greatest.java, Least.java."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prestodb_presto_spark.functions import register
+from prestodb_presto_spark.functions._util import c, lit_or_col
+
+
+@register("if_")
+def if_(cond, then, otherwise=None):
+    w = F.when(c(cond) if not isinstance(cond, bool) else F.lit(cond), lit_or_col(then))
+    return w.otherwise(lit_or_col(otherwise)) if otherwise is not None else w
+
+
+@register("coalesce")
+def coalesce(*cols):
+    return F.coalesce(*[c(x) for x in cols])
+
+
+@register("nullif")
+def nullif(a, b):
+    return F.nullif(c(a), lit_or_col(b))
+
+
+@register("greatest")
+def greatest(*cols):
+    return F.greatest(*[c(x) for x in cols])
+
+
+@register("least")
+def least(*cols):
+    return F.least(*[c(x) for x in cols])
+
+
+@register("try_cast")
+def try_cast(x, to_type: str):
+    return c(x).try_cast(to_type)
+
+
+@register("try_divide")
+def try_divide(a, b):
+    """try(x/y) — NULL instead of error (TryFunction.java semantics)."""
+    return F.try_divide(c(a), lit_or_col(b))
+
+
+@register("typeof")
+def typeof(x):
+    return F.typeof(c(x))
+
+
+@register("is_distinct_from")
+def is_distinct_from(a, b):
+    return ~c(a).eqNullSafe(lit_or_col(b))
+
+
+@register("is_not_distinct_from")
+def is_not_distinct_from(a, b):
+    return c(a).eqNullSafe(lit_or_col(b))
+
+
+@register("fail")
+def fail(msg: str):
+    return F.raise_error(F.lit(msg))
+
+
+@register("current_user")
+def current_user():
+    return F.current_user()

@@ -1,0 +1,228 @@
+"""Date/time functions — reference operator/scalar/DateTimeFunctions.java.
+
+The two headline dialect translations (SURVEY.md §7 risk #2):
+  - Presto date_add('unit', n, ts) / date_diff('unit', a, b) vs Spark's
+    date_add(date, days) — the registry OWNS the Presto signature.
+  - date_format/date_parse use MySQL %-patterns — translated token by
+    token to Spark's (Java) patterns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from prestodb_presto_spark.functions import register
+from prestodb_presto_spark.functions._util import c, lit_or_col
+
+_UNITS = {
+    "millisecond": "INTERVAL '0.001' SECOND",
+    "second": "INTERVAL 1 SECOND",
+    "minute": "INTERVAL 1 MINUTE",
+    "hour": "INTERVAL 1 HOUR",
+    "day": "INTERVAL 1 DAY",
+    "week": "INTERVAL 7 DAY",
+    "month": "INTERVAL 1 MONTH",
+    "quarter": "INTERVAL 3 MONTH",
+    "year": "INTERVAL 1 YEAR",
+}
+
+
+@register("date_add")
+def date_add(unit: str, n, ts) -> Column:
+    """Presto: date_add(unit, value, timestamp) — NOT Spark's date_add."""
+    unit = unit.lower()
+    if unit not in _UNITS:
+        raise ValueError(f"unknown unit {unit}")
+    return c(ts) + lit_or_col(n) * F.expr(_UNITS[unit])
+
+
+@register("date_diff")
+def date_diff(unit: str, a, b) -> Column:
+    """Presto: date_diff(unit, ts1, ts2) = count of unit boundaries ts2-ts1."""
+    unit = unit.lower()
+    ca, cb = c(a), c(b)
+    if unit in ("second", "minute", "hour", "day", "week"):
+        secs = {"second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800}[unit]
+        return ((cb.cast("long") - ca.cast("long")) / secs).cast("long")
+    if unit == "millisecond":
+        return (
+            (cb.cast("double") - ca.cast("double")) * 1000
+        ).cast("long")
+    if unit == "month":
+        return F.floor(F.months_between(cb, ca)).cast("long")
+    if unit == "quarter":
+        return F.floor(F.months_between(cb, ca) / 3).cast("long")
+    if unit == "year":
+        return (F.year(cb) - F.year(ca)).cast("long")
+    raise ValueError(f"unknown unit {unit}")
+
+
+@register("date_trunc")
+def date_trunc(unit: str, ts) -> Column:
+    return F.date_trunc(unit, c(ts))
+
+
+# MySQL %-pattern → Java/Spark datetime pattern (DateTimeFunctions.java
+# uses a joda DateTimeFormatterBuilder from the same %-tokens)
+_MYSQL_TOKENS = {
+    "%a": "EEE", "%b": "MMM", "%c": "M", "%d": "dd", "%e": "d",
+    "%f": "SSSSSS", "%H": "HH", "%h": "hh", "%I": "hh", "%i": "mm",
+    "%j": "DDD", "%k": "H", "%l": "h", "%M": "MMMM", "%m": "MM",
+    "%p": "a", "%r": "hh:mm:ss a", "%S": "ss", "%s": "ss",
+    "%T": "HH:mm:ss", "%v": "ww", "%W": "EEEE", "%Y": "yyyy",
+    "%y": "yy", "%%": "%",
+}
+
+
+def _mysql_to_java(fmt: str) -> str:
+    out, i = [], 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            tok = fmt[i : i + 2]
+            if tok not in _MYSQL_TOKENS:
+                raise ValueError(f"unsupported date_format token {tok}")
+            out.append(_MYSQL_TOKENS[tok])
+            i += 2
+        else:
+            # literal char: quote letters so they aren't pattern tokens
+            ch = fmt[i]
+            out.append(f"'{ch}'" if ch.isalpha() else ch)
+            i += 1
+    return "".join(out)
+
+
+@register("date_format")
+def date_format(ts, fmt: str) -> Column:
+    """MySQL-pattern formatter (Presto) → Spark date_format w/ Java pattern."""
+    return F.date_format(c(ts), _mysql_to_java(fmt))
+
+
+@register("date_parse")
+def date_parse(s, fmt: str) -> Column:
+    return F.to_timestamp(c(s), _mysql_to_java(fmt))
+
+
+@register("format_datetime")
+def format_datetime(ts, fmt: str) -> Column:
+    """Joda pattern (≈ Java pattern for the common tokens)."""
+    return F.date_format(c(ts), fmt)
+
+
+@register("parse_datetime")
+def parse_datetime(s, fmt: str) -> Column:
+    return F.to_timestamp(c(s), fmt)
+
+
+@register("from_unixtime")
+def from_unixtime(x) -> Column:
+    return F.timestamp_seconds(c(x))
+
+
+@register("to_unixtime")
+def to_unixtime(ts) -> Column:
+    return c(ts).cast("double")
+
+
+@register("from_iso8601_timestamp")
+def from_iso8601_timestamp(s) -> Column:
+    return F.to_timestamp(c(s))
+
+
+@register("from_iso8601_date")
+def from_iso8601_date(s) -> Column:
+    return F.to_date(c(s))
+
+
+@register("to_iso8601")
+def to_iso8601(ts) -> Column:
+    return F.date_format(c(ts), "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+
+
+@register("now")
+def now() -> Column:
+    return F.current_timestamp()
+
+
+@register("current_date")
+def current_date() -> Column:
+    return F.current_date()
+
+
+@register("current_timestamp")
+def current_timestamp() -> Column:
+    return F.current_timestamp()
+
+
+@register("localtimestamp")
+def localtimestamp() -> Column:
+    return F.localtimestamp()
+
+
+for _name, _fn in {
+    "year": F.year,
+    "month": F.month,
+    "day": F.dayofmonth,
+    "day_of_month": F.dayofmonth,
+    "hour": F.hour,
+    "minute": F.minute,
+    "second": F.second,
+    "quarter": F.quarter,
+    "week": F.weekofyear,
+    "week_of_year": F.weekofyear,
+    "day_of_year": F.dayofyear,
+    "doy": F.dayofyear,
+}.items():
+    register(_name)(lambda x, _f=_fn: _f(c(x)).cast("bigint"))
+
+
+@register("day_of_week")
+def day_of_week(x) -> Column:
+    """ISO day-of-week 1=Monday..7=Sunday (Presto dow is ISO)."""
+    return (((F.dayofweek(c(x)) + 5) % 7) + 1).cast("bigint")
+
+
+@register("dow")
+def dow(x) -> Column:
+    return day_of_week(x)
+
+
+@register("year_of_week")
+def year_of_week(x) -> Column:
+    """ISO week-year = the year of that week's Thursday
+    (reference DateTimeFunctions.yearOfWeek)."""
+    d = F.to_date(c(x))
+    thursday = F.date_add(d, (F.lit(4) - day_of_week(x).cast("int")))
+    return F.year(thursday).cast("bigint")
+
+
+@register("yow")
+def yow(x) -> Column:
+    return year_of_week(x)
+
+
+@register("last_day_of_month")
+def last_day_of_month(x) -> Column:
+    return F.last_day(c(x))
+
+
+@register("to_milliseconds")
+def to_milliseconds(interval) -> Column:
+    return (c(interval).cast("double") * 1000).cast("bigint")
+
+
+@register("at_timezone")
+def at_timezone(ts, tz) -> Column:
+    """Presto AT TIME ZONE: same instant, different display zone — Spark's
+    session-TZ model expresses it as from_utc_timestamp on the UTC instant."""
+    return F.from_utc_timestamp(F.to_utc_timestamp(c(ts), "UTC"), tz)
+
+
+@register("timezone_hour")
+def timezone_hour(ts) -> Column:
+    return F.lit(0).cast("bigint")  # engine pins session TZ to UTC
+
+
+@register("timezone_minute")
+def timezone_minute(ts) -> Column:
+    return F.lit(0).cast("bigint")

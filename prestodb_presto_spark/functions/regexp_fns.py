@@ -1,0 +1,58 @@
+"""Regex functions — reference JoniRegexpFunctions.java /
+Re2JRegexpFunctions.java (config-switched, FunctionRegistry.java:610-619).
+
+Spark's regex engine is java.util.regex; the common POSIX-ish subset
+used in the reference test corpus behaves identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prestodb_presto_spark.functions import register
+from prestodb_presto_spark.functions._util import c
+
+
+@register("regexp_like")
+def regexp_like(x, pattern: str):
+    return c(x).rlike(pattern)
+
+
+@register("regexp_extract")
+def regexp_extract(x, pattern: str, group: int = 0):
+    return F.regexp_extract(c(x), pattern, group)
+
+
+@register("regexp_extract_all")
+def regexp_extract_all(x, pattern: str, group: int = 0):
+    return F.regexp_extract_all(c(x), F.lit(pattern), F.lit(group))
+
+
+@register("regexp_replace")
+def regexp_replace(x, pattern: str, repl: str = ""):
+    return F.regexp_replace(c(x), pattern, repl)
+
+
+@register("regexp_split")
+def regexp_split(x, pattern: str):
+    return F.split(c(x), pattern)
+
+
+@register("regexp_count")
+def regexp_count(x, pattern: str):
+    return F.regexp_count(c(x), F.lit(pattern)).cast("bigint")
+
+
+@register("regexp_position")
+def regexp_position(x, pattern: str):
+    """1-based char position of first match, -1 if none (Presto semantics)."""
+    pos = F.regexp_instr(c(x), F.lit(pattern))
+    return F.when(pos == 0, F.lit(-1)).otherwise(pos.cast("int")).cast("bigint")
+
+
+@register("like")
+def like(x, pattern: str, escape: str | None = None):
+    """LIKE/ESCAPE (reference presto-main/.../type/LikeFunctions.java)."""
+    if escape is None:
+        return F.like(c(x), F.lit(pattern))
+    return F.like(c(x), F.lit(pattern), F.lit(escape))

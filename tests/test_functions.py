@@ -1,0 +1,323 @@
+"""Unit tests for the Presto-dialect function registry.
+
+Mirrors the reference's scalar-function suites
+(presto-main/src/test/java/com/facebook/presto/operator/scalar/Test*.java,
+built on AbstractTestFunctions.assertFunction) — each case is
+(presto-expression, expected literal).  Batched: one DataFrame action
+evaluates dozens of expressions, keeping the suite fast.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from prestodb_presto_spark.functions import coverage, presto as P
+
+
+def run_batch(spark, cases):
+    """cases: list of (label, Column, expected). One collect() for all."""
+    cols = [col.alias(f"c{i}") for i, (_, col, _) in enumerate(cases)]
+    row = spark.range(1).select(*cols).collect()[0]
+    for i, (label, _, expected) in enumerate(cases):
+        got = row[i]
+        if isinstance(expected, float) and got is not None:
+            assert got == pytest.approx(expected, rel=1e-9), f"{label}: {got} != {expected}"
+        else:
+            assert got == expected, f"{label}: {got!r} != {expected!r}"
+
+
+def test_string_functions(spark):
+    s = F.lit("hello world")
+    run_batch(
+        spark,
+        [
+            ("length", P.length(s), 11),
+            ("upper", P.upper(s), "HELLO WORLD"),
+            ("lower", P.lower(F.lit("ABC")), "abc"),
+            ("substr", P.substr(s, 1, 5), "hello"),
+            ("substr_neg", P.substr(s, -5), "world"),
+            ("strpos", P.strpos(s, "o"), 5),
+            ("strpos_missing", P.strpos(s, "z"), 0),
+            ("trim", P.trim(F.lit("  x  ")), "x"),
+            ("ltrim", P.ltrim(F.lit("  x")), "x"),
+            ("rtrim", P.rtrim(F.lit("x  ")), "x"),
+            ("lpad", P.lpad(F.lit("7"), 3, "0"), "007"),
+            ("rpad", P.rpad(F.lit("7"), 3, "0"), "700"),
+            ("replace", P.replace(s, "world", "spark"), "hello spark"),
+            ("reverse", P.reverse(F.lit("abc")), "cba"),
+            ("split_part", P.split_part(F.lit("a,b,c"), ",", 2), "b"),
+            ("split", P.split(F.lit("a,b,c"), ","), ["a", "b", "c"]),
+            ("split_limit", P.split(F.lit("a,b,c"), ",", 2), ["a", "b,c"]),
+            ("concat", P.concat(F.lit("a"), F.lit("b"), F.lit("c")), "abc"),
+            ("chr", P.chr(F.lit(65)), "A"),
+            ("codepoint", P.codepoint(F.lit("A")), 65),
+            ("starts_with", P.starts_with(s, "hello"), True),
+            ("hamming", P.hamming_distance(F.lit("abcde"), F.lit("abxye")), 2),
+            ("levenshtein", P.levenshtein_distance(F.lit("kitten"), F.lit("sitting")), 3),
+            ("word_stem", P.word_stem(F.lit("running")), "run"),
+        ],
+    )
+
+
+
+def test_math_functions(spark):
+    run_batch(
+        spark,
+        [
+            ("abs", P.abs(F.lit(-5)), 5),
+            ("ceil", P.ceil(F.lit(4.2)), 5),
+            ("floor", P.floor(F.lit(4.8)), 4),
+            ("round", P.round(F.lit(2.567), 2), 2.57),
+            ("truncate", P.truncate(F.lit(8.9)), 8.0),
+            ("truncate_neg", P.truncate(F.lit(-8.9)), -8.0),
+            ("sign", P.sign(F.lit(-3)), -1),
+            ("mod", P.mod(F.lit(7), F.lit(3)), 1),
+            ("mod_neg", P.mod(F.lit(-7), F.lit(3)), -1),  # Presto: sign of dividend
+            ("exp", P.exp(F.lit(0.0)), 1.0),
+            ("ln", P.ln(F.lit(math.e)), 1.0),
+            ("log2", P.log2(F.lit(8.0)), 3.0),
+            ("log10", P.log10(F.lit(100.0)), 2.0),
+            ("pow", P.pow(F.lit(2.0), F.lit(10.0)), 1024.0),
+            ("sqrt", P.sqrt(F.lit(9.0)), 3.0),
+            ("cbrt", P.cbrt(F.lit(27.0)), 3.0),
+            ("pi", P.pi(), math.pi),
+            ("e", P.e(), math.e),
+            ("degrees", P.degrees(F.lit(math.pi)), 180.0),
+            ("radians", P.radians(F.lit(180.0)), math.pi),
+            ("is_nan", P.is_nan(P.nan()), True),
+            ("is_finite", P.is_finite(F.lit(1.0)), True),
+            ("is_infinite", P.is_infinite(P.infinity()), True),
+            ("width_bucket", P.width_bucket(F.lit(5.3), F.lit(0.0), F.lit(10.0), F.lit(5)), 3),
+            ("from_base", P.from_base(F.lit("ff"), 16), 255),
+            ("to_base", P.to_base(F.lit(255), 16), "ff"),
+            ("atan2", P.atan2(F.lit(1.0), F.lit(1.0)), math.pi / 4),
+            ("cosine_sim_map", P.cosine_similarity(
+                F.create_map(F.lit("a"), F.lit(1.0)),
+                F.create_map(F.lit("a"), F.lit(2.0)), sparse=True), 1.0),
+            ("cosine_sim_arr", P.cosine_similarity(
+                F.array(F.lit(1.0), F.lit(0.0)), F.array(F.lit(0.0), F.lit(1.0))), 0.0),
+        ],
+    )
+
+
+def test_bitwise_functions(spark):
+    run_batch(
+        spark,
+        [
+            ("and", P.bitwise_and(F.lit(19), F.lit(25)), 17),
+            ("or", P.bitwise_or(F.lit(19), F.lit(25)), 27),
+            ("xor", P.bitwise_xor(F.lit(19), F.lit(25)), 10),
+            ("not", P.bitwise_not(F.lit(-12)), 11),
+            ("bit_count", P.bit_count(F.lit(9), 64), 2),
+            ("lshift", P.bitwise_left_shift(F.lit(1), 3), 8),
+            ("rshift", P.bitwise_right_shift(F.lit(8), 3), 1),
+            ("arith_rshift", P.bitwise_arithmetic_shift_right(F.lit(-8), 2), -2),
+        ],
+    )
+
+
+def test_datetime_functions(spark):
+    ts = F.to_timestamp(F.lit("2024-02-29 10:30:45"))
+    d = F.to_date(F.lit("2024-02-29"))
+    run_batch(
+        spark,
+        [
+            ("year", P.year(ts), 2024),
+            ("month", P.month(ts), 2),
+            ("day", P.day(ts), 29),
+            ("hour", P.hour(ts), 10),
+            ("minute", P.minute(ts), 30),
+            ("second", P.second(ts), 45),
+            ("quarter", P.quarter(ts), 1),
+            ("day_of_week_thu", P.day_of_week(ts), 4),  # 2024-02-29 is Thursday
+            ("day_of_year", P.day_of_year(ts), 60),
+            ("week", P.week(ts), 9),
+            ("year_of_week", P.year_of_week(F.lit("2005-01-02")), 2004),
+            ("last_day", P.last_day_of_month(F.lit("2024-02-05")), __import__("datetime").date(2024, 2, 29)),
+            ("date_trunc", P.date_trunc("month", d), __import__("datetime").datetime(2024, 2, 1)),
+            ("date_format", P.date_format(ts, "%Y-%m-%d %H:%i"), "2024-02-29 10:30"),
+            ("date_format_pct", P.date_format(ts, "%d%%"), "29%"),
+            ("to_unixtime", P.to_unixtime(F.to_timestamp(F.lit("1970-01-01 00:01:00"))), 60.0),
+            ("from_unixtime", P.year(P.from_unixtime(F.lit(0))), 1970),
+            ("to_iso8601_year", P.substr(P.to_iso8601(ts), 1, 10), "2024-02-29"),
+        ],
+    )
+
+    # date_add / date_diff (Presto 3-arg signatures)
+    run_batch(
+        spark,
+        [
+            ("add_day", F.to_date(P.date_add("day", 1, d)), __import__("datetime").date(2024, 3, 1)),
+            ("add_month", F.to_date(P.date_add("month", 12, d)), __import__("datetime").date(2025, 2, 28)),
+            ("add_hour", P.hour(P.date_add("hour", 5, ts)), 15),
+            ("diff_day", P.date_diff("day", F.lit("2024-01-01").cast("timestamp"),
+                                     F.lit("2024-02-01").cast("timestamp")), 31),
+            ("diff_month", P.date_diff("month", F.lit("2024-01-15").cast("timestamp"),
+                                       F.lit("2024-03-14").cast("timestamp")), 1),
+            ("diff_year", P.date_diff("year", F.lit("2023-12-31").cast("timestamp"),
+                                      F.lit("2024-01-01").cast("timestamp")), 1),
+            ("parse", P.year(P.date_parse(F.lit("2019/07/04"), "%Y/%m/%d")), 2019),
+        ],
+    )
+
+
+def test_json_functions(spark):
+    j = F.lit('{"a": {"b": [1, 2, 3]}, "n": null, "s": "x"}')
+    arr = F.lit("[1, 2, 3]")
+    run_batch(
+        spark,
+        [
+            ("extract_scalar", P.json_extract_scalar(j, "$.s"), "x"),
+            ("extract_nested", P.json_extract(j, "$.a.b"), "[1,2,3]"),
+            ("array_length", P.json_array_length(arr), 3),
+            ("array_get", P.json_array_get(arr, 1), "2"),
+            ("array_get_neg", P.json_array_get(arr, -1), "3"),
+            ("array_contains", P.json_array_contains(arr, 2), True),
+            ("json_size", P.json_size(j, "$.a.b"), 3),
+            ("is_scalar_t", P.is_json_scalar(F.lit("1")), True),
+            ("is_scalar_f", P.is_json_scalar(arr), False),
+        ],
+    )
+
+
+def test_url_functions(spark):
+    u = F.lit("https://example.com:8080/path/to?k=v&x=1#frag")
+    run_batch(
+        spark,
+        [
+            ("protocol", P.url_extract_protocol(u), "https"),
+            ("host", P.url_extract_host(u), "example.com"),
+            ("port", P.url_extract_port(u), 8080),
+            ("path", P.url_extract_path(u), "/path/to"),
+            ("query", P.url_extract_query(u), "k=v&x=1"),
+            ("fragment", P.url_extract_fragment(u), "frag"),
+            ("param", P.url_extract_parameter(u, "x"), "1"),
+            ("encode", P.url_encode(F.lit("a b&c")), "a+b%26c"),
+            ("decode", P.url_decode(F.lit("a+b%26c")), "a b&c"),
+        ],
+    )
+
+
+def test_binary_functions(spark):
+    run_batch(
+        spark,
+        [
+            ("md5_hex", P.to_hex(P.md5(P.to_utf8(F.lit("abc")))),
+             "900150983CD24FB0D6963F7D28E17F72"),
+            ("sha256_hex", P.to_hex(P.sha256(P.to_utf8(F.lit("abc")))),
+             "BA7816BF8F01CFEA414140DE5DAE2223B00361A396177A9CB410FF61F20015AD"),
+            ("xxhash64_type", P.xxhash64(P.to_utf8(F.lit("x"))).isNotNull(), True),
+            ("to_from_hex", P.from_utf8(P.from_hex(P.to_hex(P.to_utf8(F.lit("hi"))))), "hi"),
+            ("base64_roundtrip", P.from_utf8(P.from_base64(P.to_base64(P.to_utf8(F.lit("hi"))))), "hi"),
+            ("crc32", P.crc32(P.to_utf8(F.lit("CRC me"))), 649753796),
+            ("big_endian", P.from_big_endian_64(P.to_big_endian_64(F.lit(123456789))), 123456789),
+        ],
+    )
+
+
+def test_array_functions(spark):
+    a = F.array(F.lit(3), F.lit(1), F.lit(2))
+    run_batch(
+        spark,
+        [
+            ("cardinality", P.cardinality(a), 3),
+            ("contains", P.contains(a, F.lit(2)), True),
+            ("array_max", P.array_max(a), 3),
+            ("array_min", P.array_min(a), 1),
+            ("array_position", P.array_position(a, F.lit(2)), 3),
+            ("array_position_0", P.array_position(a, F.lit(9)), 0),
+            ("array_sort", P.array_sort(a), [1, 2, 3]),
+            ("array_distinct", P.array_distinct(F.array(F.lit(1), F.lit(1), F.lit(2))), [1, 2]),
+            ("array_join", P.array_join(a, ","), "3,1,2"),
+            ("slice", P.slice(a, 2, 2), [1, 2]),
+            ("array_remove", P.array_remove(a, F.lit(1)), [3, 2]),
+            ("element_at", P.element_at(a, 1), 3),
+            ("element_at_neg", P.element_at(a, -1), 2),
+            ("sequence", P.sequence(F.lit(1), F.lit(4)), [1, 2, 3, 4]),
+            ("repeat", P.repeat(F.lit("x"), 3), ["x", "x", "x"]),
+            ("flatten", P.flatten(F.array(F.array(F.lit(1)), F.array(F.lit(2)))), [1, 2]),
+            ("arrays_overlap", P.arrays_overlap(a, F.array(F.lit(9), F.lit(2))), True),
+            ("array_union", P.array_union(F.array(F.lit(1), F.lit(2)), F.array(F.lit(2), F.lit(3))), [1, 2, 3]),
+            ("array_intersect", P.array_intersect(F.array(F.lit(1), F.lit(2)), F.array(F.lit(2), F.lit(3))), [2]),
+            ("array_except", P.array_except(F.array(F.lit(1), F.lit(2)), F.array(F.lit(2))), [1]),
+            ("ngrams", P.ngrams(F.array(F.lit("a"), F.lit("b"), F.lit("c")), 2),
+             [["a", "b"], ["b", "c"]]),
+        ],
+    )
+
+
+def test_map_and_lambda_functions(spark):
+    m = F.create_map(F.lit("a"), F.lit(1), F.lit("b"), F.lit(2))
+    a = F.array(F.lit(1), F.lit(2), F.lit(3))
+    run_batch(
+        spark,
+        [
+            ("map_keys", P.array_sort(P.map_keys(m)), ["a", "b"]),
+            ("map_values", P.array_sort(P.map_values(m)), [1, 2]),
+            ("cardinality_map", P.cardinality(m), 2),
+            ("element_at_map", P.element_at_map(m, "a"), 1),
+            ("element_at_map_null", P.element_at_map(m, "z"), None),
+            ("transform", P.transform(a, lambda x: x * 2), [2, 4, 6]),
+            ("filter", P.filter(a, lambda x: x > 1), [2, 3]),
+            ("reduce", P.reduce(a, F.lit(0), lambda acc, x: acc + x, lambda acc: acc), 6),
+            ("any_match", P.any_match(a, lambda x: x > 2), True),
+            ("all_match", P.all_match(a, lambda x: x > 0), True),
+            ("none_match", P.none_match(a, lambda x: x > 5), True),
+            ("zip_with", P.zip_with(a, a, lambda x, y: x + y), [2, 4, 6]),
+            ("map_filter_card", P.cardinality(P.map_filter(m, lambda k, v: v > 1)), 1),
+            ("transform_values", P.element_at_map(P.transform_values(m, lambda k, v: v * 10), "b"), 20),
+        ],
+    )
+
+
+def test_conditional_functions(spark):
+    run_batch(
+        spark,
+        [
+            ("if_t", P.if_(F.lit(True), F.lit(1), F.lit(2)), 1),
+            ("if_f", P.if_(F.lit(False), F.lit(1), F.lit(2)), 2),
+            ("coalesce", P.coalesce(F.lit(None), F.lit(3)), 3),
+            ("nullif_eq", P.nullif(F.lit(1), F.lit(1)), None),
+            ("nullif_ne", P.nullif(F.lit(1), F.lit(2)), 1),
+            ("try_cast_bad", P.try_cast(F.lit("xyz"), "int"), None),
+            ("try_cast_ok", P.try_cast(F.lit("42"), "int"), 42),
+            ("try_divide", P.try_divide(F.lit(1), F.lit(0)), None),
+            ("greatest", P.greatest(F.lit(1), F.lit(3), F.lit(2)), 3),
+            ("least", P.least(F.lit(1), F.lit(3), F.lit(2)), 1),
+            ("is_distinct", P.is_distinct_from(F.lit(None).cast("int"), F.lit(1)), True),
+            ("is_not_distinct_null", P.is_not_distinct_from(
+                F.lit(None).cast("int"), F.lit(None).cast("int")), True),
+            ("typeof", P.typeof(F.lit(1).cast("bigint")), "bigint"),
+        ],
+    )
+
+
+def test_regexp_functions(spark):
+    s = F.lit("1a 2b 14m")
+    run_batch(
+        spark,
+        [
+            ("like", P.regexp_like(s, r"\d+b"), True),
+            ("extract", P.regexp_extract(s, r"(\d+)([ab]) "), "1a "),
+            ("extract_group", P.regexp_extract(s, r"(\d+)([ab]) ", 2), "a"),
+            ("extract_all", P.regexp_extract_all(s, r"\d+"), ["1", "2", "14"]),
+            ("replace", P.regexp_replace(s, r"\d+[ab] ", ""), "14m"),
+            ("split", P.regexp_split(F.lit("a1b2c"), r"\d"), ["a", "b", "c"]),
+            ("count", P.regexp_count(s, r"\d+"), 3),
+            ("position", P.regexp_position(s, r"[bm]"), 5),
+        ],
+    )
+
+
+def test_coverage_audit():
+    """Registry exposes 200+ Presto names (FunctionRegistry.java:406-625)."""
+    names = coverage()
+    assert len(names) >= 200
+    for required in (
+        "date_add", "date_format", "json_extract", "split", "strpos",
+        "array_sort", "map_concat", "transform", "reduce", "width_bucket",
+    ):
+        assert required in names
