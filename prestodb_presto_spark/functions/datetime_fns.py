@@ -41,7 +41,9 @@ def date_add(unit: str, n, ts) -> Column:
 def date_diff(unit: str, a, b) -> Column:
     """Presto: date_diff(unit, ts1, ts2) = count of unit boundaries ts2-ts1."""
     unit = unit.lower()
-    ca, cb = c(a), c(b)
+    # TIMESTAMP_NTZ can't cast straight to long; session TZ is pinned UTC
+    # so routing through TIMESTAMP is value-preserving.
+    ca, cb = c(a).cast("timestamp"), c(b).cast("timestamp")
     if unit in ("second", "minute", "hour", "day", "week"):
         secs = {"second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800}[unit]
         return ((cb.cast("long") - ca.cast("long")) / secs).cast("long")
@@ -121,7 +123,7 @@ def from_unixtime(x) -> Column:
 
 @register("to_unixtime")
 def to_unixtime(ts) -> Column:
-    return c(ts).cast("double")
+    return c(ts).cast("timestamp").cast("double")
 
 
 @register("from_iso8601_timestamp")

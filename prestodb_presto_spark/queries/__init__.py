@@ -47,6 +47,7 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every query module (side effect: fills REGISTRY)."""
     from prestodb_presto_spark.queries import (  # noqa: F401
         aggregates,
+        functions_q,
         joins,
         relational,
         setops,

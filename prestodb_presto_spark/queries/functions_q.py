@@ -1,0 +1,322 @@
+"""Scalar-function differential queries: the Presto function registry
+(prestodb_presto_spark.functions) applied to real fixture tables, each
+hash-checked against a DuckDB oracle.
+
+This puts §2.5 of the operator inventory under the same t2 gate as the
+relational operators — unit tests (tests/test_functions.py) check
+literals, these check table-scale evaluation + Spark/DuckDB agreement.
+Reference inventories: metadata/FunctionRegistry.java:406-625 and the
+per-category suites presto-main/src/test/.../operator/scalar/Test*.java.
+
+All expressions are native Column expressions (JVM, whole-stage codegen)
+— at 100 TB these are embedded in the scan stage with zero extra
+shuffles; the ORDER BY on the key exists only to give the differential
+hash a total order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prestodb_presto_spark.functions import presto as P
+from prestodb_presto_spark.queries import query
+from prestodb_presto_spark.queries.util import t
+
+
+@query(
+    "fn_string_ops",
+    oracle="""
+    SELECT c_custkey,
+           CAST(length(c_name) AS BIGINT) AS name_len,
+           upper(c_name) AS name_upper,
+           substr(c_name, 1, 8) AS name_prefix,
+           CAST(strpos(c_name, '1') AS BIGINT) AS pos_one,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+           reverse(c_mktsegment) AS seg_rev,
+           split_part(c_name, '_', 2) AS name_num,
+           replace(c_mktsegment, 'A', '@') AS seg_rep,
+           concat(c_mktsegment, '#', CAST(c_custkey % 10 AS VARCHAR)) AS tagged,
+           CAST(levenshtein(c_mktsegment, 'BUILDING') AS BIGINT) AS lev,
+           starts_with(c_name, 'Customer') AS is_cust
+    FROM customer ORDER BY c_custkey
+    """,
+    tags=("functions", "string"),
+)
+def fn_string_ops(spark, sf_dir):
+    """String registry fns at table scale (StringFunctions.java:67-810)."""
+    return (
+        t(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            P.length("c_name").alias("name_len"),
+            P.upper("c_name").alias("name_upper"),
+            P.substr("c_name", 1, 8).alias("name_prefix"),
+            P.strpos("c_name", "1").alias("pos_one"),
+            P.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+            P.reverse("c_mktsegment").alias("seg_rev"),
+            P.split_part("c_name", "_", 2).alias("name_num"),
+            P.replace("c_mktsegment", "A", "@").alias("seg_rep"),
+            P.concat(F.col("c_mktsegment"), F.lit("#"), (F.col("c_custkey") % 10).cast("string")).alias("tagged"),
+            P.levenshtein_distance("c_mktsegment", F.lit("BUILDING")).cast("bigint").alias("lev"),
+            P.starts_with("c_name", "Customer").alias("is_cust"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "fn_datetime_ops",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS y,
+           CAST(month(o_orderdate) AS BIGINT) AS m,
+           CAST(day(o_orderdate) AS BIGINT) AS d,
+           CAST(quarter(o_orderdate) AS BIGINT) AS q,
+           CAST(week(o_orderdate) AS BIGINT) AS wk,
+           CAST(isodow(o_orderdate) AS BIGINT) AS dow,
+           CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(o_orderdate + INTERVAL 7 DAY AS DATE) AS plus_week,
+           CAST(datediff('day', o_orderdate, TIMESTAMP '1999-01-01') AS BIGINT) AS days_to_99,
+           strftime(o_orderdate, '%Y-%m-%d') AS iso_day,
+           CAST(last_day(o_orderdate) AS DATE) AS eom,
+           CAST(epoch(o_orderdate) AS DOUBLE) AS unix_ts
+    FROM orders ORDER BY o_orderkey
+    """,
+    tags=("functions", "datetime"),
+)
+def fn_datetime_ops(spark, sf_dir):
+    """Datetime registry incl. the Presto-signature date_add/date_diff and
+    MySQL-pattern date_format (DateTimeFunctions.java)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            P.year("o_orderdate").alias("y"),
+            P.month("o_orderdate").alias("m"),
+            P.day("o_orderdate").alias("d"),
+            P.quarter("o_orderdate").alias("q"),
+            P.week("o_orderdate").alias("wk"),
+            P.day_of_week("o_orderdate").alias("dow"),
+            P.day_of_year("o_orderdate").alias("doy"),
+            F.to_date(P.date_trunc("month", "o_orderdate")).alias("month_start"),
+            F.to_date(P.date_add("day", 7, "o_orderdate")).alias("plus_week"),
+            P.date_diff("day", F.col("o_orderdate"), F.lit("1999-01-01").cast("timestamp")).alias("days_to_99"),
+            P.date_format("o_orderdate", "%Y-%m-%d").alias("iso_day"),
+            P.last_day_of_month("o_orderdate").alias("eom"),
+            P.to_unixtime("o_orderdate").alias("unix_ts"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "fn_math_ops",
+    oracle="""
+    SELECT p_partkey,
+           CAST(abs(p_size - 15) AS BIGINT) AS size_dist,
+           CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+           CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+           round(p_retailprice, 1) AS price_round,
+           CAST(trunc(p_retailprice) AS DOUBLE) AS price_trunc,
+           CAST(sign(p_size - 25) AS BIGINT) AS size_sign,
+           CAST(p_size % 7 AS BIGINT) AS size_mod,
+           sqrt(CAST(p_size AS DOUBLE)) AS size_sqrt,
+           ln(CAST(p_size AS DOUBLE)) AS size_ln,
+           log2(CAST(p_size AS DOUBLE)) AS size_log2,
+           power(CAST(p_size AS DOUBLE), 2) AS size_sq,
+           greatest(p_size, 25) AS size_hi,
+           least(p_size, 25) AS size_lo,
+           lower(to_base(p_size, 16)) AS size_hex
+    FROM part ORDER BY p_partkey
+    """,
+    tags=("functions", "math"),
+)
+def fn_math_ops(spark, sf_dir):
+    """Math registry fns (MathFunctions.java)."""
+    size_d = F.col("p_size").cast("double")
+    return (
+        t(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            P.abs(F.col("p_size") - 15).cast("bigint").alias("size_dist"),
+            P.ceil("p_retailprice").alias("price_ceil"),
+            P.floor("p_retailprice").alias("price_floor"),
+            P.round("p_retailprice", 1).alias("price_round"),
+            P.truncate("p_retailprice").alias("price_trunc"),
+            P.sign(F.col("p_size") - 25).cast("bigint").alias("size_sign"),
+            P.mod(F.col("p_size"), F.lit(7)).cast("bigint").alias("size_mod"),
+            P.sqrt(size_d).alias("size_sqrt"),
+            P.ln(size_d).alias("size_ln"),
+            P.log2(size_d).alias("size_log2"),
+            P.pow(size_d, F.lit(2.0)).alias("size_sq"),
+            P.greatest(F.col("p_size"), F.lit(25)).alias("size_hi"),
+            P.least(F.col("p_size"), F.lit(25)).alias("size_lo"),
+            P.to_base(F.col("p_size"), 16).alias("size_hex"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "fn_array_ops",
+    oracle="""
+    SELECT p_partkey,
+           string_split(p_name, ' ') AS words,
+           CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words,
+           list_sort(string_split(p_name, ' ')) AS words_sorted,
+           array_to_string(string_split(p_name, ' '), '-') AS joined,
+           string_split(p_name, ' ')[1] AS first_word,
+           list_contains(string_split(p_name, ' '), 'widget') AS has_widget,
+           list_reverse(string_split(p_name, ' ')) AS words_rev,
+           generate_series(1, p_size % 4 + 1) AS seq,
+           list_transform(generate_series(1, p_size % 4 + 1), x -> x * x) AS seq_sq,
+           list_filter(generate_series(1, p_size % 4 + 1), x -> x % 2 = 0) AS seq_even,
+           CAST(list_reduce(generate_series(1, p_size % 4 + 1), (acc, x) -> acc + x) AS BIGINT) AS seq_sum
+    FROM part ORDER BY p_partkey
+    """,
+    tags=("functions", "array", "lambda"),
+)
+def fn_array_ops(spark, sf_dir):
+    """Array + higher-order registry fns (Array*.java, ArrayTransformFunction
+    etc.) — all native Catalyst HOFs, zero Python in the loop."""
+    words = P.split(F.col("p_name"), " ")
+    seq = P.sequence(F.lit(1), F.col("p_size") % 4 + 1)
+    return (
+        t(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            words.alias("words"),
+            P.cardinality(words).alias("n_words"),
+            P.array_sort(words).alias("words_sorted"),
+            P.array_join(words, "-").alias("joined"),
+            P.element_at(words, 1).alias("first_word"),
+            P.contains(words, F.lit("widget")).alias("has_widget"),
+            P.reverse(words).alias("words_rev"),
+            seq.alias("seq"),
+            P.transform(seq, lambda x: x * x).alias("seq_sq"),
+            P.filter(seq, lambda x: x % 2 == 0).alias("seq_even"),
+            P.reduce(seq, F.lit(0), lambda acc, x: acc + x, lambda acc: acc)
+            .cast("bigint").alias("seq_sum"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "fn_conditional_ops",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal > 5000 THEN 'high' WHEN c_acctbal > 0 THEN 'mid' ELSE 'low' END AS tier,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'DEFAULT') AS seg_or_default,
+           CAST(TRY_CAST(split_part(c_name, '_', 2) AS BIGINT) AS BIGINT) AS parsed_num,
+           CASE WHEN c_acctbal >= 0 THEN c_acctbal ELSE -c_acctbal END AS abs_bal
+    FROM customer ORDER BY c_custkey
+    """,
+    tags=("functions", "conditional"),
+)
+def fn_conditional_ops(spark, sf_dir):
+    """Conditional registry fns: CASE/if/coalesce/nullif/try_cast
+    (TryCastFunction.java, grammar SqlBase.g4)."""
+    return (
+        t(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            F.when(F.col("c_acctbal") > 5000, "high")
+            .when(F.col("c_acctbal") > 0, "mid")
+            .otherwise("low")
+            .alias("tier"),
+            P.coalesce(P.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("DEFAULT"))
+            .alias("seg_or_default"),
+            P.try_cast(P.split_part("c_name", "_", 2), "bigint").alias("parsed_num"),
+            P.if_(F.col("c_acctbal") >= 0, F.col("c_acctbal"), -F.col("c_acctbal"))
+            .alias("abs_bal"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "fn_binary_hash",
+    oracle="""
+    SELECT c_custkey,
+           upper(md5(c_name)) AS name_md5,
+           upper(sha256(c_name)) AS name_sha256,
+           base64(encode(c_mktsegment)) AS seg_b64,
+           upper(to_hex(encode(substr(c_name, 1, 4)))) AS prefix_hex
+    FROM customer ORDER BY c_custkey
+    """,
+    tags=("functions", "binary"),
+)
+def fn_binary_hash(spark, sf_dir):
+    """Binary/hash registry fns (VarbinaryFunctions.java) — md5/sha256
+    emitted as hex text so both engines compare the same bytes."""
+    return (
+        t(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            P.to_hex(P.md5(P.to_utf8("c_name"))).alias("name_md5"),
+            P.to_hex(P.sha256(P.to_utf8("c_name"))).alias("name_sha256"),
+            P.to_base64(P.to_utf8("c_mktsegment")).alias("seg_b64"),
+            P.to_hex(P.to_utf8(P.substr("c_name", 1, 4))).alias("prefix_hex"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "fn_json_ops",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_scalar,
+           CAST(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS BIGINT) AS k_num,
+           json_extract_string(props, '$.missing') AS missing_key
+    FROM events ORDER BY event_id
+    """,
+    tags=("functions", "json"),
+)
+def fn_json_ops(spark, sf_dir):
+    """JSON registry fns over the events.props payload column
+    (JsonFunctions.java; JsonPath dialect shimmed to get_json_object)."""
+    return (
+        t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            P.json_extract_scalar("props", "$.k").alias("k_scalar"),
+            P.try_cast(P.json_extract_scalar("props", "$.k"), "bigint").alias("k_num"),
+            P.json_extract_scalar("props", "$.missing").alias("missing_key"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "fn_regexp_ops",
+    oracle="""
+    SELECT p_partkey,
+           regexp_matches(p_name, '^[a-z]+ (widget|bolt)$') AS is_common,
+           regexp_extract(p_name, '^([a-z]+) ([a-z]+)$', 1) AS adjective,
+           regexp_extract(p_name, '^([a-z]+) ([a-z]+)$', 2) AS noun,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           string_split_regex(p_name, '\\s+') AS tokens,
+           CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT) AS n_vowels
+    FROM part ORDER BY p_partkey
+    """,
+    tags=("functions", "regexp"),
+)
+def fn_regexp_ops(spark, sf_dir):
+    """Regexp registry fns (JoniRegexpFunctions.java; Spark uses Java
+    regex — patterns here are dialect-neutral)."""
+    return (
+        t(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            P.regexp_like("p_name", r"^[a-z]+ (widget|bolt)$").alias("is_common"),
+            P.regexp_extract("p_name", r"^([a-z]+) ([a-z]+)$", 1).alias("adjective"),
+            P.regexp_extract("p_name", r"^([a-z]+) ([a-z]+)$", 2).alias("noun"),
+            P.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+            P.regexp_split("p_name", r"\s+").alias("tokens"),
+            P.cardinality(P.regexp_extract_all("p_name", "[aeiou]")).alias("n_vowels"),
+        )
+        .orderBy("p_partkey")
+    )

@@ -793,3 +793,224 @@ def tpch_q22(spark, sf_dir):
         )
         .orderBy("cntrycode")
     )
+
+
+@query(
+    "tpch_q02",
+    oracle="""
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
+    FROM part p
+    JOIN (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps ON p_partkey = ps.l_partkey
+    JOIN supplier ON s_suppkey = ps.l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE p_size = 15 AND p_type = 'ECONOMY' AND r_name = 'EUROPE'
+      AND s_acctbal = (
+        SELECT MIN(s2.s_acctbal)
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps2
+        JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+        JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        WHERE ps2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    tags=("tpch", "subquery", "join"),
+)
+def tpch_q02(spark, sf_dir):
+    """Minimum-cost supplier: correlated scalar MIN subquery.
+
+    Adapted (no partsupp fixture): DISTINCT (l_partkey, l_suppkey) from
+    lineitem is the part-supplier bridge; min s_acctbal stands in for min
+    ps_supplycost.  Reference decorrelation:
+    TransformCorrelatedScalarAggregationToJoin
+    (sql/planner/iterative/rule/, PlanOptimizers.java:293-320).  Spark-first
+    plan: compute the per-part MIN once with a groupBy and join it back —
+    one shuffle of the bridge table; nation/region always broadcast.
+    """
+    ps = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    supp = t(spark, sf_dir, "supplier")
+    geo = (
+        t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    eu_supp = supp.join(F.broadcast(geo), F.col("s_nationkey") == F.col("n_nationkey"))
+    bridge = ps.join(eu_supp, ps.l_suppkey == eu_supp.s_suppkey)
+    min_bal = bridge.groupBy("l_partkey").agg(F.min("s_acctbal").alias("min_bal"))
+    parts = t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "ECONOMY")
+    )
+    return (
+        bridge.join(min_bal.hint("broadcast"), "l_partkey")
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q11",
+    oracle="""
+    SELECT l_partkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS value
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_7'
+    GROUP BY l_partkey
+    HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > (
+      SELECT 0.01 * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7')
+    ORDER BY value DESC, l_partkey
+    """,
+    tags=("tpch", "subquery", "aggregation"),
+)
+def tpch_q11(spark, sf_dir):
+    """Important stock: HAVING vs uncorrelated scalar subquery.
+
+    Adapted: shipped value (extendedprice*quantity) over lineitem stands in
+    for partsupp stock value.  Spark-first: the filtered join is computed
+    once, the global total is a 1-row broadcast joined into the HAVING
+    filter — the big input is scanned once per branch but shuffled only on
+    l_partkey (same key as the group-by).
+    """
+    nat = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    supp = t(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    li = t(spark, sf_dir, "lineitem")
+    value = dec("l_extendedprice") * dec("l_quantity")
+    base = li.join(F.broadcast(supp.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
+    per_part = base.groupBy("l_partkey").agg(F.sum(value).cast("double").alias("value"))
+    total = base.agg((F.lit(0.01) * F.sum(value).cast("double")).alias("threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("threshold"))
+        .select("l_partkey", "value")
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+@query(
+    "tpch_q20",
+    oracle="""
+    SELECT s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_3', 'NATION_8', 'NATION_13')
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        GROUP BY l_suppkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 50)
+    ORDER BY s_name
+    """,
+    tags=("tpch", "subquery", "semijoin"),
+)
+def tpch_q20(spark, sf_dir):
+    """Excess-stock suppliers: nested IN subqueries → chained semi joins.
+
+    Reference: TransformCorrelatedInPredicateToJoin + HashSemiJoinOperator
+    (operator/HashSemiJoinOperator.java:32).  Spark-first: inner IN is a
+    broadcast semi join (part filter is tiny); the grouped HAVING set is
+    small → broadcast semi join into supplier, so no supplier shuffle.
+    """
+    parts = t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    li = t(spark, sf_dir, "lineitem")
+    heavy_suppliers = (
+        li.join(F.broadcast(parts.select("p_partkey")), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(dec("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    nat = t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_8", "NATION_13")
+    )
+    return (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .join(
+            F.broadcast(heavy_suppliers),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_name", F.col("s_acctbal").cast("double").alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "tpch_q21",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND n_name IN ('NATION_2', 'NATION_12', 'NATION_22')
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+    tags=("tpch", "subquery", "antijoin"),
+)
+def tpch_q21(spark, sf_dir):
+    """Waiting suppliers: EXISTS + NOT EXISTS over the same fact table.
+
+    Adapted (no commitdate/receiptdate): l_returnflag='R' marks the late
+    line.  Reference: TransformExistsApplyToLateralNode +
+    LookupJoinOperators probeOuter (operator/LookupJoinOperators.java:45-63).
+    Spark-first: both EXISTS branches become hash semi/anti joins keyed on
+    l_orderkey (equi component) with the <> residual as a join condition —
+    no cartesian fallback; lineitem shuffles once per branch on l_orderkey.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey").alias("l3")
+    nat = t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_2", "NATION_12", "NATION_22")
+    )
+    supp = t(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+        .join(orders.select("o_orderkey"), F.col("l1.l_orderkey") == F.col("o_orderkey"), "left_semi")
+    )
+    return (
+        waiting.join(supp.hint("broadcast"), F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
