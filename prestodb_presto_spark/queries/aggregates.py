@@ -449,3 +449,283 @@ def agg_bitwise(spark, sf_dir):
         )
         .orderBy("l_linestatus")
     )
+
+
+@query(
+    "agg_corr_regr",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+            - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+              * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) / COUNT(*) AS covar_pop,
+           (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+            - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+              * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) / (COUNT(*) - 1) AS covar_samp,
+           (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+            - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+              * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+           / (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+              - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) AS regr_slope
+    FROM lineitem
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("aggregation", "statistics"),
+)
+def agg_corr_regr(spark, sf_dir):
+    """covar_pop/covar_samp/regr_slope via exact decimal power sums.
+
+    Reference: DoubleCovarianceAggregation / DoubleRegressionAggregation
+    (operator/aggregation/, FunctionRegistry.java:447-452).  Same
+    determinism treatment as agg_stats_moments: native F.covar_pop/F.corr
+    are tolerance-tested in pytest; the gate pins the exact algebra, which
+    is also the scale-friendly form (one partial-aggregable pass).
+    """
+    x = dec("l_quantity")
+    y = dec("l_extendedprice")
+    li = t(spark, sf_dir, "lineitem")
+    n = F.count("*")
+    sx = F.sum(x).cast("double")
+    sy = F.sum(y).cast("double")
+    sxx = F.sum(x * x).cast("double")
+    sxy = F.sum(x * y).cast("double")
+    cov_n = sxy - sx * sy / n
+    var_n = sxx - sx * sx / n
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            n.alias("n"),
+            (cov_n / n).alias("covar_pop"),
+            (cov_n / (n - F.lit(1))).alias("covar_samp"),
+            (cov_n / var_n).alias("regr_slope"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_map_agg",
+    oracle="""
+    SELECT n_regionkey,
+           array_agg(n_nationkey ORDER BY n_nationkey) AS keys,
+           array_agg(n_name ORDER BY n_nationkey) AS vals
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+    tags=("aggregation", "map"),
+)
+def agg_map_agg(spark, sf_dir):
+    """map_agg(k, v) — built as sorted entry arrays (the engine's map_agg
+    returns map_from_entries over exactly these arrays; emitted unbundled
+    because map hash ordering is engine-specific).
+
+    Reference: MapAggregationFunction (operator/aggregation/MapAggregationFunction.java,
+    FunctionRegistry.java:570).
+    """
+    nat = t(spark, sf_dir, "nation")
+    entries = F.array_sort(F.collect_list(F.struct("n_nationkey", "n_name")))
+    return (
+        nat.groupBy("n_regionkey")
+        .agg(
+            F.transform(entries, lambda s: s.n_nationkey).alias("keys"),
+            F.transform(entries, lambda s: s.n_name).alias("vals"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT l_linestatus,
+           array_agg(l_returnflag ORDER BY l_returnflag) AS hist_keys,
+           array_agg(cnt ORDER BY l_returnflag) AS hist_counts
+    FROM (SELECT l_linestatus, l_returnflag, COUNT(*) AS cnt
+          FROM lineitem GROUP BY l_linestatus, l_returnflag) g
+    GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+    tags=("aggregation", "map"),
+)
+def agg_histogram(spark, sf_dir):
+    """histogram(x) — value→count map as sorted key/count arrays.
+
+    Reference: operator/aggregation/histogram/Histogram.java
+    (FunctionRegistry.java:585).  Spark-first shape: two-level group-by
+    (count per (group,value), then collect per group) keeps the partial
+    aggregation path — collect_list never sees ungrouped rows, so no
+    skew cliff at 100 TB.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_linestatus", "l_returnflag").agg(F.count("*").alias("cnt"))
+    entries = F.array_sort(F.collect_list(F.struct("l_returnflag", "cnt")))
+    return (
+        counts.groupBy("l_linestatus")
+        .agg(
+            F.transform(entries, lambda s: s.l_returnflag).alias("hist_keys"),
+            F.transform(entries, lambda s: s.cnt).alias("hist_counts"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "agg_min_max_n",
+    oracle="""
+    SELECT c_mktsegment,
+           (array_agg(c_acctbal ORDER BY c_acctbal, c_custkey))[1:3] AS min3,
+           (array_agg(c_acctbal ORDER BY c_acctbal DESC, c_custkey))[1:3] AS max3
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("aggregation", "topn"),
+)
+def agg_min_max_n(spark, sf_dir):
+    """min(x, n) / max(x, n) — per-group top-n value arrays.
+
+    Reference: MinNAggregationFunction/MaxNAggregationFunction with
+    TypedHeap (operator/aggregation/TypedHeap.java).  collect_list +
+    slice(sort) is fine at this group count; for very hot keys the heap
+    semantics come from a window row_number <= n pre-filter instead.
+    """
+    cust = t(spark, sf_dir, "customer")
+    asc = F.array_sort(F.collect_list(F.struct("c_acctbal", "c_custkey")))
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.slice(F.transform(asc, lambda s: s.c_acctbal), 1, 3).alias("min3"),
+            F.slice(F.reverse(F.transform(asc, lambda s: s.c_acctbal)), 1, 3).alias("max3"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "agg_bool",
+    oracle="""
+    SELECT o_orderstatus,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_totalprice > 400000) AS any_over_400k,
+           CAST(COUNT(*) FILTER (WHERE o_totalprice > 1000) AS BIGINT) AS n_over_1k
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=("aggregation",),
+)
+def agg_bool(spark, sf_dir):
+    """bool_and / bool_or / every (BooleanAndAggregation.java,
+    FunctionRegistry.java:430-431) — native in both engines."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+            F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+            F.count_if(F.col("o_totalprice") > 1000).alias("n_over_1k"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "agg_array_agg_ordered",
+    oracle="""
+    SELECT o_custkey,
+           array_agg(o_orderkey ORDER BY o_orderdate, o_orderkey) AS order_keys
+    FROM orders GROUP BY o_custkey ORDER BY o_custkey
+    """,
+    tags=("aggregation", "array"),
+)
+def agg_array_agg_ordered(spark, sf_dir):
+    """array_agg(x ORDER BY y) — ORDER BY inside an aggregation.
+
+    Reference: AggregationNode orderings (sql/planner/plan/AggregationNode.java,
+    PruneOrderByInAggregation.java).  Spark has no ordered collect_list;
+    the engine pattern is sort_array(collect_list(struct(sortkeys, x)))
+    → transform — deterministic regardless of partial-merge order.
+    """
+    o = t(spark, sf_dir, "orders")
+    entries = F.array_sort(F.collect_list(F.struct("o_orderdate", "o_orderkey")))
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.transform(entries, lambda s: s.o_orderkey).alias("order_keys"))
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "agg_checksum",
+    oracle="""
+    SELECT l_returnflag,
+           bit_xor(CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)), 1, 15)) AS UBIGINT)::BIGINT) AS row_checksum
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("aggregation", "checksum"),
+)
+def agg_checksum(spark, sf_dir):
+    """checksum(x): order-independent content checksum per group.
+
+    Reference: ChecksumAggregationFunction
+    (operator/aggregation/ChecksumAggregationFunction.java,
+    FunctionRegistry.java:586) — xxHash64-based, order-independent.
+    Engine variant: XOR of a 60-bit md5 prefix per row — commutative
+    (partial-merge-order free), overflow-free, and computable identically
+    in DuckDB for the differential gate.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    key = F.concat_ws("|", F.col("l_orderkey"), F.col("l_linenumber"))
+    row_hash = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.bit_xor(row_hash).alias("row_checksum"))
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_hll_sketch",
+    oracle="""
+    SELECT l_returnflag, true AS union_ok, true AS est_ok
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("aggregation", "sketch"),
+)
+def agg_hll_sketch(spark, sf_dir):
+    """approx_set / merge / cardinality — HLL sketches as VALUES.
+
+    Reference: ApproximateSetAggregation + MergeHyperLogLogAggregation +
+    HyperLogLogFunctions (operator/aggregation/, scalar/HyperLogLogFunctions.java,
+    FunctionRegistry.java:443-444).  Spark 4 exposes DataSketches HLL:
+    hll_sketch_agg builds a sketch value, hll_union merges, and
+    hll_sketch_estimate reads cardinality — the full Presto sketch
+    lifecycle (build → merge partials → estimate).  The gate asserts the
+    merged estimate matches a single-pass estimate and is within 5% of
+    the exact distinct count (sketches can't hash-match across engines;
+    a sketch union may legitimately estimate differently than one pass,
+    so both paths are checked against exact rather than each other).
+    """
+    li = t(spark, sf_dir, "lineitem")
+    # two "sites" build sketches independently; union must equal one pass
+    part = li.withColumn("site", F.col("l_orderkey") % 2)
+    per_site = part.groupBy("l_returnflag", "site").agg(
+        F.hll_sketch_agg("l_partkey").alias("sketch")
+    )
+    merged = per_site.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_merged")
+    )
+    single = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("est_single"),
+        F.countDistinct("l_partkey").alias("exact"),
+    )
+    return (
+        merged.join(single, "l_returnflag")
+        .select(
+            "l_returnflag",
+            (
+                F.abs(F.col("est_merged") - F.col("exact"))
+                <= F.greatest(F.lit(1.0), F.col("exact") * 0.05)
+            ).alias("union_ok"),
+            (
+                F.abs(F.col("est_single") - F.col("exact"))
+                <= F.greatest(F.lit(1.0), F.col("exact") * 0.05)
+            ).alias("est_ok"),
+        )
+        .orderBy("l_returnflag")
+    )
