@@ -50,8 +50,12 @@ def main() -> None:
     spark = get_spark("bench")
     specs = load_all()
 
-    # warm the JVM/reader path once with a trivial action (not timed)
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # warm the JVM once (not timed): exercise the parquet reader, codegen
+    # compile, shuffle, and the noop sink so the first timed query doesn't
+    # pay JIT/compile cost (same role as the reference harness's warm-up
+    # runs in AbstractBenchmark.runOnce)
+    warm = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    warm.groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -1,0 +1,123 @@
+"""Plan-shape assertions: the physical plans Catalyst produces for the
+catalog queries must be the plans that survive a 100 TB / 1000-executor
+scale-up.
+
+Mirrors the reference's plan tests (presto-tests/.../TestQueryPlanDeterminism.java
+and the optimizer unit tests under presto-main/src/test/.../sql/planner/):
+instead of golden plans we assert the load-bearing physical properties —
+broadcast vs shuffle choice, filter/column pushdown into the parquet
+scan, partial (map-side) aggregation, and no Python evaluation in hot
+relational paths.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from prestodb_presto_spark.queries import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def specs():
+    return load_all()
+
+
+def plan_of(spark, specs, name: str) -> str:
+    df = specs[name].spark_fn(spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q03_broadcasts_dims_and_takes_ordered(spark, specs):
+    """q03: filtered customer side must broadcast (no lineitem shuffle for
+    the join) and top-N must be TakeOrderedAndProject, not global sort."""
+    plan = plan_of(spark, specs, "tpch_q03")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q01_partial_aggregation(spark, specs):
+    """q01: hash aggregation must run partial (map-side combine) before the
+    exchange — the shuffle carries grouped rows, not raw lineitem."""
+    plan = plan_of(spark, specs, "tpch_q01")
+    assert "HashAggregate" in plan
+    # formatted mode prints both partial_ and final merge groups
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q06_filter_pushdown(spark, specs):
+    """q06: shipdate/discount/quantity predicates must reach the parquet
+    scan (PushedFilters), and the scan must prune to the 4 needed columns."""
+    plan = plan_of(spark, specs, "tpch_q06")
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_shipdate" in pushed or "l_discount" in pushed
+    schema = plan.split("ReadSchema:", 1)[1].split("\n", 1)[0]
+    assert "l_extendedprice" in schema
+    assert "l_orderkey" not in schema  # column pruning
+
+
+def test_region_nation_always_broadcast(spark, specs):
+    """q05-shape: region/nation joins must never shuffle the fact side."""
+    plan = plan_of(spark, specs, "tpch_q05")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_semi_and_anti_joins_are_hash_joins(spark, specs):
+    """IN/EXISTS forms must lower to hash semi/anti joins, not nested loops
+    (BroadcastNestedLoopJoin on a fact table dies at scale)."""
+    for name in ("join_semi", "join_anti", "tpch_q21"):
+        plan = plan_of(spark, specs, name)
+        assert "NestedLoop" not in plan, f"{name} fell back to nested loop"
+
+
+def test_window_topn_uses_group_limit(spark, specs):
+    """rank<=k over window must push a WindowGroupLimit (Spark 3.5+) so
+    each partition keeps k rows instead of sorting everything."""
+    plan = plan_of(spark, specs, "window_topn_per_group")
+    assert "WindowGroupLimit" in plan
+
+
+def test_no_python_udf_in_relational_paths(spark, specs):
+    """Every relational/TPC-H/function query must stay JVM-side: Python
+    appears only in explicitly-Python modules (text/multimodal)."""
+    offenders = []
+    for name, spec in specs.items():
+        if any(tag in spec.tags for tag in ("text", "multimodal")):
+            continue
+        if name.startswith(("text_", "dedup_minhash", "dedup_simhash")):
+            continue
+        plan = plan_of(spark, specs, name)
+        if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, f"Python eval in hot path: {offenders}"
+
+
+def test_whole_stage_codegen_active(spark, specs):
+    """q01's agg pipeline must be inside WholeStageCodegen spans.
+
+    (codegen explain mode — AQE's pre-execution formatted plan hides the
+    codegen annotation behind isFinalPlan=false.)
+    """
+    df = specs["tpch_q01"].spark_fn(spark, SF)
+    df.collect()  # AQE finalizes the physical plan only on execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # "*(n) HashAggregate" asterisks are the codegen-stage markers
+    assert "*(1)" in plan and "HashAggregate" in plan
+
+
+def test_scan_reuse_not_required_but_no_cartesian(spark, specs):
+    """No catalog query may contain a CartesianProduct except the explicit
+    cross-join entry (cartesian on a fact table = dead at 100 TB)."""
+    offenders = []
+    for name, spec in specs.items():
+        if name == "join_cross":
+            continue
+        plan = plan_of(spark, specs, name)
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"unexpected cartesian product: {offenders}"
