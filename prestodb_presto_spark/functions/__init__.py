@@ -52,6 +52,7 @@ def _load():
             bitwise,
             conditional,
             datetime_fns,
+            geo,
             json_url,
             lambdas,
             maps,

@@ -326,3 +326,50 @@ def pivot_conditional(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "unnest_map",
+    oracle="""
+    SELECT n_name, k, v FROM (
+      SELECT n_name, 'nationkey' AS k, n_nationkey AS v FROM nation
+      UNION ALL
+      SELECT n_name, 'regionkey' AS k, n_regionkey AS v FROM nation
+    ) e ORDER BY n_name, k
+    """,
+    tags=("relational", "unnest"),
+)
+def unnest_map(spark, sf_dir):
+    """UNNEST of a MAP → two columns (key, value) per entry.
+
+    Reference: UnnestOperator over map blocks (operator/UnnestOperator.java:33,
+    spi/block/MapBlock.java:30) → Spark explode(map) emits (key, value).
+    """
+    nat = t(spark, sf_dir, "nation")
+    m = F.create_map(
+        F.lit("nationkey"), F.col("n_nationkey"),
+        F.lit("regionkey"), F.col("n_regionkey"),
+    )
+    return (
+        nat.select("n_name", F.explode(m).alias("k", "v"))
+        .orderBy("n_name", "k")
+    )
+
+
+@query(
+    "assign_unique_id",
+    oracle="SELECT true AS ids_unique, CAST((SELECT count(*) FROM orders) AS BIGINT) AS n",
+    tags=("relational",),
+)
+def assign_unique_id(spark, sf_dir):
+    """AssignUniqueIdOperator (operator/AssignUniqueIdOperator.java:29) →
+    monotonically_increasing_id: per-row 64-bit ids, unique across
+    partitions by construction (partition id in the high bits — the same
+    trick the reference uses with its per-driver id blocks).  Ids are
+    run-dependent, so the gate checks the invariant, not the values.
+    """
+    o = t(spark, sf_dir, "orders").withColumn("uid", F.monotonically_increasing_id())
+    return o.agg(
+        (F.countDistinct("uid") == F.count("*")).alias("ids_unique"),
+        F.count("*").alias("n"),
+    )
