@@ -1,0 +1,60 @@
+"""Skew mitigation: explicit key salting.
+
+At 100 TB a single hot key (the null/default customer, the empty
+document, the viral event) can put one shuffle partition hours behind
+the rest.  Two remedies, in preference order:
+
+1. AQE skew-join splitting (`spark.sql.adaptive.skewJoin.enabled`,
+   on in session.get_spark) — zero code, reacts to measured sizes.
+2. Explicit salting (this module) — when the skew is structural and
+   known ahead of time, or the join is one AQE can't split (e.g. the
+   build side of a shuffled hash join with a single giant key).
+
+The salted join replicates the *small* side SALT_N times (a bounded
+blow-up) and splits the big side's hot keys across SALT_N subkeys, so
+the hot key's rows land on SALT_N partitions instead of one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "__salt"
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the big side salted and the small side replicated.
+
+    Equivalent to ``big.join(small, on, how)`` for how in
+    (inner, left); the salt column never escapes.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left (salt breaks right/full)")
+    big_s = big.withColumn(_SALT, (F.rand(seed=42) * salt).cast("int"))
+    salts = small.sparkSession.range(salt).select(F.col("id").cast("int").alias(_SALT))
+    small_s = small.crossJoin(F.broadcast(salts))
+    out = big_s.join(small_s, [on, _SALT], how)
+    return out.drop(_SALT)
+
+
+def salted_groupby_count(df: DataFrame, key: str, salt: int = 8) -> DataFrame:
+    """Two-phase count for a skewed group-by key: pre-aggregate on
+    (key, salt), then merge — the hot key's first-phase work spreads
+    across `salt` partitions.  (Spark's partial aggregation already does
+    this per input partition; the explicit form matters when the partial
+    map degrades, e.g. high-cardinality + hot key mixtures.)
+    """
+    return (
+        df.withColumn(_SALT, (F.rand(seed=42) * salt).cast("int"))
+        .groupBy(key, _SALT)
+        .agg(F.count("*").alias("c"))
+        .groupBy(key)
+        .agg(F.sum("c").alias("cnt"))
+    )

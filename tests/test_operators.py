@@ -1,0 +1,39 @@
+"""Skew-mitigation operator tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prestodb_presto_spark.operators import salted_groupby_count, salted_join
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_salted_join_matches_plain_join(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    orders = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_totalprice")
+    )
+    plain = li.join(orders, "l_orderkey").agg(
+        F.count("*").alias("n"), F.sum("l_quantity").alias("q")
+    ).collect()[0]
+    salted = salted_join(li, orders, "l_orderkey", salt=4).agg(
+        F.count("*").alias("n"), F.sum("l_quantity").alias("q")
+    ).collect()[0]
+    assert (plain.n, plain.q) == (salted.n, salted.q)
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey")
+    none = spark.createDataFrame([], "l_orderkey bigint, x int")
+    out = salted_join(li, none, "l_orderkey", salt=4, how="left")
+    assert out.count() == li.count()
+    assert out.filter(F.col("x").isNotNull()).count() == 0
+
+
+def test_salted_groupby_count(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    plain = {r.l_returnflag: r.cnt for r in li.groupBy("l_returnflag").agg(F.count("*").alias("cnt")).collect()}
+    salted = {r.l_returnflag: r.cnt for r in salted_groupby_count(li, "l_returnflag", salt=4).collect()}
+    assert plain == salted
