@@ -33,13 +33,18 @@ BENCH_QUERIES = [
     "tpch_q09",            # join tree + agg
     "tpch_q13",            # outer join + double agg
     "tpch_q18",            # having + topN
+    "tpch_q21",            # exists/not-exists anti-join chain
     "join_semi",           # semi join (IN)
     "agg_multi_distinct",  # multi-field distinct
+    "agg_checksum",        # order-independent checksum agg
     "orderby_limit_topn",  # top-N
     "window_topn_per_group",
+    "fn_string_ops",       # scalar-function pipeline (LIKE/regexp family)
     # north-star pipeline
+    "dedup_exact",
     "dedup_minhash_lsh",
     "similarity_knn_top1",
+    "text_quality_score",
     "events_session_window",
 ]
 
