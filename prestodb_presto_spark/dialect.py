@@ -43,8 +43,11 @@ _DATE_DIFF = re.compile(r"\bdate_diff\s*\(\s*'(\w+)'\s*,", re.IGNORECASE)
 
 # date_format(x, '%…') / date_parse(x, '%…'): translate the MySQL
 # pattern literal to a Java pattern (DateTimeFunctions.java tokens).
+# first arg may nest calls three levels deep, e.g.
+# date_format(timestampadd(MONTH, 1, max(o_orderdate)), '%Y-%m')
+_ARG = r"(?:[^()']|\((?:[^()']|\((?:[^()']|\([^()']*\))*\))*\))*"
 _DATE_FORMAT = re.compile(
-    r"\b(date_format|date_parse)\s*\(([^()']*(?:\([^()]*\)[^()']*)*),\s*'([^']*)'\s*\)",
+    rf"\b(date_format|date_parse)\s*\(({_ARG}),\s*'([^']*)'\s*\)",
     re.IGNORECASE,
 )
 

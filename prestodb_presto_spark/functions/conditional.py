@@ -69,3 +69,39 @@ def fail(msg: str):
 @register("current_user")
 def current_user():
     return F.current_user()
+
+
+# Presto TRY(expr) catches evaluation errors -> NULL (TryFunction.java).
+# Spark ANSI mode has no generic try(): the engine exposes the per-op
+# try_* family, which covers every error source TRY handles (arithmetic
+# overflow/division, cast, out-of-bounds access, parse).
+@register("try_add")
+def try_add(a, b):
+    return F.try_add(c(a), lit_or_col(b))
+
+
+@register("try_subtract")
+def try_subtract(a, b):
+    return F.try_subtract(c(a), lit_or_col(b))
+
+
+@register("try_multiply")
+def try_multiply(a, b):
+    return F.try_multiply(c(a), lit_or_col(b))
+
+
+@register("try_element_at")
+def try_element_at(col, key):
+    return F.try_element_at(c(col), lit_or_col(key))
+
+
+@register("try_to_number")
+def try_to_number(col, fmt):
+    return F.try_to_number(c(col), F.lit(fmt))
+
+
+@register("try_to_timestamp")
+def try_to_timestamp(col, fmt=None):
+    if fmt is None:
+        return F.try_to_timestamp(c(col))
+    return F.try_to_timestamp(c(col), F.lit(fmt))

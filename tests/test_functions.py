@@ -287,6 +287,9 @@ def test_conditional_functions(spark):
             ("try_divide", P.try_divide(F.lit(1), F.lit(0)), None),
             ("greatest", P.greatest(F.lit(1), F.lit(3), F.lit(2)), 3),
             ("least", P.least(F.lit(1), F.lit(3), F.lit(2)), 1),
+            ("try_add_ovf", P.try_add(F.lit(2**63 - 1).cast("bigint"), F.lit(1)), None),
+            ("try_mul_ok", P.try_multiply(F.lit(6), F.lit(7)), 42),
+            ("try_element_oob", P.try_element_at(F.array(F.lit(1)), F.lit(5)), None),
             ("is_distinct", P.is_distinct_from(F.lit(None).cast("int"), F.lit(1)), True),
             ("is_not_distinct_null", P.is_not_distinct_from(
                 F.lit(None).cast("int"), F.lit(None).cast("int")), True),
