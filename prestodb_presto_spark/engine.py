@@ -62,6 +62,26 @@ class Engine:
             df = F.broadcast(df)
         return df
 
+    def information_schema(self, view: str = "columns") -> DataFrame:
+        """information_schema synthesis (reference
+        presto-main/.../connector/informationSchema/): "tables" and
+        "columns" views over the session catalog."""
+        tables = sorted(t.name for t in self.spark.catalog.listTables())
+        if view == "tables":
+            return self.spark.createDataFrame(
+                [(n,) for n in tables], "table_name string"
+            )
+        if view == "columns":
+            rows = [
+                (t, col.name, col.dataType, col.nullable)
+                for t in tables
+                for col in self.spark.catalog.listColumns(t)
+            ]
+            return self.spark.createDataFrame(
+                rows, "table_name string, column_name string, data_type string, is_nullable boolean"
+            )
+        raise ValueError(f"unknown information_schema view {view!r}")
+
     def sql(self, text: str, dialect: str = "spark") -> DataFrame:
         """Run SQL.  dialect="presto" first applies the dialect shim
         (prestodb_presto_spark.dialect) for the function-name collisions;

@@ -47,6 +47,7 @@ def _load():
     global _loaded
     if not _loaded:
         from prestodb_presto_spark.functions import (  # noqa: F401
+            aggregates_reg,
             arrays,
             binary_fns,
             bitwise,

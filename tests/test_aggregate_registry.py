@@ -1,0 +1,85 @@
+"""Presto-named aggregate builders (functions/aggregates_reg.py) and
+information_schema synthesis."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from prestodb_presto_spark.functions import presto as A
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def li(spark):
+    return spark.read.parquet(f"{SF}/lineitem.parquet")
+
+
+def test_basic_aggs(spark, li):
+    row = li.agg(
+        A.count("l_orderkey").alias("n"),
+        A.count_if(F.col("l_quantity") > 25).alias("nbig"),
+        A.bool_or(F.col("l_quantity") > 49).alias("any49"),
+        A.approx_distinct("l_partkey").alias("nd"),
+        A.arbitrary("l_returnflag").alias("some_flag"),
+        A.min_by("l_orderkey", "l_quantity").alias("k_of_min_q"),
+        A.geometric_mean("l_quantity").alias("gm"),
+        A.checksum("l_orderkey").alias("ck"),
+    ).collect()[0]
+    assert row.n == 6000 and 0 < row.nbig < 6000
+    assert row.any49 is True
+    exact = li.select("l_partkey").distinct().count()
+    assert abs(row.nd - exact) <= max(1, exact * 0.05)
+    assert row.some_flag in ("A", "N", "R")
+    assert row.gm > 0 and row.ck != 0
+
+
+def test_checksum_order_independent(spark, li):
+    a = li.agg(A.checksum("l_orderkey").alias("ck")).collect()[0].ck
+    b = (
+        li.repartition(13, "l_partkey")
+        .agg(A.checksum("l_orderkey").alias("ck"))
+        .collect()[0]
+        .ck
+    )
+    assert a == b
+
+
+def test_approx_percentile_forms(spark, li):
+    row = li.agg(
+        A.approx_percentile("l_quantity", 0.5).alias("p50"),
+        A.approx_percentile("l_quantity", [0.25, 0.75]).alias("pq"),
+    ).collect()[0]
+    assert 1 <= row.p50 <= 50
+    assert len(row.pq) == 2 and row.pq[0] <= row.pq[1]
+
+
+def test_map_and_histogram_aggs(spark):
+    nat = spark.read.parquet(f"{SF}/nation.parquet")
+    row = nat.groupBy("n_regionkey").agg(
+        A.map_agg("n_nationkey", "n_name").alias("m"),
+        A.histogram(F.col("n_nationkey") % 2).alias("h"),
+    ).orderBy("n_regionkey").collect()[0]
+    assert len(row.m) == 5 and all(v.startswith("NATION_") for v in row.m.values())
+    assert sum(row.h.values()) == 5
+
+
+def test_multimap_agg(spark):
+    nat = spark.read.parquet(f"{SF}/nation.parquet")
+    row = nat.agg(A.multimap_agg("n_regionkey", "n_nationkey").alias("mm")).collect()[0]
+    assert len(row.mm) == 5
+    assert sorted(len(v) for v in row.mm.values()) == [5, 5, 5, 5, 5]
+
+
+def test_numeric_histogram(spark, li):
+    row = li.agg(A.numeric_histogram(5, "l_quantity", 1.0, 51.0).alias("h")).collect()[0]
+    assert sum(row.h.values()) == 6000 and len(row.h) == 5
+
+
+def test_information_schema(engine):
+    tabs = {r.table_name for r in engine.information_schema("tables").collect()}
+    assert {"lineitem", "orders", "nation"} <= tabs
+    cols = engine.information_schema("columns")
+    li_cols = {r.column_name for r in cols.filter("table_name = 'lineitem'").collect()}
+    assert "l_orderkey" in li_cols and "l_shipdate" in li_cols
