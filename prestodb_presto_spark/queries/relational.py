@@ -373,3 +373,39 @@ def assign_unique_id(spark, sf_dir):
         (F.countDistinct("uid") == F.count("*")).alias("ids_unique"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "types_decimal_arithmetic",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS total_price,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS total_discount,
+           CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS min_price,
+           CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS max_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("types", "decimal"),
+)
+def types_decimal_arithmetic(spark, sf_dir):
+    """DECIMAL(p,s) arithmetic kept decimal end-to-end (§1.2 type parity).
+
+    Reference: spi/type/DecimalType.java + UnscaledDecimal128Arithmetic
+    (128-bit exact decimals).  Spark's DecimalType(38) matches the
+    reference's ≤38-digit domain; sums/products here never leave the
+    exact domain, so the differential hash checks digit-for-digit
+    equality of the decimal results — no double normalization.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(price).alias("total_price"),
+            F.sum(price * disc).alias("total_discount"),
+            F.min(price).cast("decimal(18,2)").alias("min_price"),
+            F.max(price).cast("decimal(18,2)").alias("max_price"),
+        )
+        .orderBy("l_returnflag")
+    )

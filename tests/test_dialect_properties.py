@@ -1,0 +1,78 @@
+"""Property-based tests (hypothesis) for the dialect translator and the
+MySQL→Java datetime pattern mapper — the shim must never corrupt SQL it
+doesn't own.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from prestodb_presto_spark.dialect import translate
+from prestodb_presto_spark.functions.datetime_fns import _MYSQL_TOKENS, _mysql_to_java
+
+OWNED = re.compile(
+    r"\b(date_add|date_diff|date_format|date_parse|strpos|arbitrary|"
+    r"approx_distinct|json_extract|json_extract_scalar|json_parse|json_format|"
+    r"to_unixtime|from_unixtime)\s*\(",
+    re.IGNORECASE,
+)
+
+ident = st.from_regex(r"[a-z_][a-z0-9_]{0,10}", fullmatch=True)
+
+
+@given(
+    cols=st.lists(ident, min_size=1, max_size=5),
+    table=ident,
+)
+@settings(max_examples=200, deadline=None)
+def test_plain_sql_is_untouched(cols, table):
+    """SQL containing none of the owned names must pass through verbatim."""
+    sql = f"SELECT {', '.join(cols)} FROM {table} WHERE {cols[0]} > 5"
+    if OWNED.search(sql):
+        return
+    assert translate(sql) == sql
+
+
+@given(st.sampled_from(sorted(_MYSQL_TOKENS)), st.sampled_from(sorted(_MYSQL_TOKENS)))
+@settings(max_examples=100, deadline=None)
+def test_mysql_token_pairs_translate(tok_a, tok_b):
+    """Every pair of supported %-tokens with separators translates without
+    raising, and literal separators survive."""
+    out = _mysql_to_java(f"{tok_a}-{tok_b}")
+    assert "-" in out
+    assert "%" not in out or tok_a == "%%" or tok_b == "%%"
+
+
+@given(st.text(alphabet="ABCdef-:/. ", max_size=12))
+@settings(max_examples=200, deadline=None)
+def test_mysql_literals_are_quoted(lit):
+    """Pattern text without % tokens: every ASCII letter must end up inside
+    quotes so Java's formatter treats it literally."""
+    out = _mysql_to_java(lit)
+    # strip quoted spans; no bare letters may remain
+    assert not re.search(r"[A-Za-z]", re.sub(r"'[^']*'", "", out))
+
+
+@given(
+    unit=st.sampled_from(["day", "hour", "minute", "second", "week", "month", "year"]),
+    n=st.integers(-1000, 1000),
+    col=ident,
+)
+@settings(max_examples=100, deadline=None)
+def test_date_add_always_rewrites(unit, n, col):
+    sql = f"SELECT date_add('{unit}', {n}, {col}) FROM t"
+    out = translate(sql)
+    assert f"timestampadd({unit.upper()}, {n}, {col})" in out
+    assert "date_add" not in out
+
+
+def test_translate_is_idempotent_on_translated_output():
+    sql = (
+        "SELECT date_add('day', 1, ts), strpos(s, 'x'), arbitrary(v), "
+        "date_format(ts, '%Y-%m-%d') FROM t"
+    )
+    once = translate(sql)
+    assert translate(once) == once
