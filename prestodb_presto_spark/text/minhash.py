@@ -34,7 +34,9 @@ _CONSTS = [((i * 2654435761 + 1) % _P31 or 1, (i * 40503 + 7) % _P31) for i in r
 
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, sig: array<bigint> of N_HASHES minima) via explode + 64 MIN aggs."""
-    exploded = docs.select(id_col, F.explode(shingles3(text_col)).alias("sh"))
+    # distinct per doc before exploding: duplicate shingles can't change a
+    # MIN, and the explode is the row-count hot spot of the whole pipeline
+    exploded = docs.select(id_col, F.explode(F.array_distinct(shingles3(text_col))).alias("sh"))
     base = exploded.select(id_col, F.pmod(F.xxhash64("sh"), F.lit(_P31)).alias("h"))
     mins = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_P31)).alias(f"m{i}")
