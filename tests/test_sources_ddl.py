@@ -152,3 +152,31 @@ def test_presto_sql_end_to_end(engine):
     ).collect()[0]
     assert row.n > 0 and row.nd > 0 and row.span_days > 0
     assert len(row.last_month) == 7
+
+
+# --- record decoders (presto-record-decoder analog) -------------------------
+
+
+def test_record_decoders(spark):
+    from prestodb_presto_spark.sources.decoders import decoded_stream
+
+    msgs = spark.createDataFrame(
+        [
+            ("t", 0, 0, bytearray(b'{"id": 1, "v": 2.5}')),
+            ("t", 0, 1, bytearray(b'{"id": 2, "v": -1.0}')),
+        ],
+        "topic string, partition int, offset long, value binary",
+    )
+    rows = decoded_stream(msgs, "json", "id BIGINT, v DOUBLE").orderBy("offset").collect()
+    assert [(r.id, r.v) for r in rows] == [(1, 2.5), (2, -1.0)]
+    assert rows[0].partition == 0 and rows[0].offset == 0
+
+    csv_msgs = spark.createDataFrame(
+        [("t", 0, 0, bytearray(b"7,hello"))],
+        "topic string, partition int, offset long, value binary",
+    )
+    row = decoded_stream(csv_msgs, "csv", "n INT, s STRING").collect()[0]
+    assert (row.n, row.s) == (7, "hello")
+
+    raw = decoded_stream(csv_msgs, "raw").collect()[0]
+    assert raw.value == "7,hello"
