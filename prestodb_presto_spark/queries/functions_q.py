@@ -320,3 +320,35 @@ def fn_regexp_ops(spark, sf_dir):
         )
         .orderBy("p_partkey")
     )
+
+
+@query(
+    "fn_geo_ops",
+    oracle="""
+    SELECT p_partkey,
+           sqrt((CAST(p_size AS DOUBLE) - 25.0)*(CAST(p_size AS DOUBLE) - 25.0)
+                + (p_retailprice - 1500.0)*(p_retailprice - 1500.0)) AS dist_to_center,
+           (p_size BETWEEN 10 AND 40 AND p_retailprice BETWEEN 500 AND 2500) AS in_box,
+           'POINT (' || CAST(CAST(p_size AS DOUBLE) AS VARCHAR) || ' ' || CAST(p_retailprice AS VARCHAR) || ')' AS wkt
+    FROM part ORDER BY p_partkey
+    """,
+    tags=("functions", "geospatial"),
+)
+def fn_geo_ops(spark, sf_dir):
+    """Geospatial subset at table scale (GeoFunctions.java:92 point/envelope
+    rows): point construction, euclidean ST_Distance, envelope
+    containment, WKT round-trip — all native expressions."""
+    from prestodb_presto_spark.functions import presto as P
+
+    part = t(spark, sf_dir, "part")
+    pt = P.st_point(F.col("p_size"), F.col("p_retailprice"))
+    center = P.st_point(F.lit(25.0), F.lit(1500.0))
+    return (
+        part.select(
+            "p_partkey",
+            P.st_distance(pt, center).alias("dist_to_center"),
+            P.st_contains_envelope(F.lit(10.0), F.lit(500.0), F.lit(40.0), F.lit(2500.0), pt).alias("in_box"),
+            P.st_as_text(pt).alias("wkt"),
+        )
+        .orderBy("p_partkey")
+    )
