@@ -96,3 +96,39 @@ def test_stateful_running_totals(spark):
     gmap = {r.user_id: (r.n, round(r.tv, 6)) for r in got}
     bmap = {r.user_id: (r.n, round(r.tv, 6)) for r in batch}
     assert gmap == bmap
+
+
+def test_parquet_sink_partitioned(spark, tmp_path):
+    """Checkpointed availableNow parquet sink, date-partitioned output."""
+    import os
+
+    from prestodb_presto_spark.streaming.ops import read_events_stream, tumbling_counts
+    from prestodb_presto_spark.streaming.sinks import write_stream_parquet
+
+    sdf = tumbling_counts(read_events_stream(spark, "/root/testdata/sf0.001"))
+    flat = sdf.select(F.col("window_start").alias("ts"), "event_type", "n")
+    q = write_stream_parquet(
+        flat,
+        path=str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    parts = [d for d in os.listdir(tmp_path / "out") if d.startswith("event_date=")]
+    assert parts, "expected hive-partitioned output dirs"
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert back.count() > 0 and "event_type" in back.columns
+
+
+def test_foreach_batch_sink(spark, tmp_path):
+    from prestodb_presto_spark.streaming.ops import read_events_stream
+    from prestodb_presto_spark.streaming.sinks import write_stream_foreach_batch
+
+    seen = {}
+
+    def capture(df, epoch_id):
+        seen[epoch_id] = df.count()
+
+    sdf = read_events_stream(spark, "/root/testdata/sf0.001").groupBy("event_type").count()
+    q = write_stream_foreach_batch(sdf, str(tmp_path / "ckpt2"), capture)
+    q.awaitTermination(120)
+    assert sum(seen.values()) > 0
