@@ -251,3 +251,40 @@ def join_broadcast_explicit(spark, sf_dir):
         .agg(F.count("*").alias("n_nations"))
         .orderBy("r_name")
     )
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("join", "skew"),
+)
+def join_skew_salted(spark, sf_dir):
+    """Skew-resistant join via explicit salting (operators/skew.py).
+
+    Semantically identical to the plain equi-join (the oracle IS the
+    plain join) — the salt spreads any hot l_orderkey across 8 subkeys
+    so no single shuffle partition owns a hot key's entire row set.
+    Presto 0.206 has no skew handling at all; Spark-first we get AQE
+    skew-splitting for free and this explicit form for structural skew.
+    """
+    from prestodb_presto_spark.operators import salted_join
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    return (
+        salted_join(li, orders, "l_orderkey", salt=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("total_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )
