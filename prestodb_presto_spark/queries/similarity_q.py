@@ -20,12 +20,15 @@ from pyspark.sql import functions as F
 from prestodb_presto_spark.queries import query
 from prestodb_presto_spark.queries.util import t
 
-QUANT_SQL = "[CAST(round(x * 1000) AS BIGINT) for x in embedding]"
+# Quantize in DOUBLE explicitly: FLOAT*1000 in single precision rounds
+# differently than double on ~1-in-1e5 components, which flips threshold
+# membership at sf0.1 scale.  Both engines must promote identically.
+QUANT_SQL = "[CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in embedding]"
 
 
 def quantized(col="embedding"):
-    """array<float> → array<bigint> with round(x*1000)."""
-    return F.transform(F.col(col), lambda x: F.round(x * 1000).cast("bigint"))
+    """array<float> → array<bigint> with round(double(x)*1000)."""
+    return F.transform(F.col(col), lambda x: F.round(x.cast("double") * 1000).cast("bigint"))
 
 
 def dot(a, b):
