@@ -60,6 +60,7 @@ def _load():
             math_fns,
             regexp_fns,
             strings,
+            teradata,
         )
 
         _loaded = True

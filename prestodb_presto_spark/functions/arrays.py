@@ -17,13 +17,22 @@ for _name, _fn in {
     "array_distinct": F.array_distinct,
     "array_max": F.array_max,
     "array_min": F.array_min,
-    "array_sort": F.sort_array,
     "flatten": F.flatten,
     "shuffle": F.shuffle,
     "arrays_overlap": None,  # placeholder replaced below
 }.items():
     if _fn is not None:
         register(_name)(lambda x, _f=_fn: _f(c(x)))
+
+
+@register("array_sort")
+def array_sort(x, comparator=None):
+    """array_sort(arr[, (a,b) -> int]) — optional comparator lambda
+    (ArraySortFunction/ArraySortComparatorFunction; Spark 3.4+ supports
+    the same two-arg form natively)."""
+    if comparator is None:
+        return F.sort_array(c(x))
+    return F.array_sort(c(x), comparator)
 
 
 @register("arrays_overlap")

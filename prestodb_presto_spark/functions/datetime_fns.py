@@ -228,3 +228,33 @@ def timezone_hour(ts) -> Column:
 @register("timezone_minute")
 def timezone_minute(ts) -> Column:
     return F.lit(0).cast("bigint")
+
+
+@register("current_timezone")
+def current_timezone() -> Column:
+    """Session zone — the engine pins UTC (SessionFunctions.java
+    currentTimeZone; see session.get_spark)."""
+    return F.lit("UTC")
+
+
+# duration literal units → seconds (DateTimeFunctions.parseDuration,
+# airlift Duration: ns/us/ms/s/m/h/d)
+_DUR_UNITS = {
+    "ns": 1e-9, "us": 1e-6, "ms": 1e-3, "s": 1.0,
+    "m": 60.0, "h": 3600.0, "d": 86400.0,
+}
+
+
+@register("parse_duration")
+def parse_duration(s) -> Column:
+    """parse_duration('3.5 h') -> seconds as DOUBLE (the engine's interval
+    scalar representation; Presto returns INTERVAL DAY TO SECOND)."""
+    col = c(s)
+    num = F.regexp_extract(col, r"^\s*([0-9]*\.?[0-9]+)\s*([a-z]+)\s*$", 1).try_cast("double")
+    unit = F.regexp_extract(col, r"^\s*([0-9]*\.?[0-9]+)\s*([a-z]+)\s*$", 2)
+    factor = F.lit(None).cast("double")
+    expr = None
+    for u, f_ in _DUR_UNITS.items():
+        cond = unit == u
+        expr = F.when(cond, f_) if expr is None else expr.when(cond, f_)
+    return num * expr.otherwise(factor)

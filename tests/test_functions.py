@@ -324,3 +324,34 @@ def test_coverage_audit():
         "array_sort", "map_concat", "transform", "reduce", "width_bucket",
     ):
         assert required in names
+
+
+def test_teradata_and_session_functions(spark):
+    run_batch(
+        spark,
+        [
+            ("index", P.index(F.lit("hello"), "l"), 3),
+            ("char2hexint", P.char2hexint(F.lit("A")), "0041"),
+            ("to_char", P.to_char(F.to_timestamp(F.lit("2024-02-29 10:30:45")), "YYYY-MM-DD"), "2024-02-29"),
+            ("to_date_td", P.to_date_td(F.lit("29/02/2024"), "DD/MM/YYYY"),
+             __import__("datetime").date(2024, 2, 29)),
+            ("tz", P.current_timezone(), "UTC"),
+            ("dur_h", P.parse_duration(F.lit("3.5 h")), 12600.0),
+            ("dur_ms", P.parse_duration(F.lit("250 ms")), 0.25),
+            ("dur_bad", P.parse_duration(F.lit("oops")), None),
+        ],
+    )
+
+
+def test_array_sort_comparator(spark):
+    a = F.array(F.lit("bb"), F.lit("a"), F.lit("ccc"))
+    run_batch(
+        spark,
+        [
+            ("plain", P.array_sort(a), ["a", "bb", "ccc"]),
+            ("by_len_desc", P.array_sort(
+                a, lambda x, y: F.when(F.length(x) > F.length(y), -1)
+                .when(F.length(x) < F.length(y), 1).otherwise(0)),
+             ["ccc", "bb", "a"]),
+        ],
+    )
