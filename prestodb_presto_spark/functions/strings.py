@@ -180,3 +180,44 @@ def normalize(x, form: str = "NFC"):
         return s.map(lambda v: unicodedata.normalize(form, v) if v is not None else None)
 
     return _norm(c(x))
+
+
+@register("split_to_map")
+def split_to_map(x, entry_delim, kv_delim):
+    """split_to_map('a=1,b=2', ',', '=') -> map (SplitToMapFunction.java:39).
+    Native: str_to_map has the same contract."""
+    return F.str_to_map(c(x), F.lit(entry_delim), F.lit(kv_delim))
+
+
+@register("split_to_multimap")
+def split_to_multimap(x, entry_delim, kv_delim):
+    """split_to_multimap -> map<key, array<value>> keeping duplicate keys
+    (SplitToMultimapFunction.java)."""
+    entries = F.transform(
+        F.split(c(x), F.lit(entry_delim).cast("string")),
+        lambda e: F.struct(
+            F.split(e, kv_delim).getItem(0).alias("k"),
+            F.split(e, kv_delim).getItem(1).alias("v"),
+        ),
+    )
+    keys = F.array_distinct(F.transform(entries, lambda e: e.k))
+    return F.map_from_arrays(
+        keys,
+        F.transform(
+            keys,
+            lambda k: F.transform(F.filter(entries, lambda e: e.k == k), lambda e: e.v),
+        ),
+    )
+
+
+@register("translate")
+def translate(x, frm, to):
+    """translate(string, from, to) (StringFunctions.translate)."""
+    return F.translate(c(x), frm, to)
+
+
+@register("position")
+def position(sub, x):
+    """position(substring IN string) — grammar form; strpos arg order
+    swapped."""
+    return F.instr(c(x), sub).cast("bigint")

@@ -355,3 +355,18 @@ def test_array_sort_comparator(spark):
              ["ccc", "bb", "a"]),
         ],
     )
+
+
+def test_split_to_map_and_friends(spark):
+    m = P.split_to_map(F.lit("a=1,b=2"), ",", "=")
+    mm = P.split_to_multimap(F.lit("a=1,b=2,a=3"), ",", "=")
+    run_batch(
+        spark,
+        [
+            ("map_a", P.element_at_map(m, "a"), "1"),
+            ("map_b", P.element_at_map(m, "b"), "2"),
+            ("multimap_a", P.element_at_map(mm, "a"), ["1", "3"]),
+            ("translate", P.translate(F.lit("abcd"), "bd", "xy"), "axcy"),
+            ("position", P.position("lo", F.lit("hello")), 4),
+        ],
+    )
