@@ -288,3 +288,76 @@ def join_skew_salted(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "join_not_in_null_semantics",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM customer
+       WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS without_nulls,
+      (SELECT COUNT(*) FROM customer
+       WHERE c_custkey NOT IN (SELECT NULLIF(o_custkey, 7) FROM orders)) AS with_nulls
+    """,
+    tags=("join", "subquery", "nulls"),
+)
+def join_not_in_null_semantics(spark, sf_dir):
+    """NOT IN three-valued logic: one NULL in the subquery empties the
+    result (x NOT IN (..., NULL) is never TRUE).
+
+    The classic SQL trap, exercised repeatedly in the reference's
+    AbstractTestQueries semi-join sections.  Spark plans the NULL-laden
+    branch as a null-aware anti join; both branches run via spark.sql so
+    Catalyst's subquery rewrite (RewritePredicateSubquery) is what's
+    under test — not a hand-built reimplementation.
+    """
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT
+          (SELECT COUNT(*) FROM customer
+           WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS without_nulls,
+          (SELECT COUNT(*) FROM customer
+           WHERE c_custkey NOT IN (SELECT NULLIF(o_custkey, 7) FROM orders)) AS with_nulls
+        """
+    )
+
+
+@query(
+    "join_outer_on_vs_where",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM customer LEFT JOIN orders
+         ON c_custkey = o_custkey AND o_totalprice > 100000) AS filter_in_on,
+      (SELECT COUNT(*) FROM customer LEFT JOIN orders
+         ON c_custkey = o_custkey WHERE o_totalprice > 100000) AS filter_in_where,
+      (SELECT COUNT(*) FROM customer LEFT JOIN orders
+         ON c_custkey = o_custkey AND o_totalprice > 100000
+       WHERE o_orderkey IS NULL) AS unmatched_after_on
+    """,
+    tags=("join", "outer"),
+)
+def join_outer_on_vs_where(spark, sf_dir):
+    """LEFT JOIN filter placement semantics: a predicate in ON restricts
+    the join's right side (preserving unmatched left rows); the same
+    predicate in WHERE filters after the join (dropping the NULL-extended
+    rows, effectively an inner join).
+
+    AbstractTestQueries covers this distinction extensively; it is the
+    most common outer-join correctness bug in hand-written engines.
+    """
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT
+          (SELECT COUNT(*) FROM customer LEFT JOIN orders
+             ON c_custkey = o_custkey AND o_totalprice > 100000) AS filter_in_on,
+          (SELECT COUNT(*) FROM customer LEFT JOIN orders
+             ON c_custkey = o_custkey WHERE o_totalprice > 100000) AS filter_in_where,
+          (SELECT COUNT(*) FROM customer LEFT JOIN orders
+             ON c_custkey = o_custkey AND o_totalprice > 100000
+           WHERE o_orderkey IS NULL) AS unmatched_after_on
+        """
+    )
