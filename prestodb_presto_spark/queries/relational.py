@@ -409,3 +409,54 @@ def types_decimal_arithmetic(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "subquery_quantified_any",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM part
+       WHERE p_retailprice > ANY (SELECT p_retailprice FROM part WHERE p_type = 'ECONOMY')) AS gt_any,
+      (SELECT COUNT(*) FROM part
+       WHERE p_size = ANY (SELECT p_size FROM part WHERE p_brand = 'Brand#1')) AS eq_any
+    """,
+    tags=("relational", "subquery"),
+)
+def subquery_quantified_any(spark, sf_dir):
+    """Quantified comparison ANY/SOME (grammar SqlBase.g4; rewrite rule
+    TransformQuantifiedComparisonApplyToLateralJoin).  Spark SQL has no
+    ANY-subquery syntax, so the engine applies the reference's own
+    rewrite: ``> ANY (q)`` → ``> (SELECT MIN ...)``, ``= ANY`` → ``IN``
+    — the oracle keeps the ANY form, proving rewrite equivalence."""
+    t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT
+          (SELECT COUNT(*) FROM part
+           WHERE p_retailprice > (SELECT MIN(p_retailprice) FROM part WHERE p_type = 'ECONOMY')) AS gt_any,
+          (SELECT COUNT(*) FROM part
+           WHERE p_size IN (SELECT p_size FROM part WHERE p_brand = 'Brand#1')) AS eq_any
+        """
+    )
+
+
+@query(
+    "orderby_nulls_placement",
+    oracle="""
+    SELECT n_nationkey, NULLIF(n_regionkey, 2) AS rk
+    FROM nation
+    ORDER BY rk DESC NULLS FIRST, n_nationkey
+    LIMIT 15
+    """,
+    tags=("relational", "sort", "nulls"),
+)
+def orderby_nulls_placement(spark, sf_dir):
+    """Explicit NULLS FIRST ordering: engines disagree on defaults (Spark
+    NULLS FIRST asc, DuckDB NULLS LAST), so the Presto surface always
+    states placement (OrderByOperator + SortItem.NullOrdering)."""
+    nat = t(spark, sf_dir, "nation")
+    return (
+        nat.select("n_nationkey", F.nullif(F.col("n_regionkey"), F.lit(2)).alias("rk"))
+        .orderBy(F.col("rk").desc_nulls_first(), "n_nationkey")
+        .limit(15)
+    )
