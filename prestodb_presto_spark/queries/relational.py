@@ -460,3 +460,43 @@ def orderby_nulls_placement(spark, sf_dir):
         .orderBy(F.col("rk").desc_nulls_first(), "n_nationkey")
         .limit(15)
     )
+
+
+@query(
+    "cte_reused_twice",
+    oracle="""
+    WITH filtered AS (
+      SELECT o_custkey, o_totalprice FROM orders WHERE o_orderstatus = 'O'
+    )
+    SELECT 'big' AS bucket, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM filtered WHERE o_totalprice > 200000
+    UNION ALL
+    SELECT 'small' AS bucket, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM filtered WHERE o_totalprice <= 200000
+    ORDER BY bucket
+    """,
+    tags=("relational", "cte"),
+)
+def cte_reused_twice(spark, sf_dir):
+    """One CTE consumed by two branches of a UNION (WITH handling,
+    grammar SqlBase.g4:105-107).  Spark inlines the CTE per use and the
+    scans dedupe via exchange/scan reuse — at scale, heavy shared CTEs
+    get an explicit .cache() or Delta materialization instead."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH filtered AS (
+          SELECT o_custkey, o_totalprice FROM orders WHERE o_orderstatus = 'O'
+        )
+        SELECT 'big' AS bucket, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM filtered WHERE o_totalprice > 200000
+        UNION ALL
+        SELECT 'small' AS bucket, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM filtered WHERE o_totalprice <= 200000
+        ORDER BY bucket
+        """
+    )
