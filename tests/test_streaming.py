@@ -132,3 +132,56 @@ def test_foreach_batch_sink(spark, tmp_path):
     q = write_stream_foreach_batch(sdf, str(tmp_path / "ckpt2"), capture)
     q.awaitTermination(120)
     assert sum(seen.values()) > 0
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """True late-data semantics over a multi-batch replay: batch 1 carries
+    recent events (advancing the watermark), batch 2 replays much older
+    events — the aggregation must drop the late rows in append mode.
+
+    Presto 0.206 has no counterpart (SURVEY §2.8); this pins the
+    additive module's core guarantee.
+    """
+    import os
+
+    from prestodb_presto_spark.streaming.ops import EVENTS_RAW_SCHEMA
+
+    # two files, forced into separate micro-batches via maxFilesPerTrigger=1:
+    # file A: one hour of "now" data; file B: events 10 hours earlier
+    base_us = 1_700_000_000_000_000  # µs epoch
+    hour_us = 3_600_000_000
+    recent = [(i, (base_us + (i % 60) * 60_000_000) * 1000, i, "click", 1.0, "{}") for i in range(100)]
+    late = [(1000 + i, (base_us - 10 * hour_us) * 1000, i, "click", 1.0, "{}") for i in range(50)]
+    src = tmp_path / "src"
+    os.makedirs(src)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.createDataFrame(recent, EVENTS_RAW_SCHEMA).coalesce(1).write.parquet(str(src / "a.parquet"))
+    spark.createDataFrame(late, EVENTS_RAW_SCHEMA).coalesce(1).write.parquet(str(src / "b.parquet"))
+    # lexicographic listing order: a before b -> recent batch first
+
+    stream = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(src))
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM late_test").collect()
+    counted = sum(r.n for r in rows)
+    # append mode emits only windows finalized by the watermark; the late
+    # batch (10h behind) must not resurrect a closed window or appear anew
+    assert counted <= 100, f"late rows leaked into output: {rows}"
