@@ -361,3 +361,47 @@ def join_outer_on_vs_where(spark, sf_dir):
            WHERE o_orderkey IS NULL) AS unmatched_after_on
         """
     )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, o.o_orderkey AS last_orderkey
+    FROM events e
+    ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    WHERE e.user_id < 200
+    ORDER BY e.event_id
+    """,
+    tags=("join", "asof", "custom-operator"),
+)
+def join_asof(spark, sf_dir):
+    """As-of join: latest order at-or-before each event, per user.
+
+    No Spark builtin and no reference counterpart by name (closest shape:
+    inequality join, BenchmarkInequalityJoin.java) — implemented as the
+    union-merge operator in operators/asof.py: ONE shuffle on the key,
+    cost independent of history depth per key, vs the quadratic
+    inequality-join formulation.  DuckDB's native ASOF JOIN is the
+    oracle.  Right side deduped per (key, ts): tie choice is otherwise
+    engine-defined.
+    """
+    from prestodb_presto_spark.operators.asof import asof_join
+
+    events = t(spark, sf_dir, "events").filter(F.col("user_id") < 200).select(
+        "event_id", "user_id", "ts"
+    )
+    orders = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+        .withColumnRenamed("o_custkey", "user_id")
+    )
+    return (
+        asof_join(events, orders, "user_id", "ts", "o_orderdate", ["o_orderkey"])
+        .select("event_id", "user_id", F.col("o_orderkey").alias("last_orderkey"))
+        .orderBy("event_id")
+    )

@@ -37,3 +37,25 @@ def test_salted_groupby_count(spark):
     plain = {r.l_returnflag: r.cnt for r in li.groupBy("l_returnflag").agg(F.count("*").alias("cnt")).collect()}
     salted = {r.l_returnflag: r.cnt for r in salted_groupby_count(li, "l_returnflag", salt=4).collect()}
     assert plain == salted
+
+
+def test_asof_join_tolerance_and_nulls(spark):
+    from prestodb_presto_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 12:00:00"), (3, "2023-01-01 00:00:00")],
+        "id long, lts string",
+    ).select("id", F.col("lts").cast("timestamp").alias("lts"), F.lit(1).alias("k"))
+    right = spark.createDataFrame(
+        [("2024-01-01 09:00:00", "a"), ("2024-01-01 11:30:00", "b")],
+        "rts string, payload string",
+    ).select(F.col("rts").cast("timestamp").alias("rts"), "payload", F.lit(1).alias("k"))
+
+    out = {r.id: r.payload for r in asof_join(left, right, "k", "lts", "rts", ["payload"]).collect()}
+    assert out == {1: "a", 2: "b", 3: None}  # 3 precedes all right rows
+
+    tol = {
+        r.id: r.payload
+        for r in asof_join(left, right, "k", "lts", "rts", ["payload"], tolerance_seconds=1800).collect()
+    }
+    assert tol == {1: None, 2: "b", 3: None}  # id=1 is 1h stale > 30min tolerance
