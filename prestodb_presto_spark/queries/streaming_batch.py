@@ -182,3 +182,50 @@ def events_dedup_latest(spark, sf_dir):
             dsum("value").alias("kept_value_sum"),
         )
     )
+
+
+@query(
+    "events_hierarchical_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+           CAST(MIN(value) AS DOUBLE) AS vmin,
+           CAST(MAX(value) AS DOUBLE) AS vmax
+    FROM events GROUP BY 1, 2 ORDER BY day, event_type
+    """,
+    tags=("events", "rollup", "custom-operator"),
+)
+def events_hierarchical_rollup(spark, sf_dir):
+    """Hypertable-style hierarchical rollup: day aggregates computed FROM
+    hour aggregates, not from raw rows.
+
+    The continuous-aggregate pattern (no reference counterpart —
+    Presto 0.206 would rescan raw data per resolution): each coarser
+    tier re-aggregates the finer tier's partials (sum of sums, count of
+    counts, min of mins), so at 100 TB the daily rollup reads ~1/24th
+    of the data the raw scan would.  The oracle aggregates raw rows
+    directly, proving the re-aggregation is lossless; decimal partial
+    sums keep double emission order-independent.
+    """
+    ev = t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("total"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+    )
+    return (
+        hourly.groupBy(F.to_date(F.date_trunc("day", "hour")).alias("day"), "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("total").cast("double").alias("total"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+        )
+        .orderBy("day", "event_type")
+    )
