@@ -500,3 +500,84 @@ def cte_reused_twice(spark, sf_dir):
         ORDER BY bucket
         """
     )
+
+
+@query(
+    "agg_empty_input",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM orders WHERE o_totalprice < 0) AS n_global,
+      (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+       FROM orders WHERE o_totalprice < 0) AS sum_global,
+      (SELECT COUNT(*) FROM (
+         SELECT o_orderstatus FROM orders WHERE o_totalprice < 0 GROUP BY o_orderstatus
+       ) g) AS n_groups
+    """,
+    tags=("aggregation", "edge-case"),
+)
+def agg_empty_input(spark, sf_dir):
+    """Aggregation over zero rows: a GLOBAL aggregate emits exactly one
+    row (count 0, sum NULL) while a grouped aggregate emits none — the
+    distinction AggregationNode's Step.SINGLE vs grouped path encodes
+    (plan/AggregationNode.java) and a classic engine-porting bug."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT
+          (SELECT COUNT(*) FROM orders WHERE o_totalprice < 0) AS n_global,
+          (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           FROM orders WHERE o_totalprice < 0) AS sum_global,
+          (SELECT COUNT(*) FROM (
+             SELECT o_orderstatus FROM orders WHERE o_totalprice < 0 GROUP BY o_orderstatus
+           ) g) AS n_groups
+        """
+    )
+
+
+@query(
+    "subquery_scalar_empty",
+    oracle="""
+    SELECT c_custkey,
+           (SELECT MAX(o_totalprice) FROM orders
+            WHERE o_custkey = c_custkey AND o_totalprice > 400000) AS best_big_order
+    FROM customer WHERE c_custkey <= 30 ORDER BY c_custkey
+    """,
+    tags=("subquery", "edge-case"),
+)
+def subquery_scalar_empty(spark, sf_dir):
+    """Scalar subquery with an empty correlated result yields NULL, not a
+    dropped row (EnforceSingleRowOperator.java:29 semantics)."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               (SELECT MAX(o_totalprice) FROM orders
+                WHERE o_custkey = c_custkey AND o_totalprice > 400000) AS best_big_order
+        FROM customer WHERE c_custkey <= 30 ORDER BY c_custkey
+        """
+    )
+
+
+@query(
+    "join_null_safe_eq",
+    oracle="""
+    WITH a AS (SELECT n_nationkey, NULLIF(n_regionkey, 2) AS rk FROM nation),
+         b AS (SELECT n_nationkey AS bk, NULLIF(n_regionkey, 2) AS rk FROM nation)
+    SELECT CAST(COUNT(*) AS BIGINT) AS null_safe_matches,
+           CAST((SELECT COUNT(*) FROM a JOIN b ON a.rk = b.rk) AS BIGINT) AS plain_matches
+    FROM a JOIN b ON a.rk IS NOT DISTINCT FROM b.rk
+    """,
+    tags=("join", "nulls"),
+)
+def join_null_safe_eq(spark, sf_dir):
+    """IS NOT DISTINCT FROM as a join condition: NULL keys match each
+    other under null-safe equality but never under plain `=`
+    (RowEqualOperator / IS DISTINCT FROM in the grammar; Spark's
+    eqNullSafe lowers to a hash join on the null-safe key)."""
+    nat = t(spark, sf_dir, "nation")
+    a = nat.select("n_nationkey", F.nullif(F.col("n_regionkey"), F.lit(2)).alias("rk"))
+    b = nat.select(F.col("n_nationkey").alias("bk"), F.nullif(F.col("n_regionkey"), F.lit(2)).alias("rk"))
+    ns = a.join(b, a.rk.eqNullSafe(b.rk)).count()
+    plain = a.join(b, a.rk == b.rk).count()
+    return spark.createDataFrame([(ns, plain)], "null_safe_matches bigint, plain_matches bigint")
