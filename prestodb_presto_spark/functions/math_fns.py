@@ -157,3 +157,24 @@ def cosine_similarity(a, b, *, sparse: bool = False):
     na = F.sqrt(F.aggregate(F.map_values(ca), F.lit(0.0), lambda acc, v: acc + v * v))
     nb = F.sqrt(F.aggregate(F.map_values(cb), F.lit(0.0), lambda acc, v: acc + v * v))
     return dot / na / nb
+
+
+def _wilson(successes, trials, z, sign):
+    n = lit_or_col(trials).cast("double")
+    p = lit_or_col(successes).cast("double") / n
+    zz = lit_or_col(z).cast("double")
+    denom = 1 + zz * zz / n
+    center = p + zz * zz / (2 * n)
+    spread = zz * F.sqrt(p * (1 - p) / n + zz * zz / (4 * n * n))
+    return (center + sign * spread) / denom
+
+
+@register("wilson_interval_lower")
+def wilson_interval_lower(successes, trials, z):
+    """Wilson score interval lower bound (operator/scalar/WilsonInterval.java)."""
+    return _wilson(successes, trials, z, F.lit(-1.0))
+
+
+@register("wilson_interval_upper")
+def wilson_interval_upper(successes, trials, z):
+    return _wilson(successes, trials, z, F.lit(1.0))

@@ -370,3 +370,14 @@ def test_split_to_map_and_friends(spark):
             ("position", P.position("lo", F.lit("hello")), 4),
         ],
     )
+
+
+def test_wilson_interval(spark):
+    run_batch(
+        spark,
+        [
+            # 1250/1310 at z=1.96 (hand-computed): [0.941488, 0.964252]
+            ("lower", P.round(P.wilson_interval_lower(F.lit(1250), F.lit(1310), F.lit(1.96)), 6), 0.941488),
+            ("upper", P.round(P.wilson_interval_upper(F.lit(1250), F.lit(1310), F.lit(1.96)), 6), 0.964252),
+        ],
+    )
