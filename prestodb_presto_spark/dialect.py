@@ -59,8 +59,15 @@ def _rename(sql: str, presto: str, spark: str) -> str:
     return re.sub(rf"\b{presto}\s*\(", f"{spark}(", sql, flags=re.IGNORECASE)
 
 
+_STRING_LIT = re.compile(r"'(?:[^']|'')*'")
+
+
 def translate(sql: str) -> str:
     """Presto-dialect SQL → Spark SQL."""
+    # Mask string literals so owned names inside quotes are never
+    # rewritten ('... strpos(' stays text).  The datetime-pattern rules
+    # (_DATE_ADD/_DATE_FORMAT) intentionally run with literals visible —
+    # they must read the quoted unit/pattern; masking happens after.
     out = _DATE_ADD.sub(lambda m: f"timestampadd({m.group(1).upper()},", sql)
     out = _DATE_DIFF.sub(lambda m: f"timestampdiff({m.group(1).upper()},", out)
 
@@ -74,7 +81,15 @@ def translate(sql: str) -> str:
         return f"date_format({arg}, '{java}')"
 
     out = _DATE_FORMAT.sub(_fmt, out)
+    # mask literals, rewrite names, unmask
+    literals: list[str] = []
+
+    def _mask(m: re.Match) -> str:
+        literals.append(m.group(0))
+        return f"\x00{len(literals) - 1}\x00"
+
+    out = _STRING_LIT.sub(_mask, out)
     # longest names first so json_extract_scalar wins over json_extract
     for presto in sorted(_RENAMES, key=len, reverse=True):
         out = _rename(out, presto, _RENAMES[presto])
-    return out
+    return re.sub(r"\x00(\d+)\x00", lambda m: literals[int(m.group(1))], out)

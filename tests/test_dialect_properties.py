@@ -76,3 +76,14 @@ def test_translate_is_idempotent_on_translated_output():
     )
     once = translate(sql)
     assert translate(once) == once
+
+
+def test_owned_names_inside_string_literals_untouched():
+    sql = "SELECT 'use strpos(x) and arbitrary(y)' AS doc, strpos(s, 'x') FROM t"
+    out = translate(sql)
+    assert "'use strpos(x) and arbitrary(y)'" in out
+    assert "instr(s, 'x')" in out
+
+    # escaped quotes inside the literal
+    sql2 = "SELECT 'it''s strpos(' AS v FROM t"
+    assert translate(sql2) == sql2
