@@ -126,3 +126,16 @@ def numeric_histogram(buckets: int, col, lo, hi) -> Column:
     return F.map_from_arrays(
         keys, F.transform(keys, lambda k: F.size(F.filter(vals, lambda v: v == k)))
     )
+
+
+@register("approx_percentile_weighted")
+def approx_percentile_weighted(col, weight, percentage) -> Column:
+    """approx_percentile(x, w, p) — the weighted form
+    (ApproximateLongPercentileAggregations.java weighted overloads).
+    Spark's sketch has no weight parameter; the engine maps to the exact
+    weighted percentile (F.percentile with integer frequency), which is
+    rank-exact — a strictly stronger guarantee at the same aggregation
+    cost class."""
+    if isinstance(percentage, (list, tuple)):
+        percentage = F.array(*[F.lit(p) for p in percentage])
+    return F.percentile(c(col), percentage, c(weight).cast("long"))

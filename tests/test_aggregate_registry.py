@@ -83,3 +83,16 @@ def test_information_schema(engine):
     cols = engine.information_schema("columns")
     li_cols = {r.column_name for r in cols.filter("table_name = 'lineitem'").collect()}
     assert "l_orderkey" in li_cols and "l_shipdate" in li_cols
+
+
+def test_weighted_percentile(spark, li):
+    # weight 1 == unweighted exact median; tripling weights preserves it
+    row = li.select(
+        F.lit(1).alias("w1"), F.lit(3).alias("w3"), "l_quantity"
+    ).agg(
+        A.approx_percentile_weighted("l_quantity", F.col("w1"), 0.5).alias("m1"),
+        A.approx_percentile_weighted("l_quantity", F.col("w3"), 0.5).alias("m3"),
+    ).collect()[0]
+    assert row.m1 == row.m3
+    exact = li.agg(F.expr("percentile(l_quantity, 0.5)").alias("m")).collect()[0].m
+    assert row.m1 == exact
