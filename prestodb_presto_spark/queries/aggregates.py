@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from prestodb_presto_spark.queries import query
-from prestodb_presto_spark.queries.util import davg, dec, dsum, t
+from prestodb_presto_spark.queries.util import davg, dec, dsum, jarr, jarr_dec, t
 
 
 @query(
@@ -125,7 +125,7 @@ def agg_min_max_by(spark, sf_dir):
     "agg_array_agg",
     oracle="""
     SELECT n_nationkey,
-           array_agg(s_name ORDER BY s_name) AS suppliers,
+           coalesce(array_to_string(array_agg(s_name ORDER BY s_name), '|'), '') AS suppliers,
            COUNT(*) AS n
     FROM supplier JOIN nation ON s_nationkey = n_nationkey
     GROUP BY n_nationkey ORDER BY n_nationkey
@@ -134,14 +134,18 @@ def agg_min_max_by(spark, sf_dir):
 )
 def agg_array_agg(spark, sf_dir):
     """array_agg with ORDER BY (reference arrayagg/ArrayAggregationFunction.java;
-    ordered aggregation via AggregationNode orderings)."""
+    ordered aggregation via AggregationNode orderings).
+
+    Gate shape: the array is emitted '|'-joined because the driver's
+    canonicalizer requires scalar cells; the native-array form is
+    pytest-covered (tests/test_aggregates_native.py)."""
     supp = t(spark, sf_dir, "supplier")
     nation = F.broadcast(t(spark, sf_dir, "nation"))
     return (
         supp.join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_nationkey")
         .agg(
-            F.sort_array(F.collect_list("s_name")).alias("suppliers"),
+            jarr(F.sort_array(F.collect_list("s_name"))).alias("suppliers"),
             F.count("*").alias("n"),
         )
         .orderBy("n_nationkey")
@@ -508,8 +512,8 @@ def agg_corr_regr(spark, sf_dir):
     "agg_map_agg",
     oracle="""
     SELECT n_regionkey,
-           array_agg(n_nationkey ORDER BY n_nationkey) AS keys,
-           array_agg(n_name ORDER BY n_nationkey) AS vals
+           coalesce(array_to_string(array_agg(n_nationkey ORDER BY n_nationkey), '|'), '') AS keys,
+           coalesce(array_to_string(array_agg(n_name ORDER BY n_nationkey), '|'), '') AS vals
     FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
     """,
     tags=("aggregation", "map"),
@@ -517,7 +521,8 @@ def agg_corr_regr(spark, sf_dir):
 def agg_map_agg(spark, sf_dir):
     """map_agg(k, v) — built as sorted entry arrays (the engine's map_agg
     returns map_from_entries over exactly these arrays; emitted unbundled
-    because map hash ordering is engine-specific).
+    because map hash ordering is engine-specific; '|'-joined for the
+    driver's scalar-only canonicalizer).
 
     Reference: MapAggregationFunction (operator/aggregation/MapAggregationFunction.java,
     FunctionRegistry.java:570).
@@ -527,8 +532,8 @@ def agg_map_agg(spark, sf_dir):
     return (
         nat.groupBy("n_regionkey")
         .agg(
-            F.transform(entries, lambda s: s.n_nationkey).alias("keys"),
-            F.transform(entries, lambda s: s.n_name).alias("vals"),
+            jarr(F.transform(entries, lambda s: s.n_nationkey)).alias("keys"),
+            jarr(F.transform(entries, lambda s: s.n_name)).alias("vals"),
         )
         .orderBy("n_regionkey")
     )
@@ -538,8 +543,8 @@ def agg_map_agg(spark, sf_dir):
     "agg_histogram",
     oracle="""
     SELECT l_linestatus,
-           array_agg(l_returnflag ORDER BY l_returnflag) AS hist_keys,
-           array_agg(cnt ORDER BY l_returnflag) AS hist_counts
+           coalesce(array_to_string(array_agg(l_returnflag ORDER BY l_returnflag), '|'), '') AS hist_keys,
+           coalesce(array_to_string(array_agg(cnt ORDER BY l_returnflag), '|'), '') AS hist_counts
     FROM (SELECT l_linestatus, l_returnflag, COUNT(*) AS cnt
           FROM lineitem GROUP BY l_linestatus, l_returnflag) g
     GROUP BY l_linestatus ORDER BY l_linestatus
@@ -561,8 +566,8 @@ def agg_histogram(spark, sf_dir):
     return (
         counts.groupBy("l_linestatus")
         .agg(
-            F.transform(entries, lambda s: s.l_returnflag).alias("hist_keys"),
-            F.transform(entries, lambda s: s.cnt).alias("hist_counts"),
+            jarr(F.transform(entries, lambda s: s.l_returnflag)).alias("hist_keys"),
+            jarr(F.transform(entries, lambda s: s.cnt)).alias("hist_counts"),
         )
         .orderBy("l_linestatus")
     )
@@ -572,8 +577,12 @@ def agg_histogram(spark, sf_dir):
     "agg_min_max_n",
     oracle="""
     SELECT c_mktsegment,
-           (array_agg(c_acctbal ORDER BY c_acctbal, c_custkey))[1:3] AS min3,
-           (array_agg(c_acctbal ORDER BY c_acctbal DESC, c_custkey))[1:3] AS max3
+           coalesce(array_to_string(list_transform(
+               (array_agg(c_acctbal ORDER BY c_acctbal, c_custkey))[1:3],
+               x -> CAST(CAST(x AS DECIMAL(18,2)) AS VARCHAR)), '|'), '') AS min3,
+           coalesce(array_to_string(list_transform(
+               (array_agg(c_acctbal ORDER BY c_acctbal DESC, c_custkey))[1:3],
+               x -> CAST(CAST(x AS DECIMAL(18,2)) AS VARCHAR)), '|'), '') AS max3
     FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
     tags=("aggregation", "topn"),
@@ -591,8 +600,9 @@ def agg_min_max_n(spark, sf_dir):
     return (
         cust.groupBy("c_mktsegment")
         .agg(
-            F.slice(F.transform(asc, lambda s: s.c_acctbal), 1, 3).alias("min3"),
-            F.slice(F.reverse(F.transform(asc, lambda s: s.c_acctbal)), 1, 3).alias("max3"),
+            jarr_dec(F.slice(F.transform(asc, lambda s: s.c_acctbal), 1, 3)).alias("min3"),
+            jarr_dec(F.slice(F.reverse(F.transform(asc, lambda s: s.c_acctbal)), 1, 3))
+            .alias("max3"),
         )
         .orderBy("c_mktsegment")
     )
@@ -628,7 +638,8 @@ def agg_bool(spark, sf_dir):
     "agg_array_agg_ordered",
     oracle="""
     SELECT o_custkey,
-           array_agg(o_orderkey ORDER BY o_orderdate, o_orderkey) AS order_keys
+           coalesce(array_to_string(
+               array_agg(o_orderkey ORDER BY o_orderdate, o_orderkey), '|'), '') AS order_keys
     FROM orders GROUP BY o_custkey ORDER BY o_custkey
     """,
     tags=("aggregation", "array"),
@@ -645,7 +656,7 @@ def agg_array_agg_ordered(spark, sf_dir):
     entries = F.array_sort(F.collect_list(F.struct("o_orderdate", "o_orderkey")))
     return (
         o.groupBy("o_custkey")
-        .agg(F.transform(entries, lambda s: s.o_orderkey).alias("order_keys"))
+        .agg(jarr(F.transform(entries, lambda s: s.o_orderkey)).alias("order_keys"))
         .orderBy("o_custkey")
     )
 
@@ -682,7 +693,12 @@ def agg_checksum(spark, sf_dir):
 @query(
     "agg_hll_sketch",
     oracle="""
-    SELECT l_returnflag, true AS union_ok, true AS est_ok
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact,
+           CAST(FLOOR(ABS(COUNT(DISTINCT l_partkey) - COUNT(DISTINCT l_partkey))
+                      / (0.05 * COUNT(DISTINCT l_partkey) + 1.0)) AS BIGINT) AS merged_err_units,
+           CAST(FLOOR(ABS(COUNT(DISTINCT l_partkey) - COUNT(DISTINCT l_partkey))
+                      / (0.05 * COUNT(DISTINCT l_partkey) + 1.0)) AS BIGINT) AS single_err_units
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     tags=("aggregation", "sketch"),
@@ -695,11 +711,17 @@ def agg_hll_sketch(spark, sf_dir):
     FunctionRegistry.java:443-444).  Spark 4 exposes DataSketches HLL:
     hll_sketch_agg builds a sketch value, hll_union merges, and
     hll_sketch_estimate reads cardinality — the full Presto sketch
-    lifecycle (build → merge partials → estimate).  The gate asserts the
-    merged estimate matches a single-pass estimate and is within 5% of
-    the exact distinct count (sketches can't hash-match across engines;
-    a sketch union may legitimately estimate differently than one pass,
-    so both paths are checked against exact rather than each other).
+    lifecycle (build → merge partials → estimate).
+
+    Gate shape: sketch estimates can't hash-match a different HLL
+    implementation, so the comparable data is (a) the exact distinct
+    count, computed independently by both engines, and (b) the estimate
+    error quantized to 5%-tolerance units —
+    ``floor(|est - exact| / (0.05*exact + 1))`` — which is 0 only while
+    each estimate (merged-union AND single-pass, checked against exact
+    rather than each other) stays in band; the oracle derives the same
+    formula in SQL from its exact counts.  A drifting sketch flips real
+    output values instead of a driver-side boolean.
     """
     li = t(spark, sf_dir, "lineitem")
     # two "sites" build sketches independently; union must equal one pass
@@ -714,18 +736,17 @@ def agg_hll_sketch(spark, sf_dir):
         F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("est_single"),
         F.countDistinct("l_partkey").alias("exact"),
     )
+    def err_units(est):
+        band = F.col("exact") * 0.05 + 1.0
+        return F.floor(F.abs(F.col(est) - F.col("exact")) / band).cast("bigint")
+
     return (
         merged.join(single, "l_returnflag")
         .select(
             "l_returnflag",
-            (
-                F.abs(F.col("est_merged") - F.col("exact"))
-                <= F.greatest(F.lit(1.0), F.col("exact") * 0.05)
-            ).alias("union_ok"),
-            (
-                F.abs(F.col("est_single") - F.col("exact"))
-                <= F.greatest(F.lit(1.0), F.col("exact") * 0.05)
-            ).alias("est_ok"),
+            F.col("exact"),
+            err_units("est_merged").alias("merged_err_units"),
+            err_units("est_single").alias("single_err_units"),
         )
         .orderBy("l_returnflag")
     )

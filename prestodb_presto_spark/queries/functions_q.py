@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from prestodb_presto_spark.functions import presto as P
 from prestodb_presto_spark.queries import query
-from prestodb_presto_spark.queries.util import t
+from prestodb_presto_spark.queries.util import jarr, t
 
 
 @query(
@@ -162,16 +162,18 @@ def fn_math_ops(spark, sf_dir):
     "fn_array_ops",
     oracle="""
     SELECT p_partkey,
-           string_split(p_name, ' ') AS words,
+           coalesce(array_to_string(string_split(p_name, ' '), '|'), '') AS words,
            CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words,
-           list_sort(string_split(p_name, ' ')) AS words_sorted,
+           coalesce(array_to_string(list_sort(string_split(p_name, ' ')), '|'), '') AS words_sorted,
            array_to_string(string_split(p_name, ' '), '-') AS joined,
            string_split(p_name, ' ')[1] AS first_word,
            list_contains(string_split(p_name, ' '), 'widget') AS has_widget,
-           list_reverse(string_split(p_name, ' ')) AS words_rev,
-           generate_series(1, p_size % 4 + 1) AS seq,
-           list_transform(generate_series(1, p_size % 4 + 1), x -> x * x) AS seq_sq,
-           list_filter(generate_series(1, p_size % 4 + 1), x -> x % 2 = 0) AS seq_even,
+           coalesce(array_to_string(list_reverse(string_split(p_name, ' ')), '|'), '') AS words_rev,
+           coalesce(array_to_string(generate_series(1, p_size % 4 + 1), '|'), '') AS seq,
+           coalesce(array_to_string(
+               list_transform(generate_series(1, p_size % 4 + 1), x -> x * x), '|'), '') AS seq_sq,
+           coalesce(array_to_string(
+               list_filter(generate_series(1, p_size % 4 + 1), x -> x % 2 = 0), '|'), '') AS seq_even,
            CAST(list_reduce(generate_series(1, p_size % 4 + 1), (acc, x) -> acc + x) AS BIGINT) AS seq_sum
     FROM part ORDER BY p_partkey
     """,
@@ -179,23 +181,25 @@ def fn_math_ops(spark, sf_dir):
 )
 def fn_array_ops(spark, sf_dir):
     """Array + higher-order registry fns (Array*.java, ArrayTransformFunction
-    etc.) — all native Catalyst HOFs, zero Python in the loop."""
+    etc.) — all native Catalyst HOFs, zero Python in the loop.  Array
+    results are '|'-joined for the driver's scalar-only canonicalizer;
+    native-array behavior is pytest-covered (tests/test_functions.py)."""
     words = P.split(F.col("p_name"), " ")
     seq = P.sequence(F.lit(1), F.col("p_size") % 4 + 1)
     return (
         t(spark, sf_dir, "part")
         .select(
             "p_partkey",
-            words.alias("words"),
+            jarr(words).alias("words"),
             P.cardinality(words).alias("n_words"),
-            P.array_sort(words).alias("words_sorted"),
+            jarr(P.array_sort(words)).alias("words_sorted"),
             P.array_join(words, "-").alias("joined"),
             P.element_at(words, 1).alias("first_word"),
             P.contains(words, F.lit("widget")).alias("has_widget"),
-            P.reverse(words).alias("words_rev"),
-            seq.alias("seq"),
-            P.transform(seq, lambda x: x * x).alias("seq_sq"),
-            P.filter(seq, lambda x: x % 2 == 0).alias("seq_even"),
+            jarr(P.reverse(words)).alias("words_rev"),
+            jarr(seq).alias("seq"),
+            jarr(P.transform(seq, lambda x: x * x)).alias("seq_sq"),
+            jarr(P.filter(seq, lambda x: x % 2 == 0)).alias("seq_even"),
             P.reduce(seq, F.lit(0), lambda acc, x: acc + x, lambda acc: acc)
             .cast("bigint").alias("seq_sum"),
         )
@@ -298,7 +302,7 @@ def fn_json_ops(spark, sf_dir):
            regexp_extract(p_name, '^([a-z]+) ([a-z]+)$', 1) AS adjective,
            regexp_extract(p_name, '^([a-z]+) ([a-z]+)$', 2) AS noun,
            regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
-           string_split_regex(p_name, '\\s+') AS tokens,
+           coalesce(array_to_string(string_split_regex(p_name, '\\s+'), '|'), '') AS tokens,
            CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT) AS n_vowels
     FROM part ORDER BY p_partkey
     """,
@@ -315,7 +319,7 @@ def fn_regexp_ops(spark, sf_dir):
             P.regexp_extract("p_name", r"^([a-z]+) ([a-z]+)$", 1).alias("adjective"),
             P.regexp_extract("p_name", r"^([a-z]+) ([a-z]+)$", 2).alias("noun"),
             P.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
-            P.regexp_split("p_name", r"\s+").alias("tokens"),
+            jarr(P.regexp_split("p_name", r"\s+")).alias("tokens"),
             P.cardinality(P.regexp_extract_all("p_name", "[aeiou]")).alias("n_vowels"),
         )
         .orderBy("p_partkey")

@@ -77,19 +77,42 @@ def orderby_limit_topn(spark, sf_dir):
 
 @query(
     "sample_bernoulli",
-    oracle="SELECT true AS sample_ok",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_sampled
+    FROM lineitem
+    WHERE CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|'
+                                 || CAST(l_linenumber AS VARCHAR)), 1, 15)) AS UBIGINT)
+          % 10000 < 2000
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
     tags=("sample",),
 )
 def sample_bernoulli(spark, sf_dir):
-    """TABLESAMPLE BERNOULLI → df.sample (reference SampleNode +
-    ImplementBernoulliSampleAsFilter.java).  Sampled membership is
-    engine-specific, so the differential contract is the sampled fraction
-    landing within a 6-sigma envelope."""
+    """TABLESAMPLE BERNOULLI as a deterministic per-row filter.
+
+    Reference SampleNode + ImplementBernoulliSampleAsFilter.java lowers
+    BERNOULLI(p) to `WHERE rand() < p`; the engine's differential form
+    replaces rand() with a content hash (md5 of the row key mod 10k) so
+    both engines select the *same* 20% of rows and the gate compares
+    real sampled aggregates, not a self-asserted envelope.  The
+    random-seeded df.sample path stays covered by pytest
+    (tests/test_operators.py) with a 6-sigma fraction check.
+    """
     li = t(spark, sf_dir, "lineitem")
-    total = li.count()
-    got = li.sample(fraction=0.2, seed=42).count()
-    ok = abs(got / total - 0.2) < 6 * (0.2 * 0.8 / total) ** 0.5
-    return spark.createDataFrame([(bool(ok),)], "sample_ok boolean")
+    key = F.concat_ws("|", F.col("l_orderkey"), F.col("l_linenumber"))
+    bucket = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint") % 10000
+    return (
+        li.filter(bucket < 2000)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .alias("qty_sampled"),
+        )
+        .orderBy("l_returnflag")
+    )
 
 
 @query(
@@ -563,10 +586,16 @@ def subquery_scalar_empty(spark, sf_dir):
     "join_null_safe_eq",
     oracle="""
     WITH a AS (SELECT n_nationkey, NULLIF(n_regionkey, 2) AS rk FROM nation),
-         b AS (SELECT n_nationkey AS bk, NULLIF(n_regionkey, 2) AS rk FROM nation)
-    SELECT CAST(COUNT(*) AS BIGINT) AS null_safe_matches,
-           CAST((SELECT COUNT(*) FROM a JOIN b ON a.rk = b.rk) AS BIGINT) AS plain_matches
-    FROM a JOIN b ON a.rk IS NOT DISTINCT FROM b.rk
+         b AS (SELECT n_nationkey AS bk, NULLIF(n_regionkey, 2) AS rk FROM nation),
+         ns AS (SELECT a.rk AS key, COUNT(*) AS null_safe_matches
+                FROM a JOIN b ON a.rk IS NOT DISTINCT FROM b.rk GROUP BY a.rk),
+         pl AS (SELECT a.rk AS key, COUNT(*) AS plain_matches
+                FROM a JOIN b ON a.rk = b.rk GROUP BY a.rk)
+    SELECT ns.key,
+           CAST(ns.null_safe_matches AS BIGINT) AS null_safe_matches,
+           CAST(COALESCE(pl.plain_matches, 0) AS BIGINT) AS plain_matches
+    FROM ns LEFT JOIN pl ON ns.key IS NOT DISTINCT FROM pl.key
+    ORDER BY ns.key NULLS FIRST
     """,
     tags=("join", "nulls"),
 )
@@ -574,10 +603,35 @@ def join_null_safe_eq(spark, sf_dir):
     """IS NOT DISTINCT FROM as a join condition: NULL keys match each
     other under null-safe equality but never under plain `=`
     (RowEqualOperator / IS DISTINCT FROM in the grammar; Spark's
-    eqNullSafe lowers to a hash join on the null-safe key)."""
+    eqNullSafe lowers to a hash join on the null-safe key).
+
+    Gate shape: emits the matched-key multiset under BOTH join flavors —
+    the NULL key row (matches under <=> only) carries plain_matches=0, so
+    any regression in null-safe semantics changes real data instead of a
+    driver-side boolean.  No driver actions (round-1 version ran two
+    .count() jobs)."""
     nat = t(spark, sf_dir, "nation")
     a = nat.select("n_nationkey", F.nullif(F.col("n_regionkey"), F.lit(2)).alias("rk"))
-    b = nat.select(F.col("n_nationkey").alias("bk"), F.nullif(F.col("n_regionkey"), F.lit(2)).alias("rk"))
-    ns = a.join(b, a.rk.eqNullSafe(b.rk)).count()
-    plain = a.join(b, a.rk == b.rk).count()
-    return spark.createDataFrame([(ns, plain)], "null_safe_matches bigint, plain_matches bigint")
+    b = nat.select(
+        F.col("n_nationkey").alias("bk"),
+        F.nullif(F.col("n_regionkey"), F.lit(2)).alias("rk"),
+    )
+    ns = (
+        a.join(b, a["rk"].eqNullSafe(b["rk"]))
+        .groupBy(a["rk"].alias("key"))
+        .agg(F.count("*").alias("null_safe_matches"))
+    )
+    pl = (
+        a.join(b, a["rk"] == b["rk"])
+        .groupBy(a["rk"].alias("pkey"))
+        .agg(F.count("*").alias("plain_matches"))
+    )
+    return (
+        ns.join(pl, ns["key"].eqNullSafe(pl["pkey"]), "left")
+        .select(
+            "key",
+            "null_safe_matches",
+            F.coalesce(F.col("plain_matches"), F.lit(0)).alias("plain_matches"),
+        )
+        .orderBy(F.col("key").asc_nulls_first())
+    )

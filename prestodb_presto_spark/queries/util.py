@@ -53,6 +53,26 @@ def dsum(col: str | Column, scale: int = 2) -> Column:
     return F.sum(dec(col, scale)).cast("double")
 
 
+def jarr(col: Column, sep: str = "|") -> Column:
+    """Serialize an array column to a canonical string for the gate.
+
+    The driver's canonicalizer sorts result columns with pandas, which
+    cannot hash list cells (``TypeError: unhashable type: 'list'``), so
+    every gate query must emit scalars.  ``array_join`` over the
+    stringified elements matches DuckDB's ``array_to_string(...)``
+    byte-for-byte for string/int elements; for doubles cast the elements
+    to DECIMAL first (see ``jarr_dec``).  Coalesce keeps the empty-array
+    case aligned (Spark ⇒ '' while DuckDB array_to_string(⟦⟧) ⇒ NULL).
+    """
+    return F.coalesce(F.array_join(col.cast("array<string>"), sep), F.lit(""))
+
+
+def jarr_dec(col: Column, scale: int = 2, sep: str = "|") -> Column:
+    """Like ``jarr`` for double arrays: decimal-cast elements so both
+    engines print identical fixed-scale strings (e.g. ``-0.50``)."""
+    return jarr(F.transform(col, lambda x: x.cast(f"decimal(18,{scale})")), sep)
+
+
 def davg(col: str | Column, scale: int = 2) -> Column:
     """Deterministic AVG: exact decimal sum / count, one double division."""
     c = F.col(col) if isinstance(col, str) else col

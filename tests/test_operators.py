@@ -59,3 +59,14 @@ def test_asof_join_tolerance_and_nulls(spark):
         for r in asof_join(left, right, "k", "lts", "rts", ["payload"], tolerance_seconds=1800).collect()
     }
     assert tol == {1: None, 2: "b", 3: None}  # id=1 is 1h stale > 30min tolerance
+
+
+def test_bernoulli_sample_fraction_envelope(spark):
+    """Random-seeded df.sample (SampleNode analog): sampled fraction lands
+    within 6 sigma of p.  The gate's sample_bernoulli query uses a
+    deterministic hash filter instead (engine-independent membership);
+    this covers the rand()-based path."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    total = li.count()
+    got = li.sample(fraction=0.2, seed=42).count()
+    assert abs(got / total - 0.2) < 6 * (0.2 * 0.8 / total) ** 0.5
