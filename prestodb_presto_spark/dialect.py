@@ -43,9 +43,11 @@ _DATE_DIFF = re.compile(r"\bdate_diff\s*\(\s*'(\w+)'\s*,", re.IGNORECASE)
 
 # date_format(x, '%…') / date_parse(x, '%…'): translate the MySQL
 # pattern literal to a Java pattern (DateTimeFunctions.java tokens).
-# first arg may nest calls three levels deep, e.g.
-# date_format(timestampadd(MONTH, 1, max(o_orderdate)), '%Y-%m')
-_ARG = r"(?:[^()']|\((?:[^()']|\((?:[^()']|\([^()']*\))*\))*\))*"
+# first arg may nest calls three levels deep and contain string
+# literals, e.g. date_format(TIMESTAMP '2024-02-29 13:05:00', '%Y-%m')
+_LIT = r"'(?:[^']|'')*'"
+_ATOM = rf"(?:[^()']|{_LIT})"
+_ARG = rf"(?:{_ATOM}|\((?:{_ATOM}|\((?:{_ATOM}|\({_ATOM}*\))*\))*\))*"
 _DATE_FORMAT = re.compile(
     rf"\b(date_format|date_parse)\s*\(({_ARG}),\s*'([^']*)'\s*\)",
     re.IGNORECASE,
@@ -75,7 +77,9 @@ def translate(sql: str) -> str:
         fn, arg, pat = m.group(1).lower(), m.group(2), m.group(3)
         if "%" not in pat:
             return m.group(0)
-        java = _mysql_to_java(pat)
+        # _mysql_to_java single-quotes literal alpha chars ('T'); escape
+        # them ('' inside a SQL literal) before re-wrapping in quotes.
+        java = _mysql_to_java(pat).replace("'", "''")
         if fn == "date_parse":
             return f"to_timestamp({arg}, '{java}')"
         return f"date_format({arg}, '{java}')"

@@ -80,9 +80,19 @@ def checksum(col) -> Column:
 
 @register("map_agg")
 def map_agg(key, value) -> Column:
-    """map_agg(k, v) -> map (MapAggregationFunction.java).  Duplicate-key
-    behavior matches Presto (one wins, unspecified which)."""
-    return F.map_from_entries(F.array_distinct(F.collect_list(F.struct(c(key), c(value)))))
+    """map_agg(k, v) -> map (MapAggregationFunction.java).  Dedupe is BY
+    KEY (reference KeyValuePairs keeps one value per key and never
+    throws) — array_distinct over (k,v) pairs would leave duplicate keys
+    when one key carries two values, which crashes map_from_entries
+    under Spark's default mapKeyDedupPolicy=EXCEPTION."""
+    entries = F.collect_list(F.struct(c(key).alias("k"), c(value).alias("v")))
+    keys = F.array_distinct(F.transform(entries, lambda e: e.k))
+    return F.map_from_arrays(
+        keys,
+        F.transform(
+            keys, lambda k: F.element_at(F.filter(entries, lambda e: e.k == k), 1).v
+        ),
+    )
 
 
 @register("multimap_agg")

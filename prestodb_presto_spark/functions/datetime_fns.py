@@ -51,12 +51,16 @@ def date_diff(unit: str, a, b) -> Column:
         return (
             (cb.cast("double") - ca.cast("double")) * 1000
         ).cast("long")
+    # month/quarter/year: full elapsed units (reference
+    # DateTimeFunctions.diffTimestamp → chronology field difference), so
+    # date_diff('year', '2020-12-31', '2021-01-01') = 0, and negative
+    # diffs truncate toward zero (cast, not floor).
     if unit == "month":
-        return F.floor(F.months_between(cb, ca)).cast("long")
+        return F.months_between(cb, ca).cast("long")
     if unit == "quarter":
-        return F.floor(F.months_between(cb, ca) / 3).cast("long")
+        return (F.months_between(cb, ca) / 3).cast("long")
     if unit == "year":
-        return (F.year(cb) - F.year(ca)).cast("long")
+        return (F.months_between(cb, ca) / 12).cast("long")
     raise ValueError(f"unknown unit {unit}")
 
 

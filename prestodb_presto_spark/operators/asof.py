@@ -35,14 +35,21 @@ def asof_join(
     right_cols: right-side payload columns to attach (null when no right
     row precedes the left row, or when outside ``tolerance_seconds``).
     """
+    # The whole right payload rides in ONE struct carried by a single
+    # last(ignorenulls=True): per-column carries would mix columns from
+    # different right rows whenever the latest right row holds a
+    # legitimate NULL in one payload column (it would be skipped for that
+    # column only, surfacing a stale non-null from an older row).
     lhs = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
-    rhs_cols = [F.col(key), F.col(right_ts).alias("__ts"), F.lit(0).alias("__side")] + [
-        F.col(c).alias(f"__r_{c}") for c in right_cols
-    ]
-    rhs = right.select(*rhs_cols)
-    for c in rhs.columns:
-        if c not in lhs.columns:
-            lhs = lhs.withColumn(c, F.lit(None).cast(rhs.schema[c].dataType))
+    rhs = right.select(
+        F.col(key),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.struct(
+            *[F.col(c) for c in right_cols], F.col(right_ts).alias("__rts")
+        ).alias("__r"),
+    )
+    lhs = lhs.withColumn("__r", F.lit(None).cast(rhs.schema["__r"].dataType))
     merged = lhs.select(*rhs.columns, *[c for c in lhs.columns if c not in rhs.columns]).unionByName(
         rhs, allowMissingColumns=True
     )
@@ -52,17 +59,15 @@ def asof_join(
         .orderBy("__ts", "__side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = merged
-    for c in right_cols:
-        out = out.withColumn(f"__r_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w))
-    out = out.withColumn("__r_ts", F.last(F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True).over(w))
-    out = out.filter(F.col("__side") == 1)
+    out = (
+        merged.withColumn("__r", F.last("__r", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
     if tolerance_seconds is not None:
         stale = (
             F.col("__ts").cast("timestamp").cast("double")
-            - F.col("__r_ts").cast("timestamp").cast("double")
+            - F.col("__r.__rts").cast("timestamp").cast("double")
         ) > tolerance_seconds
-        for c in right_cols:
-            out = out.withColumn(f"__r_{c}", F.when(stale, F.lit(None)).otherwise(F.col(f"__r_{c}")))
-    keep = [c for c in left.columns] + [F.col(f"__r_{c}").alias(c) for c in right_cols]
+        out = out.withColumn("__r", F.when(stale, F.lit(None)).otherwise(F.col("__r")))
+    keep = [c for c in left.columns] + [F.col(f"__r.{c}").alias(c) for c in right_cols]
     return out.select(*keep)

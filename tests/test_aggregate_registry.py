@@ -96,3 +96,13 @@ def test_weighted_percentile(spark, li):
     assert row.m1 == row.m3
     exact = li.agg(F.expr("percentile(l_quantity, 0.5)").alias("m")).collect()[0].m
     assert row.m1 == exact
+
+
+def test_map_agg_dedupes_by_key_not_pair(spark):
+    """A key aggregated with two different values must not crash
+    map_from_entries (mapKeyDedupPolicy=EXCEPTION); reference
+    KeyValuePairs keeps one value per key."""
+    df = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], "k int, v string")
+    row = df.agg(A.map_agg("k", "v").alias("m")).collect()[0]
+    assert set(row.m.keys()) == {1, 2}
+    assert row.m[1] in ("a", "b") and row.m[2] == "c"

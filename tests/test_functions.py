@@ -157,8 +157,16 @@ def test_datetime_functions(spark):
                                      F.lit("2024-02-01").cast("timestamp")), 31),
             ("diff_month", P.date_diff("month", F.lit("2024-01-15").cast("timestamp"),
                                        F.lit("2024-03-14").cast("timestamp")), 1),
+            # full elapsed years (chronology field diff), not year(b)-year(a)
             ("diff_year", P.date_diff("year", F.lit("2023-12-31").cast("timestamp"),
-                                      F.lit("2024-01-01").cast("timestamp")), 1),
+                                      F.lit("2024-01-01").cast("timestamp")), 0),
+            ("diff_year_full", P.date_diff("year", F.lit("2023-01-01").cast("timestamp"),
+                                           F.lit("2024-01-01").cast("timestamp")), 1),
+            # negative diffs truncate toward zero, not floor toward -inf
+            ("diff_month_neg", P.date_diff("month", F.lit("2021-03-15").cast("timestamp"),
+                                           F.lit("2021-01-20").cast("timestamp")), -1),
+            ("diff_quarter_neg", P.date_diff("quarter", F.lit("2021-07-15").cast("timestamp"),
+                                             F.lit("2021-03-20").cast("timestamp")), -1),
             ("parse", P.year(P.date_parse(F.lit("2019/07/04"), "%Y/%m/%d")), 2019),
         ],
     )

@@ -70,3 +70,21 @@ def test_bernoulli_sample_fraction_envelope(spark):
     total = li.count()
     got = li.sample(fraction=0.2, seed=42).count()
     assert abs(got / total - 0.2) < 6 * (0.2 * 0.8 / total) ** 0.5
+
+
+def test_asof_join_null_payload_not_mixed(spark):
+    """When the latest preceding right row carries a NULL payload column,
+    the result must take ALL columns from that row — not carry a stale
+    non-null forward from an older row (single-struct carry)."""
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 12:00:00")], "id long, lts string"
+    ).select("id", F.col("lts").cast("timestamp").alias("lts"), F.lit(1).alias("k"))
+    right = spark.createDataFrame(
+        [("2024-01-01 09:00:00", "old_a", "old_b"), ("2024-01-01 11:00:00", None, "new_b")],
+        "rts string, a string, b string",
+    ).select(F.col("rts").cast("timestamp").alias("rts"), "a", "b", F.lit(1).alias("k"))
+
+    from prestodb_presto_spark.operators.asof import asof_join
+
+    row = asof_join(left, right, "k", "lts", "rts", ["a", "b"]).collect()[0]
+    assert row.b == "new_b" and row.a is None  # not old_a

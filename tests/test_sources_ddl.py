@@ -180,3 +180,13 @@ def test_record_decoders(spark):
 
     raw = decoded_stream(csv_msgs, "raw").collect()[0]
     assert raw.value == "7,hello"
+
+
+def test_dialect_date_format_literal_chars(spark):
+    """MySQL patterns with literal alpha chars ('T') must re-wrap with
+    escaped quotes — date_format(ts, '%Y-%m-%dT%H') was emitting a
+    malformed single-quoted literal."""
+    from prestodb_presto_spark.dialect import translate
+
+    sql = translate("SELECT date_format(TIMESTAMP '2024-02-29 13:05:00', '%Y-%m-%dT%H') AS s")
+    assert spark.sql(sql).collect()[0].s == "2024-02-29T13"
