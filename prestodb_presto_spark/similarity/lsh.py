@@ -1,47 +1,38 @@
 """Random-hyperplane LSH for approximate NN — the 100 TB scale path.
 
 Plan shape (why it scales): the vector column explodes once to
-(vec_id, dim, value) rows, joins a broadcast 64×16 coefficient table,
-and one groupBy(vec_id) with 16 SUM accumulators yields all plane
-projections — a single shuffle whose payload is 16 doubles per vector.
-Bucketing and the candidate join then touch only (bucket, id) pairs.
+(vec_id, dim, value) rows, and each of the 16 plane projections is a
+SUM of value × an *inline hash expression* of the dimension index —
+no coefficient table, no broadcast join, no driver-side dims probe.
+One groupBy(vec_id) with 16 SUM accumulators yields all projections;
+the shuffle payload is 16 longs per vector.  Bucketing and the
+candidate join then touch only (bucket, id) pairs, with a hot-bucket
+cap bounding the bucket-local self-join.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 N_PLANES = 16
+DEFAULT_BUCKET_CAP = 200
 
 
-def _coeff_table(spark: SparkSession, dims: int) -> DataFrame:
-    """Deterministic pseudo-random hyperplane coefficients: hash-derived
-    ints in [-8, 8), one row per dim with N_PLANES coefficient columns."""
-    rows = spark.range(dims).select(F.col("id").alias("dim"))
-    coeffs = [
-        (F.xxhash64(F.concat(F.lit(f"plane-{p}-"), F.col("dim"))) % 16 - 8)
-        .cast("bigint")
-        .alias(f"c{p}")
-        for p in range(N_PLANES)
-    ]
-    return rows.select("dim", *coeffs)
+def _coeff(p: int) -> Column:
+    """Deterministic pseudo-random hyperplane coefficient for (plane p,
+    current `dim` row): hash-derived int in [-8, 8).  Pure expression —
+    computed where the data lives, never materialized as a table."""
+    return F.xxhash64(F.concat(F.lit(f"plane-{p}-"), F.col("dim"))) % 16 - 8
 
 
 def hyperplane_buckets(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
     """(id, bucket): 16-bit signature of hyperplane projection signs."""
-    spark = emb.sparkSession
-    dims = len(emb.select(vec_col).first()[0])
-    coeff = _coeff_table(spark, dims)
-    flat = emb.select(
-        id_col, F.posexplode(quant(vec_col)).alias("dim", "x")
-    )
-    proj = (
-        flat.join(F.broadcast(coeff), "dim")
-        .groupBy(id_col)
-        .agg(*[F.sum(F.col("x") * F.col(f"c{p}")).alias(f"s{p}") for p in range(N_PLANES)])
+    flat = emb.select(id_col, F.posexplode(quant(vec_col)).alias("dim", "x"))
+    proj = flat.groupBy(id_col).agg(
+        *[F.sum(F.col("x") * _coeff(p)).alias(f"s{p}") for p in range(N_PLANES)]
     )
     bucket = sum(
         (F.when(F.col(f"s{p}") > 0, F.lit(1 << p)).otherwise(F.lit(0)) for p in range(N_PLANES)),
@@ -55,10 +46,26 @@ def quant(vec_col):
 
 
 def lsh_candidate_pairs(
-    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
-    """Pairs sharing an LSH bucket (bucket-local self-join)."""
+    """Pairs sharing an LSH bucket (bucket-local self-join).
+
+    ``bucket_cap`` drops buckets holding more than that many vectors
+    before the self-join, bounding candidates at O(cap · n) — one
+    degenerate bucket (e.g. a spike of near-zero embeddings) would
+    otherwise go quadratic.  Recall impact: only pairs whose single
+    shared bucket is hot are lost; ``bucket_cap=None`` disables.
+    """
     sig = hyperplane_buckets(emb, id_col, vec_col)
+    if bucket_cap is not None:
+        sig = (
+            sig.withColumn("__bsz", F.count("*").over(Window.partitionBy("bucket")))
+            .filter(F.col("__bsz") <= bucket_cap)
+            .drop("__bsz")
+        )
     a = sig.alias("a")
     b = sig.alias("b")
     return (

@@ -19,13 +19,14 @@ the differential oracle checks.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from prestodb_presto_spark.text.analysis import shingles3
 
 N_HASHES = 64
 N_BANDS = 32
+DEFAULT_BUCKET_CAP = 200
 _P31 = (1 << 31) - 1  # Mersenne prime: keeps a*h+b < 2^62 (no ANSI overflow)
 
 # deterministic universal-hash constants (Knuth multiplier / odd offsets)
@@ -47,9 +48,24 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
 
 
 def lsh_candidate_pairs(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
-    """Candidate (id_a, id_b) pairs sharing at least one LSH band bucket."""
+    """Candidate (id_a, id_b) pairs sharing at least one LSH band bucket.
+
+    ``bucket_cap`` drops band buckets holding more than that many docs
+    before the self-join — one pathological bucket (millions of empty /
+    boilerplate documents) would otherwise re-create the quadratic join
+    this module exists to avoid.  With the cap, candidate pairs are
+    bounded by O(cap · n).  Recall impact: a pair is missed only if ALL
+    32 of its shared buckets are hot, i.e. both docs sit exclusively in
+    duplicate clusters larger than the cap — standard practice for
+    100 TB dedup (hot buckets are boilerplate, and cluster members still
+    dedup against the cluster's non-hot edges).  ``bucket_cap=None``
+    disables the guard.
+    """
     sig = minhash_signatures(docs, id_col, text_col)
     r = N_HASHES // N_BANDS
     bands = sig.select(
@@ -58,6 +74,14 @@ def lsh_candidate_pairs(
             F.expr(f"transform(sequence(0, {N_BANDS - 1}), b -> slice(sig, b * {r} + 1, {r}))")
         ).alias("band_idx", "band"),
     ).select(id_col, F.hash("band_idx", "band").alias("bh"))
+    if bucket_cap is not None:
+        # window count shares the hash partitioning of the self-join key —
+        # no extra shuffle, just one pass over each bucket
+        bands = (
+            bands.withColumn("__bsz", F.count("*").over(Window.partitionBy("bh")))
+            .filter(F.col("__bsz") <= bucket_cap)
+            .drop("__bsz")
+        )
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -75,9 +99,10 @@ def verified_near_dup_pairs(
     threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """LSH candidates re-verified with exact Jaccard ≥ threshold."""
-    cands = lsh_candidate_pairs(docs, id_col, text_col)
+    cands = lsh_candidate_pairs(docs, id_col, text_col, bucket_cap=bucket_cap)
     sh = docs.select(F.col(id_col), shingles3(text_col).alias("s"))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("s").alias("s_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("s").alias("s_b"))

@@ -44,3 +44,17 @@ def test_lsh_buckets_nontrivial_and_recall(spark):
     n = emb.count()
     # buckets must actually partition the space (not all-in-one, not empty)
     assert 0 < n_pairs < n * (n - 1) / 4
+
+
+def test_similarity_lsh_hot_bucket_cap(spark):
+    """All-identical embeddings collapse into one bucket; the cap bounds
+    the bucket-local self-join at O(cap*n) (here: drops it entirely)."""
+    from prestodb_presto_spark.similarity.lsh import lsh_candidate_pairs as pairs
+
+    n = 300
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr("transform(sequence(1, 8), i -> cast(0.5 as double))").alias("embedding"),
+    )
+    assert pairs(emb, bucket_cap=50).count() == 0
+    assert pairs(emb, bucket_cap=None).count() == n * (n - 1) // 2

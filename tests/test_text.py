@@ -76,3 +76,28 @@ def test_shingles_short_docs(spark):
     rows = {r.doc_id: r.s for r in df.select("doc_id", shingles3().alias("s")).collect()}
     assert rows[1] == []
     assert rows[2] == ["a b c", "b c d"]
+
+
+def test_lsh_hot_bucket_cap_bounds_candidates(spark):
+    """An adversarial all-identical corpus puts every doc in the same 32
+    band buckets; the cap must drop those buckets instead of producing
+    the O(n^2) candidate set."""
+    n = 300
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text repeated across every document here").alias("text"),
+    )
+    cap = 50
+    capped = lsh_candidate_pairs(docs, bucket_cap=cap).count()
+    assert capped <= cap * n  # O(cap*n) bound; here every bucket is hot -> 0
+    assert capped == 0
+    uncapped = lsh_candidate_pairs(docs, bucket_cap=None).count()
+    assert uncapped == n * (n - 1) // 2
+
+
+def test_lsh_cap_keeps_normal_pairs(spark):
+    """Pairs living in small buckets survive the cap."""
+    docs = _docs(spark).limit(60)
+    with_cap = {tuple(r) for r in lsh_candidate_pairs(docs, bucket_cap=200).collect()}
+    without = {tuple(r) for r in lsh_candidate_pairs(docs, bucket_cap=None).collect()}
+    assert with_cap == without
