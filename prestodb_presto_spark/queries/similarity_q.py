@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from prestodb_presto_spark.queries import query
-from prestodb_presto_spark.queries.util import t
+from prestodb_presto_spark.queries.util import guard_rows, t
 
 # Quantize in DOUBLE explicitly: FLOAT*1000 in single precision rounds
 # differently than double on ~1-in-1e5 components, which flips threshold
@@ -126,12 +126,21 @@ def similarity_knn_top1(spark, sf_dir):
     WHERE list_dot_product(a.q::DOUBLE[], b.q::DOUBLE[]) / sqrt(a.nrm) / sqrt(b.nrm) >= 0.4
     ORDER BY id_a, id_b
     """,
-    tags=("similarity",),
+    tags=("similarity", "verifier-only"),
 )
 def similarity_threshold_pairs(spark, sf_dir):
     """All-pairs cosine ≥ 0.4 (self-join; the exact baseline the LSH
-    variant is tested against in tests/test_similarity.py)."""
-    emb = t(spark, sf_dir, "embeddings").select("vec_id", quantized().alias("q"))
+    variant is tested against in tests/test_similarity.py).
+
+    VERIFIER-ONLY: O(n²) by construction — a hard row-count guard (50k
+    vectors) refuses unbounded inputs; at scale use similarity_lsh_ann
+    (bucketed candidates) or similarity_knn_top1 (broadcast query set)."""
+    emb = guard_rows(
+        t(spark, sf_dir, "embeddings"),
+        50_000,
+        "similarity_threshold_pairs",
+        "Use similarity_lsh_ann / similarity_knn_top1 at scale.",
+    ).select("vec_id", quantized().alias("q"))
     emb = emb.withColumn("nrm", dot(F.col("q"), F.col("q")).cast("double"))
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("q").alias("q_a"), F.col("nrm").alias("n_a"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("q").alias("q_b"), F.col("nrm").alias("n_b"))

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from prestodb_presto_spark.queries import query
-from prestodb_presto_spark.queries.util import t
+from prestodb_presto_spark.queries.util import guard_rows, t
 from prestodb_presto_spark.text.analysis import shingles3, token_array as tokens
 
 SHINGLES3_SQL = (
@@ -189,7 +189,7 @@ def dedup_exact(spark, sf_dir):
     WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.8
     ORDER BY id_a, id_b
     """,
-    tags=("text", "dedup"),
+    tags=("text", "dedup", "verifier-only"),
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard near-dup pairs (3-gram shingles, J ≥ 0.8).
@@ -198,11 +198,17 @@ def dedup_ngram_jaccard(spark, sf_dir):
     self-join on shingle → pair-count agg → join back sizes.  Integer
     set math + one final division → hash-exact vs the oracle.
 
-    At 100 TB the shingle self-join is the quadratic hazard — that's what
-    dedup_minhash_lsh is for; this operator is the exact verifier run on
-    LSH candidates (and stands alone at small scale).
+    VERIFIER-ONLY: the shingle self-join is quadratic by construction, so
+    a hard row-count guard (100k docs) refuses unbounded inputs — at
+    scale use dedup_minhash_lsh, which runs this exact verification over
+    LSH candidates only.
     """
-    docs = t(spark, sf_dir, "documents").select("doc_id", shingles3().alias("s"))
+    docs = guard_rows(
+        t(spark, sf_dir, "documents"),
+        100_000,
+        "dedup_ngram_jaccard",
+        "Use dedup_minhash_lsh (LSH candidates + exact verify) at scale.",
+    ).select("doc_id", shingles3().alias("s"))
     toks = docs.select("doc_id", F.explode("s").alias("w"))
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = toks.alias("a")

@@ -67,6 +67,24 @@ def jarr(col: Column, sep: str = "|") -> Column:
     return F.coalesce(F.array_join(col.cast("array<string>"), sep), F.lit(""))
 
 
+def guard_rows(df: DataFrame, max_rows: int, name: str, hint: str) -> DataFrame:
+    """Hard row-count guard for verifier-only exact-pair operators.
+
+    O(n²) self-join baselines (exact n-gram Jaccard, all-pairs cosine)
+    exist to verify the LSH scale paths at small scale; this guard makes
+    them *unable* to execute an unbounded self-join.  The probe is a
+    bounded action — ``limit(max_rows+1).count()`` early-exits the scan
+    at max_rows+1 rows, it never counts the full table.
+    """
+    n = df.limit(max_rows + 1).count()
+    if n > max_rows:
+        raise ValueError(
+            f"{name} is a verifier-only exact operator (quadratic self-join); "
+            f"input exceeds {max_rows} rows. {hint}"
+        )
+    return df
+
+
 def jarr_dec(col: Column, scale: int = 2, sep: str = "|") -> Column:
     """Like ``jarr`` for double arrays: decimal-cast elements so both
     engines print identical fixed-scale strings (e.g. ``-0.50``)."""

@@ -101,3 +101,16 @@ def test_lsh_cap_keeps_normal_pairs(spark):
     with_cap = {tuple(r) for r in lsh_candidate_pairs(docs, bucket_cap=200).collect()}
     without = {tuple(r) for r in lsh_candidate_pairs(docs, bucket_cap=None).collect()}
     assert with_cap == without
+
+
+def test_verifier_only_guard_refuses_large_input(spark):
+    """guard_rows must refuse unbounded inputs to quadratic exact ops,
+    with a bounded probe (limit(cap+1)), not a full count."""
+    import pytest
+
+    from prestodb_presto_spark.queries.util import guard_rows
+
+    big = spark.range(1000).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError, match="verifier-only"):
+        guard_rows(big, 100, "op_under_test", "use the LSH path")
+    assert guard_rows(big, 1000, "op_under_test", "").count() == 1000
