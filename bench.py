@@ -67,6 +67,16 @@ def main() -> None:
         except Exception as exc:  # pragma: no cover - warm-up must never fail the bench
             print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
+    # committed per-query baseline (BENCH_r01 @ sf0.1): regressions are
+    # detectable per query, not just in the driver's round totals
+    baseline: dict[str, float] = {}
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            recorded = json.load(f)
+        if recorded.get("sf") == sf:
+            baseline = recorded.get("queries", {})
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = specs[name].spark_fn
@@ -76,7 +86,8 @@ def main() -> None:
         # (count() would let Catalyst prune the payload)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        ratio = f" ({timings[name] / baseline[name]:.2f}x baseline)" if baseline.get(name) else ""
+        print(f"# {name}: {timings[name]:.3f}s{ratio}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(

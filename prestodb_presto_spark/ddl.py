@@ -13,6 +13,7 @@ whole-partition fast path (operator/MetadataDeleteOperator.java).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from prestodb_presto_spark.sources.io import write_table
 
@@ -55,14 +56,18 @@ def delete_where(spark: SparkSession, path: str, condition: str) -> int:
     partitions via `replaceWhere`-style partition predicates.
     """
     df = spark.read.parquet(path)
+    # one aggregation job computes the deleted count (count of matching
+    # rows) — not two full-table .count() scans
+    deleted = df.select(
+        F.count(F.when(F.expr(condition), True)).alias("d")
+    ).collect()[0].d
     remaining = df.filter(f"NOT ({condition})")
-    deleted = df.count() - remaining.count()
     # overwrite must not read lazily from the files being replaced
     staged = remaining.cache()
     staged.count()
     write_table(staged, path=path, mode="overwrite")
     staged.unpersist()
-    return deleted
+    return int(deleted)
 
 
 def describe(spark: SparkSession, name: str) -> list[tuple[str, str]]:

@@ -64,6 +64,214 @@ def _rename(sql: str, presto: str, spark: str) -> str:
 _STRING_LIT = re.compile(r"'(?:[^']|'')*'")
 
 
+# --- paren-aware rewrites (TRY / UNNEST / weighted approx_percentile) -------
+# These constructs need argument splitting, which token regexes can't do
+# reliably; a tiny quote/paren scanner handles them.
+
+
+def _scan_balanced(sql: str, open_idx: int) -> tuple[int, list[str]]:
+    """From ``sql[open_idx] == '('``, return (index after the matching
+    ')', top-level comma-split argument list).  Respects nested parens,
+    brackets, and single-quoted literals."""
+    depth = 0
+    args: list[str] = []
+    cur: list[str] = []
+    i = open_idx
+    n = len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            cur.append(sql[i : j + 1])
+            i = j + 1
+            continue
+        if ch in "([":
+            depth += 1
+            if depth > 1:
+                cur.append(ch)
+        elif ch in ")]":
+            depth -= 1
+            if depth == 0:
+                args.append("".join(cur).strip())
+                return i + 1, [a for a in args if a != ""] or [""]
+            cur.append(ch)
+        elif ch == "," and depth == 1:
+            args.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    raise ValueError(f"unbalanced parentheses in SQL near offset {open_idx}")
+
+
+def _rewrite_calls(sql: str, name: str, fn) -> str:
+    """Replace every ``name(...)`` call with ``fn(args) -> str``."""
+    pat = re.compile(rf"\b{name}\s*\(", re.IGNORECASE)
+    out = sql
+    pos = 0
+    while True:
+        m = pat.search(out, pos)
+        if not m:
+            return out
+        end, args = _scan_balanced(out, m.end() - 1)
+        repl = fn(args)
+        if repl is None:  # leave this call untouched
+            pos = m.end()
+            continue
+        out = out[: m.start()] + repl + out[end:]
+        pos = m.start() + len(repl)
+
+
+_TOP_OPS = ("/", "*", "+", "-")
+
+
+def _split_top_binary(expr: str) -> tuple[str, str, str] | None:
+    """Split a top-level binary arithmetic expr into (lhs, op, rhs); None
+    if there is no single top-level operator (or it looks unary)."""
+    depth = 0
+    i = 0
+    n = len(expr)
+    while i < n:
+        ch = expr[i]
+        if ch == "'":
+            j = expr.find("'", i + 1)
+            i = (j if j != -1 else n) + 1
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif depth == 0 and ch in _TOP_OPS:
+            lhs, rhs = expr[:i].strip(), expr[i + 1 :].strip()
+            if lhs and rhs:  # unary +/- has an empty lhs
+                return lhs, ch, rhs
+        i += 1
+    return None
+
+
+_TRY_FNS = {"/": "try_divide", "*": "try_multiply", "+": "try_add", "-": "try_subtract"}
+
+
+def _try_rewrite(args: list[str]) -> str:
+    """TRY(expr) → NULL-on-error (reference scalar/TryFunction.java).
+
+    Spark has no generic TRY; the shim lowers the reference's documented
+    uses: TRY(CAST ..) → TRY_CAST, arithmetic → try_add/subtract/
+    multiply/divide, element_at → try_element_at, to_number-ish casts.
+    """
+    if len(args) != 1:
+        raise ValueError("TRY takes exactly one argument")
+    inner = args[0].strip()
+    low = inner.lower()
+    if re.match(r"cast\s*\(", low):
+        return "TRY_" + inner[inner.lower().index("cast") :]
+    if re.match(r"element_at\s*\(", low):
+        return "try_" + inner
+    split = _split_top_binary(inner)
+    if split:
+        lhs, op, rhs = split
+        return f"{_TRY_FNS[op]}({lhs}, {rhs})"
+    raise ValueError(
+        f"TRY({inner}) not translatable: the shim supports TRY over CAST, "
+        "+ - * /, and element_at; wrap other expressions with try_cast or "
+        "use the DataFrame API"
+    )
+
+
+def _approx_percentile_rewrite(args: list[str]) -> str | None:
+    """approx_percentile(x, p) and the weighted (x, w, p) spelling
+    (ApproximateLongPercentileAggregations.java overloads)."""
+    if len(args) == 3:
+        x, w, p = args
+        return f"percentile({x}, {p}, CAST({w} AS BIGINT))"
+    if len(args) == 2:
+        return f"percentile_approx({args[0]}, {args[1]}, 10000)"
+    return None
+
+
+_ARRAY_LIT = re.compile(r"\bARRAY\s*\[", re.IGNORECASE)
+
+
+def _array_literals(sql: str) -> str:
+    """Presto ARRAY[..] → Spark array(..)."""
+    out = sql
+    while True:
+        m = _ARRAY_LIT.search(out)
+        if not m:
+            return out
+        end, args = _scan_balanced(out, m.end() - 1)
+        out = out[: m.start()] + "array(" + ", ".join(args) + ")" + out[end:]
+
+
+_UNNEST = re.compile(
+    r"(\bCROSS\s+JOIN\s+|,\s*)UNNEST\s*\(", re.IGNORECASE
+)
+_UNNEST_TAIL = re.compile(
+    r"\s*(WITH\s+ORDINALITY\s*)?(?:AS\s+)?(\w+)\s*\(\s*([\w\s,]+?)\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _unnest_rewrite(sql: str) -> str:
+    """FROM-clause UNNEST (SqlBase.g4:240) → LATERAL VIEW.
+
+    - UNNEST(arr) AS t(x)                  → LATERAL VIEW explode(arr) t AS x
+    - UNNEST(a1, a2) AS t(x, y)            → LATERAL VIEW inline(arrays_zip(a1, a2)) t AS x, y
+    - UNNEST(map) AS t(k, v)               → LATERAL VIEW explode(map) t AS k, v
+    - UNNEST(arr) WITH ORDINALITY AS t(x, i) →
+        LATERAL VIEW explode(map_from_arrays(sequence(1, size(arr)), arr)) t AS i, x
+      (1-based ordinality, matching the reference; Spark posexplode is
+      0-based so the map trick keeps it engine-exact)
+    """
+    out = sql
+    while True:
+        m = _UNNEST.search(out)
+        if not m:
+            return out
+        end, exprs = _scan_balanced(out, m.end() - 1)
+        tail = _UNNEST_TAIL.match(out, end)
+        if not tail:
+            raise ValueError(
+                "UNNEST requires an alias with column names: UNNEST(x) AS t(c, ...)"
+            )
+        ordinal, alias, cols_s = tail.group(1), tail.group(2), tail.group(3)
+        cols = [c.strip() for c in cols_s.split(",")]
+        if ordinal:
+            if len(exprs) != 1 or len(cols) != 2:
+                raise ValueError(
+                    "UNNEST WITH ORDINALITY shim supports a single array: "
+                    "UNNEST(arr) WITH ORDINALITY AS t(elem, ord)"
+                )
+            e = exprs[0]
+            view = (
+                f"LATERAL VIEW explode(map_from_arrays(sequence(1, size({e})), {e})) "
+                f"{alias} AS {cols[1]}, {cols[0]}"
+            )
+        elif len(exprs) == 1 and len(cols) == 1:
+            view = f"LATERAL VIEW explode({exprs[0]}) {alias} AS {cols[0]}"
+        elif len(exprs) == 1 and len(cols) == 2:
+            # single expr, two columns => map unnest (k, v)
+            view = f"LATERAL VIEW explode({exprs[0]}) {alias} AS {cols[0]}, {cols[1]}"
+        elif len(exprs) == len(cols):
+            # multi-array zip (UnnestOperator zips in lockstep)
+            view = (
+                f"LATERAL VIEW inline(arrays_zip({', '.join(exprs)})) "
+                f"{alias} AS {', '.join(cols)}"
+            )
+        else:
+            raise ValueError(
+                f"UNNEST arity mismatch: {len(exprs)} expressions vs {len(cols)} columns"
+            )
+        out = out[: m.start()] + " " + view + out[tail.end() :]
+
+
 def translate(sql: str) -> str:
     """Presto-dialect SQL → Spark SQL."""
     # Mask string literals so owned names inside quotes are never
@@ -85,7 +293,7 @@ def translate(sql: str) -> str:
         return f"date_format({arg}, '{java}')"
 
     out = _DATE_FORMAT.sub(_fmt, out)
-    # mask literals, rewrite names, unmask
+    # mask literals so no rewrite below can touch quoted text
     literals: list[str] = []
 
     def _mask(m: re.Match) -> str:
@@ -93,6 +301,11 @@ def translate(sql: str) -> str:
         return f"\x00{len(literals) - 1}\x00"
 
     out = _STRING_LIT.sub(_mask, out)
+    # paren-aware constructs (argument-splitting scanners)
+    out = _array_literals(out)
+    out = _rewrite_calls(out, "approx_percentile", _approx_percentile_rewrite)
+    out = _rewrite_calls(out, "TRY", _try_rewrite)
+    out = _unnest_rewrite(out)
     # longest names first so json_extract_scalar wins over json_extract
     for presto in sorted(_RENAMES, key=len, reverse=True):
         out = _rename(out, presto, _RENAMES[presto])

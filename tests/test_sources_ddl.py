@@ -190,3 +190,102 @@ def test_dialect_date_format_literal_chars(spark):
 
     sql = translate("SELECT date_format(TIMESTAMP '2024-02-29 13:05:00', '%Y-%m-%dT%H') AS s")
     assert spark.sql(sql).collect()[0].s == "2024-02-29T13"
+
+
+def test_dialect_try_rewrites(engine):
+    """TRY(expr) (TryFunction.java) lowers to Spark try_* variants."""
+    from prestodb_presto_spark.dialect import translate
+
+    assert translate("SELECT TRY(CAST(s AS BIGINT)) FROM t") == (
+        "SELECT TRY_CAST(s AS BIGINT) FROM t"
+    )
+    assert translate("SELECT try(a / b) FROM t") == "SELECT try_divide(a, b) FROM t"
+    assert translate("SELECT TRY(element_at(m, 'k')) FROM t") == (
+        "SELECT try_element_at(m, 'k') FROM t"
+    )
+    rows = engine.sql(
+        """
+        SELECT o_orderkey,
+               TRY(CAST(o_orderpriority AS BIGINT)) AS pri_num,
+               TRY(o_totalprice / (o_orderkey - o_orderkey)) AS div0
+        FROM orders ORDER BY o_orderkey LIMIT 5
+        """,
+        dialect="presto",
+    ).collect()
+    assert len(rows) == 5
+    assert all(r.pri_num is None for r in rows)  # '1-URGENT' etc never casts
+    assert all(r.div0 is None for r in rows)  # x/0 -> null, not an ANSI error
+
+
+def test_dialect_unnest_text(engine, oracle):
+    """FROM-clause UNNEST [WITH ORDINALITY] (SqlBase.g4:240) via dialect
+    shim, DuckDB-checked."""
+    got = engine.sql(
+        """
+        SELECT doc_id, word, pos
+        FROM documents CROSS JOIN UNNEST(split(text, ' ')) WITH ORDINALITY AS u(word, pos)
+        WHERE doc_id < 5 ORDER BY doc_id, pos
+        """,
+        dialect="presto",
+    ).collect()
+    exp = oracle.sql(
+        """
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents WHERE doc_id < 5 ORDER BY doc_id, pos
+        """
+    ).fetchall()
+    assert [(r.doc_id, r.word, r.pos) for r in got] == [tuple(e) for e in exp]
+
+    plain = engine.sql(
+        """
+        SELECT doc_id, word
+        FROM documents CROSS JOIN UNNEST(split(text, ' ')) AS u(word)
+        WHERE doc_id < 5 ORDER BY doc_id, word
+        """,
+        dialect="presto",
+    ).count()
+    assert plain == len(exp)
+
+    zipped = engine.sql(
+        "SELECT a, b FROM (SELECT 1) CROSS JOIN UNNEST(array(1,2), array('x','y')) AS z(a, b) ORDER BY a",
+        dialect="presto",
+    ).collect()
+    assert [(r.a, r.b) for r in zipped] == [(1, "x"), (2, "y")]
+
+
+def test_dialect_weighted_approx_percentile(engine, oracle):
+    """approx_percentile(x, w, p) weighted spelling → exact weighted
+    percentile, DuckDB-checked against the expanded-by-weight quantile."""
+    from prestodb_presto_spark.dialect import translate
+
+    assert translate("SELECT approx_percentile(x, w, 0.5) FROM t") == (
+        "SELECT percentile(x, 0.5, CAST(w AS BIGINT)) FROM t"
+    )
+    got = engine.sql(
+        """
+        SELECT approx_percentile(o_totalprice, o_orderkey % 3 + 1, 0.5) AS med
+        FROM orders
+        """,
+        dialect="presto",
+    ).collect()[0].med
+    exp = oracle.sql(
+        """
+        SELECT quantile_cont(o_totalprice, 0.5) AS med
+        FROM (SELECT o_totalprice, unnest(generate_series(1, o_orderkey % 3 + 1))
+              FROM orders)
+        """
+    ).fetchone()[0]
+    assert abs(got - exp) < 1e-6
+
+
+def test_dialect_array_literal(engine):
+    from prestodb_presto_spark.dialect import translate
+
+    assert translate("SELECT ARRAY[1, 2, 3] AS a") == "SELECT array(1, 2, 3) AS a"
+    row = engine.sql(
+        "SELECT approx_percentile(o_totalprice, ARRAY[0.25, 0.75]) AS q FROM orders",
+        dialect="presto",
+    ).collect()[0]
+    assert len(row.q) == 2 and row.q[0] <= row.q[1]
