@@ -82,15 +82,49 @@ class Engine:
             )
         raise ValueError(f"unknown information_schema view {view!r}")
 
-    def sql(self, text: str, dialect: str = "spark") -> DataFrame:
+    def sql(self, text: str, dialect: str = "spark", args=None) -> DataFrame:
         """Run SQL.  dialect="presto" first applies the dialect shim
         (prestodb_presto_spark.dialect) for the function-name collisions;
-        everything else is already Spark-compatible."""
+        everything else is already Spark-compatible.  ``args`` binds
+        named (:name / dict) or positional (? / list) parameters via
+        Spark's parameterized SQL."""
         if dialect == "presto":
             from prestodb_presto_spark.dialect import translate
 
             text = translate(text)
+        if args is not None:
+            return self.spark.sql(text, args=args)
         return self.spark.sql(text)
+
+    # --- prepared statements (PREPARE / EXECUTE / DEALLOCATE) ---------------
+    # Reference: grammar SqlBase.g4:31-98, execution/PrepareTask.java /
+    # ExecuteTask.  Spark has no server-side statement cache; the engine
+    # keeps the (dialect-translated) text per name and binds positional
+    # `?` parameters through Spark's parameterized sql() at execute time,
+    # which preserves Catalyst plan caching for repeated shapes.
+
+    def prepare(self, name: str, text: str, dialect: str = "spark") -> None:
+        """PREPARE <name> FROM <query> — translation happens once here."""
+        if dialect == "presto":
+            from prestodb_presto_spark.dialect import translate
+
+            text = translate(text)
+        if not hasattr(self, "_prepared"):
+            self._prepared: dict[str, str] = {}
+        self._prepared[name] = text
+
+    def execute(self, name: str, *params) -> DataFrame:
+        """EXECUTE <name> [USING param, ...] — binds `?` positionally."""
+        if not getattr(self, "_prepared", None) or name not in self._prepared:
+            raise KeyError(f"prepared statement not found: {name}")
+        text = self._prepared[name]
+        return self.spark.sql(text, args=list(params)) if params else self.spark.sql(text)
+
+    def deallocate(self, name: str) -> None:
+        """DEALLOCATE PREPARE <name>."""
+        if not getattr(self, "_prepared", None) or name not in self._prepared:
+            raise KeyError(f"prepared statement not found: {name}")
+        del self._prepared[name]
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> Engine:

@@ -59,6 +59,7 @@ def _load():
             maps,
             math_fns,
             regexp_fns,
+            setdigest,
             strings,
             teradata,
         )

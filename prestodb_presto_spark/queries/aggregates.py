@@ -750,3 +750,88 @@ def agg_hll_sketch(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_set_digest",
+    oracle="""
+    WITH s AS (SELECT DISTINCT l_returnflag f, l_partkey p, l_orderkey % 2 AS site
+               FROM lineitem),
+         pk AS (SELECT f, p, COUNT(DISTINCT site) AS ns FROM s GROUP BY f, p),
+         jx AS (SELECT f,
+                       CAST(SUM(CASE WHEN ns = 2 THEN 1 ELSE 0 END) AS DOUBLE) AS inter,
+                       CAST(COUNT(*) AS DOUBLE) AS un
+                FROM pk GROUP BY f)
+    SELECT f AS l_returnflag,
+           CAST(un AS BIGINT) AS exact_union,
+           CAST(inter AS BIGINT) AS exact_inter,
+           CAST(FLOOR(ABS(un - un) / (0.05 * un + 1.0)) AS BIGINT) AS card_err_units,
+           CAST(FLOOR(ABS(inter / un - inter / un) / 0.25) AS BIGINT) AS jac_err_units,
+           CAST(FLOOR(ABS(inter - inter) / (0.3 * inter + 2.0)) AS BIGINT) AS inter_err_units
+    FROM jx ORDER BY l_returnflag
+    """,
+    tags=("aggregation", "sketch"),
+)
+def agg_set_digest(spark, sf_dir):
+    """set_digest family (type/setdigest/SetDigest.java +
+    SetDigestFunctions.java): make_set_digest per site, merge_set_digest
+    across sites, cardinality / jaccard_index / intersection_cardinality
+    between the two site digests.
+
+    Gate shape (same pattern as agg_hll_sketch): sketch estimates are
+    implementation-specific, so the comparable data is the exact union /
+    intersection sizes plus each estimate's error quantized to tolerance
+    units (HLL 5%, 64-slot MinHash Jaccard 0.25, intersection 30%+2) —
+    all three stay 0 only while the estimators track the exact answers
+    the oracle derives in SQL.
+    """
+    from prestodb_presto_spark.functions import presto as P
+
+    li = t(spark, sf_dir, "lineitem").withColumn(
+        "site", F.pmod(F.col("l_orderkey"), F.lit(2))
+    )
+    per_site = li.groupBy("l_returnflag", "site").agg(
+        P.make_set_digest("l_partkey").alias("d")
+    )
+    merged = per_site.groupBy("l_returnflag").agg(
+        P.merge_set_digest("d").alias("dm")
+    )
+    d0 = per_site.filter(F.col("site") == 0).select("l_returnflag", F.col("d").alias("d0"))
+    d1 = per_site.filter(F.col("site") == 1).select("l_returnflag", F.col("d").alias("d1"))
+    sets = li.select("l_returnflag", "l_partkey", "site").distinct()
+    exact = (
+        sets.groupBy("l_returnflag", "l_partkey")
+        .agg(F.countDistinct("site").alias("ns"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("exact_union"),
+            F.count_if(F.col("ns") == 2).alias("exact_inter"),
+        )
+    )
+
+    def units(err, band):
+        return F.floor(F.abs(err) / band).cast("bigint")
+
+    est_j = P.jaccard_index("d0", "d1")
+    est_i = P.intersection_cardinality("d0", "d1")
+    return (
+        merged.join(d0, "l_returnflag")
+        .join(d1, "l_returnflag")
+        .join(exact, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_union",
+            "exact_inter",
+            units(
+                P.set_digest_cardinality("dm") - F.col("exact_union"),
+                F.col("exact_union") * 0.05 + 1.0,
+            ).alias("card_err_units"),
+            units(
+                est_j - F.col("exact_inter") / F.col("exact_union"), F.lit(0.25)
+            ).alias("jac_err_units"),
+            units(est_i - F.col("exact_inter"), F.col("exact_inter") * 0.3 + 2.0).alias(
+                "inter_err_units"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )

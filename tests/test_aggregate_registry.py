@@ -106,3 +106,45 @@ def test_map_agg_dedupes_by_key_not_pair(spark):
     row = df.agg(A.map_agg("k", "v").alias("m")).collect()[0]
     assert set(row.m.keys()) == {1, 2}
     assert row.m[1] in ("a", "b") and row.m[2] == "c"
+
+
+def test_set_digest_family(spark):
+    """HLL+MinHash SetDigest: cardinality within HLL tolerance, jaccard
+    of identical sets = 1.0, disjoint sets ~ 0, intersection estimate
+    tracks the exact overlap."""
+    df = spark.range(1000).select(
+        F.col("id").alias("x"), (F.col("id") + 500).alias("y")
+    )
+    row = df.agg(
+        A.make_set_digest("x").alias("dx"),
+        A.make_set_digest("y").alias("dy"),
+        A.make_set_digest("x").alias("dx2"),
+    ).select(
+        A.set_digest_cardinality("dx").alias("card"),
+        A.jaccard_index("dx", "dx2").alias("j_same"),
+        A.jaccard_index("dx", "dy").alias("j_half"),
+        A.intersection_cardinality("dx", "dy").alias("inter"),
+    ).collect()[0]
+    assert abs(row.card - 1000) <= 50
+    assert row.j_same == 1.0
+    # |A ∩ B| = 500, |A ∪ B| = 1500 -> J = 1/3; 64 slots -> sigma ~ 0.06
+    assert abs(row.j_half - 1 / 3) < 0.25
+    assert abs(row.inter - 500) <= 250
+
+
+def test_merge_set_digest_matches_single_pass(spark):
+    df = spark.range(2000).select(
+        F.col("id").alias("x"), (F.col("id") % 2).alias("site")
+    )
+    merged = (
+        df.groupBy("site").agg(A.make_set_digest("x").alias("d"))
+        .agg(A.merge_set_digest("d").alias("dm"))
+        .select(A.set_digest_cardinality("dm").alias("card"),
+                F.col("dm.sig").alias("sig"))
+        .collect()[0]
+    )
+    single = df.agg(A.make_set_digest("x").alias("d")).select(
+        F.col("d.sig").alias("sig")
+    ).collect()[0]
+    assert abs(merged.card - 2000) <= 100
+    assert merged.sig == single.sig  # slot-wise MIN merge is exact

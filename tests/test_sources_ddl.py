@@ -289,3 +289,28 @@ def test_dialect_array_literal(engine):
         dialect="presto",
     ).collect()[0]
     assert len(row.q) == 2 and row.q[0] <= row.q[1]
+
+
+def test_prepared_statements(engine):
+    """PREPARE / EXECUTE / DEALLOCATE (SqlBase.g4:31-98, PrepareTask.java)
+    with positional ? parameters through Spark parameterized SQL."""
+    import pytest
+
+    engine.prepare(
+        "big_orders",
+        "SELECT count(*) AS n FROM orders WHERE o_totalprice > ? AND o_orderstatus = ?",
+    )
+    n_all = engine.execute("big_orders", 0, "F").collect()[0].n
+    n_big = engine.execute("big_orders", 200000, "F").collect()[0].n
+    assert n_all > n_big > 0
+    # presto-dialect text translates at PREPARE time
+    engine.prepare(
+        "span", "SELECT date_diff('day', min(o_orderdate), max(o_orderdate)) AS d FROM orders",
+        dialect="presto",
+    )
+    assert engine.execute("span").collect()[0].d > 0
+    engine.deallocate("big_orders")
+    with pytest.raises(KeyError):
+        engine.execute("big_orders", 1)
+    with pytest.raises(KeyError):
+        engine.deallocate("big_orders")
