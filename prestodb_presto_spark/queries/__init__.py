@@ -61,13 +61,14 @@ _FAMILY_ORDER = (
     "text",
     "dedup",
     "similarity",
+    "multimodal",
 )
 
 
 def _family(name: str) -> str:
     head = name.split("_", 1)[0]
     if head in {"tpch", "agg", "window", "join", "fn", "setop", "events", "text",
-                "dedup", "similarity"}:
+                "dedup", "similarity", "multimodal"}:
         return head
     if head in {"subquery", "cte", "lateral"}:
         return "subq"
@@ -81,6 +82,7 @@ def load_all() -> dict[str, QuerySpec]:
         aggregates,
         functions_q,
         joins,
+        multimodal_q,
         relational,
         setops,
         similarity_q,
