@@ -121,3 +121,26 @@ def test_scan_reuse_not_required_but_no_cartesian(spark, specs):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, f"unexpected cartesian product: {offenders}"
+
+
+def test_spatial_join_broadcasts_polygons(spark, specs):
+    """join_spatial_contains: the polygon set must broadcast (BNLJ with a
+    ray-cast predicate) — never a CartesianProduct or a shuffle join of
+    the point table."""
+    plan = plan_of(spark, specs, "join_spatial_contains")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_multimodal_decode_is_narrow(spark, specs):
+    """multimodal_decode_features: mapInPandas must run directly over the
+    scan with no exchange before it (narrow transform — input
+    partitioning preserved)."""
+    plan = plan_of(spark, specs, "multimodal_decode_features")
+    assert "MapInPandas" in plan
+    # the only exchange allowed is the final ORDER BY's rangepartitioning
+    # (downstream of the decode) — a hash/round-robin exchange would mean
+    # the narrow transform got shuffled
+    assert "hashpartitioning" not in plan and "roundrobin" not in plan.lower()
+    assert "rangepartitioning" in plan
