@@ -115,3 +115,50 @@ def spooky_hash_v2_64(x):
     """Engine substitutes xxhash64 (same role: fast 64-bit content hash);
     documented deviation from VarbinaryFunctions.spookyHashV2_64."""
     return F.xxhash64(c(x))
+
+
+@register("to_big_endian_32")
+def to_big_endian_32(x):
+    """INT → 4-byte big-endian varbinary (VarbinaryFunctions.toBigEndian32) —
+    native: hex of the int, left-padded, unhexed."""
+    return F.unhex(
+        F.lpad(F.hex(c(x).cast("int").cast("bigint").bitwiseAND(F.lit(0xFFFFFFFF))), 8, "0")
+    )
+
+
+@register("from_big_endian_32")
+def from_big_endian_32(b):
+    """4-byte big-endian varbinary → INT (two's complement)."""
+    u = F.conv(F.hex(c(b)), 16, 10).cast("bigint")
+    return F.when(u >= F.lit(1 << 31), u - F.lit(1 << 32)).otherwise(u).cast("int")
+
+
+def _ieee(fmt: str, ret: str, direction: str):
+    def builder(x):
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf(ret)
+        def _f(s):
+            import struct
+
+            def conv(v):
+                if v is None:
+                    return None
+                if direction == "to":
+                    return struct.pack(fmt, v)
+                return struct.unpack(fmt, bytes(v))[0]
+
+            return s.map(conv)
+
+        return _f(c(x).cast("double") if direction == "to" else c(x))
+
+    return builder
+
+
+# IEEE754 bit-pattern casts have no JVM builtin — Arrow-batched pandas
+# UDFs (cold path by design, same precedent as hmac_*).
+# Reference: VarbinaryFunctions.toIEEE754Binary64 etc.
+register("to_ieee754_64")(_ieee(">d", "binary", "to"))
+register("from_ieee754_64")(_ieee(">d", "double", "from"))
+register("to_ieee754_32")(_ieee(">f", "binary", "to"))
+register("from_ieee754_32")(_ieee(">f", "float", "from"))

@@ -262,3 +262,10 @@ def parse_duration(s) -> Column:
         cond = unit == u
         expr = F.when(cond, f_) if expr is None else expr.when(cond, f_)
     return num * expr.otherwise(factor)
+
+
+@register("localtime")
+def localtime():
+    """Session-zone time-of-day as 'HH:mm:ss' (Spark has no TIME type;
+    documented deviation — reference DateTimeFunctions.localTime)."""
+    return F.date_format(F.current_timestamp(), "HH:mm:ss")

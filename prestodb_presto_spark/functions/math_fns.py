@@ -178,3 +178,10 @@ def wilson_interval_lower(successes, trials, z):
 @register("wilson_interval_upper")
 def wilson_interval_upper(successes, trials, z):
     return _wilson(successes, trials, z, F.lit(1.0))
+
+
+@register("log")
+def log(base, x):
+    """Presto log(base, x) (MathFunctions.log) — ln(x)/ln(base), which is
+    how the reference computes it (Math.log(x) / Math.log(base))."""
+    return F.ln(c(x)) / F.ln(lit_or_col(base))

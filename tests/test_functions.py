@@ -389,3 +389,25 @@ def test_wilson_interval(spark):
             ("upper", P.round(P.wilson_interval_upper(F.lit(1250), F.lit(1310), F.lit(1.96)), 6), 0.964252),
         ],
     )
+
+
+def test_binary_endian_and_ieee754(spark):
+    df = spark.range(1).select(
+        P.to_hex(P.to_big_endian_32(F.lit(1))).alias("be1"),
+        P.to_hex(P.to_big_endian_32(F.lit(-1))).alias("bem1"),
+        P.from_big_endian_32(P.to_big_endian_32(F.lit(123456))).alias("rt"),
+        P.from_big_endian_32(P.to_big_endian_32(F.lit(-7))).alias("rtn"),
+        P.from_ieee754_64(P.to_ieee754_64(F.lit(3.1415))).alias("d_rt"),
+        P.to_hex(P.to_ieee754_64(F.lit(1.0))).alias("one_bits"),
+        P.from_ieee754_32(P.to_ieee754_32(F.lit(0.5))).alias("f_rt"),
+        P.log(F.lit(2.0), F.lit(8.0)).alias("log2_8"),
+    )
+    row = df.collect()[0]
+    assert row.be1 == "00000001" and row.bem1 == "FFFFFFFF"
+    assert row.rt == 123456 and row.rtn == -7
+    assert row.d_rt == 3.1415
+    assert row.one_bits == "3FF0000000000000"  # IEEE754 of 1.0
+    assert row.f_rt == 0.5
+    assert row.log2_8 == 3.0
+    lt = spark.range(1).select(P.localtime().alias("t")).collect()[0].t
+    assert len(lt) == 8 and lt.count(":") == 2
