@@ -50,6 +50,7 @@ def _load():
             aggregates_reg,
             arrays,
             binary_fns,
+            bingtiles,
             bitwise,
             conditional,
             datetime_fns,

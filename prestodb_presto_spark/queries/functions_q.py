@@ -453,3 +453,46 @@ def join_spatial_contains(spark, sf_dir):
         .agg(F.count_if(P.st_contains(F.col("g"), F.col("p"))).alias("n_inside"))
         .orderBy("r_regionkey")
     )
+
+
+@query(
+    "fn_geo_bing_tiles",
+    oracle="""
+    WITH pt AS (SELECT p_partkey,
+                       (CAST(p_size AS DOUBLE) - 25) * 3 AS lat,
+                       CAST(p_partkey % 360 AS DOUBLE) - 180 AS lon
+                FROM part),
+         xy AS (SELECT p_partkey, lat, lon,
+                       CAST(GREATEST(0, LEAST(FLOOR((lon + 180) / 360 * 256), 255)) AS INT) AS tx,
+                       CAST(GREATEST(0, LEAST(FLOOR(
+                           (0.5 - ln((1 + sin(radians(lat))) / (1 - sin(radians(lat)))) / (4 * pi()))
+                           * 256), 255)) AS INT) AS ty
+                FROM pt)
+    SELECT p_partkey, tx, ty,
+           array_to_string(list_transform(generate_series(7, 0, -1),
+               i -> CAST((tx // CAST(pow(2, i) AS INT)) % 2
+                         + 2 * ((ty // CAST(pow(2, i) AS INT)) % 2) AS VARCHAR)), '') AS quadkey
+    FROM xy ORDER BY p_partkey
+    """,
+    tags=("functions", "geospatial", "bing"),
+)
+def fn_geo_bing_tiles(spark, sf_dir):
+    """Bing tile math at table scale (BingTileFunctions.java): tile-at,
+    coordinates, quadkey — the oracle re-derives Web-Mercator x/y and
+    the base-4 quadkey in closed-form SQL.  Latitudes stay within ±75°
+    so the clamp path and the Gudermannian agree bit-for-bit."""
+    from prestodb_presto_spark.functions import presto as P
+
+    part = t(spark, sf_dir, "part")
+    lat = (F.col("p_size").cast("double") - 25) * 3
+    lon = (F.col("p_partkey") % 360).cast("double") - 180
+    tile = P.bing_tile_at(lat, lon, F.lit(8))
+    return (
+        part.select(
+            "p_partkey",
+            tile.getField("x").alias("tx"),
+            tile.getField("y").alias("ty"),
+            P.bing_tile_quadkey(tile).alias("quadkey"),
+        )
+        .orderBy("p_partkey")
+    )

@@ -174,3 +174,50 @@ def test_geo_polygon_multi_ring_null(spark):
         [("POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (3 3, 6 3, 6 6, 3 6, 3 3))",)], "w string"
     )
     assert df.select(P.st_polygon("w").getField("pts").alias("p")).collect()[0].p is None
+
+
+def test_bing_tiles(spark):
+    """Bing tile math vs an independent Python reimplementation of the
+    Microsoft quadkey spec (BingTileFunctions.java parity)."""
+    import math as m
+
+    def py_tile_at(lat, lon, zoom):
+        lat = min(max(lat, -85.05112878), 85.05112878)
+        n = 2 ** zoom
+        x = int(m.floor((lon + 180) / 360 * n))
+        s = m.sin(m.radians(lat))
+        y = int(m.floor((0.5 - m.log((1 + s) / (1 - s)) / (4 * m.pi)) * n))
+        return min(max(x, 0), n - 1), min(max(y, 0), n - 1)
+
+    def py_quadkey(x, y, zoom):
+        qk = ""
+        for i in range(zoom - 1, -1, -1):
+            qk += str(((x >> i) & 1) + 2 * ((y >> i) & 1))
+        return qk
+
+    lat, lon, zoom = 47.610378, -122.200676, 12
+    ex, ey = py_tile_at(lat, lon, zoom)
+    eqk = py_quadkey(ex, ey, zoom)
+
+    df = spark.range(1)
+    row = df.select(
+        P.bing_tile_at(F.lit(lat), F.lit(lon), F.lit(zoom)).alias("t"),
+    ).select(
+        F.col("t.x").alias("x"),
+        F.col("t.y").alias("y"),
+        P.bing_tile_quadkey(F.col("t")).alias("qk"),
+        P.bing_tile_zoom_level(F.col("t")).alias("z"),
+        P.bing_tile_quadkey(P.bing_tile(P.bing_tile_quadkey(F.col("t")))).alias("qk_rt"),
+        F.size(P.bing_tiles_around(F.lit(lat), F.lit(lon), F.lit(zoom))).alias("n_around"),
+        F.size(P.bing_tiles_around(F.lit(85.0), F.lit(-179.99), F.lit(3))).alias("n_corner"),
+        P.st_contains(
+            P.bing_tile_polygon(F.col("t")), P.st_point(F.lit(lon), F.lit(lat))
+        ).alias("pt_in_tile"),
+        P.bing_tile_quadkey(P.bing_tile(F.lit(3), F.lit(5), F.lit(3))).alias("qk353"),
+    ).collect()[0]
+    assert (row.x, row.y, row.z) == (ex, ey, zoom)
+    assert row.qk == eqk and row.qk_rt == eqk
+    assert row.n_around == 9
+    assert row.n_corner == 4  # NW corner: only 2x2 neighbors exist
+    assert row.pt_in_tile
+    assert row.qk353 == py_quadkey(3, 5, 3)
