@@ -502,3 +502,100 @@ def st_as_text_geom(g) -> Column:
         .when(kind == "multipoint", F.concat(F.lit("MULTIPOINT ("), body, F.lit(")")))
         .otherwise(F.concat(F.lit("POINT ("), body, F.lit(")")))
     )
+
+
+@register("line_locate_point")
+def line_locate_point(line, p) -> Column:
+    """Fraction of the line's length at the nearest point to p
+    (GeoFunctions.lineLocatePoint) — single aggregate pass carrying
+    (best distance², arclength at best projection, cumulative length)."""
+    ln, pp = c(line), c(p)
+    px, py = pp.getField("x"), pp.getField("y")
+
+    def step(acc, s):
+        ax, ay = s.getField("a").getField("x"), s.getField("a").getField("y")
+        bx, by = s.getField("b").getField("x"), s.getField("b").getField("y")
+        vx, vy = bx - ax, by - ay
+        l2 = vx * vx + vy * vy
+        t = F.when(l2 > 0, F.greatest(F.lit(0.0), F.least(F.lit(1.0), ((px - ax) * vx + (py - ay) * vy) / l2))).otherwise(F.lit(0.0))
+        qx, qy = ax + t * vx, ay + t * vy
+        d2 = (px - qx) * (px - qx) + (py - qy) * (py - qy)
+        seg = F.sqrt(l2)
+        better = d2 < acc.getField("d2")
+        return F.struct(
+            F.when(better, d2).otherwise(acc.getField("d2")).alias("d2"),
+            F.when(better, acc.getField("cum") + t * seg).otherwise(acc.getField("off")).alias("off"),
+            (acc.getField("cum") + seg).alias("cum"),
+        )
+
+    init = F.struct(
+        F.lit(float("inf")).alias("d2"), F.lit(0.0).alias("off"), F.lit(0.0).alias("cum")
+    )
+    fin = F.aggregate(_segs(ln), init, step)
+    return F.when(
+        ln.getField("kind") == "linestring",
+        fin.getField("off") / F.nullif(fin.getField("cum"), F.lit(0.0)),
+    )
+
+
+@register("st_buffer")
+def st_buffer(g, dist, n_sides: int = 32) -> Column:
+    """ST_Buffer for POINT geometries: a closed n-gon approximating the
+    circle (GeoFunctions.stBuffer; general polygon offsetting needs a
+    geometry library — non-point kinds yield NULL, documented)."""
+    import math as _m
+
+    gg, r = c(g), lit_or_col(dist)
+    ctr = F.element_at(gg.getField("pts"), 1)
+    cx, cy = ctr.getField("x"), ctr.getField("y")
+    ring = F.array(
+        *[
+            _pt(
+                cx + r * _m.cos(2 * _m.pi * i / n_sides),
+                cy + r * _m.sin(2 * _m.pi * i / n_sides),
+            )
+            for i in range(n_sides)
+        ],
+        _pt(cx + r * 1.0, cy + r * 0.0),
+    )
+    return F.when(gg.getField("kind") == "point", _geom("polygon", ring))
+
+
+@register("geometry_invalid_reason")
+def geometry_invalid_reason(g) -> Column:
+    """NULL when valid; else a reason string (GeoFunctions /
+    GeometryUtils.geometryInvalidReason subset: ring arity, closure,
+    non-adjacent self-intersection)."""
+    gg = c(g)
+    pts = gg.getField("pts")
+    n = F.size(pts)
+    first, last = F.element_at(pts, 1), F.element_at(pts, -1)
+    closed = (first.getField("x") == last.getField("x")) & (
+        first.getField("y") == last.getField("y")
+    )
+    seg_idx = F.sequence(F.lit(1), n - 1)
+    self_x = F.exists(
+        seg_idx,
+        lambda i: F.exists(
+            seg_idx,
+            lambda j: (j > i + 1)
+            & ~((i == 1) & (j == n - 1) & closed)  # closing seg touches first
+            & _seg_intersects(
+                F.struct(F.element_at(pts, i).alias("a"), F.element_at(pts, i + 1).alias("b")),
+                F.struct(F.element_at(pts, j).alias("a"), F.element_at(pts, j + 1).alias("b")),
+            ),
+        ),
+    )
+    return F.when(
+        gg.getField("kind") == "polygon",
+        F.when(pts.isNull(), "Polygon has multiple rings (unsupported)")
+        .when(n < 4, "Polygon has fewer than 4 points")
+        .when(~closed, "Polygon ring is not closed")
+        .when(self_x, "Polygon ring self-intersects")
+        .otherwise(F.lit(None).cast("string")),
+    ).otherwise(
+        F.when(
+            (gg.getField("kind") == "linestring") & (n < 2),
+            "LineString has fewer than 2 points",
+        )
+    )

@@ -221,3 +221,24 @@ def test_bing_tiles(spark):
     assert row.n_corner == 4  # NW corner: only 2x2 neighbors exist
     assert row.pt_in_tile
     assert row.qk353 == py_quadkey(3, 5, 3)
+
+
+def test_geo_locate_buffer_invalid(spark):
+    df = spark.range(1)
+    ln = P.st_line_from_text(F.lit("LINESTRING (0 0, 10 0)"))
+    bent = P.st_line_from_text(F.lit("LINESTRING (0 0, 4 0, 4 4)"))
+    row = df.select(
+        P.line_locate_point(ln, P.st_point(3.0, 5.0)).alias("frac"),
+        P.line_locate_point(bent, P.st_point(4.0, 1.0)).alias("frac2"),
+        P.st_area(P.st_buffer(P.st_geom_from_text(F.lit("POINT (0 0)")), 2.0)).alias("circ_area"),
+        P.geometry_invalid_reason(P.st_polygon(F.lit("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"))).alias("ok"),
+        P.geometry_invalid_reason(P.st_polygon(F.lit("POLYGON ((0 0, 4 0, 4 4))"))).alias("short"),
+        P.geometry_invalid_reason(P.st_polygon(F.lit("POLYGON ((0 0, 4 0, 0 4, 4 4, 0 0))"))).alias("bowtie"),
+    ).collect()[0]
+    assert row.frac == 0.3  # projection of (3,5) on 10-long segment
+    assert abs(row.frac2 - 5 / 8) < 1e-12  # 4 along + 1 up of total 8
+    import math as m
+    assert abs(row.circ_area - m.pi * 4) / (m.pi * 4) < 0.02  # 32-gon ~ pi r^2
+    assert row.ok is None
+    assert row.short == "Polygon has fewer than 4 points"
+    assert row.bowtie == "Polygon ring self-intersects"
