@@ -229,3 +229,44 @@ def events_hierarchical_rollup(spark, sf_dir):
         )
         .orderBy("day", "event_type")
     )
+
+
+@query(
+    "events_interval_join",
+    oracle="""
+    SELECT c.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT c.event_id) AS BIGINT) AS n_clicks_with_view
+    FROM events c JOIN events v
+      ON c.event_type = 'click' AND v.event_type = 'view'
+     AND v.user_id = c.user_id
+     AND date_trunc('second', v.ts) >= date_trunc('second', c.ts) - INTERVAL 30 MINUTE
+     AND date_trunc('second', v.ts) <= date_trunc('second', c.ts)
+    GROUP BY c.user_id ORDER BY c.user_id
+    """,
+    tags=("events", "streaming", "join"),
+)
+def events_interval_join(spark, sf_dir):
+    """Stream-stream interval join semantics in batch: views by the same
+    user within 30 minutes before each click.
+
+    The streaming twin (streaming.ops.interval_join) runs the identical
+    equi+time-range join under watermarks, where the interval bounds
+    state retention; tests/test_streaming.py proves stream == batch.
+    Timestamps are second-truncated on BOTH engines so ns-vs-µs parquet
+    truncation can't flip a boundary comparison.
+    """
+    from prestodb_presto_spark.streaming.ops import interval_join
+
+    ev = t(spark, sf_dir, "events").withColumn("ts", F.date_trunc("second", F.col("ts")))
+    clicks = ev.filter(F.col("event_type") == "click")
+    views = ev.filter(F.col("event_type") == "view")
+    joined = interval_join(clicks, views, "user_id", before="30 minutes")
+    return (
+        joined.groupBy(F.col("l_key").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("l_event_id").alias("n_clicks_with_view"),
+        )
+        .orderBy("user_id")
+    )

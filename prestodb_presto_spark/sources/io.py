@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-READ_FORMATS = ("parquet", "orc", "csv", "json", "text", "avro")
+READ_FORMATS = ("parquet", "orc", "csv", "json", "text", "avro", "binaryFile")
 
 
 def read_table(
@@ -149,3 +149,17 @@ def kafka_batch(
         .option("endingOffsets", ending_offsets)
         .load()
     )
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, path_glob: str | None = None
+) -> DataFrame:
+    """Opaque-media ingestion: files as (path, modificationTime, length,
+    content binary) rows — the landing reader for the multimodal column
+    convention (multimodal/columns.py).  Pair with attach_media_meta to
+    stamp kind/format.  pathGlobFilter prunes by extension at listing
+    time (no content read for filtered files)."""
+    reader = spark.read.format("binaryFile")
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
+    return reader.load(path)

@@ -115,3 +115,43 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "2 hours") -> Dat
     if events.isStreaming:
         return with_wm.dropDuplicatesWithinWatermark(["event_id"])
     return with_wm.dropDuplicates(["event_id"])
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    before: str = "30 minutes",
+    after: str = "0 seconds",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream (or batch) interval join: right rows with the same
+    key whose timestamp falls in [left_ts - before, left_ts + after].
+
+    In streaming both sides carry watermarks and the time-range join
+    condition bounds state retention (Spark drops buffered rows older
+    than watermark + interval) — the standard stream-stream equi+range
+    join; in batch the watermark is a no-op and the same plan is a
+    range-condition hash join.  Columns are prefixed l_/r_ to keep the
+    output unambiguous.
+    """
+    lw = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    rw = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    l = lw.select(
+        F.col(key).alias("l_key"),
+        F.col(left_ts).alias("l_ts"),
+        *[F.col(c2).alias(f"l_{c2}") for c2 in left.columns if c2 not in (key, left_ts)],
+    )
+    r = rw.select(
+        F.col(key).alias("r_key"),
+        F.col(right_ts).alias("r_ts"),
+        *[F.col(c2).alias(f"r_{c2}") for c2 in right.columns if c2 not in (key, right_ts)],
+    )
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {before}"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {after}"))
+    )
+    return l.join(r, cond)

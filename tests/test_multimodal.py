@@ -54,3 +54,25 @@ def test_non_text_kind_raises(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         decode_features(media).collect()
+
+
+def test_binary_file_source(spark, tmp_path):
+    """binaryFile landing reader -> media convention round trip."""
+    from prestodb_presto_spark.multimodal.columns import attach_media_meta, decode_features
+    from prestodb_presto_spark.sources.io import read_binary_files
+
+    for i in range(3):
+        (tmp_path / f"doc{i}.txt").write_text(f"document number {i} body text")
+    (tmp_path / "skip.bin").write_bytes(b"\x00\x01")
+
+    import pyspark.sql.functions as F
+
+    raw = read_binary_files(spark, str(tmp_path), path_glob="*.txt")
+    assert raw.count() == 3
+    media = attach_media_meta(
+        raw.select(F.monotonically_increasing_id().alias("doc_id"), "content"),
+        kind="text", fmt="utf-8",
+    )
+    feats = decode_features(media)
+    rows = feats.collect()
+    assert len(rows) == 3 and all(r.n_bytes > 0 for r in rows)

@@ -185,3 +185,39 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # append mode emits only windows finalized by the watermark; the late
     # batch (10h behind) must not resurrect a closed window or appear anew
     assert counted <= 100, f"late rows leaked into output: {rows}"
+
+
+def test_interval_join_stream_equals_batch(spark):
+    """Stream-stream interval join (append mode) == the batch range join
+    on the same events input."""
+    from prestodb_presto_spark.streaming.ops import interval_join
+
+    def split(df):
+        ev = df.withColumn("ts", F.date_trunc("second", F.col("ts")))
+        return (
+            ev.filter(F.col("event_type") == "click"),
+            ev.filter(F.col("event_type") == "view"),
+        )
+
+    sc, sv = split(read_events_stream(spark, SF_TINY))
+    joined = interval_join(sc, sv, "user_id", before="30 minutes").select(
+        "l_event_id", "r_event_id"
+    )
+    name = f"ij_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = _norm(spark.table(name).collect())
+
+    bc, bv = split(load_table(spark, SF_TINY, "events"))
+    exp = _norm(
+        interval_join(bc, bv, "user_id", before="30 minutes")
+        .select("l_event_id", "r_event_id")
+        .collect()
+    )
+    assert got == exp and len(exp) > 0

@@ -27,7 +27,9 @@ from prestodb_presto_spark.session import get_spark
 # queries whose CONTRACT is nondeterministic membership (sampling, LSH
 # bucketing with rand-free but plan-dependent candidate order is still
 # deterministic; only true random membership is excused)
-EXCUSED = {"sample_bernoulli", "assign_unique_id"}
+# sample_bernoulli became plan-independent in round 2 (deterministic md5
+# bucket filter); only assign_unique_id's CONTRACT stays nondeterministic
+EXCUSED = {"assign_unique_id"}
 
 
 def snapshot(df):
