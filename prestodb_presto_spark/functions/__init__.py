@@ -23,6 +23,9 @@ REGISTRY: dict[str, Callable] = {}
 
 
 def _register(name: str, fn: Callable) -> Callable:
+    if name in REGISTRY:
+        # a silent overwrite once shadowed the null-preserving array_agg
+        raise ValueError(f"duplicate function registration: {name}")
     REGISTRY[name] = fn
     return fn
 

@@ -41,9 +41,17 @@ for _presto, _spark in {
     "any_value": F.any_value,
     "min_by": F.min_by,
     "max_by": F.max_by,
-    "array_agg": F.collect_list,
 }.items():
     register(_presto)(lambda *cols, _f=_spark: _f(*[c(x) for x in cols]))
+
+
+@register("array_agg")
+def array_agg(col) -> Column:
+    """array_agg keeps NULL elements (ArrayAggregationFunction; SURVEY
+    §2.3 note) — Spark's collect_list drops them, so elements ride in a
+    struct wrapper and unwrap after collection."""
+    wrapped = F.collect_list(F.struct(c(col).alias("v")))
+    return F.transform(wrapped, lambda s: s.getField("v"))
 
 for _presto, _spark2 in {
     "corr": F.corr,
@@ -84,8 +92,11 @@ def map_agg(key, value) -> Column:
     KEY (reference KeyValuePairs keeps one value per key and never
     throws) — array_distinct over (k,v) pairs would leave duplicate keys
     when one key carries two values, which crashes map_from_entries
-    under Spark's default mapKeyDedupPolicy=EXCEPTION."""
-    entries = F.collect_list(F.struct(c(key).alias("k"), c(value).alias("v")))
+    under Spark's default mapKeyDedupPolicy=EXCEPTION.  NULL keys are
+    skipped (reference KeyValuePairs.add ignores null keys)."""
+    entries = F.collect_list(
+        F.when(c(key).isNotNull(), F.struct(c(key).alias("k"), c(value).alias("v")))
+    )
     keys = F.array_distinct(F.transform(entries, lambda e: e.k))
     return F.map_from_arrays(
         keys,

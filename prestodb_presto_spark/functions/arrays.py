@@ -115,6 +115,3 @@ def ngrams(x, n: int):
     )
 
 
-@register("array_agg")
-def array_agg(x):
-    return F.collect_list(c(x))

@@ -148,3 +148,18 @@ def test_merge_set_digest_matches_single_pass(spark):
     ).collect()[0]
     assert abs(merged.card - 2000) <= 100
     assert merged.sig == single.sig  # slot-wise MIN merge is exact
+
+
+def test_array_agg_keeps_nulls(spark):
+    """Presto array_agg retains NULL elements (Spark collect_list drops
+    them) — SURVEY §2.3 strictness note."""
+    df = spark.createDataFrame([(1, "a"), (2, None), (3, "b")], "i int, v string")
+    row = df.agg(A.array_agg("v").alias("arr")).collect()[0]
+    assert sorted(x for x in row.arr if x is not None) == ["a", "b"]
+    assert None in row.arr and len(row.arr) == 3
+
+
+def test_map_agg_skips_null_keys(spark):
+    df = spark.createDataFrame([(None, "x"), (1, "a"), (2, "b")], "k int, v string")
+    row = df.agg(A.map_agg("k", "v").alias("m")).collect()[0]
+    assert row.m == {1: "a", 2: "b"}
