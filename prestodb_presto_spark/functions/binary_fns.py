@@ -162,3 +162,12 @@ register("to_ieee754_64")(_ieee(">d", "binary", "to"))
 register("from_ieee754_64")(_ieee(">d", "double", "from"))
 register("to_ieee754_32")(_ieee(">f", "binary", "to"))
 register("from_ieee754_32")(_ieee(">f", "float", "from"))
+
+
+@register("combine_hash")
+def combine_hash(h1, h2):
+    """Hash-state combiner (CombineHashFunction — internal to the
+    reference's hash partitioning).  Engine deviation: xxhash64 over both
+    states (the reference's 31·h1+h2 wraps on overflow, which ANSI-mode
+    Spark arithmetic rejects); any mixing function serves the role."""
+    return F.xxhash64(c(h1), c(h2))

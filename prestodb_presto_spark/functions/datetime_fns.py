@@ -269,3 +269,10 @@ def localtime():
     """Session-zone time-of-day as 'HH:mm:ss' (Spark has no TIME type;
     documented deviation — reference DateTimeFunctions.localTime)."""
     return F.date_format(F.current_timestamp(), "HH:mm:ss")
+
+
+@register("current_time")
+def current_time():
+    """Session-zone TIME as 'HH:mm:ss' (no TIME type in Spark — same
+    documented deviation as localtime)."""
+    return F.date_format(F.current_timestamp(), "HH:mm:ss")

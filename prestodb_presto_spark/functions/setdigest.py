@@ -85,3 +85,11 @@ def intersection_cardinality(a, b) -> Column:
         F.hll_union(c(a).getField("hll"), c(b).getField("hll"))
     )
     return F.round(jaccard_index(a, b) * union_est).cast("bigint")
+
+
+@register("empty_approx_set")
+def empty_approx_set() -> Column:
+    """Identity element for HLL merges (HyperLogLogFunctions.
+    emptyApproxSet): Spark's hll_union_agg ignores NULL inputs, so a
+    typed NULL sketch is the exact merge identity."""
+    return F.lit(None).cast("binary")

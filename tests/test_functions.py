@@ -411,3 +411,23 @@ def test_binary_endian_and_ieee754(spark):
     assert row.log2_8 == 3.0
     lt = spark.range(1).select(P.localtime().alias("t")).collect()[0].t
     assert len(lt) == 8 and lt.count(":") == 2
+
+
+def test_normal_cdf_and_inverse(spark):
+    cases = [(0.0, 1.0, 0.0, 0.5), (0.0, 1.0, 1.96, 0.9750021048517795), (10.0, 2.0, 10.0, 0.5)]
+    df = spark.range(1)
+    cols = []
+    for i, (m, s, v, _) in enumerate(cases):
+        cols.append(P.normal_cdf(F.lit(m), F.lit(s), F.lit(v)).alias(f"c{i}"))
+        cols.append(P.inverse_normal_cdf(F.lit(m), F.lit(s), P.normal_cdf(F.lit(m), F.lit(s), F.lit(v))).alias(f"r{i}"))
+    row = df.select(*cols).collect()[0]
+    for i, (m, s, v, exp) in enumerate(cases):
+        assert abs(row[f"c{i}"] - exp) < 1e-12, (i, row[f"c{i}"])
+        assert abs(row[f"r{i}"] - v) < 1e-9, (i, row[f"r{i}"])
+    aux = spark.range(1).select(
+        P.inverse_normal_cdf(F.lit(0.0), F.lit(1.0), F.lit(0.975)).alias("z"),
+        P.combine_hash(F.lit(1), F.lit(2)).alias("ch"),
+        P.current_time().alias("ct"),
+    ).collect()[0]
+    assert abs(aux.z - 1.959963984540054) < 1e-9
+    assert isinstance(aux.ch, int) and len(aux.ct) == 8
