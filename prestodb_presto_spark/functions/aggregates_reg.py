@@ -160,3 +160,21 @@ def approx_percentile_weighted(col, weight, percentage) -> Column:
     if isinstance(percentage, (list, tuple)):
         percentage = F.array(*[F.lit(p) for p in percentage])
     return F.percentile(c(col), percentage, c(weight).cast("long"))
+
+
+@register("map_union")
+def map_union(col) -> Column:
+    """map_union(map) -> map (MapUnionAggregation.java): union of all
+    input maps, one value per key (first seen wins, like the reference's
+    KeyValuePairs merge)."""
+    entries = F.flatten(F.collect_list(F.map_entries(c(col))))
+    keys = F.array_distinct(F.transform(entries, lambda e: e.getField("key")))
+    return F.map_from_arrays(
+        keys,
+        F.transform(
+            keys,
+            lambda k: F.element_at(
+                F.filter(entries, lambda e: e.getField("key") == k), 1
+            ).getField("value"),
+        ),
+    )

@@ -163,3 +163,12 @@ def test_map_agg_skips_null_keys(spark):
     df = spark.createDataFrame([(None, "x"), (1, "a"), (2, "b")], "k int, v string")
     row = df.agg(A.map_agg("k", "v").alias("m")).collect()[0]
     assert row.m == {1: "a", 2: "b"}
+
+
+def test_map_union(spark):
+    df = spark.createDataFrame(
+        [({"a": 1, "b": 2},), ({"b": 9, "c": 3},)], "m map<string,int>"
+    )
+    row = df.agg(A.map_union("m").alias("u")).collect()[0]
+    assert row.u["a"] == 1 and row.u["c"] == 3
+    assert row.u["b"] in (2, 9) and len(row.u) == 3
