@@ -196,6 +196,66 @@ def _approx_percentile_rewrite(args: list[str]) -> str | None:
     return None
 
 
+# --- Presto type spellings inside CAST(... AS <type>) -----------------------
+# ARRAY(T) → ARRAY<T>, MAP(K,V) → MAP<K,V>, ROW(a T, …) → STRUCT<a: T, …>,
+# VARBINARY → BINARY, JSON/HYPERLOGLOG → engine representations.
+_SIMPLE_TYPES = {
+    "varchar": "STRING",  # bare varchar is unbounded in Presto; Spark's needs (n)
+    "varbinary": "BINARY",
+    "json": "STRING",
+    "hyperloglog": "BINARY",
+    "p4hyperloglog": "BINARY",
+    "double precision": "DOUBLE",
+    "time with time zone": "STRING",
+    "timestamp with time zone": "TIMESTAMP",
+}
+
+
+def _translate_type(t: str) -> str:
+    t = t.strip()
+    low = t.lower()
+    if low in _SIMPLE_TYPES:
+        return _SIMPLE_TYPES[low]
+    m = re.match(r"(array|map|row)\s*\((.*)\)\s*$", t, re.IGNORECASE | re.DOTALL)
+    if not m:
+        return t
+    kind, inner = m.group(1).lower(), m.group(2)
+    _, args = _scan_balanced(f"({inner})", 0)
+    if kind == "array":
+        return f"ARRAY<{_translate_type(args[0])}>"
+    if kind == "map":
+        return f"MAP<{_translate_type(args[0])}, {_translate_type(args[1])}>"
+    fields = []
+    for a in args:
+        fm = re.match(r"(\w+)\s+(.*)$", a.strip(), re.DOTALL)
+        if not fm:
+            raise ValueError(f"cannot parse ROW field {a!r}")
+        fields.append(f"{fm.group(1)}: {_translate_type(fm.group(2))}")
+    return f"STRUCT<{', '.join(fields)}>"
+
+
+_AS_SPLIT = re.compile(r"\s+AS\s+", re.IGNORECASE)
+
+
+def _cast_rewrite(args: list[str]) -> str | None:
+    """CAST(x AS <presto-type>) → Spark type spelling (recursive)."""
+    if len(args) != 1:
+        return None
+    parts = _AS_SPLIT.split(args[0])
+    if len(parts) < 2:
+        return None
+    expr, typ = " AS ".join(parts[:-1]), parts[-1]
+    translated = _translate_type(typ)
+    if translated == typ.strip():
+        return None  # nothing Presto-specific; leave untouched
+    return f"CAST({expr} AS {translated})"
+
+
+def _try_cast_rewrite(args: list[str]) -> str | None:
+    out = _cast_rewrite(args)
+    return None if out is None else "TRY_" + out
+
+
 _ARRAY_LIT = re.compile(r"\bARRAY\s*\[", re.IGNORECASE)
 
 
@@ -305,6 +365,8 @@ def translate(sql: str) -> str:
     out = _array_literals(out)
     out = _rewrite_calls(out, "approx_percentile", _approx_percentile_rewrite)
     out = _rewrite_calls(out, "TRY", _try_rewrite)
+    out = _rewrite_calls(out, "TRY_CAST", _try_cast_rewrite)
+    out = _rewrite_calls(out, "CAST", _cast_rewrite)
     out = _unnest_rewrite(out)
     # longest names first so json_extract_scalar wins over json_extract
     for presto in sorted(_RENAMES, key=len, reverse=True):

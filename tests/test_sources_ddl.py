@@ -314,3 +314,32 @@ def test_prepared_statements(engine):
         engine.execute("big_orders", 1)
     with pytest.raises(KeyError):
         engine.deallocate("big_orders")
+
+
+def test_dialect_type_spellings(engine):
+    """Presto type syntax inside CAST: ARRAY(T)/MAP(K,V)/ROW(..)/VARBINARY
+    (presto-parser type grammar) -> Spark spellings."""
+    from prestodb_presto_spark.dialect import translate
+
+    assert translate("SELECT CAST(x AS ARRAY(INTEGER)) FROM t") == (
+        "SELECT CAST(x AS ARRAY<INTEGER>) FROM t"
+    )
+    assert translate("SELECT CAST(m AS MAP(VARCHAR, ARRAY(DOUBLE))) FROM t") == (
+        "SELECT CAST(m AS MAP<STRING, ARRAY<DOUBLE>>) FROM t"
+    )
+    assert translate("SELECT TRY_CAST(r AS ROW(a INTEGER, b VARCHAR)) FROM t") == (
+        "SELECT TRY_CAST(r AS STRUCT<a: INTEGER, b: STRING>) FROM t"
+    )
+    assert translate("SELECT CAST(b AS VARBINARY) FROM t") == (
+        "SELECT CAST(b AS BINARY) FROM t"
+    )
+    # plain types pass through untouched
+    assert translate("SELECT CAST(x AS BIGINT) FROM t") == "SELECT CAST(x AS BIGINT) FROM t"
+    row = engine.sql(
+        """
+        SELECT CAST(ARRAY[1, 2] AS ARRAY(DOUBLE)) AS arr,
+               CAST(map('a', 1) AS MAP(VARCHAR, DOUBLE)) AS m
+        """,
+        dialect="presto",
+    ).collect()[0]
+    assert row.arr == [1.0, 2.0] and row.m == {"a": 1.0}
