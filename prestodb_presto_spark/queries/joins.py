@@ -405,3 +405,47 @@ def join_asof(spark, sf_dir):
         .select("event_id", "user_id", F.col("o_orderkey").alias("last_orderkey"))
         .orderBy("event_id")
     )
+
+
+@query(
+    "join_spatial_grid",
+    oracle="""
+    SELECT r_regionkey,
+           CAST(COUNT(*) AS BIGINT) AS n_inside
+    FROM region CROSS JOIN part
+    WHERE CAST(p_size AS DOUBLE) + p_retailprice / 100
+          < 10.0 * (r_regionkey + 1) + 1.0/3
+      AND p_size > 0 AND p_retailprice > 0
+    GROUP BY r_regionkey ORDER BY r_regionkey
+    """,
+    tags=("join", "geospatial", "polygon", "scale"),
+)
+def join_spatial_grid(spark, sf_dir):
+    """Partitioned (grid-bucketed) spatial join — the 100 TB path when
+    polygons don't fit a broadcast (operators/spatial.py; reference
+    PartitionedSpatialJoin / ExtractSpatialJoins.java).  Same triangles
+    and points as join_spatial_contains, but joined via integer cell
+    keys: polygons explode onto covering cells, each point lands in one
+    cell, Catalyst shuffles both sides on the cell key like any
+    equi-join.  The oracle is the identical closed-form count, so the
+    grid path must agree with the broadcast path bit-for-bit."""
+    from prestodb_presto_spark.functions import presto as P
+    from prestodb_presto_spark.operators.spatial import grid_spatial_join
+
+    region = t(spark, sf_dir, "region")
+    part = t(spark, sf_dir, "part")
+    leg = (F.col("r_regionkey") + 1) * 10.0 + F.lit(1.0) / 3
+    wkt = F.concat(
+        F.lit("POLYGON ((0 0, "), leg.cast("string"), F.lit(" 0, 0 "),
+        leg.cast("string"), F.lit(", 0 0))"),
+    )
+    tri = region.select("r_regionkey", P.st_polygon(wkt).alias("g"))
+    pts = part.select(
+        P.st_point(F.col("p_size").cast("double"), F.col("p_retailprice") / 100).alias("p")
+    )
+    joined = grid_spatial_join(tri, pts, "g", "p", cell_size=16.0)
+    return (
+        joined.groupBy("r_regionkey")
+        .agg(F.count("*").alias("n_inside"))
+        .orderBy("r_regionkey")
+    )

@@ -88,3 +88,31 @@ def test_asof_join_null_payload_not_mixed(spark):
 
     row = asof_join(left, right, "k", "lts", "rts", ["a", "b"]).collect()[0]
     assert row.b == "new_b" and row.a is None  # not old_a
+
+
+def test_grid_spatial_join_matches_broadcast(spark):
+    """Grid-bucketed spatial join == broadcast cross-join + filter, and
+    the plan shuffles on the cell key (no cartesian, no broadcast of
+    the polygon side required)."""
+    from prestodb_presto_spark.functions import presto as P
+    from prestodb_presto_spark.operators.spatial import grid_spatial_join
+
+    polys = spark.createDataFrame(
+        [(i, f"POLYGON ((0 0, {10*(i+1)} 0, 0 {10*(i+1)}, 0 0))") for i in range(5)],
+        "pid int, wkt string",
+    ).select("pid", P.st_polygon("wkt").alias("g"))
+    pts = spark.range(500).select(
+        P.st_point((F.col("id") % 37).cast("double"), (F.col("id") % 53).cast("double")).alias("p"),
+        F.col("id").alias("pt_id"),
+    )
+    grid = grid_spatial_join(polys, pts, "g", "p", cell_size=8.0)
+    got = sorted((r.pid, r.pt_id) for r in grid.collect())
+    exp = sorted(
+        (r.pid, r.pt_id)
+        for r in polys.crossJoin(pts).filter(P.st_contains(F.col("g"), F.col("p"))).collect()
+    )
+    assert got == exp and len(exp) > 0
+    plan = grid._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "CartesianProduct" not in plan
