@@ -332,13 +332,29 @@ def _unnest_rewrite(sql: str) -> str:
         out = out[: m.start()] + " " + view + out[tail.end() :]
 
 
+# DECIMAL 'x.yz' typed literal (presto-parser grammar) — Spark has no
+# DECIMAL literal keyword; lower to CAST with the literal's own
+# precision/scale, exactly how the reference types it.
+_DECIMAL_LIT = re.compile(r"\bDECIMAL\s*'\s*([+-]?[0-9]*\.?[0-9]+)\s*'", re.IGNORECASE)
+
+
+def _decimal_lit(m: re.Match) -> str:
+    text = m.group(1)
+    digits = text.lstrip("+-")
+    scale = len(digits.split(".")[1]) if "." in digits else 0
+    precision = max(1, len(digits.replace(".", "")))
+    return f"CAST('{text}' AS DECIMAL({precision},{scale}))"
+
+
 def translate(sql: str) -> str:
     """Presto-dialect SQL → Spark SQL."""
     # Mask string literals so owned names inside quotes are never
     # rewritten ('... strpos(' stays text).  The datetime-pattern rules
-    # (_DATE_ADD/_DATE_FORMAT) intentionally run with literals visible —
-    # they must read the quoted unit/pattern; masking happens after.
-    out = _DATE_ADD.sub(lambda m: f"timestampadd({m.group(1).upper()},", sql)
+    # (_DATE_ADD/_DATE_FORMAT/_DECIMAL_LIT) intentionally run with
+    # literals visible — they must read the quoted text; masking happens
+    # after.
+    out = _DECIMAL_LIT.sub(_decimal_lit, sql)
+    out = _DATE_ADD.sub(lambda m: f"timestampadd({m.group(1).upper()},", out)
     out = _DATE_DIFF.sub(lambda m: f"timestampdiff({m.group(1).upper()},", out)
 
     def _fmt(m: re.Match) -> str:
