@@ -152,7 +152,13 @@ def window_running_agg(spark, sf_dir):
 def window_range_frame(spark, sf_dir):
     """RANGE frame with a numeric offset — Spark's rangeBetween is a
     superset of the reference's RANGE surface (StatementAnalyzer.java:1372-1393
-    only allows UNBOUNDED/CURRENT; we support offsets too)."""
+    only allows UNBOUNDED/CURRENT; we support offsets too).
+
+    Scale note: an ORDER-BY-only window is single-partition by
+    construction (Spark warns accordingly) — legitimate ONLY over a
+    bounded input like the ≤1000-key filter here.  At 100 TB a global
+    RANGE frame must be rewritten with PARTITION BY (every other window
+    entry in this module partitions)."""
     w = Window.orderBy("o_orderkey").rangeBetween(-100, Window.currentRow)
     return (
         t(spark, sf_dir, "orders")
