@@ -87,3 +87,19 @@ def test_owned_names_inside_string_literals_untouched():
     # escaped quotes inside the literal
     sql2 = "SELECT 'it''s strpos(' AS v FROM t"
     assert translate(sql2) == sql2
+
+
+def test_new_constructs_idempotent():
+    """TRY / UNNEST / type-spelling / DECIMAL-literal / ARRAY[] rewrites
+    must be stable under re-translation (rewritten output is valid Spark
+    SQL the shim no longer owns)."""
+    cases = [
+        "SELECT TRY(CAST(s AS BIGINT)), TRY(a / b) FROM t",
+        "SELECT x FROM t CROSS JOIN UNNEST(arr) WITH ORDINALITY AS u(x, i)",
+        "SELECT CAST(x AS ARRAY(ROW(a INTEGER, b VARCHAR))) FROM t",
+        "SELECT approx_percentile(x, w, 0.5), approx_percentile(x, ARRAY[0.5, 0.9]) FROM t",
+        "SELECT decimal '0.07' + x FROM t",
+    ]
+    for sql in cases:
+        once = translate(sql)
+        assert translate(once) == once, sql
