@@ -82,6 +82,15 @@ class Engine:
             )
         raise ValueError(f"unknown information_schema view {view!r}")
 
+    def show_functions(self) -> DataFrame:
+        """SHOW FUNCTIONS → one row per registry name (reference
+        ShowQueriesRewrite SHOW FUNCTIONS path over FunctionRegistry)."""
+        from prestodb_presto_spark import functions as freg
+
+        return self.spark.createDataFrame(
+            [(n,) for n in freg.coverage()], "function_name string"
+        )
+
     def sql(self, text: str, dialect: str = "spark", args=None) -> DataFrame:
         """Run SQL.  dialect="presto" first applies the dialect shim
         (prestodb_presto_spark.dialect) for the function-name collisions;

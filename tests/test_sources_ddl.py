@@ -343,3 +343,8 @@ def test_dialect_type_spellings(engine):
         dialect="presto",
     ).collect()[0]
     assert row.arr == [1.0, 2.0] and row.m == {"a": 1.0}
+
+
+def test_show_functions(engine):
+    names = [r.function_name for r in engine.show_functions().collect()]
+    assert "approx_distinct" in names and "st_contains" in names and len(names) > 300
