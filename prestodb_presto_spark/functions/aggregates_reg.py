@@ -108,8 +108,11 @@ def map_agg(key, value) -> Column:
 
 @register("multimap_agg")
 def multimap_agg(key, value) -> Column:
-    """multimap_agg(k, v) -> map<k, array<v>>."""
-    entries = F.collect_list(F.struct(c(key).alias("k"), c(value).alias("v")))
+    """multimap_agg(k, v) -> map<k, array<v>> (MultimapAggregationFunction;
+    null keys skipped like map_agg)."""
+    entries = F.collect_list(
+        F.when(c(key).isNotNull(), F.struct(c(key).alias("k"), c(value).alias("v")))
+    )
     keys = F.array_distinct(F.transform(entries, lambda e: e.k))
     return F.map_from_arrays(
         keys,
