@@ -82,16 +82,51 @@ def show_tables(spark: SparkSession) -> list[str]:
 
 
 def explain(df: DataFrame, mode: str = "formatted") -> str:
-    """EXPLAIN [ANALYZE] (grammar SqlBase.g4:68; ExplainAnalyzeOperator).
-
-    mode="cost" adds Catalyst statistics; runtime metrics (the ANALYZE
-    part) are on the Spark UI / status store rather than inline.
-    """
+    """EXPLAIN (grammar SqlBase.g4:68); mode="cost" adds Catalyst
+    statistics.  For runtime metrics use ``explain_analyze``."""
     jdf = df._jdf
     spark = df.sparkSession
     return jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
     )
+
+
+def explain_analyze(df: DataFrame) -> str:
+    """EXPLAIN ANALYZE (ExplainAnalyzeOperator.java): execute the query,
+    then report the final physical plan with each operator's runtime
+    SQL metrics (rows, spill, build/probe times) inline — the reference
+    prints per-operator stats the same way."""
+    qe = df._jdf.queryExecution()
+    # run THROUGH this QueryExecution (a sink write would build its own
+    # and leave these metrics untouched); toRdd().count() streams
+    # executor-side, nothing materializes on the driver
+    qe.toRdd().count()
+    plan = qe.executedPlan()
+    lines: list[str] = []
+
+    def walk(node, depth: int) -> None:
+        mets = node.metrics()
+        it = mets.iterator()
+        parts = []
+        while it.hasNext():
+            kv = it.next()
+            metric = kv._2()
+            parts.append(f"{kv._1()}={metric.value()}")
+        lines.append("  " * depth + node.nodeName() + (f"  [{', '.join(parts)}]" if parts else ""))
+        # AQE roots and query-stage wrappers hide the executed subtree
+        # behind accessor methods rather than children()
+        for accessor in ("executedPlan", "plan"):
+            try:
+                walk(getattr(node, accessor)(), depth + 1)
+                return
+            except Exception:
+                pass
+        children = node.children()
+        for i in range(children.size()):
+            walk(children.apply(i), depth + 1)
+
+    walk(plan, 0)
+    return "\n".join(lines)
 
 
 def set_session(spark: SparkSession, key: str, value: str) -> None:
