@@ -132,3 +132,44 @@ def explain_analyze(df: DataFrame) -> str:
 def set_session(spark: SparkSession, key: str, value: str) -> None:
     """SET SESSION k=v (SetSessionTask.java) → runtime-mutable Spark conf."""
     spark.conf.set(key, value)
+
+
+def show_stats(spark: SparkSession, table: str) -> DataFrame:
+    """SHOW STATS FOR <table> (grammar SqlBase.g4 showStats;
+    metadata/MetadataManager.getTableStatistics): per-column
+    distinct-count / null-fraction / min / max plus the row count, all
+    from ONE aggregation pass (approx_count_distinct per column — the
+    same NDV sketch the reference's stats calculator uses).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import NumericType, StringType
+
+    df = spark.table(table)
+    aggs: list = [F.count(F.lit(1)).alias("__rows")]
+    numeric_or_str = []
+    for f in df.schema.fields:
+        aggs.append(F.approx_count_distinct(f.name).alias(f"__ndv_{f.name}"))
+        aggs.append(
+            F.avg(F.col(f.name).isNull().cast("double")).alias(f"__nullfrac_{f.name}")
+        )
+        if isinstance(f.dataType, (NumericType, StringType)):
+            numeric_or_str.append(f.name)
+            aggs.append(F.min(f.name).cast("string").alias(f"__lo_{f.name}"))
+            aggs.append(F.max(f.name).cast("string").alias(f"__hi_{f.name}"))
+    row = df.agg(*aggs).collect()[0]
+    out = [
+        (
+            f.name,
+            int(row[f"__ndv_{f.name}"]),
+            float(row[f"__nullfrac_{f.name}"]),
+            row[f"__lo_{f.name}"] if f.name in numeric_or_str else None,
+            row[f"__hi_{f.name}"] if f.name in numeric_or_str else None,
+            int(row["__rows"]),
+        )
+        for f in df.schema.fields
+    ]
+    return spark.createDataFrame(
+        out,
+        "column_name string, distinct_values_count bigint, nulls_fraction double, "
+        "low_value string, high_value string, row_count bigint",
+    )

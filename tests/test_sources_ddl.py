@@ -365,3 +365,13 @@ def test_explain_analyze_runtime_metrics(spark):
     assert "HashAggregate" in out and "Exchange" in out
     assert "numOutputRows=3" in out  # 3 order statuses, real executed metric
     assert "shuffleRecordsWritten" in out
+
+
+def test_show_stats(engine, spark):
+    from prestodb_presto_spark.ddl import show_stats
+
+    stats = {r.column_name: r for r in show_stats(spark, "region").collect()}
+    assert stats["r_regionkey"].row_count == 5
+    assert stats["r_regionkey"].distinct_values_count == 5
+    assert stats["r_regionkey"].nulls_fraction == 0.0
+    assert stats["r_regionkey"].low_value == "0" and stats["r_regionkey"].high_value == "4"
