@@ -256,6 +256,13 @@ def _try_cast_rewrite(args: list[str]) -> str | None:
     return None if out is None else "TRY_" + out
 
 
+# TABLESAMPLE BERNOULLI(p) / SYSTEM(p) (SqlBase.g4 sampleType) → Spark's
+# TABLESAMPLE (p PERCENT); LIMIT ALL → no limit.
+_TABLESAMPLE = re.compile(
+    r"\bTABLESAMPLE\s+(?:BERNOULLI|SYSTEM)\s*\(\s*([0-9.]+)\s*\)", re.IGNORECASE
+)
+_LIMIT_ALL = re.compile(r"\bLIMIT\s+ALL\b", re.IGNORECASE)
+
 _ARRAY_LIT = re.compile(r"\bARRAY\s*\[", re.IGNORECASE)
 
 
@@ -377,6 +384,8 @@ def translate(sql: str) -> str:
         return f"\x00{len(literals) - 1}\x00"
 
     out = _STRING_LIT.sub(_mask, out)
+    out = _TABLESAMPLE.sub(lambda m: f"TABLESAMPLE ({m.group(1)} PERCENT)", out)
+    out = _LIMIT_ALL.sub("", out)
     # paren-aware constructs (argument-splitting scanners)
     out = _array_literals(out)
     out = _rewrite_calls(out, "approx_percentile", _approx_percentile_rewrite)

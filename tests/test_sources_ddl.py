@@ -375,3 +375,18 @@ def test_show_stats(engine, spark):
     assert stats["r_regionkey"].distinct_values_count == 5
     assert stats["r_regionkey"].nulls_fraction == 0.0
     assert stats["r_regionkey"].low_value == "0" and stats["r_regionkey"].high_value == "4"
+
+
+def test_dialect_tablesample_and_limit_all(engine):
+    from prestodb_presto_spark.dialect import translate
+
+    assert translate("SELECT * FROM t TABLESAMPLE BERNOULLI(10)") == (
+        "SELECT * FROM t TABLESAMPLE (10 PERCENT)"
+    )
+    assert "LIMIT" not in translate("SELECT * FROM t LIMIT ALL")
+    n = engine.sql(
+        "SELECT count(*) AS n FROM (SELECT * FROM orders TABLESAMPLE SYSTEM(50) LIMIT ALL)",
+        dialect="presto",
+    ).collect()[0].n
+    total = engine.sql("SELECT count(*) AS n FROM orders").collect()[0].n
+    assert 0 < n < total
