@@ -154,14 +154,43 @@ def similarity_threshold_pairs(spark, sf_dir):
     )
 
 
-@query("similarity_lsh_ann", oracle=None, tags=("similarity", "approximate"))
+@query(
+    "similarity_lsh_ann",
+    oracle="""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS q
+               FROM embeddings),
+         flat AS (SELECT vec_id, unnest(q) AS x,
+                         generate_subscripts(q, 1) - 1 AS dim
+                  FROM e),
+         proj AS (SELECT vec_id, p,
+                         SUM(x * (CAST(CAST(('0x' || substr(md5('plane-' || p || '-' || dim), 1, 15))
+                                            AS UBIGINT) % 16 AS BIGINT) - 8)) AS s
+                  FROM flat CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS p) ps
+                  GROUP BY vec_id, p),
+         buck AS (SELECT vec_id,
+                         CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)
+                              AS BIGINT) AS bucket
+                  FROM proj GROUP BY vec_id),
+         capped AS (SELECT vec_id, bucket FROM buck
+                    QUALIFY COUNT(*) OVER (PARTITION BY bucket) <= 200)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ORDER BY id_a, id_b
+    """,
+    tags=("similarity", "approximate"),
+)
 def similarity_lsh_ann(spark, sf_dir):
     """Approximate NN via random-hyperplane LSH (the 100 TB scale path).
 
-    16 deterministic pseudo-random hyperplanes (hash-derived coefficients)
-    → 16-bit bucket signature per vector → candidates share a bucket.
-    Rows-only differential check; recall vs the exact pair set is asserted
-    in tests/test_similarity.py.
+    16 deterministic pseudo-random hyperplanes (md5-prefix-derived
+    coefficients, the engine's cross-engine hash convention) → 16-bit
+    bucket signature per vector → candidates share a non-hot bucket.
+    The oracle re-derives the quantization, projections, buckets, the
+    200-cap and the bucket-local pairs entirely in SQL — hash-exact (was
+    rows-only while coefficients came from xxhash64, which DuckDB
+    lacks).  Recall vs the exact pair set stays pytest-asserted
+    (tests/test_similarity.py).
     """
     from prestodb_presto_spark.similarity.lsh import lsh_candidate_pairs
 

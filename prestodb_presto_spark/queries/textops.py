@@ -272,14 +272,35 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
-@query("dedup_simhash", oracle=None, tags=("text", "dedup", "approximate"))
+@query(
+    "dedup_simhash",
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+                  FROM documents),
+         h AS (SELECT doc_id,
+                      CAST(('0x' || substr(md5(tok), 1, 15)) AS UBIGINT) AS hv
+               FROM toks),
+         bits AS (SELECT doc_id, b,
+                         SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+                  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) bs
+                  GROUP BY doc_id, b)
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN acc > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
+             AS simhash
+    FROM bits GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("text", "dedup", "approximate"),
+)
 def dedup_simhash(spark, sf_dir):
-    """64-bit SimHash fingerprints (rows-only check; hamming-near pairs are
-    exercised in tests/test_text.py against exact Jaccard).
+    """60-bit SimHash fingerprints, hash-matched against a DuckDB oracle.
 
-    SimHash: per token, xxhash64 → for each of 64 bits accumulate +1/-1;
-    sign of each accumulator forms the fingerprint.  Implemented as one
-    aggregate() expression over the token array — map-side only.
+    SimHash: per distinct token a 60-bit md5-prefix hash; for each bit
+    accumulate +1/-1; the sign vector is the fingerprint.  One
+    aggregate() expression over the token array — map-side only.  The
+    oracle re-derives identical fingerprints bit-for-bit in SQL (was a
+    rows-only check while the token hash was xxhash64, which DuckDB
+    lacks).  Hamming-near pairs vs exact Jaccard stay pytest-asserted
+    (tests/test_text.py).
     """
     from prestodb_presto_spark.text.analysis import with_simhash64
 

@@ -22,8 +22,14 @@ DEFAULT_BUCKET_CAP = 200
 def _coeff(p: int) -> Column:
     """Deterministic pseudo-random hyperplane coefficient for (plane p,
     current `dim` row): hash-derived int in [-8, 8).  Pure expression —
-    computed where the data lives, never materialized as a table."""
-    return F.xxhash64(F.concat(F.lit(f"plane-{p}-"), F.col("dim"))) % 16 - 8
+    computed where the data lives, never materialized as a table.  The
+    hash is the engine's md5-prefix convention (not xxhash64) so DuckDB
+    derives identical coefficients and similarity_lsh_ann hash-matches
+    its differential oracle."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"plane-{p}-"), F.col("dim"))), 1, 15), 16, 10
+    ).cast("bigint")
+    return h % 16 - 8
 
 
 def hyperplane_buckets(

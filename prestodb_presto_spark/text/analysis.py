@@ -27,26 +27,39 @@ def shingles3(col="text"):
     )
 
 
-def with_simhash64(df: DataFrame, tokens_col, out: str = "simhash") -> DataFrame:
-    """Add a 64-bit SimHash fingerprint of a token-array column.
+N_SIM_BITS = 60
 
-    Per token, xxhash64 supplies 64 bits; each bit position accumulates
-    +1/-1 over the document; the sign vector folds into one long with
-    shift+OR (bitwise — no ANSI overflow at bit 63).  Map-side only.
+
+def with_simhash64(df: DataFrame, tokens_col, out: str = "simhash") -> DataFrame:
+    """Add a 60-bit SimHash fingerprint of a token-array column.
+
+    Per token, a 60-bit md5-prefix hash (conv(substr(md5, 1, 15)) — the
+    engine's cross-engine hash convention, see agg_checksum) supplies the
+    bits; each bit position accumulates +1/-1 over the document; the
+    sign vector folds into one long with shift+OR (bitwise — no ANSI
+    overflow).  Map-side only.  md5 instead of xxhash64 keeps the
+    fingerprint DuckDB-derivable, so dedup_simhash hash-matches the
+    differential oracle instead of a rows-only check.
     """
-    acc = F.aggregate(
+    n = N_SIM_BITS
+    # hash each token ONCE, then accumulate bits over the hash array
+    hashes = F.transform(
         tokens_col,
-        F.array(*[F.lit(0)] * 64),
-        lambda a, w: F.zip_with(
+        lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("bigint"),
+    )
+    acc = F.aggregate(
+        hashes,
+        F.array(*[F.lit(0)] * n),
+        lambda a, h: F.zip_with(
             a,
             F.array(
-                *[F.shiftrightunsigned(F.xxhash64(w), i).bitwiseAND(F.lit(1)) for i in range(64)]
+                *[F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) for i in range(n)]
             ),
             lambda x, bit: x + F.when(bit == 1, 1).otherwise(-1),
         ),
     )
     fold = F.expr(
-        "aggregate(zip_with(_simacc, sequence(0, 63),"
+        f"aggregate(zip_with(_simacc, sequence(0, {n - 1}),"
         " (x, i) -> IF(x > 0, shiftleft(1L, i), 0L)), 0L, (acc, b) -> acc | b)"
     )
     return df.withColumn("_simacc", acc).withColumn(out, fold).drop("_simacc")
