@@ -599,3 +599,68 @@ def geometry_invalid_reason(g) -> Column:
             "LineString has fewer than 2 points",
         )
     )
+
+
+@register("st_num_geometries")
+def st_num_geometries(g) -> Column:
+    """Component count: each multipoint vertex is a geometry; other kinds
+    are single (GeoFunctions.stNumGeometries)."""
+    gg = c(g)
+    return (
+        F.when(gg.getField("kind") == "multipoint", F.size(gg.getField("pts")))
+        .otherwise(F.when(F.size(gg.getField("pts")) > 0, 1).otherwise(0))
+        .cast("int")
+    )
+
+
+@register("st_geometry_n")
+def st_geometry_n(g, n) -> Column:
+    """1-based component access (GeoFunctions.stGeometryN): multipoint →
+    the n-th vertex as a POINT geom; other kinds → the geometry itself
+    for n=1, NULL otherwise."""
+    gg = c(g)
+    idx = lit_or_col(n)
+    nth_point = _geom("point", F.array(F.element_at(gg.getField("pts"), idx)))
+    return (
+        F.when(gg.getField("kind") == "multipoint", nth_point)
+        .when(idx == 1, gg)
+    )
+
+
+@register("st_geometries")
+def st_geometries(g) -> Column:
+    """All components as an array of GEOMs (GeoFunctions.stGeometries)."""
+    gg = c(g)
+    as_points = F.transform(
+        gg.getField("pts"), lambda p: _geom("point", F.array(p))
+    )
+    return F.when(gg.getField("kind") == "multipoint", as_points).otherwise(
+        F.array(gg)
+    )
+
+
+@register("st_boundary")
+def st_boundary(g) -> Column:
+    """Topological boundary (GeoFunctions.stBoundary): polygon → its
+    exterior ring as a linestring; linestring → multipoint of endpoints
+    (empty when closed); points → empty multipoint."""
+    gg = c(g)
+    pts = gg.getField("pts")
+    kind = gg.getField("kind")
+    first, last = F.element_at(pts, 1), F.element_at(pts, -1)
+    closed = (first.getField("x") == last.getField("x")) & (
+        first.getField("y") == last.getField("y")
+    )
+    empty = F.array().cast("array<struct<x:double,y:double>>")
+    line_boundary = F.when(closed, empty).otherwise(F.array(first, last))
+    return (
+        F.when(kind == "polygon", _geom("linestring", pts))
+        .when(kind == "linestring", _geom("multipoint", line_boundary))
+        .otherwise(_geom("multipoint", empty))
+    )
+
+
+@register("st_disjoint")
+def st_disjoint(g1, g2) -> Column:
+    """ST_Disjoint = NOT ST_Intersects (GeoFunctions.stDisjoint)."""
+    return ~st_intersects(g1, g2)

@@ -242,3 +242,28 @@ def test_geo_locate_buffer_invalid(spark):
     assert row.ok is None
     assert row.short == "Polygon has fewer than 4 points"
     assert row.bowtie == "Polygon ring self-intersects"
+
+
+def test_geo_components_boundary_disjoint(spark):
+    df = spark.range(1)
+    mp = P.st_geom_from_text(F.lit("MULTIPOINT (1 2, 3 4, 5 6)"))
+    sq = P.st_polygon(F.lit("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"))
+    ln = P.st_line_from_text(F.lit("LINESTRING (0 0, 3 4)"))
+    ring = P.st_line_from_text(F.lit("LINESTRING (0 0, 1 0, 1 1, 0 0)"))
+    far = P.st_polygon(F.lit("POLYGON ((10 10, 12 10, 12 12, 10 12, 10 10))"))
+    row = df.select(
+        P.st_num_geometries(mp).alias("n_mp"),
+        P.st_num_geometries(sq).alias("n_sq"),
+        P.st_x(P.st_point_n(P.st_geometry_n(mp, 2), 1)).alias("g2x"),
+        F.size(P.st_geometries(mp)).alias("n_comps"),
+        P.st_geometry_type(P.st_boundary(sq)).alias("b_sq"),
+        P.st_num_points(P.st_boundary(ln)).alias("b_ln_pts"),
+        P.st_is_empty(P.st_boundary(ring)).alias("b_ring_empty"),
+        P.st_disjoint(sq, far).alias("disj"),
+        P.st_disjoint(sq, sq).alias("not_disj"),
+    ).collect()[0]
+    assert row.n_mp == 3 and row.n_sq == 1
+    assert row.g2x == 3.0 and row.n_comps == 3
+    assert row.b_sq == "ST_LineString"
+    assert row.b_ln_pts == 2 and row.b_ring_empty
+    assert row.disj and not row.not_disj
