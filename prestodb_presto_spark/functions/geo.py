@@ -664,3 +664,91 @@ def st_boundary(g) -> Column:
 def st_disjoint(g1, g2) -> Column:
     """ST_Disjoint = NOT ST_Intersects (GeoFunctions.stDisjoint)."""
     return ~st_intersects(g1, g2)
+
+
+def _geom_pandas(fn, extra=()):
+    """Wrap a numpy point-array transform as a GEOM→GEOM pandas UDF —
+    the 'pandas UDF last resort' tier (SURVEY §7): geometry algorithms
+    that are iterative by nature (hull scan, Douglas-Peucker) and sit
+    OFF the relational hot path."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<kind:string,pts:array<struct<x:double,y:double>>>")
+    def _f(s):
+        import pandas as pd
+
+        # struct columns cross the Arrow boundary as a pd.DataFrame with
+        # one column per field (and must be returned the same way)
+        kinds, ptss = [], []
+        for _, g in s.iterrows():
+            if g["pts"] is None:
+                kinds.append(None)
+                ptss.append(None)
+                continue
+            pts = [(p["x"], p["y"]) for p in g["pts"]]
+            kind, new_pts = fn(g["kind"], pts, *extra)
+            kinds.append(kind)
+            ptss.append([{"x": float(x), "y": float(y)} for x, y in new_pts])
+        return pd.DataFrame({"kind": kinds, "pts": ptss})
+
+    return _f
+
+
+def _convex_hull(kind, pts):
+    """Andrew's monotone chain; returns a closed polygon ring."""
+    uniq = sorted(set(pts))
+    if len(uniq) <= 2:
+        return ("linestring" if len(uniq) == 2 else "point", uniq)
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    lower, upper = [], []
+    for p in uniq:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    for p in reversed(uniq):
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    ring = lower[:-1] + upper[:-1]
+    return "polygon", ring + [ring[0]]
+
+
+def _douglas_peucker(kind, pts, tolerance):
+    if len(pts) < 3:
+        return kind, pts
+
+    def dp(seq):
+        if len(seq) < 3:
+            return seq
+        (ax, ay), (bx, by) = seq[0], seq[-1]
+        dx, dy = bx - ax, by - ay
+        norm = (dx * dx + dy * dy) ** 0.5 or 1e-300
+        best_i, best_d = 0, -1.0
+        for i in range(1, len(seq) - 1):
+            px, py = seq[i]
+            d = abs(dx * (ay - py) - dy * (ax - px)) / norm
+            if d > best_d:
+                best_i, best_d = i, d
+        if best_d <= tolerance:
+            return [seq[0], seq[-1]]
+        left = dp(seq[: best_i + 1])
+        return left[:-1] + dp(seq[best_i:])
+
+    return kind, dp(pts)
+
+
+@register("st_convex_hull")
+def st_convex_hull(g) -> Column:
+    """ST_ConvexHull (GeoFunctions.stConvexHull) — monotone-chain hull as
+    a pandas UDF (iterative scan; off the relational path)."""
+    return _geom_pandas(_convex_hull)(c(g))
+
+
+@register("simplify_geometry")
+def simplify_geometry(g, tolerance: float) -> Column:
+    """simplify_geometry(geom, tolerance) (GeoFunctions.simplifyGeometry)
+    — Douglas-Peucker with perpendicular-distance tolerance."""
+    return _geom_pandas(_douglas_peucker, extra=(float(tolerance),))(c(g))

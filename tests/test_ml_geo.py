@@ -267,3 +267,30 @@ def test_geo_components_boundary_disjoint(spark):
     assert row.b_sq == "ST_LineString"
     assert row.b_ln_pts == 2 and row.b_ring_empty
     assert row.disj and not row.not_disj
+
+
+def test_geo_convex_hull_and_simplify(spark):
+    df = spark.range(1)
+    mp = P.st_geom_from_text(
+        F.lit("MULTIPOINT (0 0, 4 0, 4 4, 0 4, 2 2, 1 1, 3 1)")
+    )
+    zigzag = P.st_line_from_text(
+        F.lit("LINESTRING (0 0, 1 0.05, 2 -0.04, 3 0.03, 4 0)")
+    )
+    # materialize the UDF outputs first: Spark disallows Python-UDF
+    # expressions nested inside higher-order-function lambdas
+    staged = df.select(
+        P.st_convex_hull(mp).alias("hull"),
+        P.simplify_geometry(zigzag, 0.1).alias("simp"),
+        P.simplify_geometry(zigzag, 0.001).alias("keep"),
+    )
+    row = staged.select(
+        P.st_area(F.col("hull")).alias("hull_area"),
+        P.st_num_points(F.col("hull")).alias("hull_pts"),
+        P.st_num_points(F.col("simp")).alias("simp_pts"),
+        P.st_num_points(F.col("keep")).alias("keep_pts"),
+    ).collect()[0]
+    assert row.hull_area == 16.0  # interior points fall away -> 4x4 square
+    assert row.hull_pts == 4
+    assert row.simp_pts == 2      # wiggles under tolerance collapse
+    assert row.keep_pts == 5      # tight tolerance keeps every vertex
