@@ -752,3 +752,99 @@ def simplify_geometry(g, tolerance: float) -> Column:
     """simplify_geometry(geom, tolerance) (GeoFunctions.simplifyGeometry)
     — Douglas-Peucker with perpendicular-distance tolerance."""
     return _geom_pandas(_douglas_peucker, extra=(float(tolerance),))(c(g))
+
+
+@register("st_exterior_ring")
+def st_exterior_ring(g) -> Column:
+    """Polygon exterior ring as a linestring (GeoFunctions.stExteriorRing)."""
+    gg = c(g)
+    return F.when(gg.getField("kind") == "polygon", _geom("linestring", gg.getField("pts")))
+
+
+@register("st_num_interior_ring")
+def st_num_interior_ring(g) -> Column:
+    """Interior-ring count — always 0 here: the engine's polygons are
+    single exterior rings (multi-ring WKT parses to NULL pts, which
+    propagates NULL through this accessor, never a silent 0)."""
+    gg = c(g)
+    return F.when(
+        (gg.getField("kind") == "polygon") & gg.getField("pts").isNotNull(), 0
+    ).cast("int")
+
+
+@register("st_interior_rings")
+def st_interior_rings(g) -> Column:
+    """Interior rings — empty array for valid single-ring polygons."""
+    gg = c(g)
+    empty = F.array().cast("array<struct<kind:string,pts:array<struct<x:double,y:double>>>>")
+    return F.when(
+        (gg.getField("kind") == "polygon") & gg.getField("pts").isNotNull(), empty
+    )
+
+
+@register("st_interior_ring_n")
+def st_interior_ring_n(g, n) -> Column:
+    """N-th interior ring — NULL (no holes in the single-ring model;
+    try_element_at because ANSI element_at errors on the empty array)."""
+    return F.try_element_at(st_interior_rings(g), lit_or_col(n))
+
+
+@register("st_envelope_as_pts")
+def st_envelope_as_pts(g) -> Column:
+    """[min-corner, max-corner] points (GeoFunctions.stEnvelopeAsPts)."""
+    return F.array(_pt(st_xmin(g), st_ymin(g)), _pt(st_xmax(g), st_ymax(g)))
+
+
+@register("st_is_valid")
+def st_is_valid(g) -> Column:
+    """ST_IsValid = geometry_invalid_reason IS NULL."""
+    return geometry_invalid_reason(g).isNull()
+
+
+@register("st_is_simple")
+def st_is_simple(g) -> Column:
+    """No non-adjacent self-intersection (points are always simple;
+    GeoFunctions.stIsSimple — ring-closure intersection excused)."""
+    gg = c(g)
+    pts = gg.getField("pts")
+    n = F.size(pts)
+    first, last = F.element_at(pts, 1), F.element_at(pts, -1)
+    closed = (first.getField("x") == last.getField("x")) & (
+        first.getField("y") == last.getField("y")
+    )
+    seg_idx = F.sequence(F.lit(1), n - 1)
+    self_x = F.exists(
+        seg_idx,
+        lambda i: F.exists(
+            seg_idx,
+            lambda j: (j > i + 1)
+            & ~((i == 1) & (j == n - 1) & closed)
+            & _seg_intersects(
+                F.struct(F.element_at(pts, i).alias("a"), F.element_at(pts, i + 1).alias("b")),
+                F.struct(F.element_at(pts, j).alias("a"), F.element_at(pts, j + 1).alias("b")),
+            ),
+        ),
+    )
+    return F.when(gg.getField("kind").isin("point", "multipoint"), F.lit(True)).otherwise(
+        ~F.coalesce(self_x, F.lit(False))
+    )
+
+
+@register("st_equals")
+def st_equals(g1, g2) -> Column:
+    """Vertex-multiset equality of same-kind geometries — covers ring
+    rotation/direction (the common ST_Equals uses); full topological
+    equality (collinear vertex insertion) needs a geometry library,
+    documented deviation from GeoFunctions.stEquals."""
+    a, b = c(g1), c(g2)
+    # distinct first: a ring's closing vertex duplicates a DIFFERENT
+    # vertex depending on where the rotation starts
+    canon = lambda g: F.array_sort(  # noqa: E731
+        F.array_distinct(
+            F.transform(
+                g.getField("pts"),
+                lambda p: F.struct(p.getField("x").alias("x"), p.getField("y").alias("y")),
+            )
+        )
+    )
+    return (a.getField("kind") == b.getField("kind")) & (canon(a) == canon(b))

@@ -294,3 +294,31 @@ def test_geo_convex_hull_and_simplify(spark):
     assert row.hull_pts == 4
     assert row.simp_pts == 2      # wiggles under tolerance collapse
     assert row.keep_pts == 5      # tight tolerance keeps every vertex
+
+
+def test_geo_rings_validity_equality(spark):
+    df = spark.range(1)
+    sq = P.st_polygon(F.lit("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"))
+    sq_rot = P.st_polygon(F.lit("POLYGON ((4 0, 4 4, 0 4, 0 0, 4 0))"))
+    tri = P.st_polygon(F.lit("POLYGON ((0 0, 6 0, 0 6, 0 0))"))
+    bow = P.st_polygon(F.lit("POLYGON ((0 0, 4 0, 0 4, 4 4, 0 0))"))
+    row = df.select(
+        P.st_geometry_type(P.st_exterior_ring(sq)).alias("ring_type"),
+        P.st_num_interior_ring(sq).alias("n_holes"),
+        F.size(P.st_interior_rings(sq)).alias("holes_arr"),
+        P.st_interior_ring_n(sq, 1).isNull().alias("hole1_null"),
+        F.size(P.st_envelope_as_pts(tri)).alias("env_pts"),
+        P.st_x(F.element_at(P.st_envelope_as_pts(tri), 2)).alias("env_max_x"),
+        P.st_is_valid(sq).alias("sq_valid"),
+        P.st_is_valid(bow).alias("bow_valid"),
+        P.st_is_simple(sq).alias("sq_simple"),
+        P.st_is_simple(bow).alias("bow_simple"),
+        P.st_equals(sq, sq_rot).alias("rot_eq"),
+        P.st_equals(sq, tri).alias("neq"),
+    ).collect()[0]
+    assert row.ring_type == "ST_LineString"
+    assert row.n_holes == 0 and row.holes_arr == 0 and row.hole1_null
+    assert row.env_pts == 2 and row.env_max_x == 6.0
+    assert row.sq_valid and not row.bow_valid
+    assert row.sq_simple and not row.bow_simple
+    assert row.rot_eq and not row.neq
