@@ -826,7 +826,10 @@ def tpch_q02(spark, sf_dir):
     TransformCorrelatedScalarAggregationToJoin
     (sql/planner/iterative/rule/, PlanOptimizers.java:293-320).  Spark-first
     plan: compute the per-part MIN once with a groupBy and join it back —
-    one shuffle of the bridge table; nation/region always broadcast.
+    one shuffle of the bridge table; nation/region always broadcast.  The
+    per-part MIN aggregate is SF-scaled (one row per part) so no explicit
+    broadcast — AQE picks broadcast vs shuffle from runtime size, matching
+    the reference's size-based DetermineJoinDistributionType.java:55-69.
     """
     ps = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
     supp = t(spark, sf_dir, "supplier")
@@ -845,7 +848,7 @@ def tpch_q02(spark, sf_dir):
         (F.col("p_size") == 15) & (F.col("p_type") == "ECONOMY")
     )
     return (
-        bridge.join(min_bal.hint("broadcast"), "l_partkey")
+        bridge.join(min_bal, "l_partkey")
         .filter(F.col("s_acctbal") == F.col("min_bal"))
         .join(parts, F.col("l_partkey") == F.col("p_partkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand")
@@ -881,7 +884,9 @@ def tpch_q11(spark, sf_dir):
     for partsupp stock value.  Spark-first: the filtered join is computed
     once, the global total is a 1-row broadcast joined into the HAVING
     filter — the big input is scanned once per branch but shuffled only on
-    l_partkey (same key as the group-by).
+    l_partkey (same key as the group-by).  Supplier is SF-scaled, so its
+    join is left to AQE (size-based, like the reference's
+    DetermineJoinDistributionType.java:55-69) rather than force-broadcast.
     """
     nat = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
     supp = t(spark, sf_dir, "supplier").join(
@@ -889,7 +894,7 @@ def tpch_q11(spark, sf_dir):
     )
     li = t(spark, sf_dir, "lineitem")
     value = dec("l_extendedprice") * dec("l_quantity")
-    base = li.join(F.broadcast(supp.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
+    base = li.join(supp.select("s_suppkey"), li.l_suppkey == F.col("s_suppkey"))
     per_part = base.groupBy("l_partkey").agg(F.sum(value).cast("double").alias("value"))
     total = base.agg((F.lit(0.01) * F.sum(value).cast("double")).alias("threshold"))
     return (
@@ -920,14 +925,15 @@ def tpch_q20(spark, sf_dir):
     """Excess-stock suppliers: nested IN subqueries → chained semi joins.
 
     Reference: TransformCorrelatedInPredicateToJoin + HashSemiJoinOperator
-    (operator/HashSemiJoinOperator.java:32).  Spark-first: inner IN is a
-    broadcast semi join (part filter is tiny); the grouped HAVING set is
-    small → broadcast semi join into supplier, so no supplier shuffle.
+    (operator/HashSemiJoinOperator.java:32).  Spark-first: both IN
+    subqueries become semi joins; part and the grouped HAVING set are
+    SF-scaled, so broadcast-vs-shuffle is AQE's size-based call at runtime
+    (reference parity: DetermineJoinDistributionType.java:55-69).
     """
     parts = t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
     li = t(spark, sf_dir, "lineitem")
     heavy_suppliers = (
-        li.join(F.broadcast(parts.select("p_partkey")), li.l_partkey == F.col("p_partkey"), "left_semi")
+        li.join(parts.select("p_partkey"), li.l_partkey == F.col("p_partkey"), "left_semi")
         .groupBy("l_suppkey")
         .agg(F.sum(dec("l_quantity")).alias("qty"))
         .filter(F.col("qty") > 50)
@@ -940,7 +946,7 @@ def tpch_q20(spark, sf_dir):
         t(spark, sf_dir, "supplier")
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
         .join(
-            F.broadcast(heavy_suppliers),
+            heavy_suppliers,
             F.col("s_suppkey") == F.col("l_suppkey"),
             "left_semi",
         )
@@ -1008,7 +1014,7 @@ def tpch_q21(spark, sf_dir):
         .join(orders.select("o_orderkey"), F.col("l1.l_orderkey") == F.col("o_orderkey"), "left_semi")
     )
     return (
-        waiting.join(supp.hint("broadcast"), F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        waiting.join(supp, F.col("l1.l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")

@@ -144,3 +144,33 @@ def test_multimodal_decode_is_narrow(spark, specs):
     # the narrow transform got shuffled
     assert "hashpartitioning" not in plan and "roundrobin" not in plan.lower()
     assert "rangepartitioning" in plan
+
+
+def test_no_forced_broadcast_of_sf_scaled_tables():
+    """Source-level scale guard: explicit broadcast hints in the TPC-H
+    module are allowed ONLY on nation/region dims and 1-row scalar
+    aggregates.  Broadcast-vs-shuffle for SF-scaled tables
+    (supplier/part/customer and anything derived from a fact table) is
+    AQE's size-based runtime call — reference parity:
+    DetermineJoinDistributionType.java:55-69.  A forced broadcast of an
+    SF-scaled side is a driver/executor OOM at SF 10^5."""
+    import pathlib
+    import re
+
+    src = pathlib.Path("prestodb_presto_spark/queries/tpch.py").read_text()
+    # operands ever allowed inside F.broadcast(...)/.hint("broadcast"):
+    #   nation/region loads (any projection/filter), the nation⋈region 'geo'
+    #   slice, filtered-nation aliases, and the 1-row scalar aggregates.
+    allowed = re.compile(
+        r"""F\.broadcast\(\s*(
+              t\(spark,\ sf_dir,\ "(nation|region)"     # dim loads
+            | (nation|region|nat|geo)\b                 # dim aliases
+            | (max_rev|avg_bal|total)\b                 # 1-row scalar aggs
+        )""",
+        re.VERBOSE,
+    )
+    for m in re.finditer(r"F\.broadcast\([^)]*|\.hint\(\s*['\"]broadcast", src):
+        snippet = m.group(0)
+        if snippet.startswith(".hint"):
+            raise AssertionError(f"explicit .hint('broadcast') in tpch.py: {snippet!r}")
+        assert allowed.match(snippet), f"forced broadcast of SF-scaled operand: {snippet!r}"
