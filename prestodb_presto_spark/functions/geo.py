@@ -1,24 +1,33 @@
-"""Geospatial functions — points, linestrings and (single-ring) polygons
-as native Spark expressions.
+"""Geospatial functions — points, linestrings and polygons (with
+interior rings / multipolygons) as native Spark expressions.
 
 Reference: presto-geospatial/.../GeoFunctions.java:92 registers 56
 @ScalarFunction ST_* functions over an ESRI geometry type
-(plugin/geospatial/GeometryType.java).  The engine implements ~30 of
-them without any geometry library, on two plain Spark types:
+(plugin/geospatial/GeometryType.java).  The engine implements them
+without any geometry library, on two plain Spark types:
 
-  POINT  = STRUCT<x: DOUBLE, y: DOUBLE>                (the fast path)
-  GEOM   = STRUCT<kind: STRING, pts: ARRAY<POINT>>     (general)
+  POINT  = STRUCT<x: DOUBLE, y: DOUBLE>                  (the fast path)
+  GEOM   = STRUCT<kind: STRING,
+                  pts:  ARRAY<POINT>,                    (ring 0 / all vertices)
+                  rings: ARRAY<ARRAY<POINT>>>            (full ring decomposition)
 
-with kind ∈ {point, linestring, polygon, multipoint}.  All geometry
-math is whole-stage-codegen'd higher-order array expressions — shoelace
-area, segment-sum length, length-weighted centroid, ray-casting
-point-in-polygon, segment-intersection tests — so polygons behave like
-any other column at 100 TB (no UDF, no R-tree build on the driver).
+with kind ∈ {point, multipoint, linestring, polygon, multipolygon}.
+``pts`` keeps the exterior ring (polygon kinds) or every vertex (point/
+line kinds) so single-ring math stays one array hop; ``rings`` carries
+POLYGON interior rings and MULTIPOLYGON parts.  Area, containment and
+perimeter use even-odd ring parity — one formula covers holes and
+multi-part shapes (GeoFunctions.java:529 validateType lists the same
+kind set).  All geometry math is whole-stage-codegen'd higher-order
+array expressions — shoelace area, segment-sum length, length-weighted
+centroid, ray-casting point-in-polygon, segment-intersection tests — so
+polygons behave like any other column at 100 TB (no UDF, no R-tree
+build on the driver).  Boolean set operations (ST_Union family) live in
+the pandas-UDF tier: functions/geo_setops.py.
 
-Limits (documented, not silently wrong): polygons are single exterior
-rings (interior holes raise at parse), ST_Buffer / ST_Union /
-bing-tiles and exotic predicates (ST_Relate/ST_Crosses/ST_Touches)
-remain a Sedona integration point.
+Limits (documented, not silently wrong): MULTIPOLYGON WKT round-trips
+each ring as its own part (holes inside multipolygon parts measure
+correctly via parity but serialize as separate parts); ST_Relate's
+general DE-9IM matrix remains a Sedona integration point.
 """
 
 from __future__ import annotations
@@ -119,9 +128,11 @@ def _pt(x: Column, y: Column) -> Column:
     return F.struct(x.cast("double").alias("x"), y.cast("double").alias("y"))
 
 
-def _geom(kind: str | Column, pts: Column) -> Column:
+def _geom(kind: str | Column, pts: Column, rings: Column | None = None) -> Column:
+    """GEOM constructor; single-ring callers get rings = [pts]."""
     kind_col = F.lit(kind) if isinstance(kind, str) else kind
-    return F.struct(kind_col.alias("kind"), pts.alias("pts"))
+    rings_col = F.array(pts) if rings is None else rings
+    return F.struct(kind_col.alias("kind"), pts.alias("pts"), rings_col.alias("rings"))
 
 
 def _parse_pts(body: Column) -> Column:
@@ -135,6 +146,15 @@ def _parse_pts(body: Column) -> Column:
     )
 
 
+def _parse_rings(w: Column) -> Column:
+    """Every innermost '(…)' group of a WKT string, parsed to a ring.
+    [^()] keeps the match innermost, so 'POLYGON ((a),(b))' and
+    'MULTIPOLYGON (((a)),((b),(c)))' both yield one entry per ring."""
+    return F.transform(
+        F.regexp_extract_all(w, F.lit(r"\(([^()]+)\)"), F.lit(1)), _parse_pts
+    )
+
+
 @register("st_line_from_text")
 def st_line_from_text(wkt) -> Column:
     """ST_LineFromText('LINESTRING (x y, …)') (GeoFunctions.stLineFromText)."""
@@ -144,31 +164,33 @@ def st_line_from_text(wkt) -> Column:
 
 @register("st_polygon")
 def st_polygon(wkt) -> Column:
-    """ST_Polygon('POLYGON ((x y, …))') — single exterior ring
-    (GeoFunctions.stPolygon).  Multi-ring WKT yields NULL pts rather
-    than a silently-wrong shape."""
-    w = c(wkt)
-    ring = F.regexp_extract(w, r"POLYGON\s*\(\s*\(([^()]*)\)\s*\)", 1)
-    # a second '(' after the exterior ring ⇒ interior rings present
-    multi = F.size(F.split(w, r"\(")) > 3
-    return _geom("polygon", F.when(multi, F.lit(None)).otherwise(_parse_pts(ring)))
+    """ST_Polygon('POLYGON ((x y, …), (hole…), …)') — exterior ring in
+    ``pts``, full ring list (exterior + interior) in ``rings``
+    (GeoFunctions.stPolygon; ring model GeoFunctions.java:529)."""
+    rings = _parse_rings(c(wkt))
+    return _geom("polygon", F.element_at(rings, 1), rings)
 
 
 @register("st_geom_from_text")
 def st_geom_from_text(wkt) -> Column:
-    """General WKT parser → GEOM (POINT / MULTIPOINT / LINESTRING /
-    POLYGON), the full GeoFunctions.stGeometryFromText surface minus
-    multi-polygons.  (st_geometry_from_text keeps returning the bare
-    POINT struct for the point fast path.)"""
+    """General WKT parser → GEOM: POINT / MULTIPOINT / LINESTRING /
+    POLYGON (with interior rings) / MULTIPOLYGON, the full
+    GeoFunctions.stGeometryFromText kind list.  (st_geometry_from_text
+    keeps returning the bare POINT struct for the point fast path.)
+    MULTIPOLYGON flattens to one rings-entry per ring; even-odd parity
+    keeps measurements correct regardless of part grouping."""
     w = F.trim(c(wkt))
     kind = F.lower(F.regexp_extract(w, r"^\s*([A-Za-z]+)", 1))
-    body = F.regexp_extract(w, r"\(\(?([^()]*)\)?\)", 1)
-    return _geom(kind, _parse_pts(body))
+    rings = _parse_rings(w)
+    poly = kind.isin("polygon", "multipolygon")
+    # point kinds: MULTIPOINT ((1 2), (3 4)) parses one "ring" per point —
+    # flatten so pts is always the full vertex list for non-polygon kinds
+    pts = F.when(poly, F.element_at(rings, 1)).otherwise(F.flatten(rings))
+    return _geom(kind, pts, F.when(poly, rings).otherwise(F.array(F.flatten(rings))))
 
 
-def _segs(g: Column) -> Column:
-    """Consecutive point pairs of a GEOM."""
-    pts = g.getField("pts")
+def _pts_segs(pts: Column) -> Column:
+    """Consecutive point pairs of a vertex array."""
     return F.transform(
         F.sequence(F.lit(1), F.size(pts) - 1),
         lambda i: F.struct(
@@ -177,21 +199,87 @@ def _segs(g: Column) -> Column:
     )
 
 
+def _segs(g: Column) -> Column:
+    """Consecutive point pairs of a GEOM's primary ring (pts)."""
+    return _pts_segs(g.getField("pts"))
+
+
 def _seglen(s: Column) -> Column:
     dx = s.getField("b").getField("x") - s.getField("a").getField("x")
     dy = s.getField("b").getField("y") - s.getField("a").getField("y")
     return F.sqrt(dx * dx + dy * dy)
 
 
-def _shoelace2(g: Column) -> Column:
-    """Twice the signed polygon area: Σ (x_i·y_j − x_j·y_i)."""
+def _ring_shoelace2(pts: Column) -> Column:
+    """Twice the signed ring area: Σ (x_i·y_j − x_j·y_i)."""
     return F.aggregate(
-        _segs(g),
+        _pts_segs(pts),
         F.lit(0.0),
         lambda acc, s: acc
         + s.getField("a").getField("x") * s.getField("b").getField("y")
         - s.getField("b").getField("x") * s.getField("a").getField("y"),
     )
+
+
+def _shoelace2(g: Column) -> Column:
+    """Twice the signed area of the primary ring."""
+    return _ring_shoelace2(g.getField("pts"))
+
+
+def _ring_crossings(pts: Column, px: Column, py: Column) -> Column:
+    """Ray-cast crossing count of one ring for point (px, py)."""
+    return F.aggregate(
+        _pts_segs(pts),
+        F.lit(0),
+        lambda acc, s: acc
+        + F.when(
+            (
+                (s.getField("a").getField("y") > py)
+                != (s.getField("b").getField("y") > py)
+            )
+            & (
+                px
+                < (s.getField("b").getField("x") - s.getField("a").getField("x"))
+                * (py - s.getField("a").getField("y"))
+                / (s.getField("b").getField("y") - s.getField("a").getField("y"))
+                + s.getField("a").getField("x")
+            ),
+            1,
+        ).otherwise(0),
+    )
+
+
+def _all_crossings(g: Column, px: Column, py: Column) -> Column:
+    """Crossing count over every ring — odd parity = inside, which is
+    the even-odd rule: correct for holes AND multipolygon parts."""
+    return F.aggregate(
+        g.getField("rings"),
+        F.lit(0),
+        lambda acc, ring: acc + _ring_crossings(ring, px, py),
+    )
+
+
+def _ring_parity_sign(rings: Column, ring: Column) -> Column:
+    """+1 for rings at even nesting depth (outer boundaries), −1 at odd
+    depth (holes): depth = how many OTHER rings contain this ring's
+    first vertex.  Valid geometries never duplicate a ring, so the
+    value-inequality filter drops exactly the ring itself."""
+    depth = F.size(
+        F.filter(
+            rings,
+            lambda other: (other != ring)
+            & (
+                _ring_crossings(
+                    other,
+                    F.element_at(ring, 1).getField("x"),
+                    F.element_at(ring, 1).getField("y"),
+                )
+                % 2
+                == 1
+            ),
+        )
+    )
+    return F.lit(1) - 2 * (depth % 2)
 
 
 @register("st_geometry_type")
@@ -204,47 +292,79 @@ def st_geometry_type(g) -> Column:
         .when(kind == "multipoint", "MultiPoint")
         .when(kind == "linestring", "LineString")
         .when(kind == "polygon", "Polygon")
+        .when(kind == "multipolygon", "MultiPolygon")
         .otherwise(F.initcap(kind)),
     )
 
 
 @register("st_num_points")
 def st_num_points(g) -> Column:
-    """Vertex count; polygons don't double-count the closing point
-    (GeoFunctions.stPointCount semantics)."""
+    """Vertex count over all rings; polygon rings don't double-count
+    their closing point (GeoFunctions.stPointCount semantics)."""
     gg = c(g)
-    pts = gg.getField("pts")
-    first, last = F.element_at(pts, 1), F.element_at(pts, -1)
-    closed = (first.getField("x") == last.getField("x")) & (
-        first.getField("y") == last.getField("y")
-    )
-    is_ring = (gg.getField("kind") == "polygon") & closed & (F.size(pts) > 1)
-    return (F.size(pts) - F.when(is_ring, 1).otherwise(0)).cast("int")
+
+    def ring_count(pts):
+        first, last = F.element_at(pts, 1), F.element_at(pts, -1)
+        closed = (first.getField("x") == last.getField("x")) & (
+            first.getField("y") == last.getField("y")
+        )
+        return F.size(pts) - F.when(closed & (F.size(pts) > 1), 1).otherwise(0)
+
+    return (
+        F.when(
+            gg.getField("kind").isin("polygon", "multipolygon"),
+            F.aggregate(
+                gg.getField("rings"), F.lit(0), lambda acc, ring: acc + ring_count(ring)
+            ),
+        ).otherwise(F.size(gg.getField("pts")))
+    ).cast("int")
 
 
 @register("st_area")
 def st_area(g) -> Column:
-    """Shoelace area of the exterior ring; 0 for lower-dim geometries
-    (GeoFunctions.stArea)."""
+    """Even-odd area over all rings (GeoFunctions.stArea): each ring
+    contributes ±|shoelace|/2 with sign = parity of its nesting depth
+    (how many OTHER rings contain its first vertex).  One formula covers
+    single rings (depth 0), polygon holes (depth 1 → subtract) and
+    multipolygon parts (each depth 0); 0 for lower-dim geometries."""
     gg = c(g)
-    return F.when(gg.getField("kind") == "polygon", F.abs(_shoelace2(gg)) / 2).otherwise(
-        F.lit(0.0)
-    )
+    rings = gg.getField("rings")
+
+    def signed(ring):
+        return _ring_parity_sign(rings, ring) * F.abs(_ring_shoelace2(ring)) / 2
+
+    return F.when(
+        gg.getField("kind").isin("polygon", "multipolygon"),
+        F.aggregate(rings, F.lit(0.0), lambda acc, ring: acc + signed(ring)),
+    ).otherwise(F.lit(0.0))
 
 
 @register("st_length")
 def st_length(g) -> Column:
-    """Path length (linestring) / perimeter (polygon) — ESRI
-    calculateLength2D semantics (GeoFunctions.stLength)."""
+    """Path length (linestring) / perimeter over ALL rings, holes
+    included — ESRI calculateLength2D semantics (GeoFunctions.stLength)."""
     gg = c(g)
-    return F.when(
-        gg.getField("kind").isin("linestring", "polygon"),
-        F.aggregate(_segs(gg), F.lit(0.0), lambda acc, s: acc + _seglen(s)),
-    ).otherwise(F.lit(0.0))
+    ring_len = lambda ring: F.aggregate(  # noqa: E731
+        _pts_segs(ring), F.lit(0.0), lambda acc, s: acc + _seglen(s)
+    )
+    return (
+        F.when(gg.getField("kind") == "linestring", ring_len(gg.getField("pts")))
+        .when(
+            gg.getField("kind").isin("polygon", "multipolygon"),
+            F.aggregate(
+                gg.getField("rings"), F.lit(0.0), lambda acc, ring: acc + ring_len(ring)
+            ),
+        )
+        .otherwise(F.lit(0.0))
+    )
 
 
 def _minmax(g, field: str, agg) -> Column:
-    return agg(F.transform(c(g).getField("pts"), lambda p: p.getField(field)))
+    # flatten(rings) = every vertex incl. holes/parts (≡ pts for
+    # non-polygon kinds) — a multipolygon's envelope must span all parts
+    return agg(
+        F.transform(F.flatten(c(g).getField("rings")), lambda p: p.getField(field))
+    )
 
 
 @register("st_xmin")
@@ -339,24 +459,45 @@ def st_centroid(g) -> Column:
     gg = c(g)
     pts = gg.getField("pts")
     kind = gg.getField("kind")
-    # polygon: (1/6A2)*Σ (x_i+x_j)(x_i·y_j − x_j·y_i), A2 = signed 2·area
-    a2 = _shoelace2(gg)
+    rings = gg.getField("rings")
+    # polygon kinds: parity-weighted mean of per-ring shoelace centroids —
+    # ring centroid c_i = Σ (v_i+v_j)·cross / (3·A2_i) (orientation
+    # cancels), weight = ±|A2_i| with the same even-odd sign as st_area,
+    # so holes subtract and multipolygon parts average area-weighted.
     cross = lambda s: (  # noqa: E731
         s.getField("a").getField("x") * s.getField("b").getField("y")
         - s.getField("b").getField("x") * s.getField("a").getField("y")
     )
-    px = F.aggregate(
-        _segs(gg),
+
+    def ring_c(ring, field):
+        num = F.aggregate(
+            _pts_segs(ring),
+            F.lit(0.0),
+            lambda acc, s: acc
+            + (s.getField("a").getField(field) + s.getField("b").getField(field))
+            * cross(s),
+        )
+        return num / (3 * F.nullif(_ring_shoelace2(ring), F.lit(0.0)))
+
+    def signed_w(ring):
+        return _ring_parity_sign(rings, ring) * F.abs(_ring_shoelace2(ring))
+
+    wsum = F.nullif(
+        F.aggregate(rings, F.lit(0.0), lambda acc, ring: acc + signed_w(ring)),
         F.lit(0.0),
-        lambda acc, s: acc
-        + (s.getField("a").getField("x") + s.getField("b").getField("x")) * cross(s),
-    ) / (3 * F.nullif(a2, F.lit(0.0)))
-    py = F.aggregate(
-        _segs(gg),
-        F.lit(0.0),
-        lambda acc, s: acc
-        + (s.getField("a").getField("y") + s.getField("b").getField("y")) * cross(s),
-    ) / (3 * F.nullif(a2, F.lit(0.0)))
+    )
+    px = (
+        F.aggregate(
+            rings, F.lit(0.0), lambda acc, ring: acc + signed_w(ring) * ring_c(ring, "x")
+        )
+        / wsum
+    )
+    py = (
+        F.aggregate(
+            rings, F.lit(0.0), lambda acc, ring: acc + signed_w(ring) * ring_c(ring, "y")
+        )
+        / wsum
+    )
     # linestring: length-weighted segment midpoints
     total_len = F.nullif(
         F.aggregate(_segs(gg), F.lit(0.0), lambda acc, s: acc + _seglen(s)), F.lit(0.0)
@@ -378,7 +519,7 @@ def st_centroid(g) -> Column:
     mx = F.aggregate(pts, F.lit(0.0), lambda acc, p: acc + p.getField("x")) / n
     my = F.aggregate(pts, F.lit(0.0), lambda acc, p: acc + p.getField("y")) / n
     return (
-        F.when(kind == "polygon", _pt(px, py))
+        F.when(kind.isin("polygon", "multipolygon"), _pt(px, py))
         .when(kind == "linestring", _pt(lx, ly))
         .otherwise(_pt(mx, my))
     )
@@ -386,32 +527,16 @@ def st_centroid(g) -> Column:
 
 @register("st_contains")
 def st_contains(g, p) -> Column:
-    """Polygon ⊇ point via ray casting (odd crossing parity), entirely in
-    codegen'd array expressions — the predicate side of a broadcast
-    spatial join (reference SpatialJoinOperator.java builds an R-tree;
-    Spark-first the polygon set broadcasts and this filters)."""
+    """Polygon ⊇ point via ray casting over every ring (even-odd parity
+    — hole- and multipolygon-aware), entirely in codegen'd array
+    expressions — the predicate side of a broadcast spatial join
+    (reference SpatialJoinOperator.java builds an R-tree; Spark-first
+    the polygon set broadcasts and this filters)."""
     gg, pp = c(g), c(p)
     px, py = pp.getField("x"), pp.getField("y")
-    crossings = F.aggregate(
-        _segs(gg),
-        F.lit(0),
-        lambda acc, s: acc
-        + F.when(
-            (
-                (s.getField("a").getField("y") > py)
-                != (s.getField("b").getField("y") > py)
-            )
-            & (
-                px
-                < (s.getField("b").getField("x") - s.getField("a").getField("x"))
-                * (py - s.getField("a").getField("y"))
-                / (s.getField("b").getField("y") - s.getField("a").getField("y"))
-                + s.getField("a").getField("x")
-            ),
-            1,
-        ).otherwise(0),
+    return gg.getField("kind").isin("polygon", "multipolygon") & (
+        _all_crossings(gg, px, py) % 2 == 1
     )
-    return (gg.getField("kind") == "polygon") & (crossings % 2 == 1)
 
 
 @register("st_within")
@@ -484,20 +609,35 @@ def st_intersects(g1, g2) -> Column:
 
 @register("st_as_text_geom")
 def st_as_text_geom(g) -> Column:
-    """GEOM → WKT (general counterpart of the POINT-only st_as_text)."""
+    """GEOM → WKT (general counterpart of the POINT-only st_as_text).
+    Polygons emit every ring; multipolygons emit one part per ring
+    (holes-in-multipolygon-parts serialize as separate parts —
+    documented in the module header)."""
     gg = c(g)
-    body = F.array_join(
+    ring_body = lambda ring: F.array_join(  # noqa: E731
         F.transform(
-            gg.getField("pts"),
+            ring,
             lambda p: F.concat(
                 p.getField("x").cast("string"), F.lit(" "), p.getField("y").cast("string")
             ),
         ),
         ", ",
     )
+    body = ring_body(gg.getField("pts"))
+    rings_wkt = lambda sep_l, sep_r: F.array_join(  # noqa: E731
+        F.transform(
+            gg.getField("rings"),
+            lambda ring: F.concat(F.lit(sep_l), ring_body(ring), F.lit(sep_r)),
+        ),
+        ", ",
+    )
     kind = gg.getField("kind")
     return (
-        F.when(kind == "polygon", F.concat(F.lit("POLYGON (("), body, F.lit("))")))
+        F.when(kind == "polygon", F.concat(F.lit("POLYGON ("), rings_wkt("(", ")"), F.lit(")")))
+        .when(
+            kind == "multipolygon",
+            F.concat(F.lit("MULTIPOLYGON ("), rings_wkt("((", "))"), F.lit(")")),
+        )
         .when(kind == "linestring", F.concat(F.lit("LINESTRING ("), body, F.lit(")")))
         .when(kind == "multipoint", F.concat(F.lit("MULTIPOINT ("), body, F.lit(")")))
         .otherwise(F.concat(F.lit("POINT ("), body, F.lit(")")))
@@ -586,12 +726,18 @@ def geometry_invalid_reason(g) -> Column:
             ),
         ),
     )
+    rings = gg.getField("rings")
+    ring_closed = lambda ring: (  # noqa: E731
+        F.element_at(ring, 1).getField("x") == F.element_at(ring, -1).getField("x")
+    ) & (F.element_at(ring, 1).getField("y") == F.element_at(ring, -1).getField("y"))
+    any_short = F.exists(rings, lambda ring: F.size(ring) < 4)
+    any_open = F.exists(rings, lambda ring: ~ring_closed(ring))
     return F.when(
-        gg.getField("kind") == "polygon",
-        F.when(pts.isNull(), "Polygon has multiple rings (unsupported)")
-        .when(n < 4, "Polygon has fewer than 4 points")
-        .when(~closed, "Polygon ring is not closed")
-        .when(self_x, "Polygon ring self-intersects")
+        gg.getField("kind").isin("polygon", "multipolygon"),
+        F.when(pts.isNull(), "Polygon has no rings")
+        .when(any_short, "Polygon has fewer than 4 points")
+        .when(any_open, "Polygon ring is not closed")
+        .when(self_x, "Polygon ring self-intersects")  # exterior-ring check
         .otherwise(F.lit(None).cast("string")),
     ).otherwise(
         F.when(
@@ -603,11 +749,12 @@ def geometry_invalid_reason(g) -> Column:
 
 @register("st_num_geometries")
 def st_num_geometries(g) -> Column:
-    """Component count: each multipoint vertex is a geometry; other kinds
-    are single (GeoFunctions.stNumGeometries)."""
+    """Component count: each multipoint vertex / multipolygon ring is a
+    component; other kinds are single (GeoFunctions.stNumGeometries)."""
     gg = c(g)
     return (
         F.when(gg.getField("kind") == "multipoint", F.size(gg.getField("pts")))
+        .when(gg.getField("kind") == "multipolygon", F.size(gg.getField("rings")))
         .otherwise(F.when(F.size(gg.getField("pts")) > 0, 1).otherwise(0))
         .cast("int")
     )
@@ -616,13 +763,15 @@ def st_num_geometries(g) -> Column:
 @register("st_geometry_n")
 def st_geometry_n(g, n) -> Column:
     """1-based component access (GeoFunctions.stGeometryN): multipoint →
-    the n-th vertex as a POINT geom; other kinds → the geometry itself
-    for n=1, NULL otherwise."""
+    the n-th vertex as a POINT geom; multipolygon → the n-th ring as a
+    POLYGON; other kinds → the geometry itself for n=1, NULL otherwise."""
     gg = c(g)
     idx = lit_or_col(n)
     nth_point = _geom("point", F.array(F.element_at(gg.getField("pts"), idx)))
+    nth_poly = _geom("polygon", F.element_at(gg.getField("rings"), idx))
     return (
         F.when(gg.getField("kind") == "multipoint", nth_point)
+        .when(gg.getField("kind") == "multipolygon", nth_poly)
         .when(idx == 1, gg)
     )
 
@@ -634,8 +783,13 @@ def st_geometries(g) -> Column:
     as_points = F.transform(
         gg.getField("pts"), lambda p: _geom("point", F.array(p))
     )
-    return F.when(gg.getField("kind") == "multipoint", as_points).otherwise(
-        F.array(gg)
+    as_polys = F.transform(
+        gg.getField("rings"), lambda ring: _geom("polygon", ring)
+    )
+    return (
+        F.when(gg.getField("kind") == "multipoint", as_points)
+        .when(gg.getField("kind") == "multipolygon", as_polys)
+        .otherwise(F.array(gg))
     )
 
 
@@ -673,23 +827,29 @@ def _geom_pandas(fn, extra=()):
     OFF the relational hot path."""
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("struct<kind:string,pts:array<struct<x:double,y:double>>>")
+    @pandas_udf(
+        "struct<kind:string,pts:array<struct<x:double,y:double>>,"
+        "rings:array<array<struct<x:double,y:double>>>>"
+    )
     def _f(s):
         import pandas as pd
 
         # struct columns cross the Arrow boundary as a pd.DataFrame with
         # one column per field (and must be returned the same way)
-        kinds, ptss = [], []
+        kinds, ptss, ringss = [], [], []
         for _, g in s.iterrows():
             if g["pts"] is None:
                 kinds.append(None)
                 ptss.append(None)
+                ringss.append(None)
                 continue
             pts = [(p["x"], p["y"]) for p in g["pts"]]
             kind, new_pts = fn(g["kind"], pts, *extra)
+            out = [{"x": float(x), "y": float(y)} for x, y in new_pts]
             kinds.append(kind)
-            ptss.append([{"x": float(x), "y": float(y)} for x, y in new_pts])
-        return pd.DataFrame({"kind": kinds, "pts": ptss})
+            ptss.append(out)
+            ringss.append([out])
+        return pd.DataFrame({"kind": kinds, "pts": ptss, "rings": ringss})
 
     return _f
 
@@ -763,29 +923,31 @@ def st_exterior_ring(g) -> Column:
 
 @register("st_num_interior_ring")
 def st_num_interior_ring(g) -> Column:
-    """Interior-ring count — always 0 here: the engine's polygons are
-    single exterior rings (multi-ring WKT parses to NULL pts, which
-    propagates NULL through this accessor, never a silent 0)."""
+    """Interior-ring count = rings beyond the exterior
+    (GeoFunctions.stNumInteriorRing; NULL for non-polygons, matching
+    the reference's polygon-only signature)."""
     gg = c(g)
     return F.when(
-        (gg.getField("kind") == "polygon") & gg.getField("pts").isNotNull(), 0
+        gg.getField("kind") == "polygon", F.size(gg.getField("rings")) - 1
     ).cast("int")
 
 
 @register("st_interior_rings")
 def st_interior_rings(g) -> Column:
-    """Interior rings — empty array for valid single-ring polygons."""
+    """Interior rings as linestring GEOMs (GeoFunctions.stInteriorRings)."""
     gg = c(g)
-    empty = F.array().cast("array<struct<kind:string,pts:array<struct<x:double,y:double>>>>")
+    rings = gg.getField("rings")
+    inner = F.slice(rings, 2, F.greatest(F.size(rings) - 1, F.lit(0)))
     return F.when(
-        (gg.getField("kind") == "polygon") & gg.getField("pts").isNotNull(), empty
+        gg.getField("kind") == "polygon",
+        F.transform(inner, lambda ring: _geom("linestring", ring)),
     )
 
 
 @register("st_interior_ring_n")
 def st_interior_ring_n(g, n) -> Column:
-    """N-th interior ring — NULL (no holes in the single-ring model;
-    try_element_at because ANSI element_at errors on the empty array)."""
+    """N-th (1-based) interior ring (GeoFunctions.stInteriorRingN);
+    try_element_at because ANSI element_at errors past the end."""
     return F.try_element_at(st_interior_rings(g), lit_or_col(n))
 
 
@@ -842,7 +1004,7 @@ def st_equals(g1, g2) -> Column:
     canon = lambda g: F.array_sort(  # noqa: E731
         F.array_distinct(
             F.transform(
-                g.getField("pts"),
+                F.flatten(g.getField("rings")),  # every ring's vertices
                 lambda p: F.struct(p.getField("x").alias("x"), p.getField("y").alias("y")),
             )
         )

@@ -169,11 +169,61 @@ def test_geo_intersects(spark):
     assert row.pt_in and not row.pt_out
 
 
-def test_geo_polygon_multi_ring_null(spark):
+def test_geo_polygon_with_hole(spark):
+    """9×9 square with a 3×3 hole: area subtracts the hole, perimeter
+    includes it, ray-cast parity excludes hole points, and the interior
+    ring accessors see the hole (GeoFunctions.java:529 ring model)."""
     df = spark.createDataFrame(
         [("POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (3 3, 6 3, 6 6, 3 6, 3 3))",)], "w string"
     )
-    assert df.select(P.st_polygon("w").getField("pts").alias("p")).collect()[0].p is None
+    g = P.st_polygon("w")
+    row = df.select(
+        P.st_area(g).alias("area"),
+        P.st_length(g).alias("perim"),
+        P.st_num_points(g).alias("np"),
+        P.st_num_interior_ring(g).alias("nir"),
+        P.st_contains(g, P.st_point(F.lit(1.0), F.lit(1.0))).alias("in_annulus"),
+        P.st_contains(g, P.st_point(F.lit(4.5), F.lit(4.5))).alias("in_hole"),
+        P.st_length(P.st_interior_ring_n(g, 1)).alias("hole_perim"),
+        P.st_x(P.st_centroid(g)).alias("cx"),
+    ).collect()[0]
+    assert row.area == 81.0 - 9.0
+    assert row.perim == 36.0 + 12.0
+    assert row.np == 8
+    assert row.nir == 1
+    assert row.in_annulus and not row.in_hole
+    assert row.hole_perim == 12.0
+    assert row.cx == pytest.approx(4.5)  # symmetric hole keeps the centroid
+
+
+def test_geo_multipolygon(spark):
+    """MULTIPOLYGON of two disjoint unit squares: summed area/perimeter,
+    per-part containment, component accessors."""
+    df = spark.createDataFrame(
+        [("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 7 5, 7 7, 5 7, 5 5)))",)],
+        "w string",
+    )
+    g = P.st_geom_from_text("w")
+    row = df.select(
+        P.st_geometry_type(g).alias("t"),
+        P.st_area(g).alias("area"),
+        P.st_length(g).alias("perim"),
+        P.st_num_geometries(g).alias("ng"),
+        P.st_contains(g, P.st_point(F.lit(6.0), F.lit(6.0))).alias("in2"),
+        P.st_contains(g, P.st_point(F.lit(3.0), F.lit(3.0))).alias("between"),
+        P.st_xmax(g).alias("xmax"),
+        P.st_area(P.st_geometry_n(g, 2)).alias("a2"),
+        P.st_x(P.st_centroid(g)).alias("cx"),
+    ).collect()[0]
+    assert row.t == "ST_MultiPolygon"
+    assert row.area == 1.0 + 4.0
+    assert row.perim == 4.0 + 8.0
+    assert row.ng == 2
+    assert row.in2 and not row.between
+    assert row.xmax == 7.0  # envelope spans every part, not just ring 0
+    assert row.a2 == 4.0
+    # area-weighted centroid: (0.5*1 + 6*4)/5 = 4.9
+    assert row.cx == pytest.approx(4.9)
 
 
 def test_bing_tiles(spark):
