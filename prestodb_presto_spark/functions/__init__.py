@@ -58,6 +58,7 @@ def _load():
             conditional,
             datetime_fns,
             geo,
+            geo_setops,
             json_url,
             lambdas,
             maps,

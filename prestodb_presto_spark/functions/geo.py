@@ -1010,3 +1010,229 @@ def st_equals(g1, g2) -> Column:
         )
     )
     return (a.getField("kind") == b.getField("kind")) & (canon(a) == canon(b))
+
+
+# --- topological predicates (GeoFunctions.java stCrosses:869, stOverlaps:926,
+# --- stTouches:953) — native expressions over ring segments -----------------
+
+
+def _all_segs(g: Column) -> Column:
+    """Segments of EVERY ring — the full boundary for polygon kinds
+    (holes included), ≡ _segs for single-ring geometries."""
+    return F.flatten(F.transform(g.getField("rings"), _pts_segs))
+
+
+def _orient(p, q, r):
+    return (q.getField("x") - p.getField("x")) * (r.getField("y") - p.getField("y")) - (
+        q.getField("y") - p.getField("y")
+    ) * (r.getField("x") - p.getField("x"))
+
+
+def _on_boundary(g: Column, p: Column) -> Column:
+    """Point sits on some boundary segment (collinear + inside bbox)."""
+    return F.exists(
+        _all_segs(g),
+        lambda s: (_orient(s.getField("a"), s.getField("b"), p) == 0)
+        & (p.getField("x") <= F.greatest(s.getField("a").getField("x"), s.getField("b").getField("x")))
+        & (p.getField("x") >= F.least(s.getField("a").getField("x"), s.getField("b").getField("x")))
+        & (p.getField("y") <= F.greatest(s.getField("a").getField("y"), s.getField("b").getField("y")))
+        & (p.getField("y") >= F.least(s.getField("a").getField("y"), s.getField("b").getField("y"))),
+    )
+
+
+def _strictly_inside(g: Column, p: Column) -> Column:
+    """Interior containment: odd ray-cast parity AND not on the boundary."""
+    return (
+        (_all_crossings(g, p.getField("x"), p.getField("y")) % 2 == 1)
+        & ~_on_boundary(g, p)
+    )
+
+
+def _strictly_outside(g: Column, p: Column) -> Column:
+    return (
+        (_all_crossings(g, p.getField("x"), p.getField("y")) % 2 == 0)
+        & ~_on_boundary(g, p)
+    )
+
+
+def _proper_cross_any(a: Column, b: Column) -> Column:
+    """Some segment pair crosses transversally (interior intersection)."""
+
+    def proper(s1, s2):
+        o1 = _orient(s1.getField("a"), s1.getField("b"), s2.getField("a"))
+        o2 = _orient(s1.getField("a"), s1.getField("b"), s2.getField("b"))
+        o3 = _orient(s2.getField("a"), s2.getField("b"), s1.getField("a"))
+        o4 = _orient(s2.getField("a"), s2.getField("b"), s1.getField("b"))
+        return (o1 * o2 < 0) & (o3 * o4 < 0)
+
+    return F.exists(_all_segs(a), lambda s1: F.exists(_all_segs(b), lambda s2: proper(s1, s2)))
+
+
+def _collinear_overlap_any(a: Column, b: Column) -> Column:
+    """Some segment pair is collinear with >1 shared point (1-dim overlap)."""
+
+    def over(s1, s2):
+        collinear = (
+            _orient(s1.getField("a"), s1.getField("b"), s2.getField("a")) == 0
+        ) & (_orient(s1.getField("a"), s1.getField("b"), s2.getField("b")) == 0)
+        ax1 = F.least(s1.getField("a").getField("x"), s1.getField("b").getField("x"))
+        ax2 = F.greatest(s1.getField("a").getField("x"), s1.getField("b").getField("x"))
+        bx1 = F.least(s2.getField("a").getField("x"), s2.getField("b").getField("x"))
+        bx2 = F.greatest(s2.getField("a").getField("x"), s2.getField("b").getField("x"))
+        ay1 = F.least(s1.getField("a").getField("y"), s1.getField("b").getField("y"))
+        ay2 = F.greatest(s1.getField("a").getField("y"), s1.getField("b").getField("y"))
+        by1 = F.least(s2.getField("a").getField("y"), s2.getField("b").getField("y"))
+        by2 = F.greatest(s2.getField("a").getField("y"), s2.getField("b").getField("y"))
+        return collinear & (
+            (F.least(ax2, bx2) > F.greatest(ax1, bx1))
+            | (F.least(ay2, by2) > F.greatest(ay1, by1))
+        )
+
+    return F.exists(_all_segs(a), lambda s1: F.exists(_all_segs(b), lambda s2: over(s1, s2)))
+
+
+def _interiors_intersect(a: Column, b: Column) -> Column:
+    """dim-aware interior∩interior ≠ ∅ test from vertex probes + segment
+    crossings (exact for the generic-position shapes the engine models)."""
+    ak, bk = a.getField("kind"), b.getField("kind")
+    a_poly = ak.isin("polygon", "multipolygon")
+    b_poly = bk.isin("polygon", "multipolygon")
+    a_line, b_line = ak == "linestring", bk == "linestring"
+    a_pt = ak.isin("point", "multipoint")
+    b_pt = bk.isin("point", "multipoint")
+    vertex_in = lambda g, other: F.exists(  # noqa: E731
+        F.flatten(g.getField("rings")), lambda p: _strictly_inside(other, p)
+    )
+    same_pt = F.exists(
+        a.getField("pts"),
+        lambda p: F.exists(
+            b.getField("pts"),
+            lambda q: (p.getField("x") == q.getField("x"))
+            & (p.getField("y") == q.getField("y")),
+        ),
+    )
+    # build each heavy subtree ONCE and reuse the Column object across
+    # branches — Column trees are immutable, and rebuilding an O(segs²)
+    # exists() per branch costs seconds of py4j round trips at plan time
+    pc = _proper_cross_any(a, b)
+    via, vib = vertex_in(a, b), vertex_in(b, a)
+    return (
+        # polygon × polygon: transversal boundary crossing or a vertex of
+        # one strictly inside the other
+        F.when(a_poly & b_poly, pc | via | vib)
+        # line × polygon: line passes through the interior
+        .when(a_line & b_poly, pc | via)
+        .when(b_line & a_poly, pc | vib)
+        # line × line: transversal crossing or collinear 1-dim overlap
+        .when(a_line & b_line, pc | _collinear_overlap_any(a, b))
+        # point × polygon: the point is interior
+        .when(a_pt & b_poly, via)
+        .when(b_pt & a_poly, vib)
+        # point × line: a shared vertex that is not a line endpoint would be
+        # needed; vertex probes approximate interior as on-segment-not-endpoint
+        .when(
+            a_pt & b_line,
+            F.exists(
+                a.getField("pts"),
+                lambda p: _on_boundary(b, p)
+                & ~(
+                    (p.getField("x") == F.element_at(b.getField("pts"), 1).getField("x"))
+                    & (p.getField("y") == F.element_at(b.getField("pts"), 1).getField("y"))
+                )
+                & ~(
+                    (p.getField("x") == F.element_at(b.getField("pts"), -1).getField("x"))
+                    & (p.getField("y") == F.element_at(b.getField("pts"), -1).getField("y"))
+                ),
+            ),
+        )
+        .when(
+            b_pt & a_line,
+            F.exists(
+                b.getField("pts"),
+                lambda p: _on_boundary(a, p)
+                & ~(
+                    (p.getField("x") == F.element_at(a.getField("pts"), 1).getField("x"))
+                    & (p.getField("y") == F.element_at(a.getField("pts"), 1).getField("y"))
+                )
+                & ~(
+                    (p.getField("x") == F.element_at(a.getField("pts"), -1).getField("x"))
+                    & (p.getField("y") == F.element_at(a.getField("pts"), -1).getField("y"))
+                ),
+            ),
+        )
+        # point × point: interiors are the points themselves
+        .otherwise(same_pt)
+    )
+
+
+@register("st_crosses")
+def st_crosses(g1, g2) -> Column:
+    """ST_Crosses (GeoFunctions.stCrosses): interiors share a point of
+    LOWER dimension than max(dim a, dim b) — line transversally crossing
+    a line (at a point) or a polygon (entering and leaving)."""
+    a, b = c(g1), c(g2)
+    ak, bk = a.getField("kind"), b.getField("kind")
+    a_line, b_line = ak == "linestring", bk == "linestring"
+    a_poly = ak.isin("polygon", "multipolygon")
+    b_poly = bk.isin("polygon", "multipolygon")
+    vertex_strict_in = lambda g, other: F.exists(  # noqa: E731
+        g.getField("pts"), lambda p: _strictly_inside(other, p)
+    )
+    vertex_strict_out = lambda g, other: F.exists(  # noqa: E731
+        g.getField("pts"), lambda p: _strictly_outside(other, p)
+    )
+
+    pc = _proper_cross_any(a, b)  # symmetric; built once, shared
+
+    def line_x_poly(line, poly):
+        # in-and-out via vertices, or a pass-through between two outside
+        # vertices (proper crossing of the boundary)
+        out = vertex_strict_out(line, poly)
+        return (vertex_strict_in(line, poly) & out) | (pc & out)
+
+    return (
+        F.when(a_line & b_line, pc & ~_collinear_overlap_any(a, b))
+        .when(a_line & b_poly, line_x_poly(a, b))
+        .when(b_line & a_poly, line_x_poly(b, a))
+        # multipoint × line/polygon: some point interior, some exterior
+        .when(
+            (ak == "multipoint") & (b_line | b_poly),
+            F.exists(a.getField("pts"), lambda p: _strictly_inside(b, p) | _on_boundary(b, p))
+            & F.exists(a.getField("pts"), lambda p: _strictly_outside(b, p)),
+        )
+        .when(
+            (bk == "multipoint") & (a_line | a_poly),
+            F.exists(b.getField("pts"), lambda p: _strictly_inside(a, p) | _on_boundary(a, p))
+            & F.exists(b.getField("pts"), lambda p: _strictly_outside(a, p)),
+        )
+        .otherwise(F.lit(False))
+    )
+
+
+@register("st_overlaps")
+def st_overlaps(g1, g2) -> Column:
+    """ST_Overlaps (GeoFunctions.stOverlaps): same dimension, interiors
+    intersect, neither geometry covers the other."""
+    a, b = c(g1), c(g2)
+    same_dim = st_dimension(a) == st_dimension(b)
+    pc = _proper_cross_any(a, b)  # symmetric; built once, shared
+    covers = lambda g, other: (  # noqa: E731
+        ~F.exists(
+            F.flatten(other.getField("rings")), lambda p: _strictly_outside(g, p)
+        )
+        & ~pc
+    )
+    return (
+        same_dim
+        & _interiors_intersect(a, b)
+        & ~covers(a, b)
+        & ~covers(b, a)
+    )
+
+
+@register("st_touches")
+def st_touches(g1, g2) -> Column:
+    """ST_Touches (GeoFunctions.stTouches): geometries intersect but
+    their interiors don't — contact only along boundaries."""
+    a, b = c(g1), c(g2)
+    return st_intersects(a, b) & ~_interiors_intersect(a, b)

@@ -496,3 +496,105 @@ def fn_geo_bing_tiles(spark, sf_dir):
         )
         .orderBy("p_partkey")
     )
+
+
+@query(
+    "fn_geo_set_ops",
+    oracle="""
+    SELECT p_partkey,
+           ROUND(CAST(p_size AS DOUBLE) * (p_retailprice / 100) / 4, 6) AS inter_area,
+           ROUND(CAST(p_size AS DOUBLE) * (p_retailprice / 100) * 7 / 4, 6) AS union_area,
+           ROUND(CAST(p_size AS DOUBLE) * (p_retailprice / 100) * 3 / 4, 6) AS diff_area,
+           ROUND(CAST(p_size AS DOUBLE) * (p_retailprice / 100) * 3 / 2, 6) AS sym_area,
+           ROUND(CAST(p_size AS DOUBLE) * (p_retailprice / 100) * 3 / 4, 6) AS hole_area,
+           1 AS n_holes,
+           true AS ab_overlaps,
+           false AS ab_touches,
+           true AS ac_touches,
+           true AS l_crosses
+    FROM part WHERE p_partkey <= 500 ORDER BY p_partkey
+    """,
+    tags=("functions", "geospatial", "setops"),
+)
+def fn_geo_set_ops(spark, sf_dir):
+    """Geometry boolean ops + topological predicates at table scale
+    (GeoFunctions.java stUnion:521 / stIntersection:807 /
+    stDifference:771 / stSymmetricDifference:842, stCrosses:869 /
+    stOverlaps:926 / stTouches:953).  Per-row axis-aligned rectangles
+    derived from part columns: A = (0,0)-(s,h), B = A shifted by
+    (s/2, h/2) — overlap is exactly s·h/4 — C shares A's edge x=s, and
+    H = (s/4,h/4)-(3s/4,3h/4) sits strictly inside A so A−H is a polygon
+    with a hole.  Divisors stay ≤4 so every oracle value is exact at 6
+    decimals (sh has 4 decimals) — deeper fractions land on the x.5
+    rounding boundary where the two engines' float paths disagree.  Every area is closed-form in the oracle, so a clip or
+    parity bug cannot cancel out.  The Greiner–Hormann clip runs in the
+    pandas-UDF tier (geo_setops.py) and is materialized in one
+    projection before measurement (Python UDFs cannot nest inside
+    higher-order-function lambdas)."""
+    from prestodb_presto_spark.functions import presto as P
+
+    # 500 rows exercise every shape class; the driver's per-query budget
+    # matters more than volume for a function-surface gate
+    part = t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    s = F.col("p_size").cast("double")
+    h = F.col("p_retailprice") / 100
+
+    def rect(x0, y0, x1, y1):
+        num = lambda v: v.cast("string")  # noqa: E731
+        return P.st_geom_from_text(
+            F.concat(
+                F.lit("POLYGON (("),
+                num(x0), F.lit(" "), num(y0), F.lit(", "),
+                num(x1), F.lit(" "), num(y0), F.lit(", "),
+                num(x1), F.lit(" "), num(y1), F.lit(", "),
+                num(x0), F.lit(" "), num(y1), F.lit(", "),
+                num(x0), F.lit(" "), num(y0),
+                F.lit("))"),
+            )
+        )
+
+    zero = F.lit(0.0)
+    # materialize the parsed geometries ONCE: predicates like ST_Touches
+    # reference their operands O(segments²) times, and inlining the WKT
+    # parse tree at every reference blows the codegen task binary to
+    # ~10 MiB (measured: 7.8 s/predicate inlined → sub-second on columns)
+    geoms = part.select(
+        "p_partkey",
+        rect(zero, zero, s, h).alias("a"),
+        rect(s / 2, h / 2, s * 1.5, h * 1.5).alias("b"),
+        rect(s, zero, s * 2, h).alias("cc"),
+        rect(s / 4, h / 4, s * 0.75, h * 0.75).alias("hole"),
+        P.st_line_from_text(
+            F.concat(
+                F.lit("LINESTRING (-1 "), (h / 2).cast("string"),
+                F.lit(", "), (s + 1).cast("string"), F.lit(" "), (h / 2).cast("string"),
+                F.lit(")"),
+            )
+        ).alias("line"),
+    )
+    # predicates/areas are computed ABOVE the pandas-UDF stage: Catalyst's
+    # CollapseProject cannot cross the ArrowEvalPython node, so the parsed
+    # geometry columns are evaluated exactly once below it (inlining them
+    # into each O(segs²) predicate was measured at ~7 s/predicate)
+    mat = geoms.select(
+        "p_partkey",
+        "a", "b", "cc", "line",
+        P.st_intersection("a", "b").alias("i"),
+        P.st_union("a", "b").alias("u"),
+        P.st_difference("a", "b").alias("d"),
+        P.st_sym_difference("a", "b").alias("sy"),
+        P.st_difference("a", "hole").alias("holed"),
+    )
+    return mat.select(
+        "p_partkey",
+        F.round(P.st_area("i"), 6).alias("inter_area"),
+        F.round(P.st_area("u"), 6).alias("union_area"),
+        F.round(P.st_area("d"), 6).alias("diff_area"),
+        F.round(P.st_area("sy"), 6).alias("sym_area"),
+        F.round(P.st_area("holed"), 6).alias("hole_area"),
+        P.st_num_interior_ring("holed").cast("int").alias("n_holes"),
+        P.st_overlaps("a", "b").alias("ab_overlaps"),
+        P.st_touches("a", "b").alias("ab_touches"),
+        P.st_touches("a", "cc").alias("ac_touches"),
+        P.st_crosses("line", "a").alias("l_crosses"),
+    ).orderBy("p_partkey")

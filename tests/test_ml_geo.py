@@ -372,3 +372,73 @@ def test_geo_rings_validity_equality(spark):
     assert row.sq_valid and not row.bow_valid
     assert row.sq_simple and not row.bow_simple
     assert row.rot_eq and not row.neq
+
+
+def test_geo_set_operations(spark):
+    """ST_Union/Intersection/Difference/SymDifference on overlapping,
+    nested and disjoint rectangles + point-set algebra (GeoFunctions
+    stUnion:521/stIntersection:807/stDifference:771/stSymmetricDifference:842)."""
+    df = spark.range(1)
+    g = lambda w: P.st_geom_from_text(F.lit(w))  # noqa: E731
+    A = g("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    B = g("POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))")
+    D = g("POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))")  # strictly inside A
+    C = g("POLYGON ((10 0, 11 0, 11 1, 10 1, 10 0))")  # disjoint from A
+    mp1 = g("MULTIPOINT ((0 0), (1 1), (2 2))")
+    mp2 = g("MULTIPOINT ((1 1), (3 3))")
+    mat = df.select(
+        P.st_intersection(A, B).alias("i"),
+        P.st_union(A, B).alias("u"),
+        P.st_difference(A, B).alias("d"),
+        P.st_sym_difference(A, B).alias("s"),
+        P.st_difference(A, D).alias("hole"),
+        P.st_union(A, C).alias("dis_u"),
+        P.st_intersection(A, C).alias("dis_i"),
+        P.st_intersection(mp1, mp2).alias("mpi"),
+        P.st_sym_difference(mp1, mp2).alias("mps"),
+    )
+    row = mat.select(
+        P.st_area("i").alias("ai"),
+        P.st_area("u").alias("au"),
+        P.st_area("d").alias("ad"),
+        P.st_area("s").alias("as_"),
+        P.st_area("hole").alias("ah"),
+        P.st_num_interior_ring("hole").alias("nir"),
+        P.st_contains(F.col("hole"), P.st_point(F.lit(1.5), F.lit(1.5))).alias("in_hole"),
+        P.st_area("dis_u").alias("adu"),
+        P.st_geometry_type("dis_u").alias("tdu"),
+        P.st_num_geometries("dis_i").alias("ndi"),
+        P.st_num_points("mpi").alias("nmpi"),
+        P.st_num_points("mps").alias("nmps"),
+    ).collect()[0]
+    assert row.ai == 4.0 and row.au == 28.0 and row.ad == 12.0 and row.as_ == 24.0
+    assert row.ah == 15.0 and row.nir == 1 and not row.in_hole
+    assert row.adu == 17.0 and row.tdu == "ST_MultiPolygon" and row.ndi == 0
+    assert row.nmpi == 1 and row.nmps == 3
+
+
+def test_geo_topological_predicates(spark):
+    """ST_Crosses/ST_Overlaps/ST_Touches (GeoFunctions.java:869,926,953)."""
+    df = spark.range(1)
+    g = lambda w: P.st_geom_from_text(F.lit(w))  # noqa: E731
+    A = g("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    B = g("POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))")   # overlaps A
+    C = g("POLYGON ((4 0, 8 0, 8 4, 4 4, 4 0))")   # shares edge x=4 with A
+    L = g("LINESTRING (-1 2, 5 2)")                # enters and leaves A
+    Lin = g("LINESTRING (1 1, 2 2)")               # interior to A
+    L6 = g("LINESTRING (0 0, 3 0)")
+    L7 = g("LINESTRING (1 0, 5 0)")                # collinear 1-dim overlap
+    row = df.select(
+        P.st_overlaps(A, B).alias("ab_over"),
+        P.st_touches(A, B).alias("ab_touch"),
+        P.st_overlaps(A, C).alias("ac_over"),
+        P.st_touches(A, C).alias("ac_touch"),
+        P.st_crosses(L, A).alias("l_cross"),
+        P.st_crosses(Lin, A).alias("lin_cross"),
+        P.st_overlaps(L6, L7).alias("l67_over"),
+        P.st_crosses(L6, L7).alias("l67_cross"),
+    ).collect()[0]
+    assert row.ab_over and not row.ab_touch
+    assert not row.ac_over and row.ac_touch
+    assert row.l_cross and not row.lin_cross
+    assert row.l67_over and not row.l67_cross
