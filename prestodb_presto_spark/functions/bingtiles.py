@@ -139,3 +139,30 @@ def bing_tiles_around(lat, lon, zoom) -> Column:
         & (t.getField("y") < n),
     )
     return in_range
+
+
+@register("geometry_to_bing_tiles")
+def geometry_to_bing_tiles(g, zoom) -> Column:
+    """All tiles at ``zoom`` covering the geometry's envelope
+    (BingTileFunctions.java:204 geometryToBingTiles).  The tile range
+    comes from the envelope's NW/SE corners through the same
+    Web-Mercator math as bing_tile_at; the row expands to the x×y cross
+    product with sequence()+flatten — same grid decomposition as the
+    scale-path spatial join (operators/spatial.py).  Deviation
+    (documented): tiles covering the ENVELOPE, not re-filtered against
+    a non-rectangular geometry's exact boundary."""
+    from prestodb_presto_spark.functions.geo import st_xmax, st_xmin, st_ymax, st_ymin
+
+    gg = c(g)
+    z = lit_or_col(zoom).cast("int")
+    # geometry x = longitude, y = latitude
+    nw = bing_tile_at(st_ymax(gg), st_xmin(gg), z)
+    se = bing_tile_at(st_ymin(gg), st_xmax(gg), z)
+    x0, x1 = nw.getField("x"), se.getField("x")
+    y0, y1 = nw.getField("y"), se.getField("y")
+    return F.flatten(
+        F.transform(
+            F.sequence(x0, x1),
+            lambda tx: F.transform(F.sequence(y0, y1), lambda ty: _tile(tx, ty, z)),
+        )
+    )

@@ -29,8 +29,52 @@ def regexp_extract_all(x, pattern: str, group: int = 0):
 
 
 @register("regexp_replace")
-def regexp_replace(x, pattern: str, repl: str = ""):
-    return F.regexp_replace(c(x), pattern, repl)
+def regexp_replace(x, pattern: str, repl=""):
+    """regexp_replace(string, pattern[, replacement | lambda]).
+
+    The third argument may be a Python callable — the reference's
+    replace-with-function overload (JoniRegexpFunctions.java
+    regexpReplace(Slice, Regex, ...Lambda): the lambda receives the
+    capture-group array of each match and returns its replacement).
+    The lambda form runs in the pandas-UDF tier (per-match Python is
+    inherently row-at-a-time; Arrow batches keep it off the hot path);
+    the plain-string form stays a native JVM expression."""
+    if not callable(repl):
+        return F.regexp_replace(c(x), pattern, repl)
+
+    import re as _re
+
+    from pyspark.sql.functions import pandas_udf
+
+    compiled = _re.compile(pattern)
+
+    @pandas_udf("string")
+    def _replace(s):
+        class _NullReplacement(Exception):
+            pass
+
+        def one(v):
+            if v is None:
+                return None
+
+            def sub(m):
+                # the lambda receives exactly the capture groups (empty
+                # array for a group-less pattern, None for non-matching
+                # groups); a NULL replacement nulls the ENTIRE result —
+                # JoniRegexpReplaceLambdaFunction.java:86-104
+                out = repl(list(m.groups()))
+                if out is None:
+                    raise _NullReplacement
+                return str(out)
+
+            try:
+                return compiled.sub(sub, v)
+            except _NullReplacement:
+                return None
+
+        return s.map(one)
+
+    return _replace(c(x))
 
 
 @register("regexp_split")

@@ -303,7 +303,9 @@ def fn_json_ops(spark, sf_dir):
            regexp_extract(p_name, '^([a-z]+) ([a-z]+)$', 2) AS noun,
            regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
            coalesce(array_to_string(string_split_regex(p_name, '\\s+'), '|'), '') AS tokens,
-           CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT) AS n_vowels
+           CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT) AS n_vowels,
+           list_aggregate(list_transform(string_split_regex(p_name, '\\s+'),
+               w -> upper(substr(w, 1, 1)) || lower(substr(w, 2))), 'string_agg', ' ') AS title_cased
     FROM part ORDER BY p_partkey
     """,
     tags=("functions", "regexp"),
@@ -321,6 +323,11 @@ def fn_regexp_ops(spark, sf_dir):
             P.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
             jarr(P.regexp_split("p_name", r"\s+")).alias("tokens"),
             P.cardinality(P.regexp_extract_all("p_name", "[aeiou]")).alias("n_vowels"),
+            # replace-with-function overload (JoniRegexpReplaceLambdaFunction.java):
+            # the lambda gets the capture-group list of each match
+            P.regexp_replace(
+                "p_name", r"(\w)(\w*)", lambda g: (g[0] or "").upper() + (g[1] or "")
+            ).alias("title_cased"),
         )
         .orderBy("p_partkey")
     )
@@ -460,18 +467,32 @@ def join_spatial_contains(spark, sf_dir):
     oracle="""
     WITH pt AS (SELECT p_partkey,
                        (CAST(p_size AS DOUBLE) - 25) * 3 AS lat,
-                       CAST(p_partkey % 360 AS DOUBLE) - 180 AS lon
+                       CAST(p_partkey % 360 AS DOUBLE) - 180 AS lon,
+                       (CAST(p_size AS DOUBLE) - 25) * 2 AS rlat0,
+                       (CAST(p_size AS DOUBLE) - 25) * 2 + 3 AS rlat1,
+                       CAST(p_partkey % 300 AS DOUBLE) - 150 AS rlon0,
+                       CAST(p_partkey % 300 AS DOUBLE) - 150 + 2.7 AS rlon1
                 FROM part),
          xy AS (SELECT p_partkey, lat, lon,
                        CAST(GREATEST(0, LEAST(FLOOR((lon + 180) / 360 * 256), 255)) AS INT) AS tx,
                        CAST(GREATEST(0, LEAST(FLOOR(
                            (0.5 - ln((1 + sin(radians(lat))) / (1 - sin(radians(lat)))) / (4 * pi()))
-                           * 256), 255)) AS INT) AS ty
+                           * 256), 255)) AS INT) AS ty,
+                       CAST(GREATEST(0, LEAST(FLOOR((rlon0 + 180) / 360 * 64), 63)) AS INT) AS cx0,
+                       CAST(GREATEST(0, LEAST(FLOOR((rlon1 + 180) / 360 * 64), 63)) AS INT) AS cx1,
+                       CAST(GREATEST(0, LEAST(FLOOR(
+                           (0.5 - ln((1 + sin(radians(rlat1))) / (1 - sin(radians(rlat1)))) / (4 * pi()))
+                           * 64), 63)) AS INT) AS cy0,
+                       CAST(GREATEST(0, LEAST(FLOOR(
+                           (0.5 - ln((1 + sin(radians(rlat0))) / (1 - sin(radians(rlat0)))) / (4 * pi()))
+                           * 64), 63)) AS INT) AS cy1
                 FROM pt)
     SELECT p_partkey, tx, ty,
            array_to_string(list_transform(generate_series(7, 0, -1),
                i -> CAST((tx // CAST(pow(2, i) AS INT)) % 2
-                         + 2 * ((ty // CAST(pow(2, i) AS INT)) % 2) AS VARCHAR)), '') AS quadkey
+                         + 2 * ((ty // CAST(pow(2, i) AS INT)) % 2) AS VARCHAR)), '') AS quadkey,
+           (cx1 - cx0 + 1) * (cy1 - cy0 + 1) AS n_cover,
+           cx0 AS cover_x0, cy0 AS cover_y0
     FROM xy ORDER BY p_partkey
     """,
     tags=("functions", "geospatial", "bing"),
@@ -487,12 +508,31 @@ def fn_geo_bing_tiles(spark, sf_dir):
     lat = (F.col("p_size").cast("double") - 25) * 3
     lon = (F.col("p_partkey") % 360).cast("double") - 180
     tile = P.bing_tile_at(lat, lon, F.lit(8))
+    # a ~3°×2.7° rectangle per row for geometry_to_bing_tiles
+    # (BingTileFunctions.java:204): lat stays within ±53° so no clamping
+    rlat0 = (F.col("p_size").cast("double") - 25) * 2
+    rlon0 = (F.col("p_partkey") % 300).cast("double") - 150
+    num = lambda v: v.cast("string")  # noqa: E731
+    rect_wkt = F.concat(
+        F.lit("POLYGON (("),
+        num(rlon0), F.lit(" "), num(rlat0), F.lit(", "),
+        num(rlon0 + 2.7), F.lit(" "), num(rlat0), F.lit(", "),
+        num(rlon0 + 2.7), F.lit(" "), num(rlat0 + 3), F.lit(", "),
+        num(rlon0), F.lit(" "), num(rlat0 + 3), F.lit(", "),
+        num(rlon0), F.lit(" "), num(rlat0),
+        F.lit("))"),
+    )
+    cover = P.geometry_to_bing_tiles(P.st_geom_from_text(rect_wkt), F.lit(6))
+    first = F.element_at(cover, 1)
     return (
         part.select(
             "p_partkey",
             tile.getField("x").alias("tx"),
             tile.getField("y").alias("ty"),
             P.bing_tile_quadkey(tile).alias("quadkey"),
+            F.size(cover).alias("n_cover"),
+            first.getField("x").alias("cover_x0"),
+            first.getField("y").alias("cover_y0"),
         )
         .orderBy("p_partkey")
     )

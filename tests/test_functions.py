@@ -431,3 +431,36 @@ def test_normal_cdf_and_inverse(spark):
     ).collect()[0]
     assert abs(aux.z - 1.959963984540054) < 1e-9
     assert isinstance(aux.ch, int) and len(aux.ct) == 8
+
+
+def test_regexp_replace_lambda(spark):
+    """Replace-with-function overload — case parity with reference
+    TestRegexpFunctions.testRegexpReplaceLambda (the lambda receives the
+    capture-group list; NULL replacement nulls the whole result)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("new york",), ("abbabba",), ("abde",), (None,)], "s string"
+    )
+    rows = df.select(
+        P.regexp_replace("s", r"(\w)(\w*)", lambda x: (x[0] or "").upper() + (x[1] or "").lower()).alias("title"),
+        P.regexp_replace("s", r"(abba)", lambda x: "m").alias("m1"),
+        P.regexp_replace("s", r"ab(c)?de", lambda x: "foo" if x[0] is None else "bar").alias("opt"),
+        P.regexp_replace("s", r"ab(c)?de", lambda x: x[0]).alias("null_prop"),
+        P.regexp_replace("s", r"(zz)", lambda x: x[0].upper()).alias("nomatch"),
+    ).collect()
+    by = {i: r for i, r in enumerate(rows)}
+    assert by[0].title == "New York"
+    assert by[1].m1 == "mbba"
+    assert by[2].opt == "foo"           # (c)? unmatched → lambda sees None
+    assert by[2].null_prop is None      # lambda returned None → whole result NULL
+    assert by[0].nomatch == "new york"  # no match → unchanged
+    assert by[3].title is None          # NULL input → NULL
+    # group-less pattern passes an empty list; zero-width matches interleave
+    df1 = spark.createDataFrame([("abc",)], "s string")
+    r = df1.select(
+        P.regexp_replace("s", r".", lambda x: "m").alias("dots"),
+        P.regexp_replace("s", r"", lambda x: "OK").alias("empty"),
+    ).collect()[0]
+    assert r.dots == "mmm"
+    assert r.empty == "OKaOKbOKcOK"
