@@ -276,3 +276,72 @@ def current_time():
     """Session-zone TIME as 'HH:mm:ss' (no TIME type in Spark — same
     documented deviation as localtime)."""
     return F.date_format(F.current_timestamp(), "HH:mm:ss")
+
+
+# --- TIME type convention (reference TypeRegistry.java:123-148) -------------
+# Spark has no TIME type; the engine's documented convention is BIGINT
+# millis-since-midnight (the reference's own internal representation —
+# spi/type/TimeType.java stores millis in a long).  Comparison/ordering
+# are then plain integer semantics, matching TIME comparisons.
+
+
+@register("to_time")
+def to_time(x) -> Column:
+    """CAST(x AS TIME) under the millis-since-midnight convention:
+    accepts 'HH:MM:SS[.mmm]' strings or timestamps (time-of-day part).
+    Reference operator: TimeOperators.castFromSlice /
+    TimestampOperators.castToTime."""
+    col = c(x)
+    from_ts = F.unix_millis(col.cast("timestamp")) % 86400000
+    h = F.split(col, ":").getItem(0).cast("bigint")
+    m = F.split(col, ":").getItem(1).cast("bigint")
+    s = F.split(col, ":").getItem(2).cast("double")
+    from_str = h * 3600000 + m * 60000 + F.floor(s * 1000).cast("bigint")
+    is_str = col.cast("string").rlike(r"^\d{1,2}:\d{2}:\d{2}(\.\d+)?$")
+    return F.when(is_str, from_str).otherwise(from_ts)
+
+
+@register("time_hour")
+def time_hour(t) -> Column:
+    """hour(TIME) (DateTimeFunctions.hourFromTime)."""
+    return F.floor(c(t) / 3600000).cast("bigint")
+
+
+@register("time_minute")
+def time_minute(t) -> Column:
+    """minute(TIME) (DateTimeFunctions.minuteFromTime)."""
+    return (F.floor(c(t) / 60000) % 60).cast("bigint")
+
+
+@register("time_second")
+def time_second(t) -> Column:
+    """second(TIME) (DateTimeFunctions.secondFromTime)."""
+    return (F.floor(c(t) / 1000) % 60).cast("bigint")
+
+
+@register("time_millisecond")
+def time_millisecond(t) -> Column:
+    """millisecond(TIME) (DateTimeFunctions.millisecondFromTime)."""
+    return (c(t) % 1000).cast("bigint")
+
+
+@register("time_add")
+def time_add(unit: str, n, t) -> Column:
+    """date_add(unit, n, TIME) with 24h wraparound — reference
+    DateTimeFunctions.addFieldValueTime applies modulo24Hour."""
+    ms_per = {"millisecond": 1, "second": 1000, "minute": 60000, "hour": 3600000}[unit]
+    return ((c(t) + lit_or_col(n) * ms_per) % 86400000 + 86400000) % 86400000
+
+
+@register("time_to_varchar")
+def time_to_varchar(t) -> Column:
+    """CAST(TIME AS VARCHAR) → 'HH:MM:SS.mmm'
+    (TimeOperators.castToSlice prints millis always)."""
+    tt = c(t)
+    pad = lambda col, n: F.lpad(col.cast("string"), n, "0")  # noqa: E731
+    return F.concat(
+        pad(time_hour(tt), 2), F.lit(":"),
+        pad(time_minute(tt), 2), F.lit(":"),
+        pad(time_second(tt), 2), F.lit("."),
+        pad(time_millisecond(tt), 3),
+    )

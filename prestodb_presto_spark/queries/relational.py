@@ -635,3 +635,52 @@ def join_null_safe_eq(spark, sf_dir):
         )
         .orderBy(F.col("key").asc_nulls_first())
     )
+
+
+@query(
+    "types_time_ops",
+    oracle="""
+    WITH tod AS (
+      SELECT event_id,
+             CAST(epoch_ms(ts) % 86400000 AS BIGINT) AS t
+      FROM events
+    )
+    SELECT event_id, t,
+           CAST(t // 3600000 AS BIGINT) AS h,
+           CAST((t // 60000) % 60 AS BIGINT) AS m,
+           CAST((t // 1000) % 60 AS BIGINT) AS s,
+           t < 43200000 AS is_am,
+           CAST((t + 90 * 60000) % 86400000 AS BIGINT) AS plus_90m,
+           lpad(CAST(t // 3600000 AS VARCHAR), 2, '0') || ':' ||
+           lpad(CAST((t // 60000) % 60 AS VARCHAR), 2, '0') || ':' ||
+           lpad(CAST((t // 1000) % 60 AS VARCHAR), 2, '0') || '.' ||
+           lpad(CAST(t % 1000 AS VARCHAR), 3, '0') AS t_str,
+           CAST(36930123 // 3600000 AS BIGINT) AS lit_h
+    FROM tod ORDER BY event_id
+    """,
+    tags=("types", "time"),
+)
+def types_time_ops(spark, sf_dir):
+    """TIME type convention (§1.2 gap closure — reference
+    TypeRegistry.java:123-148, spi/type/TimeType.java stores TIME as
+    millis-since-midnight in a long; the engine adopts the same
+    representation as a BIGINT column).  CAST(timestamp AS TIME),
+    field extraction, integer-semantics comparison, wraparound
+    date_add, CAST(TIME AS VARCHAR), and a literal parse
+    ('10:15:30.123' = 36930123 ms) — each re-derived closed-form by
+    the oracle."""
+    from prestodb_presto_spark.functions import presto as P
+
+    ev = t(spark, sf_dir, "events")
+    tod = ev.select("event_id", P.to_time("ts").alias("t"))
+    return tod.select(
+        "event_id",
+        "t",
+        P.time_hour("t").alias("h"),
+        P.time_minute("t").alias("m"),
+        P.time_second("t").alias("s"),
+        (F.col("t") < P.to_time(F.lit("12:00:00"))).alias("is_am"),
+        P.time_add("minute", 90, F.col("t")).alias("plus_90m"),
+        P.time_to_varchar("t").alias("t_str"),
+        P.time_hour(P.to_time(F.lit("10:15:30.123"))).alias("lit_h"),
+    ).orderBy("event_id")

@@ -464,3 +464,22 @@ def test_regexp_replace_lambda(spark):
     ).collect()[0]
     assert r.dots == "mmm"
     assert r.empty == "OKaOKbOKcOK"
+
+
+def test_time_convention(spark):
+    """TIME = BIGINT millis-since-midnight (TypeRegistry.java:123-148,
+    TimeType.java): parse, extract, wraparound arithmetic, print."""
+    from pyspark.sql import functions as F
+
+    r = spark.range(1).select(
+        P.to_time(F.lit("23:45:10.500")).alias("t"),
+        P.time_add("hour", 1, P.to_time(F.lit("23:45:10.500"))).alias("wrap_fwd"),
+        P.time_add("minute", -90, P.to_time(F.lit("00:30:00"))).alias("wrap_back"),
+        P.time_to_varchar(P.to_time(F.lit("7:05:09"))).alias("printed"),
+        P.time_millisecond(P.to_time(F.lit("10:15:30.123"))).alias("ms"),
+    ).collect()[0]
+    assert r.t == ((23 * 60 + 45) * 60 + 10) * 1000 + 500
+    assert r.wrap_fwd == ((0 * 60 + 45) * 60 + 10) * 1000 + 500
+    assert r.wrap_back == 23 * 3600000
+    assert r.printed == "07:05:09.000"
+    assert r.ms == 123
