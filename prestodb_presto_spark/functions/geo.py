@@ -26,8 +26,10 @@ the pandas-UDF tier: functions/geo_setops.py.
 
 Limits (documented, not silently wrong): MULTIPOLYGON WKT round-trips
 each ring as its own part (holes inside multipolygon parts measure
-correctly via parity but serialize as separate parts); ST_Relate's
-general DE-9IM matrix remains a Sedona integration point.
+correctly via parity but serialize as separate parts); ST_Relate
+honors T/F/* DE-9IM patterns but treats dimension digits as T;
+ST_Buffer of a concave shape fills pockets to the convex hull; exact
+general forms of those two remain a Sedona integration point.
 """
 
 from __future__ import annotations
@@ -189,14 +191,24 @@ def st_geom_from_text(wkt) -> Column:
     return _geom(kind, pts, F.when(poly, rings).otherwise(F.array(F.flatten(rings))))
 
 
+_SEGS_DDL = (
+    "array<struct<a:struct<x:double,y:double>,b:struct<x:double,y:double>>>"
+)
+
+
 def _pts_segs(pts: Column) -> Column:
-    """Consecutive point pairs of a vertex array."""
-    return F.transform(
-        F.sequence(F.lit(1), F.size(pts) - 1),
-        lambda i: F.struct(
-            F.element_at(pts, i).alias("a"), F.element_at(pts, i + 1).alias("b")
+    """Consecutive point pairs of a vertex array; empty for degenerate
+    (<2 vertex) inputs — sequence(1, size-1) on a 1-point array counts
+    DOWN and walks off the end."""
+    return F.when(
+        F.size(pts) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(pts) - 1),
+            lambda i: F.struct(
+                F.element_at(pts, i).alias("a"), F.element_at(pts, i + 1).alias("b")
+            ),
         ),
-    )
+    ).otherwise(F.array().cast(_SEGS_DDL))
 
 
 def _segs(g: Column) -> Column:
@@ -699,6 +711,31 @@ def st_buffer(g, dist, n_sides: int = 32) -> Column:
         _pt(cx + r * 1.0, cy + r * 0.0),
     )
     return F.when(gg.getField("kind") == "point", _geom("polygon", ring))
+
+
+@register("st_buffer_geom")
+def st_buffer_geom(g, dist: float, n_sides: int = 32) -> Column:
+    """ST_Buffer for line/polygon kinds (GeoFunctions.stBuffer:182):
+    Minkowski sum with a disc = convex hull of per-vertex circle samples
+    — exact rounded offset for CONVEX inputs; concave pockets fill to
+    the hull (documented).  Pandas-UDF tier like ST_ConvexHull, hence
+    the sibling name: the UDF-backed column cannot nest inside
+    higher-order-function lambdas, so the POINT fast path keeps the
+    fully-native st_buffer spelling."""
+    if float(dist) < 0:
+        raise ValueError("buffer distance is negative")  # GeoFunctions.stBuffer check
+
+    def _buffer_hull(kind, pts, d, n):
+        import math as _m2
+
+        samples = []
+        for (x, y) in pts:
+            for i in range(n):
+                ang = 2 * _m2.pi * i / n
+                samples.append((x + d * _m2.cos(ang), y + d * _m2.sin(ang)))
+        return _convex_hull("polygon", samples)
+
+    return _geom_pandas(_buffer_hull, extra=(float(dist), int(n_sides)))(c(g))
 
 
 @register("geometry_invalid_reason")
@@ -1236,3 +1273,90 @@ def st_touches(g1, g2) -> Column:
     their interiors don't — contact only along boundaries."""
     a, b = c(g1), c(g2)
     return st_intersects(a, b) & ~_interiors_intersect(a, b)
+
+
+@register("st_distance_geom")
+def st_distance_geom(g1, g2) -> Column:
+    """General geometry-to-geometry minimum distance
+    (GeoFunctions.stDistance over arbitrary kinds; the registered
+    st_distance keeps the bare-POINT fast path — Spark Columns carry no
+    static type, so the two representations get two spellings).  0 when
+    the geometries intersect; otherwise the min over vertex-to-segment
+    projections in both directions — all codegen'd array expressions."""
+    a, b = c(g1), c(g2)
+
+    def pt_seg_d2(p, s):
+        ax, ay = s.getField("a").getField("x"), s.getField("a").getField("y")
+        bx, by = s.getField("b").getField("x"), s.getField("b").getField("y")
+        px, py = p.getField("x"), p.getField("y")
+        vx, vy = bx - ax, by - ay
+        l2 = vx * vx + vy * vy
+        tt = F.when(
+            l2 > 0,
+            F.greatest(F.lit(0.0), F.least(F.lit(1.0), ((px - ax) * vx + (py - ay) * vy) / l2)),
+        ).otherwise(F.lit(0.0))
+        qx, qy = ax + tt * vx, ay + tt * vy
+        return (px - qx) * (px - qx) + (py - qy) * (py - qy)
+
+    def min_vert_to_segs(g, other):
+        verts = F.flatten(g.getField("rings"))
+        segs = _all_segs(other)
+        per_vertex = F.transform(
+            verts, lambda p: F.array_min(F.transform(segs, lambda s: pt_seg_d2(p, s)))
+        )
+        # degenerate single-vertex geometries have no segments: fall back
+        # to vertex-to-vertex distance
+        vv = F.array_min(
+            F.transform(
+                verts,
+                lambda p: F.array_min(
+                    F.transform(
+                        F.flatten(other.getField("rings")),
+                        lambda q: (p.getField("x") - q.getField("x"))
+                        * (p.getField("x") - q.getField("x"))
+                        + (p.getField("y") - q.getField("y"))
+                        * (p.getField("y") - q.getField("y")),
+                    )
+                ),
+            )
+        )
+        return F.coalesce(F.array_min(per_vertex), vv)
+
+    d2 = F.least(min_vert_to_segs(a, b), min_vert_to_segs(b, a))
+    return F.when(st_intersects(a, b), F.lit(0.0)).otherwise(F.sqrt(d2))
+
+
+@register("st_relate")
+def st_relate(g1, g2, pattern: str) -> Column:
+    """ST_Relate(a, b, 'T*F**F***') (GeoFunctions.stRelate) — restricted
+    DE-9IM: pattern positions are honored for T/F/* where each matrix
+    cell is derived as a boolean from the engine's interior/boundary
+    primitives; dimension digits (0/1/2) are treated as T (documented
+    deviation — exact intersection dimensions need a geometry library)."""
+    a, b = c(g1), c(g2)
+    pat = pattern.upper()
+    if len(pat) != 9:
+        raise ValueError("DE-9IM pattern must have 9 characters")
+    bb = F.exists(_all_segs(a), lambda s1: F.exists(_all_segs(b), lambda s2: _seg_intersects(s1, s2)))
+    out_a = F.exists(F.flatten(a.getField("rings")), lambda p: _strictly_outside(b, p))
+    out_b = F.exists(F.flatten(b.getField("rings")), lambda p: _strictly_outside(a, p))
+    bi = F.exists(F.flatten(a.getField("rings")), lambda p: _strictly_inside(b, p)) | _proper_cross_any(a, b)
+    ib = F.exists(F.flatten(b.getField("rings")), lambda p: _strictly_inside(a, p)) | _proper_cross_any(a, b)
+    cells = [
+        _interiors_intersect(a, b),     # II
+        ib,                             # IB: A's interior meets B's boundary (≈ symmetric probe)
+        out_a | _proper_cross_any(a, b),  # IE: A's interior escapes B
+        bi,                             # BI
+        bb,                             # BB
+        out_a,                          # BE: A's boundary reaches B's exterior
+        out_b | _proper_cross_any(a, b),  # EI
+        out_b,                          # EB
+        F.lit(True),                    # EE: exteriors always meet (plane is unbounded)
+    ]
+    result = F.lit(True)
+    for ch, cell in zip(pat, cells):
+        if ch in ("T", "0", "1", "2"):
+            result = result & cell
+        elif ch == "F":
+            result = result & ~cell
+    return result

@@ -442,3 +442,35 @@ def test_geo_topological_predicates(spark):
     assert not row.ac_over and row.ac_touch
     assert row.l_cross and not row.lin_cross
     assert row.l67_over and not row.l67_cross
+
+
+def test_geo_distance_relate_buffer(spark):
+    """General ST_Distance (st_distance_geom), restricted DE-9IM
+    ST_Relate, and convex-shape ST_Buffer (GeoFunctions stDistance /
+    stRelate:941 / stBuffer:182)."""
+    df = spark.range(1)
+    g = lambda w: P.st_geom_from_text(F.lit(w))  # noqa: E731
+    A = g("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    B = g("POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))")
+    D = g("POLYGON ((10 0, 12 0, 12 2, 10 2, 10 0))")
+    L = g("LINESTRING (6 0, 6 4)")
+    pt = g("POINT (7 4)")
+    row = df.select(
+        P.st_distance_geom(A, D).alias("d_ad"),
+        P.st_distance_geom(A, L).alias("d_al"),
+        P.st_distance_geom(A, B).alias("d_ab"),
+        P.st_distance_geom(pt, A).alias("d_pa"),
+        P.st_relate(A, B, "T*T***T**").alias("rel_overlap"),
+        P.st_relate(A, D, "FF*FF****").alias("rel_disjoint"),
+    ).collect()[0]
+    assert row.d_ad == 6.0 and row.d_al == 2.0 and row.d_ab == 0.0 and row.d_pa == 3.0
+    assert row.rel_overlap and row.rel_disjoint
+    buf = df.select(P.st_buffer_geom(A, 2.0).alias("b")).select(
+        P.st_area("b").alias("area"), P.st_xmax("b").alias("xmax")
+    ).collect()[0]
+    # rounded offset of a 4x4 square: 16 + 4·4·2 + π·2² (32-gon slightly under)
+    assert abs(buf.area - (16 + 32 + math.pi * 4)) < 0.3
+    assert buf.xmax == 6.0
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        P.st_buffer_geom(A, -1.0)
