@@ -11,7 +11,7 @@ audited dispatch layer rather than a protocol implementation:
 | presto-hive (parquet/orc/text)    | read_table/write_table format=...   |
 | presto-orc / presto-rcfile        | format="orc" (vectorized reader)    |
 | presto-local-file                 | format="csv"/"json"/"text"          |
-| presto-base-jdbc + dialects       | jdbc() (gated: driver jar needed)   |
+| presto-base-jdbc + dialects       | jdbc()/jdbc_write() (Derby e2e)     |
 | presto-kafka / presto-redis       | kafka() batch/stream (gated)        |
 | presto-memory                     | memory.MemoryTable (cached view)    |
 | presto-blackhole                  | blackhole() noop sink               |
@@ -21,6 +21,7 @@ audited dispatch layer rather than a protocol implementation:
 from prestodb_presto_spark.sources.io import (
     blackhole,
     jdbc,
+    jdbc_write,
     kafka_batch,
     read_table,
     write_table,
@@ -32,6 +33,7 @@ __all__ = [
     "write_table",
     "blackhole",
     "jdbc",
+    "jdbc_write",
     "kafka_batch",
     "MemoryTable",
 ]

@@ -105,8 +105,12 @@ def jdbc(
     """presto-base-jdbc / presto-mysql / presto-postgresql → spark.read.jdbc.
 
     Parallel reads need (partition_column, bounds) — the analog of the
-    reference's JDBC splits.  Gated: raises a clear error if no driver
-    jar is on the classpath (none ships in this container).
+    reference's JDBC splits (presto-base-jdbc/.../JdbcSplit.java); Spark
+    pushes filters/projection into the remote SQL the same way the
+    reference's JdbcRecordCursor builds its SELECT.  External servers
+    (mysql/postgres/sqlserver/redshift) need their driver jar on the
+    classpath; the embedded Derby driver ships with Spark and exercises
+    the full path end-to-end (tests/test_sources_ddl.py).
     """
     reader = (
         spark.read.format("jdbc")
@@ -125,6 +129,22 @@ def jdbc(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def jdbc_write(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "overwrite",
+    **options,
+) -> None:
+    """JDBC sink (reference JdbcPageSink: presto-base-jdbc/.../
+    JdbcPageSink.java builds batched INSERTs; Spark's JDBC writer does
+    the same with executor-side batches, one connection per partition)."""
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.mode(mode).save()
 
 
 def kafka_batch(

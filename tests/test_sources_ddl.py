@@ -390,3 +390,32 @@ def test_dialect_tablesample_and_limit_all(engine):
     ).collect()[0].n
     total = engine.sql("SELECT count(*) AS n FROM orders").collect()[0].n
     assert 0 < n < total
+
+
+def test_jdbc_derby_roundtrip(spark, nation, tmp_path):
+    """presto-base-jdbc end-to-end against the embedded Derby driver that
+    ships with Spark (presto-base-jdbc/.../JdbcRecordCursor.java builds
+    SELECT with pushed-down predicates; JdbcPageSink.java batches
+    INSERTs; JdbcSplit.java = the partitioned read).  Asserts the full
+    write→partitioned-read→filter-pushdown path, not just signatures."""
+    from prestodb_presto_spark.sources import jdbc, jdbc_write
+
+    url = f"jdbc:derby:{tmp_path}/derby_db;create=true"
+    opts = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    jdbc_write(nation.select("n_nationkey", "n_name", "n_regionkey"), url, "nation_t", **opts)
+
+    back = jdbc(
+        spark, url, "nation_t",
+        partition_column="n_nationkey", num_partitions=4,
+        lower_bound=0, upper_bound=25, **opts,
+    )
+    assert back.rdd.getNumPartitions() == 4
+    assert back.count() == nation.count()
+    assert sorted(r.n_name for r in back.collect()) == sorted(
+        r.n_name for r in nation.collect()
+    )
+
+    flt = back.filter(F.col("n_regionkey") == 1).select("n_nationkey", "n_name")
+    plan = flt._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "n_regionkey" in plan.split("PushedFilters")[1][:120]
+    assert flt.count() == nation.filter("n_regionkey = 1").count()
