@@ -171,7 +171,11 @@ def _greiner_hormann(subject, clip, op):
             return [closed_subject]
 
     # phase 2: entry/exit flags by alternation from the start point's
-    # containment status; op-dependent inversion (classic G-H table)
+    # containment status; op-dependent inversion (classic G-H table:
+    # and=(0,0), or=(1,1), sub=invert SUBJECT only — inverting the clip
+    # instead traces B∖A whenever the traversal's first unvisited
+    # intersection lands on a B-inside-A arc; caught by the randomized
+    # inclusion–exclusion property, 95/400 seeded pairs wrong)
     def mark(head, other_closed, invert):
         status = not _pt_in_ring(head.pt, other_closed)  # True ⇒ next crossing enters
         n = head
@@ -183,8 +187,8 @@ def _greiner_hormann(subject, clip, op):
             if n is head:
                 break
 
-    mark(s_head, closed_clip, invert=(op == "or"))
-    mark(c_head, closed_subject, invert=(op != "and"))
+    mark(s_head, closed_clip, invert=(op != "and"))
+    mark(c_head, closed_subject, invert=(op == "or"))
 
     # phase 3: traverse
     rings = []

@@ -543,9 +543,9 @@ def fn_geo_bing_tiles(spark, sf_dir):
     oracle="""
     SELECT p_partkey,
            ROUND(CAST(p_size AS DOUBLE) * (p_retailprice / 100) / 4, 6) AS inter_area,
-           ROUND(CAST(p_size AS DOUBLE) * (p_retailprice / 100) * 7 / 4, 6) AS union_area,
+           ROUND(CAST(p_size AS DOUBLE) * (p_retailprice / 100) * 3, 6) AS union_area,
            ROUND(CAST(p_size AS DOUBLE) * (p_retailprice / 100) * 3 / 4, 6) AS diff_area,
-           ROUND(CAST(p_size AS DOUBLE) * (p_retailprice / 100) * 3 / 2, 6) AS sym_area,
+           ROUND(CAST(p_size AS DOUBLE) * (p_retailprice / 100) * 11 / 4, 6) AS sym_area,
            ROUND(CAST(p_size AS DOUBLE) * (p_retailprice / 100) * 3 / 4, 6) AS hole_area,
            1 AS n_holes,
            true AS ab_overlaps,
@@ -561,8 +561,12 @@ def fn_geo_set_ops(spark, sf_dir):
     (GeoFunctions.java stUnion:521 / stIntersection:807 /
     stDifference:771 / stSymmetricDifference:842, stCrosses:869 /
     stOverlaps:926 / stTouches:953).  Per-row axis-aligned rectangles
-    derived from part columns: A = (0,0)-(s,h), B = A shifted by
-    (s/2, h/2) — overlap is exactly s·h/4 — C shares A's edge x=s, and
+    derived from part columns: A = (0,0)-(s,h), B = (s/2,h/2)-(2s,2h)
+    — overlap is exactly s·h/4, and area(B) = 9sh/4 ≠ area(A) so
+    A∖B (3sh/4) and B∖A (2sh) are DISTINGUISHABLE: an operand-order
+    bug in the clipping tier cannot hide (the randomized
+    inclusion–exclusion property in tests/test_geo_properties.py
+    caught exactly that in the equal-area version).  C shares A's edge x=s, and
     H = (s/4,h/4)-(3s/4,3h/4) sits strictly inside A so A−H is a polygon
     with a hole.  Divisors stay ≤4 so every oracle value is exact at 6
     decimals (sh has 4 decimals) — deeper fractions land on the x.5
@@ -601,7 +605,7 @@ def fn_geo_set_ops(spark, sf_dir):
     geoms = part.select(
         "p_partkey",
         rect(zero, zero, s, h).alias("a"),
-        rect(s / 2, h / 2, s * 1.5, h * 1.5).alias("b"),
+        rect(s / 2, h / 2, s * 2, h * 2).alias("b"),
         rect(s, zero, s * 2, h).alias("cc"),
         rect(s / 4, h / 4, s * 0.75, h * 0.75).alias("hole"),
         P.st_line_from_text(
