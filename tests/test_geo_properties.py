@@ -78,3 +78,188 @@ def test_setop_area_inclusion_exclusion(spark):
             assert r.touches, r
     # the seed must actually exercise the overlap branch
     assert overlapping >= 8
+
+
+def test_setop_membership_consistency(spark):
+    """The clipped geometry itself (not just its area) must be the
+    boolean region: for random probe points p,
+        p ∈ A∪B ⇔ p∈A or p∈B,   p ∈ A∩B ⇔ p∈A and p∈B,
+        p ∈ A∖B ⇔ p∈A and p∉B
+    (even-odd ring parity on the non-convex results).  Probes landing
+    within 1e-9 of a boundary are excluded by construction probability."""
+    rng = random.Random(97)
+    rows = []
+    for i in range(30):
+        wa, wb = _random_convex_wkt(rng), _random_convex_wkt(rng)
+        for j in range(8):
+            rows.append((i, wa, wb, rng.uniform(-7, 7), rng.uniform(-7, 7)))
+    df = spark.createDataFrame(rows, "id long, wa string, wb string, px double, py double")
+    geoms = df.select(
+        "id", "px", "py",
+        P.st_geom_from_text(F.col("wa")).alias("a"),
+        P.st_geom_from_text(F.col("wb")).alias("b"),
+    )
+    clipped = geoms.select(
+        "id", "px", "py", "a", "b",
+        P.st_union("a", "b").alias("u"),
+        P.st_intersection("a", "b").alias("i"),
+        P.st_difference("a", "b").alias("d"),
+    )
+    pt = P.st_point(F.col("px"), F.col("py"))
+    out = clipped.select(
+        P.st_contains("a", pt).alias("in_a"),
+        P.st_contains("b", pt).alias("in_b"),
+        P.st_contains("u", pt).alias("in_u"),
+        P.st_contains("i", pt).alias("in_i"),
+        P.st_contains("d", pt).alias("in_d"),
+    ).collect()
+    assert len(out) == 240
+    for r in out:
+        assert r.in_u == (r.in_a or r.in_b), r
+        assert r.in_i == (r.in_a and r.in_b), r
+        assert r.in_d == (r.in_a and not r.in_b), r
+
+
+def test_distance_geom_properties(spark):
+    """st_distance_geom: symmetric, 0 ⇔ intersecting, and equal to the
+    brute-force min over segment-pair distances computed in Python."""
+    rng = random.Random(1234)
+    rows = [(i, _random_convex_wkt(rng), _random_convex_wkt(rng)) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, wa string, wb string")
+    geoms = df.select(
+        "id",
+        P.st_geom_from_text(F.col("wa")).alias("a"),
+        P.st_geom_from_text(F.col("wb")).alias("b"),
+    )
+    out = geoms.select(
+        "id",
+        P.st_distance_geom("a", "b").alias("dab"),
+        P.st_distance_geom("b", "a").alias("dba"),
+        P.st_intersects("a", "b").alias("hits"),
+    ).collect()
+
+    def parse(w):
+        body = w[w.index("((") + 2 : w.index("))")]
+        return [tuple(map(float, p.split())) for p in body.split(",")]
+
+    def seg_pt_d(p, a, b):
+        vx, vy = b[0] - a[0], b[1] - a[1]
+        l2 = vx * vx + vy * vy
+        t = 0.0 if l2 == 0 else max(0.0, min(1.0, ((p[0] - a[0]) * vx + (p[1] - a[1]) * vy) / l2))
+        qx, qy = a[0] + t * vx, a[1] + t * vy
+        return math.hypot(p[0] - qx, p[1] - qy)
+
+    def brute(A, B):
+        best = float("inf")
+        for ring, other in ((A, B), (B, A)):
+            segs = list(zip(other, other[1:]))
+            for p in ring:
+                for a, b in segs:
+                    best = min(best, seg_pt_d(p, a, b))
+        return best
+
+    by_id = {i: (parse(wa), parse(wb)) for i, wa, wb in rows}
+    for r in out:
+        assert r.dab == r.dba, r
+        A, B = by_id[r.id]
+        if r.hits:
+            assert r.dab == 0.0, r
+        else:
+            assert abs(r.dab - brute(A, B)) < 1e-9, r
+
+
+def _random_holed_wkt(rng: random.Random) -> tuple[str, float, float]:
+    """Polygon with one hole = outer ellipse ring + the same ring scaled
+    by 0.4 about the centroid (reversed); returns (wkt, outer, hole)
+    shoelace areas computed independently in Python."""
+    cx, cy = rng.uniform(-3, 3), rng.uniform(-3, 3)
+    rx, ry = rng.uniform(1.0, 4), rng.uniform(1.0, 4)
+    angles = sorted(rng.uniform(0, 2 * math.pi) for _ in range(rng.randint(4, 9)))
+    outer = [(round(cx + rx * math.cos(a), 4), round(cy + ry * math.sin(a), 4)) for a in angles]
+    # scale about the VERTEX centroid — interior of a convex polygon by
+    # construction (the ellipse center is outside when angles span < pi)
+    gx = sum(x for x, _ in outer) / len(outer)
+    gy = sum(y for _, y in outer) / len(outer)
+    hole = [(round(gx + 0.4 * (x - gx), 4), round(gy + 0.4 * (y - gy), 4)) for x, y in reversed(outer)]
+
+    def shoelace(ring):
+        s = 0.0
+        closed = ring + [ring[0]]
+        for (x1, y1), (x2, y2) in zip(closed, closed[1:]):
+            s += x1 * y2 - x2 * y1
+        return abs(s) / 2
+
+    def ringtxt(r):
+        pts = r + [r[0]]
+        return "(" + ", ".join(f"{x:.4f} {y:.4f}" for x, y in pts) + ")"
+
+    wkt = f"POLYGON ({ringtxt(outer)}, {ringtxt(hole)})"
+    return wkt, shoelace(outer), shoelace(hole)
+
+
+def test_holed_polygon_area_and_roundtrip(spark):
+    """Multi-ring model: area = outer − hole; WKT → geometry → WKT → 
+    geometry is area/ring-count stable; centroid point is NOT contained
+    (it sits in the hole)."""
+    rng = random.Random(55)
+    rows = []
+    for i in range(40):
+        wkt, ao, ah = _random_holed_wkt(rng)
+        rows.append((i, wkt, ao, ah))
+    df = spark.createDataFrame(rows, "id long, wkt string, ao double, ah double")
+    g = df.select(
+        "id", "ao", "ah", P.st_geom_from_text(F.col("wkt")).alias("g")
+    )
+    out = g.select(
+        "id", "ao", "ah",
+        P.st_area("g").alias("area"),
+        P.st_num_interior_ring("g").alias("nholes"),
+        P.st_area(P.st_geom_from_text(P.st_as_text_geom("g"))).alias("area_rt"),
+    ).collect()
+    assert len(out) == 40
+    for r in out:
+        assert abs(r.area - (r.ao - r.ah)) < 1e-6 * max(1.0, r.ao), r
+        assert r.nholes == 1, r
+        assert abs(r.area_rt - r.area) < 1e-9 * max(1.0, r.ao), r
+
+
+def test_bing_tile_quadkey_roundtrip_and_covering(spark):
+    """quadkey(tile(x,y,z)) round-trips, and every random point's own
+    tile at zoom z is among geometry_to_bing_tiles of any envelope
+    containing the point."""
+    rng = random.Random(7)
+    rows = []
+    for i in range(60):
+        lat, lng = rng.uniform(-60, 60), rng.uniform(-170, 170)
+        dlat, dlng = rng.uniform(0.01, 2), rng.uniform(0.01, 2)
+        rows.append((i, lat, lng, min(lat - dlat, lat + dlat), max(lat - dlat, lat + dlat),
+                     lng - dlng, lng + dlng, rng.randint(4, 12)))
+    df = spark.createDataFrame(
+        rows, "id long, lat double, lng double, lat0 double, lat1 double, lng0 double, lng1 double, z int"
+    )
+    box = P.st_geom_from_text(
+        F.concat(
+            F.lit("POLYGON (("),
+            F.col("lng0").cast("string"), F.lit(" "), F.col("lat0").cast("string"), F.lit(", "),
+            F.col("lng1").cast("string"), F.lit(" "), F.col("lat0").cast("string"), F.lit(", "),
+            F.col("lng1").cast("string"), F.lit(" "), F.col("lat1").cast("string"), F.lit(", "),
+            F.col("lng0").cast("string"), F.lit(" "), F.col("lat1").cast("string"), F.lit(", "),
+            F.col("lng0").cast("string"), F.lit(" "), F.col("lat0").cast("string"),
+            F.lit("))"),
+        )
+    )
+    own = P.bing_tile_at(F.col("lat"), F.col("lng"), F.col("z"))
+    out = df.select(
+        "id",
+        P.bing_tile_quadkey(own).alias("qk"),
+        P.bing_tile_quadkey(P.bing_tile(P.bing_tile_quadkey(own))).alias("qk_rt"),
+        F.exists(
+            P.geometry_to_bing_tiles(box, F.col("z")),
+            lambda t: P.bing_tile_quadkey(t) == P.bing_tile_quadkey(own),
+        ).alias("covered"),
+        F.col("z"),
+    ).collect()
+    assert len(out) == 60
+    for r in out:
+        assert r.qk == r.qk_rt and len(r.qk) == r.z, r
+        assert r.covered, r
