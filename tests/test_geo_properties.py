@@ -193,8 +193,25 @@ def _random_holed_wkt(rng: random.Random) -> tuple[str, float, float]:
         pts = r + [r[0]]
         return "(" + ", ".join(f"{x:.4f} {y:.4f}" for x, y in pts) + ")"
 
+    def cent(ring):
+        closed = ring + [ring[0]]
+        a2 = cx_ = cy_ = 0.0
+        for (x1, y1), (x2, y2) in zip(closed, closed[1:]):
+            cr = x1 * y2 - x2 * y1
+            a2 += cr
+            cx_ += (x1 + x2) * cr
+            cy_ += (y1 + y2) * cr
+        return cx_ / (3 * a2), cy_ / (3 * a2)
+
+    ao, ah = shoelace(outer), shoelace(hole)
+    co, ch = cent(outer), cent(hole)
+    ex = (co[0] * ao - ch[0] * ah) / (ao - ah)
+    ey = (co[1] * ao - ch[1] * ah) / (ao - ah)
     wkt = f"POLYGON ({ringtxt(outer)}, {ringtxt(hole)})"
-    return wkt, shoelace(outer), shoelace(hole)
+    # probe points: hole interior (NOT contained), annulus (contained)
+    hx, hy = cent(hole)
+    mx, my = [(0.7 * o + 0.3 * h) for o, h in zip(outer[0], (gx, gy))]
+    return wkt, ao, ah, ex, ey, hx, hy, mx, my
 
 
 def test_holed_polygon_area_and_roundtrip(spark):
@@ -204,23 +221,34 @@ def test_holed_polygon_area_and_roundtrip(spark):
     rng = random.Random(55)
     rows = []
     for i in range(40):
-        wkt, ao, ah = _random_holed_wkt(rng)
-        rows.append((i, wkt, ao, ah))
-    df = spark.createDataFrame(rows, "id long, wkt string, ao double, ah double")
+        rows.append((i, *_random_holed_wkt(rng)))
+    df = spark.createDataFrame(
+        rows,
+        "id long, wkt string, ao double, ah double, ex double, ey double,"
+        " hx double, hy double, mx double, my double",
+    )
     g = df.select(
-        "id", "ao", "ah", P.st_geom_from_text(F.col("wkt")).alias("g")
+        "id", "ao", "ah", "ex", "ey", "hx", "hy", "mx", "my",
+        P.st_geom_from_text(F.col("wkt")).alias("g"),
     )
     out = g.select(
-        "id", "ao", "ah",
+        "id", "ao", "ah", "ex", "ey",
         P.st_area("g").alias("area"),
         P.st_num_interior_ring("g").alias("nholes"),
         P.st_area(P.st_geom_from_text(P.st_as_text_geom("g"))).alias("area_rt"),
+        P.st_x(P.st_centroid("g")).alias("cx"),
+        P.st_y(P.st_centroid("g")).alias("cy"),
+        P.st_contains("g", P.st_point(F.col("hx"), F.col("hy"))).alias("in_hole"),
+        P.st_contains("g", P.st_point(F.col("mx"), F.col("my"))).alias("in_annulus"),
     ).collect()
     assert len(out) == 40
     for r in out:
         assert abs(r.area - (r.ao - r.ah)) < 1e-6 * max(1.0, r.ao), r
         assert r.nholes == 1, r
         assert abs(r.area_rt - r.area) < 1e-9 * max(1.0, r.ao), r
+        assert abs(r.cx - r.ex) < 1e-3 and abs(r.cy - r.ey) < 1e-3, r
+        assert not r.in_hole, r
+        assert r.in_annulus, r
 
 
 def test_bing_tile_quadkey_roundtrip_and_covering(spark):
