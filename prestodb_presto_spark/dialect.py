@@ -384,6 +384,17 @@ def translate(sql: str) -> str:
         return f"\x00{len(literals) - 1}\x00"
 
     out = _STRING_LIT.sub(_mask, out)
+    # Presto CREATE [OR REPLACE] VIEW is a catalog view
+    # (presto-parser/.../CreateView.java); the Spark analog over session
+    # temp views is a TEMPORARY view (a permanent Spark view cannot
+    # reference temp-view base tables).  Documented deviation: scope is
+    # the session, not the metastore.
+    out = re.sub(
+        r"^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\b",
+        "CREATE OR REPLACE TEMPORARY VIEW",
+        out,
+        flags=re.IGNORECASE,
+    )
     out = _TABLESAMPLE.sub(lambda m: f"TABLESAMPLE ({m.group(1)} PERCENT)", out)
     out = _LIMIT_ALL.sub("", out)
     # paren-aware constructs (argument-splitting scanners)
