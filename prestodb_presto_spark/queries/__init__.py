@@ -44,49 +44,60 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 # Catalog emission order: the driver evaluates queries() in dict order and
-# rounds 1-2 showed it samples a ~50-query prefix per round.  Rounds 1+2
-# together produced hard driver rows for 86/129 names; to make every round's
-# sample budget count, emit (a) the five round-1 rows whose FAIL was a driver
-# harness crash (fixed in commit 6eecf10 but never re-sampled) first, then
-# (b) every name with NO driver row yet (round-robin across families), then
-# (c) the already-green names.  New queries added in later rounds are
-# automatically unverified and therefore land in group (b).
+# samples a ~50-query prefix per round.  After rounds 1-3 every catalog name
+# has a driver row; 129/131 are green on their latest sample.  Emission
+# order: (a) the two r3 FAILs (tpch_q12, types_decimal_arithmetic — the only
+# oracles whose DuckDB results surfaced as decimal128/hugeint arrow columns,
+# which the driver canonicalizes differently from Spark's collected values;
+# both now emit driver-safe int64/string outputs) first for re-sampling,
+# then (b) any name with no green row yet (new queries land here
+# automatically, round-robin across families), then (c) the green names.
 _STALE_DRIVER_FAILS = (
-    "agg_map_agg",
-    "agg_histogram",
-    "agg_min_max_n",
-    "agg_array_agg_ordered",
-    "fn_regexp_ops",
+    "tpch_q12",
+    "types_decimal_arithmetic",
 )
 
-# Names green on their latest driver sample (CORRECTNESS_r01 ∪ r02).
+# Names green on their latest driver sample (CORRECTNESS_r01 ∪ r02 ∪ r03).
 _DRIVER_GREEN = frozenset({
     "agg_any_value", "agg_approx_distinct", "agg_approx_percentile",
-    "agg_array_agg", "agg_bitwise", "agg_bool", "agg_checksum",
-    "agg_corr_regr", "agg_count_if", "agg_cube", "agg_filter_clause",
-    "agg_geometric_mean", "agg_global", "agg_grouping_sets", "agg_hll_sketch",
-    "agg_min_max_by", "agg_multi_distinct", "agg_numeric_histogram",
-    "agg_rollup", "agg_stats_moments", "dedup_exact", "dedup_minhash_lsh",
+    "agg_array_agg", "agg_array_agg_ordered", "agg_bitwise", "agg_bool",
+    "agg_checksum", "agg_corr_regr", "agg_count_if", "agg_cube",
+    "agg_empty_input", "agg_filter_clause", "agg_geometric_mean",
+    "agg_global", "agg_grouping_sets", "agg_histogram", "agg_hll_sketch",
+    "agg_map_agg", "agg_min_max_by", "agg_min_max_n", "agg_multi_distinct",
+    "agg_numeric_histogram", "agg_rollup", "agg_set_digest",
+    "agg_stats_moments", "assign_unique_id", "conditional_exprs",
+    "cte_chain", "cte_reused_twice", "dedup_exact", "dedup_minhash_lsh",
     "dedup_ngram_jaccard", "dedup_simhash", "distinct_limit",
-    "events_json_extract", "events_session_window", "events_sliding_window",
-    "events_tumbling_window", "fn_array_ops", "fn_binary_hash",
-    "fn_conditional_ops", "fn_datetime_ops", "fn_geo_ops", "fn_json_ops",
-    "fn_math_ops", "fn_string_ops", "join_anti", "join_asof",
-    "join_broadcast_explicit", "join_cross", "join_full_outer",
-    "join_inequality_range", "join_inner", "join_left_outer",
-    "join_not_in_null_semantics", "join_outer_on_vs_where",
-    "join_right_outer", "join_semi", "join_skew_salted",
-    "join_spatial_contains", "join_theta", "lateral_top1_per_group",
-    "multimodal_decode_features", "multimodal_frame_sample",
-    "orderby_limit_topn", "sample_bernoulli", "setop_intersect",
+    "events_dedup_latest", "events_hierarchical_rollup",
+    "events_interval_join", "events_json_extract", "events_session_window",
+    "events_sliding_window", "events_tumbling_window", "fn_array_ops",
+    "fn_binary_hash", "fn_conditional_ops", "fn_datetime_ops",
+    "fn_geo_bing_tiles", "fn_geo_ops", "fn_geo_polygon_ops",
+    "fn_geo_set_ops", "fn_json_ops", "fn_math_ops", "fn_regexp_ops",
+    "fn_string_ops", "join_anti", "join_asof", "join_broadcast_explicit",
+    "join_cross", "join_full_outer", "join_inequality_range", "join_inner",
+    "join_left_outer", "join_not_in_null_semantics", "join_null_safe_eq",
+    "join_outer_on_vs_where", "join_right_outer", "join_semi",
+    "join_skew_salted", "join_spatial_contains", "join_spatial_grid",
+    "join_theta", "lateral_top1_per_group", "multimodal_decode_features",
+    "multimodal_frame_sample", "orderby_limit_topn",
+    "orderby_nulls_placement", "pivot_conditional", "sample_bernoulli",
+    "setop_except", "setop_except_all", "setop_intersect",
     "setop_intersect_all", "setop_union_all", "setop_union_distinct",
-    "similarity_embedding_stats", "similarity_knn_top1", "similarity_lsh_ann",
-    "similarity_threshold_pairs", "subquery_in_uncorrelated",
-    "subquery_quantified_all", "subquery_scalar_correlated",
-    "text_fingerprint", "text_langid_heuristic", "text_quality_score",
-    "text_token_stats", "tpch_q01", "tpch_q03", "tpch_q04", "tpch_q05",
-    "values_inline", "window_offsets", "window_range_frame", "window_ranking",
-    "window_running_agg",
+    "similarity_embedding_stats", "similarity_knn_top1",
+    "similarity_lsh_ann", "similarity_threshold_pairs",
+    "subquery_in_uncorrelated", "subquery_quantified_all",
+    "subquery_quantified_any", "subquery_scalar_correlated",
+    "subquery_scalar_empty", "text_fingerprint", "text_langid_heuristic",
+    "text_quality_score", "text_token_stats", "tpch_q01", "tpch_q02",
+    "tpch_q03", "tpch_q04", "tpch_q05", "tpch_q06", "tpch_q07", "tpch_q08",
+    "tpch_q09", "tpch_q10", "tpch_q11", "tpch_q13", "tpch_q14", "tpch_q15",
+    "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21",
+    "tpch_q22", "types_time_ops", "unnest_explode", "unnest_map",
+    "unnest_with_ordinality", "values_inline", "window_offsets",
+    "window_partition_total", "window_range_frame", "window_ranking",
+    "window_running_agg", "window_topn_per_group",
 })
 _FAMILY_ORDER = (
     "tpch",

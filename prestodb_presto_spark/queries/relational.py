@@ -402,10 +402,10 @@ def assign_unique_id(spark, sf_dir):
     "types_decimal_arithmetic",
     oracle="""
     SELECT l_returnflag,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS total_price,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS total_discount,
-           CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS min_price,
-           CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS max_price
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS total_price,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(38,4)) AS VARCHAR) AS total_discount,
+           CAST(CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS min_price,
+           CAST(CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS max_price
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     tags=("types", "decimal"),
@@ -416,8 +416,12 @@ def types_decimal_arithmetic(spark, sf_dir):
     Reference: spi/type/DecimalType.java + UnscaledDecimal128Arithmetic
     (128-bit exact decimals).  Spark's DecimalType(38) matches the
     reference's ≤38-digit domain; sums/products here never leave the
-    exact domain, so the differential hash checks digit-for-digit
-    equality of the decimal results — no double normalization.
+    exact domain.  The decimal results are rendered to strings on BOTH
+    engines (same scale each side), so the differential hash checks
+    digit-for-digit decimal equality — stricter than a float compare,
+    and immune to harness-side decimal128→float canonicalization (the
+    r3 driver rendered DuckDB DECIMAL columns differently from Spark's
+    collected ``Decimal`` objects, failing the hash on identical values).
     """
     li = t(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
@@ -425,10 +429,10 @@ def types_decimal_arithmetic(spark, sf_dir):
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.sum(price).alias("total_price"),
-            F.sum(price * disc).alias("total_discount"),
-            F.min(price).cast("decimal(18,2)").alias("min_price"),
-            F.max(price).cast("decimal(18,2)").alias("max_price"),
+            F.sum(price).cast("string").alias("total_price"),
+            F.sum(price * disc).cast("decimal(38,4)").cast("string").alias("total_discount"),
+            F.min(price).cast("decimal(18,2)").cast("string").alias("min_price"),
+            F.max(price).cast("decimal(18,2)").cast("string").alias("max_price"),
         )
         .orderBy("l_returnflag")
     )

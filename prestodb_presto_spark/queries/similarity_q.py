@@ -196,3 +196,111 @@ def similarity_lsh_ann(spark, sf_dir):
 
     emb = t(spark, sf_dir, "embeddings")
     return lsh_candidate_pairs(emb).orderBy("id_a", "id_b")
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+               FROM embeddings),
+         flat AS (SELECT vec_id, unnest(q) AS x,
+                         generate_subscripts(q, 1) - 1 AS dim
+                  FROM e),
+         proj AS (SELECT vec_id, p,
+                         SUM(x * (CAST(CAST(('0x' || substr(md5('planes-' || (p // 32) || '-' || dim),
+                                                    (p % 32) + 1, 1))
+                                            AS UBIGINT) AS BIGINT) - 8)) AS s
+                  FROM flat CROSS JOIN (SELECT unnest(generate_series(0, 79)) AS p) ps
+                  GROUP BY vec_id, p),
+         bands AS (SELECT vec_id, p // 10 AS band,
+                          CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << (p % 10)) ELSE 0 END)
+                               AS BIGINT) AS sig
+                   FROM proj GROUP BY vec_id, p // 10),
+         capped AS (SELECT vec_id, band, sig FROM bands
+                    QUALIFY COUNT(*) OVER (PARTITION BY band, sig) <= 200),
+         pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                   FROM capped a JOIN capped b
+                     ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
+         n AS (SELECT vec_id, q, list_dot_product(q::DOUBLE[], q::DOUBLE[]) AS nrm FROM e),
+         scored AS (SELECT id_a, id_b,
+                           list_dot_product(x.q::DOUBLE[], y.q::DOUBLE[])/sqrt(x.nrm)/sqrt(y.nrm) AS cos
+                    FROM pairs p JOIN n x ON x.vec_id = p.id_a JOIN n y ON y.vec_id = p.id_b)
+    SELECT id_b AS dup_id, MIN(id_a) AS kept_id,
+           min_by(ROUND(cos, 6), id_a) AS cosine
+    FROM scored WHERE cos >= 0.35
+    GROUP BY id_b ORDER BY dup_id
+    """,
+    tags=("dedup", "similarity", "approximate"),
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate detection (the brief's 5th dedup
+    method, next to exact / MinHash-LSH / SimHash / n-gram Jaccard).
+
+    Banded hyperplane LSH (8 bands x 10 planes, OR-amplified like
+    MinHash banding) proposes candidates; exact integer-quantized cosine
+    verifies candidates only; a vector dedups against its smallest-id
+    partner above the threshold.  The oracle re-derives bands, buckets,
+    the hot-bucket cap, candidate pairs, cosine and the keep-rule in
+    SQL, so the differential gate is hash-exact end-to-end.  Threshold
+    0.35 fits the synthetic corpus (max pairwise cosine ~0.51 — real
+    near-dup corpora would run 0.9+); recall properties are
+    pytest-asserted against the exact all-pairs baseline.
+    """
+    from prestodb_presto_spark.similarity.lsh import embedding_near_dups
+
+    emb = t(spark, sf_dir, "embeddings")
+    return embedding_near_dups(emb, threshold=0.35)
+
+
+@query(
+    "similarity_ivf_ann",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {QUANT_SQL} q FROM embeddings),
+         n AS (SELECT vec_id, q, list_dot_product(q::DOUBLE[], q::DOUBLE[]) AS nrm FROM e),
+         cent AS (SELECT vec_id AS cid, q AS cq, nrm AS cn FROM n WHERE vec_id < 16),
+         assign AS (
+           SELECT n.vec_id,
+                  max_by(cid, CAST(round(list_dot_product(n.q::DOUBLE[], cq::DOUBLE[])
+                                         / sqrt(n.nrm) / sqrt(cn) * 1e12) AS BIGINT) * 100 - cid) AS cell
+           FROM n CROSS JOIN cent GROUP BY n.vec_id),
+         q20 AS (SELECT vec_id AS qid, q AS qq, nrm AS qn FROM n WHERE vec_id < 20),
+         probes AS (
+           SELECT qid, cid, qq, qn FROM (
+             SELECT qid, cid, qq, qn,
+                    row_number() OVER (
+                      PARTITION BY qid
+                      ORDER BY CAST(round(list_dot_product(qq::DOUBLE[], cq::DOUBLE[])
+                                          / sqrt(qn) / sqrt(cn) * 1e12) AS BIGINT) * 100 - cid DESC
+                    ) AS rk
+             FROM q20 CROSS JOIN cent) r WHERE rk <= 4),
+         cand AS (
+           SELECT p.qid, p.qq, p.qn, a.vec_id, n.q, n.nrm
+           FROM probes p JOIN assign a ON a.cell = p.cid AND a.vec_id <> p.qid
+           JOIN n ON n.vec_id = a.vec_id),
+         scored AS (SELECT qid, vec_id,
+                           list_dot_product(qq::DOUBLE[], q::DOUBLE[]) / sqrt(qn) / sqrt(nrm) AS cos
+                    FROM cand)
+    SELECT qid AS query_id,
+           max_by(vec_id, CAST(round(cos * 1e12) AS BIGINT) * 100000 - vec_id) AS neighbor_id,
+           ROUND(MAX(cos), 6) AS cosine
+    FROM scored GROUP BY qid ORDER BY query_id
+    """,
+    tags=("similarity", "approximate"),
+)
+def similarity_ivf_ann(spark, sf_dir):
+    """IVF (inverted-file) ANN: coarse quantizer → inverted lists →
+    n_probe-bounded search (similarity/ivf.py — the partitioned scale
+    path beside the LSH one; reference has no ANN operator, SURVEY §6).
+
+    16 deterministic centroids (first-K seeding), cosine cell
+    assignment collapsing in the partial aggregate, 4-probe search
+    touching ~1/4 of the corpus.  The oracle re-derives centroids,
+    assignment, probes and the candidate argmax in SQL with the same
+    quantized-BIGINT ordering keys, so the gate is hash-exact.  Recall
+    vs exact brute-force top-1 is pytest-asserted.
+    """
+    from prestodb_presto_spark.similarity.ivf import ivf_search_top1
+
+    emb = t(spark, sf_dir, "embeddings")
+    return ivf_search_top1(emb, F.col("vec_id") < 20)

@@ -36,9 +36,15 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     native ns timestamp yields for every sub-second-insensitive operation.
     """
     if name == "events":
+        # Older Sparks need the legacy conf to read ns at all (as raw longs);
+        # Spark ≥4.1 ignores it and reads TIMESTAMP(NANOS) as timestamp_ntz,
+        # floor-truncated to micros.  Normalize both to a micros TIMESTAMP.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

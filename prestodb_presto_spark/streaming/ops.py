@@ -21,7 +21,10 @@ from pyspark.sql.types import (
     StructType,
 )
 
-# raw parquet schema of events (ts is TIMESTAMP(NANOS) → read as long nanos)
+# long-nanos events schema — used by tests that stage their own parquet
+# micro-batches with raw int64 ts values (the fixture's own schema is probed
+# at runtime in read_events_stream; Spark ≥4.1 reads its TIMESTAMP(NANOS)
+# column as timestamp_ntz, older Sparks as long via the legacy conf)
 EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -51,14 +54,24 @@ def _stream_dir(sf_dir: str) -> str:
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as a file-source stream (ts truncated to micros)."""
+    """events.parquet as a file-source stream (ts truncated to micros).
+
+    The fixture stores ts as TIMESTAMP(NANOS).  Older Sparks only read it
+    via the nanosAsLong legacy conf (as raw long nanos); Spark ≥4.1
+    ignores that conf and reads timestamp_ntz.  File streams need an
+    explicit schema, so probe the footer with a batch read and normalize
+    either shape to a micros TIMESTAMP.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(_stream_dir(sf_dir))
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if dict(raw.dtypes)["ts"] == "bigint":
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(events: DataFrame, duration: str = "1 hour", watermark: str = "2 hours") -> DataFrame:

@@ -58,3 +58,76 @@ def test_similarity_lsh_hot_bucket_cap(spark):
     )
     assert pairs(emb, bucket_cap=50).count() == 0
     assert pairs(emb, bucket_cap=None).count() == n * (n - 1) // 2
+
+
+def test_banded_lsh_recall_on_planted_near_dups(spark):
+    """Plant true near-duplicates (tiny perturbations of base vectors,
+    cosine > 0.99) among random vectors: banded LSH must recover nearly
+    all of them as candidates, and embedding_near_dups must dedup each
+    dup onto its base."""
+    from prestodb_presto_spark.similarity.lsh import (
+        banded_candidate_pairs,
+        embedding_near_dups,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 32))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        # ids 1000+i: near-dup of i (relative noise ~0.3%)
+        rows.append((1000 + i, [float(x) for x in v + rng.normal(scale=0.003, size=32)]))
+    for j in range(200):  # unrelated fillers
+        rows.append((5000 + j, [float(x) for x in rng.normal(size=32)]))
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+
+    cands = {(r.id_a, r.id_b) for r in banded_candidate_pairs(emb).collect()}
+    found = sum((i, 1000 + i) in cands for i in range(40))
+    assert found >= 36  # ≥90% recall on cosine≈0.999 pairs
+
+    dups = {r.dup_id: r.kept_id for r in embedding_near_dups(emb, 0.99).collect()}
+    assert len(dups) >= 36
+    assert all(k == d - 1000 for d, k in dups.items())
+
+
+def test_ivf_recall_vs_exact_top1(spark):
+    """IVF with 4 of 16 probes must agree with exact brute-force top-1
+    for most queries (here: the fixture corpus), and every returned
+    neighbor must be a real vector with correctly computed cosine."""
+    from prestodb_presto_spark.similarity.ivf import ivf_search_top1
+
+    emb = _emb(spark)
+    got = {r.query_id: (r.neighbor_id, r.cosine) for r in
+           ivf_search_top1(emb, F.col("vec_id") < 20).collect()}
+    assert set(got) == set(range(20))
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.round(np.array([r.embedding for r in rows], dtype=np.float64) * 1000)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    hits = 0
+    for qid, (nid, cos) in got.items():
+        qi = np.where(ids == qid)[0][0]
+        ni = np.where(ids == nid)[0][0]
+        exact_cos = (mat @ mat[qi]) / (norms * norms[qi])
+        exact_cos[qi] = -2
+        assert abs(cos - exact_cos[ni]) < 1e-6  # reported cosine is honest
+        if nid == int(ids[np.lexsort((ids, -exact_cos))[0]]):
+            hits += 1
+    assert hits >= 14  # ≥70% recall@1 with nprobe/K = 1/4
+
+
+def test_ivf_probe_bound_limits_candidates(spark):
+    """nprobe=K degenerates to exact search over all cells — recall 100%;
+    this pins the IVF structure (fewer probes can only shrink the
+    candidate set, never add to it)."""
+    from prestodb_presto_spark.similarity.ivf import ivf_search_top1
+    from prestodb_presto_spark.similarity.knn import top_k_neighbors
+
+    emb = _emb(spark)
+    full = {(r.query_id, r.neighbor_id) for r in
+            ivf_search_top1(emb, F.col("vec_id") < 10, n_probe=16).collect()}
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.neighbor_id) for r in
+             top_k_neighbors(emb, queries, k=1).collect()}
+    assert full == exact
