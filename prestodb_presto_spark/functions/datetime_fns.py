@@ -345,3 +345,9 @@ def time_to_varchar(t) -> Column:
         pad(time_second(tt), 2), F.lit("."),
         pad(time_millisecond(tt), 3),
     )
+
+
+@register("date")
+def date_(x) -> Column:
+    """date(x) → DATE (DateTimeFunctions / DateOperators cast twin)."""
+    return c(x).cast("date")

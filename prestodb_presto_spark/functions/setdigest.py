@@ -93,3 +93,18 @@ def empty_approx_set() -> Column:
     emptyApproxSet): Spark's hll_union_agg ignores NULL inputs, so a
     typed NULL sketch is the exact merge identity."""
     return F.lit(None).cast("binary")
+
+
+@register("approx_set")
+def approx_set(col) -> Column:
+    """approx_set(x) → HLL sketch value (ApproximateSetAggregation.java:31).
+    Spark's datasketches HLL is the engine's sketch representation
+    (same family as approx_distinct's estimator)."""
+    return F.hll_sketch_agg(c(col))
+
+
+@register("merge")
+def merge(sketch) -> Column:
+    """merge(HyperLogLog) → HyperLogLog (MergeHyperLogLogAggregation.java:30):
+    aggregate union of sketch values; NULL inputs are merge identities."""
+    return F.hll_union_agg(c(sketch))

@@ -49,3 +49,10 @@ def to_date_td(s, fmt: str) -> Column:
 @register("to_timestamp_td")
 def to_timestamp_td(s, fmt: str) -> Column:
     return F.to_timestamp(c(s), _oracle_to_java(fmt))
+
+
+# The reference's Teradata plugin registers these under their bare names
+# (TeradataDateFunctions.java: to_date / to_timestamp); the _td spellings
+# above predate the alias and remain for compatibility.
+register("to_date")(to_date_td)
+register("to_timestamp")(to_timestamp_td)

@@ -308,7 +308,7 @@ def fn_json_ops(spark, sf_dir):
                w -> upper(substr(w, 1, 1)) || lower(substr(w, 2))), 'string_agg', ' ') AS title_cased
     FROM part ORDER BY p_partkey
     """,
-    tags=("functions", "regexp"),
+    tags=("functions", "regexp", "pandas-tier"),
 )
 def fn_regexp_ops(spark, sf_dir):
     """Regexp registry fns (JoniRegexpFunctions.java; Spark uses Java
@@ -554,7 +554,7 @@ def fn_geo_bing_tiles(spark, sf_dir):
            true AS l_crosses
     FROM part WHERE p_partkey <= 500 ORDER BY p_partkey
     """,
-    tags=("functions", "geospatial", "setops"),
+    tags=("functions", "geospatial", "setops", "pandas-tier"),
 )
 def fn_geo_set_ops(spark, sf_dir):
     """Geometry boolean ops + topological predicates at table scale

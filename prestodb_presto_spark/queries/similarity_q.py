@@ -304,3 +304,76 @@ def similarity_ivf_ann(spark, sf_dir):
 
     emb = t(spark, sf_dir, "embeddings")
     return ivf_search_top1(emb, F.col("vec_id") < 20)
+
+
+@query(
+    "dedup_components",
+    oracle="""
+    WITH RECURSIVE
+         e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+               FROM embeddings),
+         flat AS (SELECT vec_id, unnest(q) AS x,
+                         generate_subscripts(q, 1) - 1 AS dim
+                  FROM e),
+         proj AS (SELECT vec_id, p,
+                         SUM(x * (CAST(CAST(('0x' || substr(md5('planes-' || (p // 32) || '-' || dim),
+                                                    (p % 32) + 1, 1))
+                                            AS UBIGINT) AS BIGINT) - 8)) AS s
+                  FROM flat CROSS JOIN (SELECT unnest(generate_series(0, 79)) AS p) ps
+                  GROUP BY vec_id, p),
+         bands AS (SELECT vec_id, p // 10 AS band,
+                          CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << (p % 10)) ELSE 0 END)
+                               AS BIGINT) AS sig
+                   FROM proj GROUP BY vec_id, p // 10),
+         capped AS (SELECT vec_id, band, sig FROM bands
+                    QUALIFY COUNT(*) OVER (PARTITION BY band, sig) <= 200),
+         pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                   FROM capped a JOIN capped b
+                     ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
+         n AS (SELECT vec_id, q, list_dot_product(q::DOUBLE[], q::DOUBLE[]) AS nrm FROM e),
+         qual AS (SELECT id_a, id_b FROM pairs p
+                  JOIN n x ON x.vec_id = p.id_a JOIN n y ON y.vec_id = p.id_b
+                  WHERE list_dot_product(x.q::DOUBLE[], y.q::DOUBLE[])/sqrt(x.nrm)/sqrt(y.nrm) >= 0.35),
+         sym AS (SELECT id_a AS u, id_b AS v FROM qual
+                 UNION SELECT id_b, id_a FROM qual),
+         reach(node, r) AS (
+           SELECT u, u FROM sym
+           UNION
+           SELECT reach.node, s.v FROM reach JOIN sym s ON s.u = reach.r)
+    SELECT node, MIN(r) AS component
+    FROM reach GROUP BY node ORDER BY node
+    """,
+    tags=("dedup", "similarity", "iterative"),
+)
+def dedup_components(spark, sf_dir):
+    """Transitive near-duplicate groups: banded-LSH cosine pairs as
+    edges → connected components (operators/components.py, min-label
+    propagation + pointer jumping).  The per-pair keep-rule of
+    dedup_embedding_cosine under-merges chains (A~B, B~C but A!~C);
+    components give the true group representative — what a 100 TB dedup
+    pass actually keys its keep-one-per-group filter on.
+
+    The oracle re-derives the same edge set in SQL and computes
+    min-reachable-id per node with a recursive CTE — an exact
+    differential check of an inherently iterative operator.
+    """
+    from prestodb_presto_spark.operators.components import connected_components
+    from prestodb_presto_spark.similarity.lsh import banded_candidate_pairs
+
+    emb = t(spark, sf_dir, "embeddings")
+    pairs = banded_candidate_pairs(emb)
+    vecs = emb.select(F.col("vec_id").alias("__id"), quantized().alias("q"))
+    vecs = vecs.withColumn("nrm", dot(F.col("q"), F.col("q")).cast("double"))
+    xa = vecs.select(F.col("__id").alias("id_a"), F.col("q").alias("qa"), F.col("nrm").alias("na"))
+    xb = vecs.select(F.col("__id").alias("id_b"), F.col("q").alias("qb"), F.col("nrm").alias("nb"))
+    cos = dot(F.col("qa"), F.col("qb")).cast("double") / F.sqrt("na") / F.sqrt("nb")
+    edges = (
+        pairs.join(xa, "id_a").join(xb, "id_b")
+        .filter(cos >= 0.35)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    return (
+        connected_components(edges)
+        .orderBy("node")
+    )

@@ -483,3 +483,27 @@ def test_time_convention(spark):
     assert r.wrap_back == 23 * 3600000
     assert r.printed == "07:05:09.000"
     assert r.ms == 123
+
+
+def test_reference_name_aliases(spark):
+    """approx_set/merge/date/to_date/to_timestamp under their reference
+    names (ApproximateSetAggregation, MergeHyperLogLogAggregation,
+    DateOperators, TeradataDateFunctions)."""
+    df = spark.range(100).select((F.col("id") % 10).alias("k"), F.col("id").alias("v"))
+    per_k = df.groupBy("k").agg(P.approx_set("v").alias("s"))
+    est = per_k.agg(
+        F.hll_sketch_estimate(P.merge("s")).cast("bigint").alias("n")
+    ).collect()[0].n
+    assert abs(est - 100) <= 5
+
+    row = (
+        spark.range(1)
+        .select(
+            P.date(F.lit("2021-03-04 05:06:07").cast("timestamp")).alias("d"),
+            P.to_date(F.lit("2021/03/04"), "YYYY/MM/DD").alias("td"),
+            P.to_timestamp(F.lit("2021-03-04 05:06:07"), "YYYY-MM-DD HH24:MI:SS").alias("tts"),
+        )
+        .collect()[0]
+    )
+    assert str(row.d) == "2021-03-04" and str(row.td) == "2021-03-04"
+    assert str(row.tts) == "2021-03-04 05:06:07"
