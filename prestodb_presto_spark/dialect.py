@@ -345,6 +345,46 @@ def _unnest_rewrite(sql: str) -> str:
 _DECIMAL_LIT = re.compile(r"\bDECIMAL\s*'\s*([+-]?[0-9]*\.?[0-9]+)\s*'", re.IGNORECASE)
 
 
+# Window functions that reject an explicit frame in Spark (Presto parses
+# and ignores one: rank() OVER (... RANGE ...) is legal there), and the
+# ranking subset that additionally requires ORDER BY in Spark while Presto
+# treats a missing ORDER BY as all-rows-peers.
+_NO_FRAME_FNS = ("dense_rank", "percent_rank", "cume_dist", "row_number", "rank", "ntile", "lag", "lead")
+_RANKING_FNS = {"dense_rank", "percent_rank", "cume_dist", "row_number", "rank", "ntile"}
+_WINFN_PAT = re.compile(r"\b(" + "|".join(_NO_FRAME_FNS) + r")\s*\(", re.IGNORECASE)
+_OVER_PAT = re.compile(r"\s*(?:ignore\s+nulls\s+)?over\s*\(", re.IGNORECASE)
+
+
+def _window_compat(sql: str) -> str:
+    """Presto→Spark window-spec fixes for rank-family and lag/lead:
+    drop the (ignored-by-Presto) explicit frame, and emulate Presto's
+    no-ORDER-BY all-peers semantics with ``ORDER BY 1`` (a constant —
+    every row ties, so rank/dense_rank=1, percent_rank=0, cume_dist=1,
+    matching the reference; row_number stays arbitrary-order, which is
+    exactly Presto's behavior too).  Reference grammar: SqlBase.g4
+    windowFrame is optional and unrestricted per function."""
+    out = sql
+    pos = 0
+    while True:
+        m = _WINFN_PAT.search(out, pos)
+        if not m:
+            return out
+        fn = m.group(1).lower()
+        call_end, _ = _scan_balanced(out, m.end() - 1)
+        om = _OVER_PAT.match(out, call_end)
+        if not om:
+            pos = call_end
+            continue
+        spec_open = om.end() - 1
+        spec_end, _ = _scan_balanced(out, spec_open)
+        spec = out[spec_open + 1 : spec_end - 1]
+        new_spec = re.sub(r"\b(rows|range|groups)\b.*$", "", spec, flags=re.IGNORECASE | re.DOTALL).rstrip()
+        if fn in _RANKING_FNS and not re.search(r"\border\s+by\b", new_spec, re.IGNORECASE):
+            new_spec = (new_spec + " ORDER BY 1").strip()
+        out = out[: spec_open + 1] + new_spec + out[spec_end - 1 :]
+        pos = spec_open + len(new_spec)
+
+
 def _decimal_lit(m: re.Match) -> str:
     text = m.group(1)
     digits = text.lstrip("+-")
@@ -404,6 +444,7 @@ def translate(sql: str) -> str:
     out = _rewrite_calls(out, "TRY_CAST", _try_cast_rewrite)
     out = _rewrite_calls(out, "CAST", _cast_rewrite)
     out = _unnest_rewrite(out)
+    out = _window_compat(out)
     # longest names first so json_extract_scalar wins over json_extract
     for presto in sorted(_RENAMES, key=len, reverse=True):
         out = _rename(out, presto, _RENAMES[presto])

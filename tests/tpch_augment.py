@@ -33,6 +33,10 @@ CONTAINER1 = "['SM','LG','MED','JUMBO','WRAP']"
 CONTAINER2 = "['CASE','BOX','BAG','JAR','PKG','PACK','CAN','DRUM']"
 
 _DERIVED = {
+    "nation": """
+        *,
+        'nation comment ' || CAST(n_nationkey AS VARCHAR) AS n_comment
+    """,
     "customer": """
         *,
         CAST(10 + c_custkey % 25 AS VARCHAR) || '-989-741-' ||
