@@ -345,6 +345,56 @@ def _unnest_rewrite(sql: str) -> str:
 _DECIMAL_LIT = re.compile(r"\bDECIMAL\s*'\s*([+-]?[0-9]*\.?[0-9]+)\s*'", re.IGNORECASE)
 
 
+# `<expr> AT TIME ZONE 'Z'` (grammar SqlBase.g4 AT TIME ZONE): Spark has
+# no TIMESTAMP WITH TIME ZONE type, so the zone cannot ride on the value
+# (documented §1.2 deviation).  Two rewrites recover the semantics:
+# timezone_hour/minute OVER an AT TIME ZONE argument compute the zone's
+# UTC offset at that instant (what the reference returns), and the bare
+# postfix becomes at_timezone() (same instant, shifted wall clock).
+_AT_TZ_IN_ARG = re.compile(
+    r"^(.*\S)\s+at\s+time\s+zone\s+(\x00\d+\x00|'[^']*')\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_AT_TZ_POSTFIX = re.compile(
+    r"(\bTIMESTAMP\s+\x00\d+\x00|\x00\d+\x00|\w+(?:\([^()]*\))?)"
+    r"\s+at\s+time\s+zone\s+(\x00\d+\x00|'[^']*')",
+    re.IGNORECASE,
+)
+
+
+def _tz_field_rewrite(unit: str):
+    def fn(args: list[str]) -> str | None:
+        m = _AT_TZ_IN_ARG.match(args[0])
+        if not m:
+            return None
+        expr, tz = m.groups()
+        off = f"(unix_timestamp(from_utc_timestamp({expr}, {tz})) - unix_timestamp({expr}))"
+        if unit == "hour":
+            return f"CAST({off} / 3600 AS BIGINT)"
+        return f"CAST(({off} % 3600) / 60 AS BIGINT)"
+
+    return fn
+
+
+def _kurtosis_rewrite(args: list[str]) -> str | None:
+    """Presto kurtosis = sample-corrected excess; Spark's is population
+    g2 (see functions/aggregates_reg.kurtosis).  Same conversion, SQL
+    spelling; NULL below 4 rows per the reference."""
+    x = args[0]
+    n = f"CAST(count({x}) AS DOUBLE)"
+    return (
+        f"(CASE WHEN count({x}) >= 4 THEN ({n}-1)/(({n}-2)*({n}-3))"
+        f" * (({n}+1)*(kurtosis({x})+3) - 3*({n}-1)) END)"
+    )
+
+
+def _skewness_rewrite(args: list[str]) -> str | None:
+    """Spark matches the reference's population skewness, but emits
+    NaN/0 below 3 rows where the reference returns NULL."""
+    x = args[0]
+    return f"(CASE WHEN count({x}) >= 3 THEN skewness({x}) END)"
+
+
 # Window functions that reject an explicit frame in Spark (Presto parses
 # and ignores one: rank() OVER (... RANGE ...) is legal there), and the
 # ranking subset that additionally requires ORDER BY in Spark while Presto
@@ -443,6 +493,11 @@ def translate(sql: str) -> str:
     out = _rewrite_calls(out, "TRY", _try_rewrite)
     out = _rewrite_calls(out, "TRY_CAST", _try_cast_rewrite)
     out = _rewrite_calls(out, "CAST", _cast_rewrite)
+    out = _rewrite_calls(out, "timezone_hour", _tz_field_rewrite("hour"))
+    out = _rewrite_calls(out, "timezone_minute", _tz_field_rewrite("minute"))
+    out = _AT_TZ_POSTFIX.sub(lambda m: f"at_timezone({m.group(1)}, {m.group(2)})", out)
+    out = _rewrite_calls(out, "kurtosis", _kurtosis_rewrite)
+    out = _rewrite_calls(out, "skewness", _skewness_rewrite)
     out = _unnest_rewrite(out)
     out = _window_compat(out)
     # longest names first so json_extract_scalar wins over json_extract

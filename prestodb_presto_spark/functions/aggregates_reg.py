@@ -32,8 +32,6 @@ for _presto, _spark in {
     "stddev": F.stddev_samp,
     "stddev_samp": F.stddev_samp,
     "stddev_pop": F.stddev_pop,
-    "skewness": F.skewness,
-    "kurtosis": F.kurtosis,
     "bitwise_and_agg": F.bit_and,
     "bitwise_or_agg": F.bit_or,
     "approx_distinct": F.approx_count_distinct,
@@ -43,6 +41,31 @@ for _presto, _spark in {
     "max_by": F.max_by,
 }.items():
     register(_presto)(lambda *cols, _f=_spark: _f(*[c(x) for x in cols]))
+
+
+@register("skewness")
+def skewness(col) -> Column:
+    """Population skewness √n·M3/M2^1.5 — Spark's definition matches the
+    reference (CentralMomentsAggregation.java:55), but the reference
+    returns NULL below 3 rows where Spark emits NaN/0."""
+    n = F.count(c(col))
+    return F.when(n >= 3, F.skewness(c(col)))
+
+
+@register("kurtosis")
+def kurtosis(col) -> Column:
+    """Reference kurtosis is the SAMPLE-corrected excess formula
+    (CentralMomentsAggregation.java:84):
+        ((n-1)n(n+1))/((n-2)(n-3)) · M4/M2² − 3(n−1)²/((n−2)(n−3))
+    while Spark's F.kurtosis is the population g2 = n·M4/M2² − 3.
+    Convert: M4/M2² = (g2+3)/n ⇒
+        presto = (n−1)/((n−2)(n−3)) · ((n+1)(g2+3) − 3(n−1));
+    NULL below 4 rows, matching the reference (DuckDB's kurtosis uses the
+    same sample formula, so the differential gate checks this exactly)."""
+    n = F.count(c(col)).cast("double")
+    g2 = F.kurtosis(c(col))
+    conv = (n - 1) / ((n - 2) * (n - 3)) * ((n + 1) * (g2 + 3) - 3 * (n - 1))
+    return F.when(n >= 4, conv)
 
 
 @register("array_agg")

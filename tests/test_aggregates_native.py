@@ -35,20 +35,28 @@ def test_variance_family(spark, oracle):
 
 
 def test_skew_kurtosis(spark, oracle):
+    """Registry parity with CentralMomentsAggregation.java: skewness is
+    population g1 (= Spark's), kurtosis is the SAMPLE-corrected excess —
+    which DuckDB's kurtosis also computes, so it compares directly."""
+    from prestodb_presto_spark.functions import presto as P
+
     got_skew, got_kurt = _li(spark).agg(
-        F.skewness("l_extendedprice"), F.kurtosis("l_extendedprice")
+        P.skewness("l_extendedprice"), P.kurtosis("l_extendedprice")
     ).first()
-    # DuckDB reports sample skewness/kurtosis(excess); Spark reports
-    # population g1/g2 — convert before comparing.
     n, skew_s, kurt_s = _one(
         oracle,
         "SELECT COUNT(*), skewness(l_extendedprice), kurtosis(l_extendedprice) FROM lineitem",
     )
-    g1 = skew_s * (n - 2) / math.sqrt(n * (n - 1))
-    g2 = (kurt_s * (n - 2) * (n - 3) / (n - 1) - 6) / (n + 1)
-    # reference (and Spark) population definitions
+    g1 = skew_s * (n - 2) / math.sqrt(n * (n - 1))  # sample → population
     assert math.isclose(got_skew, g1, rel_tol=1e-6)
-    assert math.isclose(got_kurt, g2, rel_tol=1e-6)
+    assert math.isclose(got_kurt, kurt_s, rel_tol=1e-6)
+
+    # reference edge case: NULL (not NaN) below 3/4 rows
+    import pyspark.sql.functions as SF
+
+    two = spark.createDataFrame([(1.0,), (2.0,)], "x: double")
+    row = two.agg(P.skewness("x").alias("s"), P.kurtosis("x").alias("k")).first()
+    assert row.s is None and row.k is None
 
 
 def test_corr_covar_regr(spark, oracle):

@@ -34,7 +34,8 @@ REF_DIR = "/root/reference/presto-product-tests/src/main/resources/sql-tests/tes
 
 DIFF_SUITES = (
     "distinct", "limit", "group-by", "order_by", "join", "union",
-    "set_operation", "with_clause", "window_functions",
+    "set_operation", "with_clause", "window_functions", "aggregate",
+    "empty_table", "string_functions",
 )
 
 # cases whose output is legitimately nondeterministic or out of scope;
@@ -46,6 +47,13 @@ SKIP = {
         " orderkey)` is underdetermined within ties — Spark and DuckDB"
         " legitimately pick different peers (nondeterministic on the"
         " reference's own dbgen data too)"
+    ),
+    "aggregate/checkAggregateFunctionsRegistered": (
+        "SHOW FUNCTIONS tabular output; registry audited via coverage()"
+        " and tests/test_aggregate_registry.py instead"
+    ),
+    "string_functions/checkStringFunctionsRegistered": (
+        "SHOW FUNCTIONS tabular output; registry audited via coverage()"
     ),
 }
 
@@ -71,6 +79,20 @@ WORKERS_COLS = (
 
 # fixture tables exposed under tpch-connector (unprefixed) names
 TINY_TABLES = ("nation", "region", "part", "orders", "lineitem")
+
+# tempto `datatype` dataset shape: one column per base type, with NULLs
+# and duplicates so COUNT(DISTINCT)/HAVING cases stay non-trivial
+DATATYPE_ROWS_SQL = """
+    (100,  true,  DATE '2015-01-01', 1.5,   'alfa',  TIMESTAMP '2015-01-01 01:00:00'),
+    (200,  false, DATE '2015-02-02', 2.25,  'beta',  TIMESTAMP '2015-02-02 02:00:00'),
+    (100,  true,  DATE '2015-01-01', 1.5,   'alfa',  TIMESTAMP '2015-01-01 01:00:00'),
+    (300,  true,  DATE '2015-03-03', -4.75, 'gamma', TIMESTAMP '2015-03-03 03:00:00'),
+    (400,  false, DATE '2015-04-04', 8.125, 'delta', TIMESTAMP '2015-04-04 04:00:00'),
+    (NULL, NULL,  NULL,              NULL,  NULL,    NULL),
+    (500,  true,  DATE '2015-05-05', 16.5,  'beta',  TIMESTAMP '2015-05-05 05:00:00'),
+    (600,  false, DATE '2015-06-06', 0.375, 'eps',   TIMESTAMP '2015-06-06 06:00:00')
+"""
+DATATYPE_COLS = "c_bigint, c_boolean, c_date, c_double, c_string, c_timestamp"
 
 
 def _load_cases():
@@ -112,6 +134,22 @@ CASES = _load_cases() if os.path.isdir(REF_DIR) else []
 
 def _rewrite(sql: str) -> str:
     return re.sub(r"\btpch\.tiny\.(\w+)", r"tiny_\1", sql)
+
+
+def _oracle_dialect(sql: str) -> str:
+    """Presto-semantics spellings for the DuckDB oracle.  skewness:
+    DuckDB computes sample G1 while the reference (and the engine)
+    returns population g1 = G1·(n−2)/√(n(n−1)) — convert in SQL so the
+    differential stays exact.  (DuckDB's kurtosis already matches the
+    reference's sample-corrected formula.)"""
+    from prestodb_presto_spark.dialect import _rewrite_calls
+
+    def conv(args: list[str]) -> str:
+        x = args[0]
+        n = f"count({x})"
+        return f"(skewness({x}) * ({n}-2) / sqrt({n} * ({n}-1.0)))"
+
+    return _rewrite_calls(sql, "skewness", conv)
 
 
 def _strip_prefix_select(cols: list[str]) -> str:
@@ -171,6 +209,21 @@ def suites_env(engine, oracle, tmp_path_factory):
         f" FROM (VALUES {vals})"
         f" t({', '.join(WORKERS_COLS)})"
     )
+    # datatype + empty: identical literal definitions through both engines
+    datatype_sql = (
+        f"SELECT CAST(c_bigint AS BIGINT) AS c_bigint, c_boolean, c_date,"
+        f" CAST(c_double AS DOUBLE) AS c_double, c_string, c_timestamp"
+        f" FROM (VALUES {DATATYPE_ROWS_SQL}) AS t({DATATYPE_COLS})"
+    )
+    spark.sql(datatype_sql).createOrReplaceTempView("datatype")
+    oracle.execute(f"CREATE OR REPLACE VIEW datatype AS {datatype_sql}")
+    empty_sql = (
+        "SELECT CAST(NULL AS BIGINT) AS c1, CAST(NULL AS VARCHAR(10)) AS c2"
+        " WHERE FALSE"
+    )
+    spark.sql(empty_sql.replace("VARCHAR(10)", "STRING")).createOrReplaceTempView("empty")
+    oracle.execute(f"CREATE OR REPLACE VIEW empty AS {empty_sql}")
+
     yield engine, oracle
     # restore the conftest-level base views other modules expect
     from prestodb_presto_spark.queries.util import t as load_table
@@ -181,7 +234,8 @@ def suites_env(engine, oracle, tmp_path_factory):
             f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM"
             f" '/root/testdata/sf0.001/{name}.parquet'"
         )
-    for name in ("partsupp", "workers", *[f"tiny_{n}" for n in TINY_TABLES]):
+    for name in ("partsupp", "workers", "datatype", "empty",
+                 *[f"tiny_{n}" for n in TINY_TABLES]):
         spark.catalog.dropTempView(name)
         oracle.execute(f"DROP VIEW IF EXISTS {name}")
 
@@ -193,7 +247,7 @@ def test_reference_suite_case(suites_env, name, sql):
     engine, oracle = suites_env
     rewritten = _rewrite(sql)
     sdf = engine.sql(rewritten, dialect="presto")
-    err = compare_positional(sdf, oracle, rewritten)
+    err = compare_positional(sdf, oracle, _oracle_dialect(rewritten))
     assert err is None, f"{name}: {err}"
 
 
@@ -224,8 +278,22 @@ def _render(v) -> str:
     return str(v)
 
 
+NO_FROM_SUITES = ("select_no_from", "convertion_functions", "horology_functions")
+NO_FROM_SKIP = {
+    "checkHorologyFunctionsRegistered": "SHOW FUNCTIONS tabular output",
+    "dateTimeOperatorsAccessible": (
+        "reference's own .result says 'we just check if query succeeds'"
+        " (interval renderings aren't comparable); covered by"
+        " test_datetime_operators_accessible below"
+    ),
+}
 NO_FROM_CASES = (
-    sorted(glob.glob(f"{REF_DIR}/select_no_from/*.sql"))
+    [
+        f
+        for suite in NO_FROM_SUITES
+        for f in sorted(glob.glob(f"{REF_DIR}/{suite}/*.sql"))
+        if os.path.basename(f)[:-4] not in NO_FROM_SKIP
+    ]
     if os.path.isdir(REF_DIR)
     else []
 )
@@ -247,3 +315,26 @@ def test_select_no_from_golden(engine, sql_file):
         assert sorted(got) == sorted(expected), f"{sql_file}: {got} vs {expected}"
     else:
         assert got == expected, f"{sql_file}: {got} vs {expected}"
+
+
+def test_datetime_operators_accessible(engine):
+    """horology_functions/dateTimeOperatorsAccessible — the reference's
+    .result only asserts the query runs (interval renderings are not
+    comparable); mirror that success check minus the TIME-literal
+    columns (documented deviation: Spark has no TIME type; the engine's
+    TIME convention is BIGINT millis, prestodb_presto_spark/functions/
+    datetime_fns.py)."""
+    sql = """
+    SELECT date '2012-08-08' + interval '2' day,
+           timestamp '2012-08-08 01:00' + interval '29' hour,
+           timestamp '2012-10-31 01:00' + interval '1' month,
+           CAST(interval '2' day + interval '3' hour AS VARCHAR),
+           CAST(interval '3' year + interval '5' month AS VARCHAR),
+           date '2012-08-08' - interval '2' day,
+           timestamp '2012-08-08 01:00' - interval '29' hour,
+           timestamp '2012-10-31 01:00' - interval '1' month,
+           CAST(interval '2' day - interval '3' hour AS VARCHAR),
+           CAST(interval '3' year - interval '5' month AS VARCHAR)
+    """
+    rows = engine.sql(sql, dialect="presto").collect()
+    assert len(rows) == 1 and all(v is not None for v in rows[0])
