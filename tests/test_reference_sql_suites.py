@@ -80,19 +80,32 @@ WORKERS_COLS = (
 # fixture tables exposed under tpch-connector (unprefixed) names
 TINY_TABLES = ("nation", "region", "part", "orders", "lineitem")
 
-# tempto `datatype` dataset shape: one column per base type, with NULLs
-# and duplicates so COUNT(DISTINCT)/HAVING cases stay non-trivial
+# the tempto `datatype` dataset — the EXACT rows the reference's product
+# tests run against (recovered from the insert suite's
+# insert_select_star golden, which dumps the whole table), so the
+# aggregate suite's .result files compare directly as goldens here
 DATATYPE_ROWS_SQL = """
-    (100,  true,  DATE '2015-01-01', 1.5,   'alfa',  TIMESTAMP '2015-01-01 01:00:00'),
-    (200,  false, DATE '2015-02-02', 2.25,  'beta',  TIMESTAMP '2015-02-02 02:00:00'),
-    (100,  true,  DATE '2015-01-01', 1.5,   'alfa',  TIMESTAMP '2015-01-01 01:00:00'),
-    (300,  true,  DATE '2015-03-03', -4.75, 'gamma', TIMESTAMP '2015-03-03 03:00:00'),
-    (400,  false, DATE '2015-04-04', 8.125, 'delta', TIMESTAMP '2015-04-04 04:00:00'),
-    (NULL, NULL,  NULL,              NULL,  NULL,    NULL),
-    (500,  true,  DATE '2015-05-05', 16.5,  'beta',  TIMESTAMP '2015-05-05 05:00:00'),
-    (600,  false, DATE '2015-06-06', 0.375, 'eps',   TIMESTAMP '2015-06-06 06:00:00')
+    (12,   12.25,   'String1', DATE '1999-01-08', TIMESTAMP '1999-01-08 02:05:06', true,  123.22,  12345678901234567890.0123456789),
+    (25,   55.52,   'test',    DATE '1952-01-05', TIMESTAMP '1989-01-08 04:05:06', false, 321.21,  -12345678901234567890.0123456789),
+    (964,  0.245,   'Again',   DATE '1936-02-08', TIMESTAMP '2005-01-09 04:05:06', false, 333.82,  98765432109876543210.9876543210),
+    (100,  12.25,   'testing', DATE '1949-07-08', TIMESTAMP '2002-01-07 01:05:06', true,  -393.22, -98765432109876543210.9876543210),
+    (100,  99.8777, 'AGAIN',   DATE '1987-04-09', TIMESTAMP '2010-01-02 04:03:06', true,  0.00,    0.0000000000),
+    (5252, 12.25,   'sample',  DATE '1987-04-09', TIMESTAMP '2010-01-02 04:03:06', true,  123.00,  1.0000000000),
+    (100,  9.8777,  'STRING1', DATE '1923-04-08', TIMESTAMP '2010-01-02 05:09:06', true,  10.01,   2.0000000000),
+    (8996, 98.8777, 'again',   DATE '1987-04-09', TIMESTAMP '2010-01-02 04:03:06', false, -0.01,   99999999999999999999.9999999999),
+    (100,  12.8788, 'string1', DATE '1922-04-02', TIMESTAMP '2010-01-02 02:05:06', true,  999.99,  -99999999999999999999.9999999999),
+    (5748, 67.87,   'sample',  DATE '1987-04-06', TIMESTAMP '2010-01-02 04:03:06', true,  -999.99, 0.0000000001),
+    (5748, 67.87,   'Sample',  DATE '1987-04-06', TIMESTAMP '2010-01-02 04:03:06', true,  181.18,  -0.0000000001),
+    (5748, 67.87,   'sample',  DATE '1987-04-06', TIMESTAMP '2010-01-02 04:03:06', true,  181.18,  12345678901234567890.0123456789),
+    (5748, 67.87,   'sample',  DATE '1987-04-06', TIMESTAMP '2010-01-02 04:03:06', true,  181.18,  12345678901234567890.0123456789),
+    (5000, 67.87,   'testing', NULL,              TIMESTAMP '2010-01-02 04:03:06', NULL,  NULL,    NULL),
+    (6000, NULL,    NULL,      DATE '1987-04-06', NULL,                            true,  NULL,    NULL),
+    (NULL, 98.52,   NULL,      NULL,              NULL,                            true,  181.18,  NULL)
 """
-DATATYPE_COLS = "c_bigint, c_boolean, c_date, c_double, c_string, c_timestamp"
+DATATYPE_COLS = (
+    "c_bigint, c_double, c_string, c_date, c_timestamp, c_boolean,"
+    " c_short_decimal, c_long_decimal"
+)
 
 
 def _load_cases():
@@ -211,8 +224,11 @@ def suites_env(engine, oracle, tmp_path_factory):
     )
     # datatype + empty: identical literal definitions through both engines
     datatype_sql = (
-        f"SELECT CAST(c_bigint AS BIGINT) AS c_bigint, c_boolean, c_date,"
-        f" CAST(c_double AS DOUBLE) AS c_double, c_string, c_timestamp"
+        f"SELECT CAST(c_bigint AS BIGINT) AS c_bigint,"
+        f" CAST(c_double AS DOUBLE) AS c_double, c_string, c_date,"
+        f" c_timestamp, c_boolean,"
+        f" CAST(c_short_decimal AS DECIMAL(5,2)) AS c_short_decimal,"
+        f" CAST(c_long_decimal AS DECIMAL(30,10)) AS c_long_decimal"
         f" FROM (VALUES {DATATYPE_ROWS_SQL}) AS t({DATATYPE_COLS})"
     )
     spark.sql(datatype_sql).createOrReplaceTempView("datatype")
@@ -338,3 +354,44 @@ def test_datetime_operators_accessible(engine):
     """
     rows = engine.sql(sql, dialect="presto").collect()
     assert len(rows) == 1 and all(v is not None for v in rows[0])
+
+
+# --- aggregate suite: ALSO golden-compare against the reference's own
+# .result files — possible because the datatype fixture above is the
+# reference's exact dataset ---
+
+AGG_GOLDEN_CASES = (
+    sorted(glob.glob(f"{REF_DIR}/aggregate/*.sql")) if os.path.isdir(REF_DIR) else []
+)
+
+
+def _num_or_str(cell: str):
+    try:
+        return float(cell)
+    except ValueError:
+        return cell
+
+
+@pytest.mark.parametrize(
+    "sql_file", AGG_GOLDEN_CASES, ids=[os.path.basename(f)[:-4] for f in AGG_GOLDEN_CASES]
+)
+def test_aggregate_suite_golden(suites_env, sql_file):
+    name = f"aggregate/{os.path.basename(sql_file)[:-4]}"
+    if name in SKIP:
+        pytest.skip(SKIP[name])
+    engine, _ = suites_env
+    src = open(sql_file).read()
+    sql = "\n".join(
+        l for l in src.splitlines() if not l.strip().startswith("--")
+    ).strip().rstrip(";")
+    expected, _opts = _parse_result_file(sql_file[:-4] + ".result")
+    got = [tuple(_render(v) for v in row) for row in engine.sql(sql, dialect="presto").collect()]
+    assert len(got) == len(expected), f"{name}: {got} vs {expected}"
+    for grow, erow in zip(got, expected):
+        assert len(grow) == len(erow), f"{name}: {grow} vs {erow}"
+        for gv, ev in zip(grow, erow):
+            g, e = _num_or_str(gv), _num_or_str(ev)
+            if isinstance(e, float) and isinstance(g, float):
+                assert g == pytest.approx(e, rel=1e-9, abs=1e-12), (name, grow, erow)
+            else:
+                assert gv == ev, (name, grow, erow)
