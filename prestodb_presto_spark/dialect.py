@@ -395,6 +395,59 @@ def _skewness_rewrite(args: list[str]) -> str | None:
     return f"(CASE WHEN count({x}) >= 3 THEN skewness({x}) END)"
 
 
+# Presto sorts NULLs LAST on ASC and FIRST on DESC (SortItem default,
+# presto-parser); Spark defaults are the exact opposite.  Make every
+# ORDER BY key's null placement explicit unless the query already did.
+_ORDER_BY_KW = re.compile(r"\border\s+by\b", re.IGNORECASE)
+_OB_TERM = re.compile(
+    r"^(limit|offset|fetch|rows|range|groups|union|intersect|except|window)\b",
+    re.IGNORECASE,
+)
+_HAS_NULLS = re.compile(r"\bnulls\s+(first|last)\s*$", re.IGNORECASE)
+_ENDS_DESC = re.compile(r"\bdesc\s*$", re.IGNORECASE)
+
+
+def _order_by_nulls(sql: str) -> str:
+    out = sql
+    pos = 0
+    while True:
+        m = _ORDER_BY_KW.search(out, pos)
+        if not m:
+            return out
+        i, n = m.end(), len(out)
+        items: list[tuple[int, int]] = []  # (start, end) spans
+        start, depth = i, 0
+        while i < n:
+            ch = out[i]
+            if ch == "\x00":  # masked literal: skip to closing sentinel
+                i = out.index("\x00", i + 1) + 1
+                continue
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif ch == "," and depth == 0:
+                items.append((start, i))
+                start = i + 1
+            elif depth == 0 and (ch.isalpha()) and _OB_TERM.match(out[i:]):
+                # keyword terminators only count at a word boundary
+                if i == 0 or not (out[i - 1].isalnum() or out[i - 1] in "_$"):
+                    break
+            i += 1
+        items.append((start, i))
+        # rewrite items back-to-front so earlier spans stay valid
+        for s, e in reversed(items):
+            item = out[s:e]
+            body = item.rstrip()
+            if not body.strip() or _HAS_NULLS.search(body):
+                continue
+            suffix = " NULLS FIRST" if _ENDS_DESC.search(body) else " NULLS LAST"
+            out = out[:s] + body + suffix + item[len(body):] + out[e:]
+        pos = m.end()
+
+
 # Window functions that reject an explicit frame in Spark (Presto parses
 # and ignores one: rank() OVER (... RANGE ...) is legal there), and the
 # ranking subset that additionally requires ORDER BY in Spark while Presto
@@ -474,6 +527,11 @@ def translate(sql: str) -> str:
         return f"\x00{len(literals) - 1}\x00"
 
     out = _STRING_LIT.sub(_mask, out)
+    # Presto double-quotes are ALWAYS identifiers (never strings) —
+    # Spark's identifier quote is the backtick.  Runs after literal
+    # masking so quotes inside string literals stay untouched; covers
+    # quoted function names too ("sum"(x) → `sum`(x), which Spark parses).
+    out = re.sub(r'"([^"]+)"', r"`\1`", out)
     # Presto CREATE [OR REPLACE] VIEW is a catalog view
     # (presto-parser/.../CreateView.java); the Spark analog over session
     # temp views is a TEMPORARY view (a permanent Spark view cannot
@@ -500,6 +558,7 @@ def translate(sql: str) -> str:
     out = _rewrite_calls(out, "skewness", _skewness_rewrite)
     out = _unnest_rewrite(out)
     out = _window_compat(out)
+    out = _order_by_nulls(out)
     # longest names first so json_extract_scalar wins over json_extract
     for presto in sorted(_RENAMES, key=len, reverse=True):
         out = _rename(out, presto, _RENAMES[presto])
