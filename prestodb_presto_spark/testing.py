@@ -81,3 +81,49 @@ def compare_positional(sdf, con, oracle_sql: str) -> str | None:
         diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
         return f"value mismatch, e.g. {diff}"
     return None
+
+
+def _tolerant_cell(v):
+    """Canonical cell where every numeric (Decimal AND float) carries a
+    6-significant-digit sort key plus the raw value — engines pick
+    different result scales for decimal avg/division, and one may hand
+    the value back as float where the other keeps Decimal."""
+    import decimal
+
+    if isinstance(v, (decimal.Decimal, float)) and not isinstance(v, bool):
+        f = float(v)
+        if f == 0 or not math.isfinite(f):
+            return ("f", 0.0 if f == 0 else str(f), f)
+        return ("f", round(f, 6 - 1 - int(math.floor(math.log10(abs(f))))), f)
+    return norm_cell(v)
+
+
+def compare_tolerant(sdf, con, oracle_sql: str) -> str | None:
+    """Positional compare with numeric tolerance: Decimal/float unify,
+    rounded to 6 significant digits for pairing and checked against the
+    raw values at rel 1e-5 / abs 2e-6 (one scale-6 truncation step)."""
+    srows = [tuple(r) for r in sdf.collect()]
+    res = con.execute(oracle_sql)
+    orows = res.fetchall()
+    if len(sdf.columns) != len(res.description):
+        return f"column count {len(sdf.columns)} vs {len(res.description)}"
+    if len(srows) != len(orows):
+        return f"rowcount {len(srows)} vs {len(orows)}"
+    a = sorted(tuple(_tolerant_cell(v) for v in r) for r in srows)
+    b = sorted(tuple(_tolerant_cell(v) for v in r) for r in orows)
+
+    def cell_ok(x, y):
+        if x == y:
+            return True
+        if x[0] == y[0] == "f" and len(x) == len(y) == 3:
+            return math.isclose(x[2], y[2], rel_tol=1e-5, abs_tol=2e-6)
+        return False
+
+    bad = [
+        (x, y)
+        for x, y in zip(a, b)
+        if not (len(x) == len(y) and all(cell_ok(u, v) for u, v in zip(x, y)))
+    ][:2]
+    if bad:
+        return f"value mismatch, e.g. {bad}"
+    return None

@@ -28,7 +28,7 @@ import re
 
 import pytest
 
-from prestodb_presto_spark.testing import compare_positional
+from prestodb_presto_spark.testing import compare_tolerant
 
 REF_DIR = "/root/reference/presto-product-tests/src/main/resources/sql-tests/testcases"
 
@@ -55,6 +55,10 @@ SKIP = {
     "string_functions/checkStringFunctionsRegistered": (
         "SHOW FUNCTIONS tabular output; registry audited via coverage()"
     ),
+}
+
+# cases whose .result can't serve as a golden here, with recorded cause
+GOLDEN_SKIP = {
 }
 
 WORKERS_ROWS = [
@@ -108,37 +112,108 @@ DATATYPE_COLS = (
 )
 
 
+def _parse_result_file(path: str):
+    lines = open(path).read().splitlines()
+    opts = {}
+    if lines and lines[0].lstrip().startswith("--"):
+        for kv in lines[0].lstrip("- ").split(";"):
+            if ":" in kv:
+                k, v = kv.split(":", 1)
+                opts[k.strip()] = v.strip()
+        lines = lines[1:]
+    rows = [
+        tuple(cell.strip() for cell in line.rstrip("|").split("|"))
+        for line in lines
+        if line.strip()
+    ]
+    return rows, opts
+
+
+def _render(v) -> str:
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+def _parse_opts(line: str) -> dict:
+    opts = {}
+    for kv in line.lstrip("- ").split(";"):
+        if ":" in kv:
+            k, v = kv.split(":", 1)
+            opts[k.strip()] = v.strip()
+    return opts
+
+
+def _golden_usable(sql: str) -> bool:
+    """Whether the reference's expected rows are valid goldens on THIS
+    data.  Invalid when the case touches (a) workers/datatype-style
+    private tempto datasets, (b) hive-schema prefixed tables, whose CI
+    dataset was sf1 (counts like 1298/p_type prove it) while tpch.tiny
+    is sf0.01, or (c) free-text dbgen columns (comment/address) — the
+    DuckDB dbgen text pool differs from the reference CI's generator
+    even though all key/numeric/name columns agree."""
+    low = sql.lower()
+    if "workers" in low or "datatype" in low:
+        return False
+    if re.search(r"(?<!\.)\b(part|orders|lineitem|customer|supplier|partsupp)\b", low):
+        return False
+    if "comment" in low or re.search(r"select\s+\*", low):
+        return False
+    return True
+
+
 def _load_cases():
+    """Returns (name, sql, expected_rows_or_None, opts).  Since the
+    fixture data IS tpch.tiny (real dbgen sf0.01), the reference's own
+    expected rows — sibling .result files, or the inline blocks of
+    multi-section files — are true goldens here; workers-based cases
+    keep expected=None (that tempto dataset's rows aren't published)."""
     cases = []
     for suite in DIFF_SUITES:
         for f in sorted(glob.glob(f"{REF_DIR}/{suite}/*.sql")):
             src = open(f).read()
             base = f"{suite}/{os.path.basename(f)[:-4]}"
+            header_opts = {}
+            for line in src.splitlines()[:3]:
+                if line.strip().startswith("--") and "delimiter" in line:
+                    header_opts = _parse_opts(line.strip())
             if "--! name:" in src:
                 # tempto multi-section format: `--! name: X` starts a SQL
                 # section, a bare `--!` starts its inline expected rows
-                # (which encode the reference's dbgen data — the
-                # differential oracle replaces them)
-                section, in_sql = None, False
-                sqls: list[tuple[str, list[str]]] = []
+                section = None
+                mode = None  # 'sql' | 'rows'
+                sqls: list[tuple[str, list[str], list[tuple]]] = []
                 for line in src.splitlines():
                     s = line.strip()
                     if s.startswith("--! name:"):
                         section = s.split(":", 1)[1].strip()
-                        sqls.append((section, []))
-                        in_sql = True
+                        sqls.append((section, [], []))
+                        mode = "sql"
                     elif s.startswith("--!"):
-                        in_sql = False
-                    elif in_sql and not s.startswith("--"):
+                        mode = "rows"
+                    elif mode == "sql" and not s.startswith("--"):
                         sqls[-1][1].append(line)
-                for sec, lines in sqls:
-                    cases.append((f"{base}:{sec}", "\n".join(lines).strip().rstrip(";")))
+                    elif mode == "rows" and s and not s.startswith("--"):
+                        sqls[-1][2].append(
+                            tuple(c.strip() for c in s.rstrip("|").split("|"))
+                        )
+                for sec, lines, rows in sqls:
+                    sql = "\n".join(lines).strip().rstrip(";")
+                    exp = rows if rows and _golden_usable(sql) else None
+                    cases.append((f"{base}:{sec}", sql, exp, header_opts))
             else:
                 sql = "\n".join(
                     line for line in src.splitlines()
                     if not line.strip().startswith("--")
                 ).strip().rstrip(";")
-                cases.append((base, sql))
+                exp, opts = None, dict(header_opts)
+                rf = f[:-4] + ".result"
+                if os.path.exists(rf) and _golden_usable(sql):
+                    exp, ropts = _parse_result_file(rf)
+                    opts.update(ropts)
+                cases.append((base, sql, exp, opts))
     return cases
 
 
@@ -171,36 +246,29 @@ def _strip_prefix_select(cols: list[str]) -> str:
 
 @pytest.fixture(scope="module")
 def suites_env(engine, oracle, tmp_path_factory):
-    """Register: augmented prefixed tables (nation incl. n_comment,
-    partsupp), tiny_* unprefixed views, and the workers dataset — in BOTH
-    engines over identical data."""
-    from tests.tpch_augment import build_augmented_dir
+    """Register REAL TPC-H sf0.01 tables (dbgen — what tpch.tiny means in
+    the reference's own CI, so .result files are true goldens), tiny_*
+    unprefixed views of the same data, and the workers/datatype
+    datasets — identically in BOTH engines."""
+    from tests.tpch_real import TPCH_TABLES, build_tpch_real_dir
 
-    sf_dir = "/root/testdata/sf0.01"
-    aug_dir = build_augmented_dir(sf_dir, str(tmp_path_factory.mktemp("suites_aug")))
+    real_dir = build_tpch_real_dir("/tmp/spark_graft_tpch_real_sf0.01")
 
     spark = engine.spark
-    # prefixed tables the suites touch (nation needs the derived n_comment)
-    for name in ("nation", "part", "orders", "lineitem", "partsupp"):
-        spark.read.parquet(f"{aug_dir}/{name}.parquet").createOrReplaceTempView(name)
+    for name in TPCH_TABLES:
+        spark.read.parquet(f"{real_dir}/{name}.parquet").createOrReplaceTempView(name)
         oracle.execute(
-            f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM '{aug_dir}/{name}.parquet'"
+            f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM '{real_dir}/{name}.parquet'"
         )
-    # region has no derived columns; keep base fixture
-    spark.read.parquet(f"{sf_dir}/region.parquet").createOrReplaceTempView("region")
-    oracle.execute(
-        f"CREATE OR REPLACE VIEW region AS SELECT * FROM '{sf_dir}/region.parquet'"
-    )
 
     # tpch.tiny.* → tiny_* with unprefixed columns
     for name in TINY_TABLES:
-        src = aug_dir if name != "region" else sf_dir
-        df = spark.read.parquet(f"{src}/{name}.parquet")
+        df = spark.read.parquet(f"{real_dir}/{name}.parquet")
         sel = _strip_prefix_select(df.columns)
         spark.sql(f"SELECT {sel} FROM {name}").createOrReplaceTempView(f"tiny_{name}")
         oracle.execute(
             f"CREATE OR REPLACE VIEW tiny_{name} AS SELECT {sel}"
-            f" FROM '{src}/{name}.parquet'"
+            f" FROM '{real_dir}/{name}.parquet'"
         )
 
     # workers: identical literal rows in both engines
@@ -244,7 +312,8 @@ def suites_env(engine, oracle, tmp_path_factory):
     # restore the conftest-level base views other modules expect
     from prestodb_presto_spark.queries.util import t as load_table
 
-    for name in ("nation", "region", "part", "orders", "lineitem"):
+    for name in ("nation", "region", "customer", "supplier", "part",
+                 "orders", "lineitem"):
         load_table(spark, "/root/testdata/sf0.001", name).createOrReplaceTempView(name)
         oracle.execute(
             f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM"
@@ -256,43 +325,47 @@ def suites_env(engine, oracle, tmp_path_factory):
         oracle.execute(f"DROP VIEW IF EXISTS {name}")
 
 
-@pytest.mark.parametrize("name,sql", CASES, ids=[c[0] for c in CASES])
-def test_reference_suite_case(suites_env, name, sql):
+def _golden_cell_match(got: str, exp: str) -> bool:
+    if got == exp:
+        return True
+    try:
+        g, e = float(got), float(exp)
+    except ValueError:
+        return False
+    # compare at the precision the reference printed (Presto keeps the
+    # input decimal scale for avg; Spark widens to scale 6)
+    if "." in exp:
+        dp = len(exp.split(".", 1)[1].rstrip())
+        g = round(g, dp)
+    return g == pytest.approx(e, rel=1e-9, abs=1e-9)
+
+
+@pytest.mark.parametrize(
+    "name,sql,exp,opts", CASES, ids=[c[0] for c in CASES]
+)
+def test_reference_suite_case(suites_env, name, sql, exp, opts):
     if name in SKIP:
         pytest.skip(SKIP[name])
     engine, oracle = suites_env
     rewritten = _rewrite(sql)
     sdf = engine.sql(rewritten, dialect="presto")
-    err = compare_positional(sdf, oracle, _oracle_dialect(rewritten))
+    err = compare_tolerant(sdf, oracle, _oracle_dialect(rewritten))
     assert err is None, f"{name}: {err}"
+    if exp is None or name in GOLDEN_SKIP:
+        return
+    got = [tuple(_render(v) for v in row) for row in sdf.collect()]
+    if opts.get("ignoreExcessRows") == "true":
+        got = got[: len(exp)]
+    if opts.get("ignoreOrder") == "true":
+        got, exp = sorted(got), sorted(exp)
+    assert len(got) == len(exp), f"{name} golden: {len(got)} vs {len(exp)} rows"
+    for grow, erow in zip(got, exp):
+        assert len(grow) == len(erow), f"{name} golden: {grow} vs {erow}"
+        for gv, ev in zip(grow, erow):
+            assert _golden_cell_match(gv, ev), f"{name} golden: {grow} vs {erow}"
 
 
 # --- select_no_from: golden .result comparison against the reference ---
-
-def _parse_result_file(path: str):
-    lines = open(path).read().splitlines()
-    opts = {}
-    if lines and lines[0].lstrip().startswith("--"):
-        for kv in lines[0].lstrip("- ").split(";"):
-            if ":" in kv:
-                k, v = kv.split(":", 1)
-                opts[k.strip()] = v.strip()
-        lines = lines[1:]
-    rows = [
-        tuple(cell.strip() for cell in line.rstrip("|").split("|"))
-        for line in lines
-        if line.strip()
-    ]
-    return rows, opts
-
-
-def _render(v) -> str:
-    if v is None:
-        return "null"
-    if isinstance(v, bool):
-        return "true" if v else "false"
-    return str(v)
-
 
 NO_FROM_SUITES = ("select_no_from", "convertion_functions", "horology_functions")
 NO_FROM_SKIP = {
