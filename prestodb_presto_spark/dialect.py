@@ -345,6 +345,40 @@ def _unnest_rewrite(sql: str) -> str:
 _DECIMAL_LIT = re.compile(r"\bDECIMAL\s*'\s*([+-]?[0-9]*\.?[0-9]+)\s*'", re.IGNORECASE)
 
 
+# presto-ml SQL surface (MLFunctions.java: features/learn_classifier/
+# classify).  The reference trains a libsvm SVM; the SQL path here keeps
+# the model as the collected training set and classifies 1-NN — a
+# documented deviation (ml.py holds the DataFrame-level API) that agrees
+# with the reference's own product-test cases (single-example training).
+def _features_rewrite(args: list[str]) -> str | None:
+    cast = ", ".join(f"CAST({a} AS DOUBLE)" for a in args)
+    return f"array({cast})"
+
+
+def _learn_classifier_rewrite(args: list[str]) -> str | None:
+    label, feats = args[0], args[1]
+    return f"collect_list(named_struct('label', {label}, 'feats', {feats}))"
+
+
+def _classify_rewrite(args: list[str]) -> str | None:
+    f, m = args[0], args[1]
+    dist = (
+        "aggregate(zip_with({v}.feats, " + f
+        + ", (x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    da, db = dist.format(v="a"), dist.format(v="b")
+    return (
+        f"element_at(array_sort({m}, (a, b) -> CASE WHEN {da} < {db} THEN -1"
+        f" WHEN {da} > {db} THEN 1 ELSE 0 END), 1).label"
+    )
+
+
+def _random_rewrite(args: list[str]) -> str | None:
+    if len(args) != 1 or not args[0]:
+        return None  # zero-arg random() is native
+    return f"CAST(FLOOR(rand() * ({args[0]})) AS BIGINT)"
+
+
 # `<expr> AT TIME ZONE 'Z'` (grammar SqlBase.g4 AT TIME ZONE): Spark has
 # no TIMESTAMP WITH TIME ZONE type, so the zone cannot ride on the value
 # (documented §1.2 deviation).  Two rewrites recover the semantics:
@@ -551,6 +585,10 @@ def translate(sql: str) -> str:
     out = _rewrite_calls(out, "TRY", _try_rewrite)
     out = _rewrite_calls(out, "TRY_CAST", _try_cast_rewrite)
     out = _rewrite_calls(out, "CAST", _cast_rewrite)
+    out = _rewrite_calls(out, "classify", _classify_rewrite)
+    out = _rewrite_calls(out, "learn_classifier", _learn_classifier_rewrite)
+    out = _rewrite_calls(out, "features", _features_rewrite)
+    out = _rewrite_calls(out, "random", _random_rewrite)
     out = _rewrite_calls(out, "timezone_hour", _tz_field_rewrite("hour"))
     out = _rewrite_calls(out, "timezone_minute", _tz_field_rewrite("minute"))
     out = _AT_TZ_POSTFIX.sub(lambda m: f"at_timezone({m.group(1)}, {m.group(2)})", out)
