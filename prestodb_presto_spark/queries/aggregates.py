@@ -835,3 +835,34 @@ def agg_set_digest(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_skew_kurtosis",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(skewness(l_quantity) * (COUNT(l_quantity) - 2)
+                 / sqrt(COUNT(l_quantity) * (COUNT(l_quantity) - 1.0)), 6) AS skew,
+           ROUND(kurtosis(l_quantity), 6) AS kurt
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("aggregation", "statistics"),
+)
+def agg_skew_kurtosis(spark, sf_dir):
+    """skewness/kurtosis with the REFERENCE's definitions
+    (CentralMomentsAggregation.java): population g1 skewness and
+    sample-corrected excess kurtosis.  DuckDB's kurtosis already matches
+    the reference formula; its sample skewness converts by
+    (n−2)/√(n(n−1)).  Rounded to 6 dp so partial-merge float noise
+    (≤1e-14 relative) can't flip the hash."""
+    from prestodb_presto_spark.functions import presto as P
+
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(P.skewness("l_quantity"), 6).alias("skew"),
+            F.round(P.kurtosis("l_quantity"), 6).alias("kurt"),
+        )
+        .orderBy("l_returnflag")
+    )
