@@ -178,3 +178,25 @@ def test_no_forced_broadcast_of_sf_scaled_tables():
         if snippet.startswith(".hint"):
             raise AssertionError(f"explicit .hint('broadcast') in tpch.py: {snippet!r}")
         assert allowed.match(snippet), f"forced broadcast of SF-scaled operand: {snippet!r}"
+
+
+def test_ivf_ann_broadcasts_probes_not_corpus(spark, specs):
+    """similarity_ivf_ann: the centroid table and the probe table are
+    tiny and must BROADCAST; the indexed corpus must never shuffle for
+    candidate selection (at 100 TB the corpus side is the fact table).
+    Cell assignment collapses in a partial aggregate before its one
+    shuffle."""
+    plan = plan_of(spark, specs, "similarity_ivf_ann")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # candidate selection = broadcast join against indexed corpus, not a
+    # sort-merge join shuffling vectors
+    assert "SortMergeJoin" not in plan
+
+
+def test_banded_lsh_partial_aggregation(spark, specs):
+    """dedup_embedding_cosine: the 80-accumulator signature aggregation
+    must run map-side partial aggregation (shuffle = 80 longs/vector,
+    never the exploded (vec, dim, value) rows)."""
+    plan = plan_of(spark, specs, "dedup_embedding_cosine")
+    assert "partial_" in plan.lower() or "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
