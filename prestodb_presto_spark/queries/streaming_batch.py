@@ -270,3 +270,36 @@ def events_interval_join(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "events_enrich_dim",
+    oracle="""
+    SELECT n_name, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS total_value
+    FROM events JOIN nation ON events.user_id % 25 = nation.n_nationkey
+    GROUP BY n_name, event_type
+    ORDER BY n_name, event_type
+    """,
+    tags=("events", "join", "streaming-twin"),
+)
+def events_enrich_dim(spark, sf_dir):
+    """Stream-static dimension enrichment, batch twin (streaming/ops.py
+    ``enrich_with_dim``; stream path tested in tests/test_streaming.py).
+
+    The dim side broadcasts (nation: ALWAYS_BROADCAST-class); the event
+    stream never shuffles for the join — only the final aggregate
+    exchanges.  Decimal-cast sum keeps the hash deterministic.
+    """
+    from prestodb_presto_spark.queries.util import dsum
+    from prestodb_presto_spark.streaming.ops import enrich_with_dim
+
+    ev = t(spark, sf_dir, "events").withColumn("nk", F.col("user_id") % 25)
+    nation = t(spark, sf_dir, "nation")
+    joined = enrich_with_dim(ev, nation, F.col("nk") == F.col("n_nationkey"), "inner")
+    return (
+        joined.groupBy("n_name", "event_type")
+        .agg(F.count("*").alias("n"), dsum("value", 3).alias("total_value"))
+        .orderBy("n_name", "event_type")
+    )

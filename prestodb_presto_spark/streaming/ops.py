@@ -168,3 +168,18 @@ def interval_join(
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {after}"))
     )
     return l.join(r, cond)
+
+
+def enrich_with_dim(events: DataFrame, dim: DataFrame, on, how: str = "left") -> DataFrame:
+    """Stream-static dimension enrichment: join a (possibly streaming)
+    events frame against a static dimension table.
+
+    Spark executes stream-static joins without state — the static side
+    is (re)broadcast per micro-batch, so at 100 TB-of-stream scale the
+    cost is the dim broadcast, never a shuffle of the stream.  This is
+    the streaming twin of the reference's LookupJoin against a
+    dimension scan; the batch twin is gated as `events_enrich_dim`.
+    """
+    from pyspark.sql import functions as F
+
+    return events.join(F.broadcast(dim), on, how)

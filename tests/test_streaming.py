@@ -221,3 +221,34 @@ def test_interval_join_stream_equals_batch(spark):
         .collect()
     )
     assert got == exp and len(exp) > 0
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    """enrich_with_dim over a real readStream: stream-static join needs
+    no state and must match the batch twin exactly."""
+    from prestodb_presto_spark.queries.util import t
+    from prestodb_presto_spark.streaming.ops import enrich_with_dim, read_events_stream
+
+    sf = SF_TINY
+    dim = t(spark, sf, "nation")
+    stream = read_events_stream(spark, sf).withColumn("nk", F.col("user_id") % 25)
+    enriched = enrich_with_dim(stream, dim, F.col("nk") == F.col("n_nationkey"), "inner")
+    agg = enriched.groupBy("n_name").count()
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("enrich_t")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.n_name: r["count"] for r in spark.sql("select * from enrich_t").collect()}
+    batch = t(spark, sf, "events").withColumn("nk", F.col("user_id") % 25)
+    exp = {
+        r.n_name: r["count"]
+        for r in batch.join(dim, F.col("nk") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .count()
+        .collect()
+    }
+    assert got == exp
