@@ -44,3 +44,30 @@ def test_show_columns_runtime_nodes(engine):
     # the catalog command itself must parse and run
     rows = engine.spark.sql("SHOW TABLES").collect()
     assert rows is not None
+
+
+def test_information_schema_columns_shape(engine):
+    """system suite analog (selectInformationSchemaColumns.sql): the
+    reference's golden is environment-specific, so assert the synthesized
+    information_schema.columns view carries the spec's core columns for
+    this session's tables."""
+    df = engine.information_schema("columns")
+    assert {"table_name", "column_name", "data_type", "is_nullable"} <= set(df.columns)
+    rows = [r for r in df.collect() if r.table_name == "nation"]
+    assert {r.column_name for r in rows} >= {"n_nationkey", "n_name", "n_regionkey"}
+
+
+def test_orc_varchar_dictionary_roundtrip(engine, tmp_path):
+    """orc suite (select_varchar_orc_dictionary): low-cardinality varchar
+    column written as ORC (dictionary-encodable) reads back exactly."""
+    spark = engine.spark
+    df = spark.range(500).selectExpr(
+        "CASE WHEN id % 3 = 0 THEN 'column_value_a' WHEN id % 3 = 1 THEN"
+        " 'column_value_b' ELSE NULL END AS c_varchar"
+    )
+    path = str(tmp_path / "orc_varchar_dictionary")
+    df.write.orc(path)
+    got = spark.read.orc(path)
+    row = got.filter("c_varchar IS NOT NULL").limit(1).collect()
+    assert row and row[0].c_varchar.startswith("column_value")
+    assert got.count() == 500 and got.filter("c_varchar IS NULL").count() == 166
