@@ -129,6 +129,32 @@ class Engine:
         text = self._prepared[name]
         return self.spark.sql(text, args=list(params)) if params else self.spark.sql(text)
 
+    def describe_output(self, name: str) -> DataFrame:
+        """DESCRIBE OUTPUT <name> (tree/DescribeOutput.java;
+        DescribeOutputRewrite): column name + inferred type of each
+        output column of the prepared query — analysis only, nothing
+        executes (parameters bind as typed NULLs for inference)."""
+        if not getattr(self, "_prepared", None) or name not in self._prepared:
+            raise KeyError(f"prepared statement not found: {name}")
+        text = self._prepared[name]
+        n_params = text.count("?")
+        df = self.spark.sql(text, args=[None] * n_params) if n_params else self.spark.sql(text)
+        rows = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+        return self.spark.createDataFrame(rows, "column_name string, type string")
+
+    def describe_input(self, name: str) -> DataFrame:
+        """DESCRIBE INPUT <name> (tree/DescribeInput.java;
+        DescribeInputRewrite): one row per `?` parameter position.
+        Spark's parameterized sql() types parameters at bind time, so —
+        unlike the reference's analyzer — positions report 'unknown'
+        (the reference also returns unknown for untyped contexts)."""
+        if not getattr(self, "_prepared", None) or name not in self._prepared:
+            raise KeyError(f"prepared statement not found: {name}")
+        n_params = self._prepared[name].count("?")
+        return self.spark.createDataFrame(
+            [(i, "unknown") for i in range(n_params)], "position int, type string"
+        )
+
     def deallocate(self, name: str) -> None:
         """DEALLOCATE PREPARE <name>."""
         if not getattr(self, "_prepared", None) or name not in self._prepared:

@@ -71,3 +71,20 @@ def test_orc_varchar_dictionary_roundtrip(engine, tmp_path):
     row = got.filter("c_varchar IS NOT NULL").limit(1).collect()
     assert row and row[0].c_varchar.startswith("column_value")
     assert got.count() == 500 and got.filter("c_varchar IS NULL").count() == 166
+
+
+def test_describe_input_output(engine):
+    """DESCRIBE INPUT/OUTPUT over a prepared statement (reference
+    tree/DescribeInput.java, DescribeOutput.java; DescribeXxxRewrite):
+    output columns+types come from analysis without execution; input
+    lists one row per `?` position."""
+    engine.prepare(
+        "q_desc", "SELECT n_name, n_regionkey + 1 AS rk1 FROM nation WHERE n_nationkey = ?"
+    )
+    try:
+        out = {r.column_name: r.type for r in engine.describe_output("q_desc").collect()}
+        assert out["n_name"] == "string" and out["rk1"] in ("int", "bigint")
+        inp = engine.describe_input("q_desc").collect()
+        assert [r.position for r in inp] == [0]
+    finally:
+        engine.deallocate("q_desc")
