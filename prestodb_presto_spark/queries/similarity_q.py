@@ -164,8 +164,8 @@ def similarity_threshold_pairs(spark, sf_dir):
                          generate_subscripts(q, 1) - 1 AS dim
                   FROM e),
          proj AS (SELECT vec_id, p,
-                         SUM(x * (CAST(CAST(('0x' || substr(md5('plane-' || p || '-' || dim), 1, 15))
-                                            AS UBIGINT) % 16 AS BIGINT) - 8)) AS s
+                         SUM(x * (CAST(CAST(('0x' || substr(md5('planes-' || dim), p + 1, 1))
+                                            AS UBIGINT) AS BIGINT) - 8)) AS s
                   FROM flat CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS p) ps
                   GROUP BY vec_id, p),
          buck AS (SELECT vec_id,
