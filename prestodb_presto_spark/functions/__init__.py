@@ -68,6 +68,7 @@ def _load():
             strings,
             teradata,
         )
+        from prestodb_presto_spark import ml  # noqa: F401  (registry-owned ML names)
 
         _loaded = True
 

@@ -474,3 +474,26 @@ def test_geo_distance_relate_buffer(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         P.st_buffer_geom(A, -1.0)
+
+
+def test_ml_registry_names(spark):
+    """MLFunctions.java names in the registry: features/learn_classifier/
+    classify (collected-training-set model, 1-NN — the SQL-path twins of
+    the pipeline API above) and evaluate_classifier_predictions."""
+    from pyspark.sql import functions as F
+
+    from prestodb_presto_spark.functions import presto as P
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (0, [5.0, 6.0]), (1, [1.2, 2.1])], "label: int, f: array<double>"
+    )
+    model = df.agg(P.learn_classifier("label", "f").alias("m"))
+    pred = model.select(
+        P.classify(F.array(F.lit(1.1), F.lit(2.0)), F.col("m")).alias("p"),
+        P.regress(F.array(F.lit(4.9), F.lit(6.1)), F.col("m")).alias("r"),
+    ).collect()[0]
+    assert pred.p == 1 and pred.r == 0.0
+    ev = df.agg(
+        P.evaluate_classifier_predictions(F.col("label"), F.lit(1)).alias("a")
+    ).collect()[0].a
+    assert ev == "Accuracy: 2/3 (66.67%)"
