@@ -33,6 +33,8 @@ _RENAMES = {
     "from_unixtime": "timestamp_seconds",
     "json_parse": "",  # identity: Spark JSON fns take the string directly
     "json_format": "",
+    "is_nan": "isnan",
+    "levenshtein_distance": "levenshtein",
 }
 
 # date_add('unit', n, ts) / date_diff('unit', a, b) → Spark
@@ -345,6 +347,234 @@ def _unnest_rewrite(sql: str) -> str:
 _DECIMAL_LIT = re.compile(r"\bDECIMAL\s*'\s*([+-]?[0-9]*\.?[0-9]+)\s*'", re.IGNORECASE)
 
 
+# Typed literals (grammar SqlBase.g4 typeConstructor): Presto allows
+# `TYPE 'literal'` for every type; Spark only for DATE/TIMESTAMP/INTERVAL
+# and X''.  Rewrite the rest to CAST; JSON 'x' becomes the bare string
+# (the engine's JSON value representation IS the string).
+_TYPED_LIT_POST = re.compile(
+    r"\b(BIGINT|INTEGER|SMALLINT|TINYINT|DOUBLE|REAL|VARCHAR|JSON)\s*(\x00\d+\x00)",
+    re.IGNORECASE,
+)
+_TYPED_LIT_MAP = {
+    "bigint": "BIGINT", "integer": "INT", "smallint": "SMALLINT",
+    "tinyint": "TINYINT", "double": "DOUBLE", "real": "FLOAT",
+    "varchar": "STRING",
+}
+
+
+def _typed_literal(m: re.Match) -> str:
+    t = m.group(1).lower()
+    if t == "json":
+        return m.group(2)
+    return f"CAST({m.group(2)} AS {_TYPED_LIT_MAP[t]})"
+
+
+def _truncate_rewrite(args: list[str]) -> str | None:
+    x = args[0]
+    if len(args) == 1:
+        return f"(CAST(sign({x}) AS DOUBLE) * floor(abs({x})))"
+    n = args[1]
+    return (
+        f"(CAST(sign({x}) AS DOUBLE) * floor(abs({x}) * power(10, {n}))"
+        f" / power(10, {n}))"
+    )
+
+
+def _bit_count_rewrite(args: list[str]) -> str | None:
+    if len(args) == 1:
+        return None  # native bit_count
+    a, bits = args
+    if bits.strip() == "64":
+        return f"bit_count({a})"
+    # two's-complement view of the low `bits`: mask keeps the bit pattern
+    return f"bit_count({a} & (shiftleft(CAST(1 AS BIGINT), {bits}) - 1))"
+
+
+def _replace_rewrite(args: list[str]) -> str | None:
+    if len(args) != 3:
+        return None
+    a, b, r = args
+    # Presto REPLACE('abc','','x') interleaves the replacement around
+    # every character (StringFunctions.replace); Spark returns the input
+    return (
+        f"(CASE WHEN ({b}) = '' THEN"
+        f" (CASE WHEN ({a}) = '' THEN ({r}) ELSE"
+        f" concat({r}, array_join(transform(split({a}, ''), __ch -> concat(__ch, {r})), '')) END)"
+        f" ELSE replace({a}, {b}, {r}) END)"
+    )
+
+
+def _chr_rewrite(args: list[str]) -> str | None:
+    # Presto chr = full Unicode code point; Spark's chr is mod-256 ASCII.
+    # Java's %c takes a code point directly (supplementary planes incl.).
+    return f"format_string('%c', CAST({args[0]} AS INT))"
+
+
+def _is_json_scalar_rewrite(args: list[str]) -> str | None:
+    j = args[0]
+    pat = r"^(\"(?:[^\"\\\\]|\\\\.)*\"|-?[0-9]+(\.[0-9]+)?([eE][+-]?[0-9]+)?|true|false|null)$"
+    return f"(CASE WHEN ({j}) IS NULL THEN NULL ELSE trim({j}) RLIKE '{pat}' END)"
+
+
+def _word_stem_rewrite(args: list[str]) -> str | None:
+    a = args[0]
+    inner = (
+        f"(CASE WHEN {a} RLIKE '.{{4,}}ing$' THEN regexp_replace({a}, 'ing$', '')"
+        f" WHEN {a} RLIKE '.{{3,}}ed$' THEN regexp_replace({a}, 'ed$', '')"
+        f" WHEN {a} RLIKE '.{{3,}}ies$' THEN regexp_replace({a}, 'ies$', 'y')"
+        f" WHEN {a} RLIKE '.{{3,}}s$' AND NOT {a} RLIKE 'ss$'"
+        f" THEN regexp_replace({a}, 's$', '') ELSE {a} END)"
+    )
+    return f"regexp_replace({inner}, '([bdfgmnprt])\\\\1$', '$1')"
+
+
+def _greatest_least_rewrite(name: str):
+    """Presto greatest/least return NULL if ANY argument is NULL
+    (GreatestFunction.java); Spark's skip NULLs.  Single-argument form
+    is the identity."""
+
+    def fn(args: list[str]) -> str | None:
+        if len(args) == 1:
+            return f"({args[0]})"
+        nulls = " OR ".join(f"({a}) IS NULL" for a in args)
+        return f"(CASE WHEN {nulls} THEN NULL ELSE {name}({', '.join(args)}) END)"
+
+    return fn
+
+
+def _substr_rewrite(args: list[str]) -> str | None:
+    """Presto substr: position 0 or beyond-negative yields '' (Spark
+    clamps to the full string).  Handles both substr(s, p[, n]) and
+    SUBSTRING(s FROM p [FOR n])."""
+    if len(args) == 1:
+        m = re.match(
+            r"(?s)^(.*?)\s+from\s+(.+?)(?:\s+for\s+(.+))?$", args[0], re.IGNORECASE
+        )
+        if not m:
+            return None
+        s, p, n = m.groups()
+        args = [s, p] + ([n] if n else [])
+    if len(args) not in (2, 3):
+        return None
+    s, p = args[0], args[1]
+    rest = f", {args[2]}" if len(args) == 3 else ""
+    return (
+        f"(CASE WHEN ({p}) = 0 OR ({p}) < -length({s}) THEN ''"
+        f" ELSE substr({s}, {p}{rest}) END)"
+    )
+
+
+def _json_array_contains_rewrite(args: list[str]) -> str | None:
+    """json_array_contains(json, value) (JsonFunctions.java): type-aware
+    membership in a top-level JSON array.  Spark 4's VARIANT keeps JSON
+    type fidelity ("true" vs true), so elements render canonically via
+    to_json and the target renders from its lexical form."""
+    if len(args) != 2:
+        return None
+    j, v = args
+    if re.fullmatch(r"\x00\d+\x00", v.strip()):
+        target = f"concat('\"', {v}, '\"')"
+    else:
+        target = f"CAST(({v}) AS STRING)"
+    return (
+        f"array_contains(transform(from_json({j}, 'array<variant>'),"
+        f" __v -> to_json(__v)), {target})"
+    )
+
+
+def _width_bucket_rewrite(args: list[str]) -> str | None:
+    """width_bucket(x, bins_array) overload (MathFunctions.java):
+    1-based index = count of bin boundaries <= x."""
+    if len(args) != 2:
+        return None
+    return f"size(filter({args[1]}, __b -> __b <= ({args[0]})))"
+
+
+def _split_part_rewrite(args: list[str]) -> str | None:
+    """Presto split_part: out-of-range index yields NULL (Spark ''),
+    empty delimiter splits per character, index 0 yields ''."""
+    if len(args) != 3:
+        return None
+    s, d, i = args
+    return (
+        f"(CASE WHEN ({d}) = '' THEN"
+        f" (CASE WHEN ({i}) <= length({s}) THEN substr({s}, {i}, 1) END)"
+        f" WHEN ({i}) = 0 THEN ''"
+        f" WHEN ({i}) > size(split({s}, concat('\\\\Q', {d}, '\\\\E'))) THEN NULL"
+        f" ELSE split_part({s}, {d}, {i}) END)"
+    )
+
+
+def _trim2_rewrite(side: str):
+    """Presto ltrim/rtrim(string, chars): Spark's 2-arg spelling reverses
+    the arguments — use the unambiguous TRIM(LEADING/TRAILING x FROM y)."""
+
+    def fn(args: list[str]) -> str | None:
+        if len(args) != 2:
+            return None
+        return f"TRIM({side} {args[1]} FROM {args[0]})"
+
+    return fn
+
+
+def _regexp_replace2_rewrite(args: list[str]) -> str | None:
+    if len(args) != 2:
+        return None  # 3-arg is native
+    return f"regexp_replace({args[0]}, {args[1]}, '')"
+
+
+# simple call templates: presto name -> python format with {a} placeholders
+_SQL_TEMPLATES = {
+    "to_base64": "base64({0})",
+    "from_base64": "unbase64({0})",
+    "to_base64url": "translate(base64({0}), '+/', '-_')",
+    "from_base64url": "unbase64(translate({0}, '-_', '+/'))",
+    "to_hex": "upper(hex({0}))",
+    "from_hex": "unhex({0})",
+    "url_extract_parameter": "parse_url({0}, 'QUERY', {1})",
+    "year_of_week": "extract(YEAROFWEEK FROM {0})",
+    "yow": "extract(YEAROFWEEK FROM {0})",
+    "codepoint": "ascii({0})",
+    "is_infinite": "(CASE WHEN {0} IS NULL THEN NULL ELSE"
+                   " abs(CAST({0} AS DOUBLE)) = CAST('Infinity' AS DOUBLE) END)",
+    "is_finite": "(CASE WHEN {0} IS NULL THEN NULL ELSE NOT isnan(CAST({0} AS DOUBLE))"
+                 " AND abs(CAST({0} AS DOUBLE)) <> CAST('Infinity' AS DOUBLE) END)",
+    # endian/IEEE754 casts (reference VarbinaryFunctions.java): signed
+    # radix tricks via conv; bit<->float through the JVM's own converters
+    "from_big_endian_64": "CAST(conv(hex({0}), 16, -10) AS BIGINT)",
+    "to_big_endian_64": "unhex(lpad(conv({0}, 10, 16), 16, '0'))",
+    "from_big_endian_32":
+        "CAST(CAST(conv(hex({0}), 16, 10) AS BIGINT)"
+        " - (CASE WHEN CAST(conv(hex({0}), 16, 10) AS BIGINT) >= 2147483648"
+        " THEN 4294967296 ELSE 0 END) AS INT)",
+    "to_big_endian_32": "unhex(lpad(conv(CAST({0} AS BIGINT) & 4294967295, 10, 16), 8, '0'))",
+    "from_ieee754_64":
+        "CAST(reflect('java.lang.Double', 'longBitsToDouble',"
+        " CAST(conv(hex({0}), 16, -10) AS BIGINT)) AS DOUBLE)",
+    "to_ieee754_64":
+        "unhex(lpad(conv(reflect('java.lang.Double', 'doubleToRawLongBits',"
+        " CAST({0} AS DOUBLE)), 10, 16), 16, '0'))",
+    "from_ieee754_32":
+        "CAST(reflect('java.lang.Float', 'intBitsToFloat',"
+        " CAST(CAST(conv(hex({0}), 16, 10) AS BIGINT)"
+        " - (CASE WHEN CAST(conv(hex({0}), 16, 10) AS BIGINT) >= 2147483648"
+        " THEN 4294967296 ELSE 0 END) AS INT)) AS FLOAT)",
+    "to_ieee754_32":
+        "unhex(lpad(conv(CAST(reflect('java.lang.Float', 'floatToRawIntBits',"
+        " CAST({0} AS FLOAT)) AS BIGINT) & 4294967295, 10, 16), 8, '0'))",
+}
+
+
+def _template_rewrite(tpl: str):
+    def fn(args: list[str]) -> str | None:
+        try:
+            return tpl.format(*args)
+        except IndexError:
+            return None
+
+    return fn
+
+
 # presto-ml SQL surface (MLFunctions.java: features/learn_classifier/
 # classify).  The reference trains a libsvm SVM; the SQL path here keeps
 # the model as the collected training set and classifies 1-NN — a
@@ -408,6 +638,14 @@ def _tz_field_rewrite(unit: str):
         return f"CAST(({off} % 3600) / 60 AS BIGINT)"
 
     return fn
+
+
+def _tz_field_plain(args: list[str]) -> str | None:
+    """timezone_hour/minute over a plain (zone-less) timestamp: the
+    session is pinned UTC, offset 0 (matches the registry builders)."""
+    if _AT_TZ_IN_ARG.match(args[0]):
+        return None
+    return "CAST(0 AS BIGINT)"
 
 
 def _kurtosis_rewrite(args: list[str]) -> str | None:
@@ -591,6 +829,27 @@ def translate(sql: str) -> str:
     out = _rewrite_calls(out, "random", _random_rewrite)
     out = _rewrite_calls(out, "timezone_hour", _tz_field_rewrite("hour"))
     out = _rewrite_calls(out, "timezone_minute", _tz_field_rewrite("minute"))
+    out = _rewrite_calls(out, "timezone_hour", _tz_field_plain)
+    out = _rewrite_calls(out, "timezone_minute", _tz_field_plain)
+    out = _TYPED_LIT_POST.sub(_typed_literal, out)
+    out = _rewrite_calls(out, "truncate", _truncate_rewrite)
+    out = _rewrite_calls(out, "bit_count", _bit_count_rewrite)
+    out = _rewrite_calls(out, "replace", _replace_rewrite)
+    out = _rewrite_calls(out, "chr", _chr_rewrite)
+    out = _rewrite_calls(out, "is_json_scalar", _is_json_scalar_rewrite)
+    out = _rewrite_calls(out, "word_stem", _word_stem_rewrite)
+    out = _rewrite_calls(out, "regexp_replace", _regexp_replace2_rewrite)
+    out = _rewrite_calls(out, "greatest", _greatest_least_rewrite("greatest"))
+    out = _rewrite_calls(out, "least", _greatest_least_rewrite("least"))
+    out = _rewrite_calls(out, "substring", _substr_rewrite)
+    out = _rewrite_calls(out, "substr", _substr_rewrite)
+    out = _rewrite_calls(out, "width_bucket", _width_bucket_rewrite)
+    out = _rewrite_calls(out, "json_array_contains", _json_array_contains_rewrite)
+    out = _rewrite_calls(out, "split_part", _split_part_rewrite)
+    out = _rewrite_calls(out, "ltrim", _trim2_rewrite("LEADING"))
+    out = _rewrite_calls(out, "rtrim", _trim2_rewrite("TRAILING"))
+    for _name, _tpl in _SQL_TEMPLATES.items():
+        out = _rewrite_calls(out, _name, _template_rewrite(_tpl))
     out = _AT_TZ_POSTFIX.sub(lambda m: f"at_timezone({m.group(1)}, {m.group(2)})", out)
     out = _rewrite_calls(out, "kurtosis", _kurtosis_rewrite)
     out = _rewrite_calls(out, "skewness", _skewness_rewrite)

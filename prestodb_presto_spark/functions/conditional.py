@@ -25,14 +25,26 @@ def nullif(a, b):
     return F.nullif(c(a), lit_or_col(b))
 
 
+def _null_poisoned(fn, cols):
+    """Presto greatest/least return NULL when ANY argument is NULL
+    (GreatestFunction.java); Spark's versions skip NULLs."""
+    cs = [c(x) for x in cols]
+    if len(cs) == 1:
+        return cs[0]
+    any_null = cs[0].isNull()
+    for col in cs[1:]:
+        any_null = any_null | col.isNull()
+    return F.when(~any_null, fn(*cs))
+
+
 @register("greatest")
 def greatest(*cols):
-    return F.greatest(*[c(x) for x in cols])
+    return _null_poisoned(F.greatest, cols)
 
 
 @register("least")
 def least(*cols):
-    return F.least(*[c(x) for x in cols])
+    return _null_poisoned(F.least, cols)
 
 
 @register("try_cast")

@@ -1,0 +1,101 @@
+"""Scraper for the reference's scalar-function unit tests.
+
+Extracts single-line ``assertFunction("<expr>", TYPE, <expected>);``
+cases from presto-main's Test*.java (read from the read-only checkout at
+test time, never copied) and keeps those whose expected value is a plain
+Java literal we can parse: string, integer (incl. hex / L suffix),
+float, boolean, or null.  Everything else (constructed objects, lists,
+constants) is out of scope for the literal runner — the differential
+gate and function unit tests cover those paths.
+"""
+
+from __future__ import annotations
+
+import glob
+import re
+
+REF_TEST_DIR = (
+    "/root/reference/presto-main/src/test/java/com/facebook/presto/operator/scalar"
+)
+
+_CASE = re.compile(
+    r'assertFunction\(\s*"((?:[^"\\]|\\.)*)"\s*,\s*'
+    r"([A-Za-z_][A-Za-z_0-9().,\" ]*?)\s*,\s*"
+    r"(.+?)\);\s*$"
+)
+
+_INT = re.compile(r"^[+-]?(0x[0-9a-fA-F]+|\d+)L?$")
+_FLOAT = re.compile(r"^[+-]?(\d+\.\d*([eE][+-]?\d+)?|\d+[eE][+-]?\d+)$")
+_STR = re.compile(r'^"((?:[^"\\]|\\.)*)"$')
+
+
+def _junescape(s: str) -> str:
+    """Decode Java string escapes (\\n, \\\", \\uXXXX...)."""
+    return s.encode("utf-8").decode("unicode_escape").encode("latin-1", "surrogatepass").decode(
+        "utf-16", "surrogatepass"
+    ) if False else _junescape_simple(s)
+
+
+def _junescape_simple(s: str) -> str:
+    out = []
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch != "\\":
+            out.append(ch)
+            i += 1
+            continue
+        nxt = s[i + 1]
+        if nxt == "u":
+            out.append(chr(int(s[i + 2 : i + 6], 16)))
+            i += 6
+        elif nxt == "n":
+            out.append("\n")
+            i += 2
+        elif nxt == "t":
+            out.append("\t")
+            i += 2
+        elif nxt == "r":
+            out.append("\r")
+            i += 2
+        elif nxt == "0":
+            out.append("\0")
+            i += 2
+        else:  # \\ \" \' etc
+            out.append(nxt)
+            i += 2
+    # merge surrogate pairs that java spells as two \uXXXX escapes
+    return "".join(out).encode("utf-16", "surrogatepass").decode("utf-16")
+
+
+def parse_expected(raw: str):
+    """Returns (ok, value)."""
+    raw = raw.strip()
+    if raw == "null":
+        return True, None
+    if raw in ("true", "false"):
+        return True, raw == "true"
+    if _INT.match(raw):
+        body = raw.rstrip("L")
+        return True, int(body, 16) if "0x" in body.lower() else int(body)
+    if _FLOAT.match(raw):
+        return True, float(raw)
+    m = _STR.match(raw)
+    if m:
+        return True, _junescape_simple(m.group(1))
+    return False, None
+
+
+def scrape(files: list[str] | None = None):
+    """Yield (file, expr_sql, expected) for parseable cases."""
+    paths = files or sorted(glob.glob(f"{REF_TEST_DIR}/Test*.java"))
+    for path in paths:
+        for line in open(path).read().splitlines():
+            m = _CASE.search(line)
+            if not m:
+                continue
+            expr_raw, _type, expected_raw = m.groups()
+            ok, expected = parse_expected(expected_raw)
+            if not ok:
+                continue
+            yield path.rsplit("/", 1)[-1], _junescape_simple(expr_raw), expected

@@ -1,0 +1,104 @@
+"""Run the reference's OWN scalar-function unit-test assertions.
+
+tests/reference_literals.py scrapes presto-main's Test*.java
+``assertFunction("<expr>", TYPE, <literal>)`` cases (1067 with plainly
+parseable expected literals) from the read-only checkout and this
+module executes every expression through Engine.sql(dialect="presto"),
+comparing to the reference's expected value.
+
+764/1067 pass exactly.  The rest are DOCUMENTED deviation categories —
+asserted here as per-file minimum pass counts so any regression in the
+dialect/registry trips immediately while known gaps stay visible:
+
+  - TestLambdaExpression / TestIsNullAnnotation / TestTryFunction /
+    TestCustomFunctions / TestArrayExceptFunction(null-typed):
+    functions registered only by the reference's TEST harness
+    (apply(), test_is_null(), "$internal$try"...), not product surface;
+  - TestStringFunctions (~56): CHAR(n) pad semantics (Spark CHAR reads
+    back unpadded; §1.2 documented) + Presto's Unicode whitespace set
+    in 1-arg trim;
+  - TestMathFunctions (~45): Presto integer `/` is integer division
+    and double/0 is Infinity, Spark-ANSI divides in double and raises
+    (documented ANSI posture, session.py);
+  - TestRegexpFunctions (~38): lambda-replacement overload is
+    pandas-UDF tier (DataFrame path only) and ${name} group references
+    render differently in Spark's regexp_replace;
+  - TestJsonFunctions (~35): JSON_FORMAT canonicalization and
+    UTF8(X'..') binary-to-json casts;
+  - TestTypeOfFunction: Spark type-name spellings;
+  - TestWordStemFunction (~12): suffix-stripping approximation vs
+    Lucene stemmers (module not in container);
+  - TestDateTimeFunctionsBase (~12): session-zone-sensitive cases.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from tests.reference_literals import scrape
+
+# minimum exact-pass count per reference test file (current: 764/1067)
+PASS_FLOORS = {
+    "TestArrayExceptFunction.java": 0,
+    "TestArrayReduceFunction.java": 13,
+    "TestBitwiseFunctions.java": 12,
+    "TestConditions.java": 85,
+    "TestCustomFunctions.java": 0,
+    "TestDateTimeFunctionsBase.java": 41,
+    "TestIsNullAnnotation.java": 0,
+    "TestJsonExtract.java": 0,
+    "TestJsonFunctions.java": 99,
+    "TestLambdaExpression.java": 0,
+    "TestMathFunctions.java": 227,
+    "TestRegexpFunctions.java": 22,
+    "TestStringFunctions.java": 226,
+    "TestTryFunction.java": 0,
+    "TestTypeOfFunction.java": 6,
+    "TestUrlFunctions.java": 7,
+    "TestVarbinaryFunctions.java": 21,
+    "TestWordStemFunction.java": 5,
+}
+
+
+def _matches(got, exp) -> bool:
+    if exp is None:
+        return got is None
+    if isinstance(exp, bool):
+        return got == exp
+    if isinstance(exp, float):
+        if got is None or not isinstance(got, (int, float)):
+            return False
+        if math.isnan(exp):
+            return isinstance(got, float) and math.isnan(got)
+        return math.isclose(float(got), exp, rel_tol=1e-9, abs_tol=1e-12)
+    if isinstance(exp, int):
+        return got == exp and not isinstance(got, bool)
+    if isinstance(got, (bytes, bytearray)):
+        return got.decode("utf-8", "replace") == exp or got.hex().upper() == exp.upper()
+    return str(got) == exp
+
+
+def test_reference_assert_function_literals(engine):
+    cases = list(scrape())
+    if not cases:
+        pytest.skip("reference checkout not present")
+    passed: dict[str, int] = {}
+    totals: dict[str, int] = {}
+    regressions: list[str] = []
+    for f, expr, exp in cases:
+        totals[f] = totals.get(f, 0) + 1
+        try:
+            got = engine.sql(f"SELECT {expr} AS v", dialect="presto").collect()[0].v
+        except Exception:
+            continue
+        if _matches(got, exp):
+            passed[f] = passed.get(f, 0) + 1
+    for f, floor in PASS_FLOORS.items():
+        got_n = passed.get(f, 0)
+        if got_n < floor:
+            regressions.append(f"{f}: {got_n} < floor {floor}")
+    assert not regressions, f"literal-parity regressions: {regressions}"
+    # keep the headline honest: overall floor
+    assert sum(passed.values()) >= 764, sum(passed.values())

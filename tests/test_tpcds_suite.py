@@ -104,6 +104,15 @@ def tpcds_env(engine, oracle, tmp_path_factory):
     for name in TPCDS_TABLES:
         spark.catalog.dropTempView(name)
         oracle.execute(f"DROP VIEW IF EXISTS {name}")
+    # `customer` collides with the TPC-H fixture schema other modules
+    # use — restore the session-level base view both engines started with
+    from prestodb_presto_spark.queries.util import t as load_table
+
+    load_table(spark, "/root/testdata/sf0.001", "customer").createOrReplaceTempView("customer")
+    oracle.execute(
+        "CREATE OR REPLACE VIEW customer AS SELECT * FROM"
+        " '/root/testdata/sf0.001/customer.parquet'"
+    )
 
 
 @pytest.mark.parametrize(
