@@ -534,6 +534,26 @@ _SQL_TEMPLATES = {
     "url_extract_parameter": "parse_url({0}, 'QUERY', {1})",
     "year_of_week": "extract(YEAROFWEEK FROM {0})",
     "yow": "extract(YEAROFWEEK FROM {0})",
+    "bitwise_and": "(({0}) & ({1}))",
+    "bitwise_or": "(({0}) | ({1}))",
+    "bitwise_xor": "(({0}) ^ ({1}))",
+    "bitwise_not": "(~({0}))",
+    "infinity": "CAST('Infinity' AS DOUBLE)",
+    "nan": "CAST('NaN' AS DOUBLE)",
+    "to_utf8": "encode({0}, 'UTF-8')",
+    "from_utf8": "decode({0}, 'UTF-8')",
+    "hamming_distance":
+        "(CASE WHEN length({0}) <> length({1})"
+        " THEN CAST(raise_error('the input strings must have the same length') AS BIGINT)"
+        " ELSE CAST(size(filter(zip_with(split({0}, ''), split({1}, ''),"
+        " (__x, __y) -> __x <> __y), __t -> __t)) AS BIGINT) END)",
+    "to_base":
+        "(CASE WHEN ({0}) < 0 THEN concat('-', lower(conv(-({0}), 10, {1})))"
+        " ELSE lower(conv({0}, 10, {1})) END)",
+    "from_base":
+        "(CASE WHEN substr({0}, 1, 1) = '-'"
+        " THEN CAST(CAST(conv(substr({0}, 2), {1}, 10) AS DECIMAL(20,0)) * -1 AS BIGINT)"
+        " ELSE CAST(conv({0}, {1}, 10) AS BIGINT) END)",
     "codepoint": "ascii({0})",
     "is_infinite": "(CASE WHEN {0} IS NULL THEN NULL ELSE"
                    " abs(CAST({0} AS DOUBLE)) = CAST('Infinity' AS DOUBLE) END)",
@@ -848,6 +868,7 @@ def translate(sql: str) -> str:
     out = _rewrite_calls(out, "split_part", _split_part_rewrite)
     out = _rewrite_calls(out, "ltrim", _trim2_rewrite("LEADING"))
     out = _rewrite_calls(out, "rtrim", _trim2_rewrite("TRAILING"))
+    out = _rewrite_calls(out, "trim", _trim2_rewrite("BOTH"))
     for _name, _tpl in _SQL_TEMPLATES.items():
         out = _rewrite_calls(out, _name, _template_rewrite(_tpl))
     out = _AT_TZ_POSTFIX.sub(lambda m: f"at_timezone({m.group(1)}, {m.group(2)})", out)
