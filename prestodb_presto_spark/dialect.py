@@ -33,7 +33,6 @@ _RENAMES = {
     "from_unixtime": "timestamp_seconds",
     "json_parse": "",  # identity: Spark JSON fns take the string directly
     "json_format": "",
-    "is_nan": "isnan",
     "levenshtein_distance": "levenshtein",
 }
 
@@ -557,6 +556,7 @@ _SQL_TEMPLATES = {
     "codepoint": "ascii({0})",
     "is_infinite": "(CASE WHEN {0} IS NULL THEN NULL ELSE"
                    " abs(CAST({0} AS DOUBLE)) = CAST('Infinity' AS DOUBLE) END)",
+    "is_nan": "(CASE WHEN {0} IS NULL THEN NULL ELSE isnan(CAST({0} AS DOUBLE)) END)",
     "is_finite": "(CASE WHEN {0} IS NULL THEN NULL ELSE NOT isnan(CAST({0} AS DOUBLE))"
                  " AND abs(CAST({0} AS DOUBLE)) <> CAST('Infinity' AS DOUBLE) END)",
     # endian/IEEE754 casts (reference VarbinaryFunctions.java): signed
