@@ -720,6 +720,8 @@ def _order_by_nulls(sql: str) -> str:
                 if depth == 0:
                     break
                 depth -= 1
+            elif ch == ";" and depth == 0:
+                break
             elif ch == "," and depth == 0:
                 items.append((start, i))
                 start = i + 1
@@ -871,7 +873,14 @@ def translate(sql: str) -> str:
     out = _rewrite_calls(out, "trim", _trim2_rewrite("BOTH"))
     for _name, _tpl in _SQL_TEMPLATES.items():
         out = _rewrite_calls(out, _name, _template_rewrite(_tpl))
-    out = _AT_TZ_POSTFIX.sub(lambda m: f"at_timezone({m.group(1)}, {m.group(2)})", out)
+    # inline the registry's at_timezone expansion (datetime_fns.at_timezone)
+    # — at_timezone itself is a Column builder, not a Spark SQL function
+    out = _AT_TZ_POSTFIX.sub(
+        lambda m: (
+            f"from_utc_timestamp(to_utc_timestamp({m.group(1)}, 'UTC'), {m.group(2)})"
+        ),
+        out,
+    )
     out = _rewrite_calls(out, "kurtosis", _kurtosis_rewrite)
     out = _rewrite_calls(out, "skewness", _skewness_rewrite)
     out = _unnest_rewrite(out)

@@ -129,6 +129,14 @@ class Engine:
         text = self._prepared[name]
         return self.spark.sql(text, args=list(params)) if params else self.spark.sql(text)
 
+    @staticmethod
+    def _count_params(text: str) -> int:
+        """Count positional `?` markers outside single-quoted literals
+        (a '?' inside a string literal is text, not a parameter)."""
+        from prestodb_presto_spark.dialect import _STRING_LIT
+
+        return _STRING_LIT.sub("", text).count("?")
+
     def describe_output(self, name: str) -> DataFrame:
         """DESCRIBE OUTPUT <name> (tree/DescribeOutput.java;
         DescribeOutputRewrite): column name + inferred type of each
@@ -137,7 +145,7 @@ class Engine:
         if not getattr(self, "_prepared", None) or name not in self._prepared:
             raise KeyError(f"prepared statement not found: {name}")
         text = self._prepared[name]
-        n_params = text.count("?")
+        n_params = self._count_params(text)
         df = self.spark.sql(text, args=[None] * n_params) if n_params else self.spark.sql(text)
         rows = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
         return self.spark.createDataFrame(rows, "column_name string, type string")
@@ -150,7 +158,7 @@ class Engine:
         (the reference also returns unknown for untyped contexts)."""
         if not getattr(self, "_prepared", None) or name not in self._prepared:
             raise KeyError(f"prepared statement not found: {name}")
-        n_params = self._prepared[name].count("?")
+        n_params = self._count_params(self._prepared[name])
         return self.spark.createDataFrame(
             [(i, "unknown") for i in range(n_params)], "position int, type string"
         )

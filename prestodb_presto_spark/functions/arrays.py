@@ -13,7 +13,6 @@ from prestodb_presto_spark.functions import register
 from prestodb_presto_spark.functions._util import c, lit_or_col
 
 for _name, _fn in {
-    "cardinality": F.size,
     "array_distinct": F.array_distinct,
     "array_max": F.array_max,
     "array_min": F.array_min,
@@ -23,6 +22,27 @@ for _name, _fn in {
 }.items():
     if _fn is not None:
         register(_name)(lambda x, _f=_fn: _f(c(x)))
+
+
+@register("cardinality")
+def cardinality(x):
+    """Presto overloads ``cardinality`` by input type (array/map → size,
+    HyperLogLog → estimate, SetDigest → estimate of its hll half;
+    reference FunctionRegistry.java overload resolution).  Python Columns
+    carry no static type, so the dispatch inspects the unresolved
+    expression text for the sketch builders this registry itself emits
+    (``approx_set``/``merge`` → hll_sketch_agg/hll_union,
+    ``make_set_digest`` → struct(... AS sig)); a plain column reference
+    defaults to the array/map form.  For sketch values materialized in
+    tables (where the expression is just a name), use the qualified
+    spellings ``set_digest_cardinality`` / ``hll_sketch_estimate``."""
+    col = c(x)
+    text = str(col)
+    if " AS sig" in text:  # SetDigest composite struct
+        return F.hll_sketch_estimate(col.getField("hll"))
+    if "hll_sketch_agg(" in text or "hll_union" in text:
+        return F.hll_sketch_estimate(col)
+    return F.size(col)
 
 
 @register("array_sort")

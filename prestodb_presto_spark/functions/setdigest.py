@@ -105,6 +105,14 @@ def approx_set(col) -> Column:
 
 @register("merge")
 def merge(sketch) -> Column:
-    """merge(HyperLogLog) → HyperLogLog (MergeHyperLogLogAggregation.java:30):
-    aggregate union of sketch values; NULL inputs are merge identities."""
-    return F.hll_union_agg(c(sketch))
+    """merge(HyperLogLog|SetDigest) — polymorphic in the reference
+    (MergeHyperLogLogAggregation.java:30 / SetDigestFunctions).  Same
+    expression-text dispatch as ``cardinality`` (arrays.py): a SetDigest
+    struct (built by make_set_digest, carries an ``AS sig`` field)
+    merges slot-wise + HLL-union; anything else is an HLL value and
+    unions via hll_union_agg (NULL inputs are merge identities).  For
+    SetDigest columns materialized in tables use ``merge_set_digest``."""
+    col = c(sketch)
+    if " AS sig" in str(col):
+        return merge_set_digest(col)
+    return F.hll_union_agg(col)

@@ -29,8 +29,10 @@ assignment pass is one map + one n-row shuffle regardless of K.
 Determinism: vectors quantized to ints (round(x*1000)); integer dot
 products are exact in double, so cosine and every argmax key are
 bit-identical across engines (same convention as similarity/knn.py).
-All argmax/ordering keys are quantized to BIGINT (round(cos*1e12) with
-id tiebreak) — no float comparisons cross the engine boundary.
+All argmax/ordering keys are (quantized-BIGINT cosine, lowest-id)
+struct tuples — no float comparisons cross the engine boundary, and no
+id-magnitude assumption (the former ``key*100 - cid`` arithmetic
+needed bounded ids; struct ordering is exact for any BIGINT id).
 """
 
 from __future__ import annotations
@@ -38,8 +40,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from prestodb_presto_spark.queries.util import guard_rows
+
 K_CENTROIDS = 16
 N_PROBE = 4
+# probe table = queries x n_probe rows and broadcasts: bound the batch so
+# an oversized query set fails loudly instead of over-broadcasting
+MAX_PROBE_QUERIES = 100_000
 
 
 def _quant(col):
@@ -60,6 +67,15 @@ def _cos(qa, na, qb, nb):
     return _dot(qa, qb).cast("double") / F.sqrt(na) / F.sqrt(nb)
 
 
+def _argmax_key(cos_col, id_col):
+    """Orderable (quantized cosine, -id) struct: max_by picks the
+    highest cosine, lowest id on ties — exact for unbounded ids."""
+    return F.struct(
+        F.round(cos_col * 1e12).cast("bigint").alias("k"),
+        (-id_col.cast("bigint")).alias("t"),
+    )
+
+
 def build_ivf(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -73,14 +89,16 @@ def build_ivf(
     ``centroids`` = (cid, cq, cn): the coarse quantizer, broadcast-sized.
     """
     vecs = _prep(emb, id_col, vec_col)
-    cent = vecs.filter(F.col("vec_id") < k).select(
+    # deterministic first-K seeding = the K lowest ids (TakeOrdered, no
+    # full sort; id-magnitude-independent, unlike a `< k` literal filter)
+    cent = vecs.orderBy("vec_id").limit(k).select(
         F.col("vec_id").alias("cid"), F.col("q").alias("cq"), F.col("nrm").alias("cn")
     )
     scored = vecs.join(F.broadcast(cent))
-    # argmax key: quantized cosine, lowest-cid tiebreak (cid < 100)
-    key = F.round(_cos(F.col("q"), F.col("nrm"), F.col("cq"), F.col("cn")) * 1e12).cast(
-        "bigint"
-    ) * 100 - F.col("cid")
+    # argmax key: quantized cosine, lowest-cid tiebreak
+    key = _argmax_key(
+        _cos(F.col("q"), F.col("nrm"), F.col("cq"), F.col("cn")), F.col("cid")
+    )
     indexed = (
         scored.groupBy("vec_id")
         .agg(
@@ -106,12 +124,19 @@ def ivf_search_top1(
     Returns (query_id, neighbor_id, cosine) — cosine rounded to 6 dp.
     """
     indexed, cent = build_ivf(emb, id_col, vec_col, k)
-    queries = indexed.filter(query_pred).select(
+    queries = guard_rows(
+        indexed.filter(query_pred),
+        MAX_PROBE_QUERIES,
+        "ivf_search_top1",
+        "The probe table (queries x n_probe) broadcasts; IVF search is "
+        "for query batches, not query=corpus self-joins — chunk the "
+        "query set or use similarity/lsh.py's banded path for all-pairs.",
+    ).select(
         F.col("vec_id").alias("qid"), F.col("q").alias("qq"), F.col("nrm").alias("qn")
     )
-    probe_key = F.round(_cos(F.col("qq"), F.col("qn"), F.col("cq"), F.col("cn")) * 1e12).cast(
-        "bigint"
-    ) * 100 - F.col("cid")
+    probe_key = _argmax_key(
+        _cos(F.col("qq"), F.col("qn"), F.col("cq"), F.col("cn")), F.col("cid")
+    )
     probes = (
         queries.join(F.broadcast(cent))
         .withColumn("rk", F.row_number().over(Window.partitionBy("qid").orderBy(F.desc(probe_key))))
@@ -123,7 +148,7 @@ def ivf_search_top1(
         (F.col("cell") == F.col("cid")) & (F.col("vec_id") != F.col("qid")),
     )
     cand = cand.withColumn("cos", _cos(F.col("qq"), F.col("qn"), F.col("q"), F.col("nrm")))
-    top_key = F.round(F.col("cos") * 1e12).cast("bigint") * 100000 - F.col("vec_id")
+    top_key = _argmax_key(F.col("cos"), F.col("vec_id"))
     return (
         cand.groupBy(F.col("qid").alias("query_id"))
         .agg(

@@ -172,3 +172,34 @@ def test_map_union(spark):
     row = df.agg(A.map_union("m").alias("u")).collect()[0]
     assert row.u["a"] == 1 and row.u["c"] == 3
     assert row.u["b"] in (2, 9) and len(row.u) == 3
+
+
+def test_cardinality_and_merge_dispatch(spark):
+    """Presto's canonical idioms cardinality(approx_set(x)) and
+    merge(approx_set(x)) must work through the name-keyed registry (r4
+    advice: cardinality was pinned to F.size, merge to hll_union_agg).
+    Dispatch is by expression text; array/map inputs keep F.size."""
+    from pyspark.sql import functions as F
+
+    from prestodb_presto_spark.functions import presto as P
+
+    df = spark.range(200).select(
+        F.col("id").cast("string").alias("s"), (F.col("id") % 2).alias("g")
+    )
+    per_group = df.groupBy("g").agg(P.cardinality(P.approx_set("s")).alias("c"))
+    assert {r.c for r in per_group.collect()} == {100}
+
+    sketches = df.groupBy("g").agg(P.approx_set("s").alias("sk"))
+    merged = sketches.agg(P.cardinality(P.merge(F.col("sk"))).alias("c"))
+    assert merged.collect()[0].c == 200
+
+    # SetDigest composite: inline composition dispatches too
+    total = df.agg(P.cardinality(P.make_set_digest("s")).alias("c"))
+    assert total.collect()[0].c == 200
+
+    # array input keeps the size semantics
+    arr = spark.sql("SELECT array(1,2,3) AS a, map('k', 1) AS m")
+    row = arr.select(
+        P.cardinality("a").alias("na"), P.cardinality("m").alias("nm")
+    ).collect()[0]
+    assert (row.na, row.nm) == (3, 1)

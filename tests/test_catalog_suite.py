@@ -88,3 +88,18 @@ def test_describe_input_output(engine):
         assert [r.position for r in inp] == [0]
     finally:
         engine.deallocate("q_desc")
+
+
+def test_describe_input_ignores_question_marks_in_literals(engine):
+    """A '?' inside a string literal is text, not a parameter (r4
+    advice: text.count('?') over-counted and bound wrong arity)."""
+    engine.prepare(
+        "q_lit", "SELECT '?' AS lit, n_name FROM nation WHERE n_nationkey = ?"
+    )
+    try:
+        inp = engine.describe_input("q_lit").collect()
+        assert [r.position for r in inp] == [0]
+        out = {r.column_name: r.type for r in engine.describe_output("q_lit").collect()}
+        assert out["lit"] == "string" and out["n_name"] == "string"
+    finally:
+        engine.deallocate("q_lit")

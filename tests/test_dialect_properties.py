@@ -103,3 +103,22 @@ def test_new_constructs_idempotent():
     for sql in cases:
         once = translate(sql)
         assert translate(once) == once, sql
+
+
+def test_trailing_semicolon_order_by():
+    """ORDER BY followed by ';' must put the NULLS suffix before the
+    semicolon (r4 advice: the item scanner didn't terminate on ';')."""
+    out = translate("SELECT * FROM t ORDER BY a;")
+    assert out == "SELECT * FROM t ORDER BY a NULLS LAST;"
+    out2 = translate("SELECT * FROM t ORDER BY a DESC, b;")
+    assert out2 == "SELECT * FROM t ORDER BY a DESC NULLS FIRST, b NULLS LAST;"
+
+
+def test_at_time_zone_postfix_is_plain_spark_sql():
+    """The AT TIME ZONE postfix must lower to built-in Spark functions —
+    at_timezone is a registry Column builder, not a SQL function (r4
+    advice: the old rewrite emitted an UNRESOLVED_ROUTINE)."""
+    out = translate("SELECT TIMESTAMP '2024-01-01 12:00:00' AT TIME ZONE 'America/Los_Angeles'")
+    assert "at_timezone" not in out
+    assert "from_utc_timestamp(to_utc_timestamp(" in out
+    assert translate(out) == out

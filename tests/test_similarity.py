@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from prestodb_presto_spark.similarity import top_k_neighbors
@@ -131,3 +132,28 @@ def test_ivf_probe_bound_limits_candidates(spark):
     exact = {(r.query_id, r.neighbor_id) for r in
              top_k_neighbors(emb, queries, k=1).collect()}
     assert full == exact
+
+
+def test_ivf_oversized_query_batch_raises(spark, monkeypatch):
+    """The probe table broadcasts (queries x n_probe); an oversized query
+    batch must fail loudly, not over-broadcast (r4 advice + verdict #7)."""
+    import prestodb_presto_spark.similarity.ivf as ivf_mod
+
+    emb = _emb(spark)
+    monkeypatch.setattr(ivf_mod, "MAX_PROBE_QUERIES", 5)
+    with pytest.raises(ValueError, match="ivf_search_top1"):
+        ivf_mod.ivf_search_top1(emb, F.col("vec_id") < 20).collect()
+
+
+def test_ivf_struct_keys_handle_large_ids(spark):
+    """Argmax/tie-break keys are (cos, -id) structs — exact for ids far
+    beyond the old arithmetic-key bounds (cid<100, vec_id<100000)."""
+    from prestodb_presto_spark.similarity.ivf import ivf_search_top1
+
+    emb = _emb(spark).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(10_000_000_000)
+    )
+    got = ivf_search_top1(emb, F.col("vec_id") < 10_000_000_020).collect()
+    assert len(got) == 20
+    for r in got:
+        assert r.neighbor_id >= 10_000_000_000 and r.neighbor_id != r.query_id
