@@ -351,7 +351,7 @@ _DECIMAL_LIT = re.compile(r"\bDECIMAL\s*'\s*([+-]?[0-9]*\.?[0-9]+)\s*'", re.IGNO
 # and X''.  Rewrite the rest to CAST; JSON 'x' becomes the bare string
 # (the engine's JSON value representation IS the string).
 _TYPED_LIT_POST = re.compile(
-    r"\b(BIGINT|INTEGER|SMALLINT|TINYINT|DOUBLE|REAL|VARCHAR|JSON)\s*(\x00\d+\x00)",
+    r"\b(BIGINT|INTEGER|SMALLINT|TINYINT|DOUBLE|REAL|VARCHAR|JSON|CHAR)\s*(\x00\d+\x00)",
     re.IGNORECASE,
 )
 _TYPED_LIT_MAP = {
@@ -363,7 +363,10 @@ _TYPED_LIT_MAP = {
 
 def _typed_literal(m: re.Match) -> str:
     t = m.group(1).lower()
-    if t == "json":
+    if t in ("json", "char"):
+        # JSON 'x': the engine's JSON representation IS the string.
+        # CHAR 'x': the literal keeps its own padding (CharType.java) —
+        # a plain string literal preserves it exactly.
         return m.group(2)
     return f"CAST({m.group(2)} AS {_TYPED_LIT_MAP[t]})"
 
@@ -411,7 +414,9 @@ def _chr_rewrite(args: list[str]) -> str | None:
 
 def _is_json_scalar_rewrite(args: list[str]) -> str | None:
     j = args[0]
-    pat = r"^(\"(?:[^\"\\\\]|\\\\.)*\"|-?[0-9]+(\.[0-9]+)?([eE][+-]?[0-9]+)?|true|false|null)$"
+    # literals parse in raw mode (engine._presto_literals): emit single
+    # backslashes — the regex gets them verbatim
+    pat = r"^(\"(?:[^\"\\]|\\.)*\"|-?[0-9]+(\.[0-9]+)?([eE][+-]?[0-9]+)?|true|false|null)$"
     return f"(CASE WHEN ({j}) IS NULL THEN NULL ELSE trim({j}) RLIKE '{pat}' END)"
 
 
@@ -424,7 +429,7 @@ def _word_stem_rewrite(args: list[str]) -> str | None:
         f" WHEN {a} RLIKE '.{{3,}}s$' AND NOT {a} RLIKE 'ss$'"
         f" THEN regexp_replace({a}, 's$', '') ELSE {a} END)"
     )
-    return f"regexp_replace({inner}, '([bdfgmnprt])\\\\1$', '$1')"
+    return f"regexp_replace({inner}, '([bdfgmnprt])\\1$', '$1')"
 
 
 def _greatest_least_rewrite(name: str):
@@ -499,7 +504,7 @@ def _split_part_rewrite(args: list[str]) -> str | None:
         f"(CASE WHEN ({d}) = '' THEN"
         f" (CASE WHEN ({i}) <= length({s}) THEN substr({s}, {i}, 1) END)"
         f" WHEN ({i}) = 0 THEN ''"
-        f" WHEN ({i}) > size(split({s}, concat('\\\\Q', {d}, '\\\\E'))) THEN NULL"
+        f" WHEN ({i}) > size(split({s}, concat('\\Q', {d}, '\\E'))) THEN NULL"
         f" ELSE split_part({s}, {d}, {i}) END)"
     )
 
@@ -516,10 +521,127 @@ def _trim2_rewrite(side: str):
     return fn
 
 
-def _regexp_replace2_rewrite(args: list[str]) -> str | None:
-    if len(args) != 2:
-        return None  # 3-arg is native
-    return f"regexp_replace({args[0]}, {args[1]}, '')"
+_LAMBDA_ARG = re.compile(r"^\s*(\w+)\s*->\s*(.+)$", re.DOTALL)
+
+
+def _capture_group_numbers(pattern: str) -> dict[str, int]:
+    """name → group number for every ``(?<name>..)`` in a regex, counting
+    all capture groups ((?:..), (?=..), (?<=..) etc. don't count)."""
+    names: dict[str, int] = {}
+    num = 0
+    i, n = 0, len(pattern)
+    in_class = False
+    while i < n:
+        ch = pattern[i]
+        if ch == "\\":
+            i += 2
+            continue
+        if in_class:
+            if ch == "]":
+                in_class = False
+            i += 1
+            continue
+        if ch == "[":
+            in_class = True
+            i += 1
+            continue
+        if ch == "(":
+            if i + 1 < n and pattern[i + 1] == "?":
+                m = re.match(r"\(\?<([A-Za-z][A-Za-z0-9]*)>", pattern[i:])
+                if m:  # named capture counts; other (?..) groups don't
+                    num += 1
+                    names[m.group(1)] = num
+            else:
+                num += 1
+        i += 1
+    return names
+
+
+def _regexp_named_refs_rewrite(args: list[str]) -> str | None:
+    """``${name}`` group references in a literal replacement → ``$N``
+    (JoniRegexpFunctions.regexpReplace resolves names; Spark's
+    regexp_replace only knows numeric references).  Runs pre-masking —
+    it must read both literals."""
+    if len(args) != 3:
+        return None
+    p_m = re.fullmatch(_LIT, args[1].strip())
+    r_m = re.fullmatch(_LIT, args[2].strip())
+    if not p_m or not r_m or "${" not in args[2]:
+        return None
+    pattern = args[1].strip()[1:-1].replace("''", "'")
+    repl = args[2].strip()[1:-1]
+    names = _capture_group_numbers(pattern)
+
+    def sub(m: re.Match) -> str:
+        g = names.get(m.group(1))
+        return f"${g}" if g is not None else m.group(0)
+
+    new_repl = re.sub(r"\$\{([A-Za-z][A-Za-z0-9]*)\}", sub, repl)
+    if new_repl == repl:
+        return None
+    return f"regexp_replace({args[0]}, {args[1]}, '{new_repl}')"
+
+
+def _regexp_replace_rewrite(args: list[str]) -> str | None:
+    """2-arg deletion form, plus the replace-with-lambda overload
+    (JoniRegexpReplaceLambdaFunction.java): ``regexp_replace(s, p,
+    x -> body)``.  The match decomposition comes from the
+    ``__presto_regexp_parts`` UDF (functions/regexp_fns.ensure_sql_support);
+    the lambda body itself runs as a native zip_with over (groups,
+    following-segment) pairs, `||`-concatenated so a NULL replacement
+    nulls the entire result — the reference's documented semantics.
+    The grps rows lead with the full match, so Presto's 1-based x[i]
+    lands on group i via Spark's 0-based array indexing."""
+    if len(args) == 2:
+        return f"regexp_replace({args[0]}, {args[1]}, '')"
+    if len(args) != 3:
+        return None
+    m = _LAMBDA_ARG.match(args[2])
+    if not m:
+        return None  # plain string replacement is native
+    var, body = m.groups()
+    s, p = args[0], args[1]
+    return (
+        f"element_at(transform(array(__presto_regexp_parts({s}, {p})), __pp -> "
+        f"element_at(__pp.segs, 1) || aggregate("
+        f"zip_with(__pp.grps, slice(__pp.segs, 2, size(__pp.grps)), "
+        f"({var}, __sg) -> ({body}) || __sg), "
+        f"'', (__acc, __v) -> __acc || __v)), 1)"
+    )
+
+
+def _regexp_extract_rewrite(args: list[str]) -> str | None:
+    """Presto regexp_extract: 2-arg returns the FULL match (Spark
+    defaults to group 1) and no-match yields NULL (Spark '').  The
+    3-arg form additionally maps a non-participating group to NULL
+    (JoniRegexpFunctions.regexpExtract returns null when
+    matcher.group(g) is absent); nullif conflates a participating
+    empty group with absent — documented approximation, no reference
+    case distinguishes them."""
+    if len(args) == 2:
+        s, p = args
+        return f"(CASE WHEN ({s}) RLIKE ({p}) THEN regexp_extract({s}, {p}, 0) END)"
+    if len(args) == 3:
+        s, p, g = args
+        return (
+            f"(CASE WHEN ({s}) RLIKE ({p})"
+            f" THEN nullif(regexp_extract({s}, {p}, {g}), '') END)"
+        )
+    return None
+
+
+def _regexp_extract_all_rewrite(args: list[str]) -> str | None:
+    """Same group-0 default; 3-arg maps non-participating groups to
+    NULL per element (reference nullList cases)."""
+    if len(args) == 2:
+        return f"regexp_extract_all({args[0]}, {args[1]}, 0)"
+    if len(args) == 3:
+        s, p, g = args
+        return (
+            f"transform(regexp_extract_all({s}, {p}, {g}),"
+            f" __m -> nullif(__m, ''))"
+        )
+    return None
 
 
 # simple call templates: presto name -> python format with {a} placeholders
@@ -813,6 +935,9 @@ def translate(sql: str) -> str:
         return f"date_format({arg}, '{java}')"
 
     out = _DATE_FORMAT.sub(_fmt, out)
+    # pre-masking pass: ${name} replacement references need to read the
+    # pattern and replacement literals
+    out = _rewrite_calls(out, "regexp_replace", _regexp_named_refs_rewrite)
     # mask literals so no rewrite below can touch quoted text
     literals: list[str] = []
 
@@ -860,7 +985,9 @@ def translate(sql: str) -> str:
     out = _rewrite_calls(out, "chr", _chr_rewrite)
     out = _rewrite_calls(out, "is_json_scalar", _is_json_scalar_rewrite)
     out = _rewrite_calls(out, "word_stem", _word_stem_rewrite)
-    out = _rewrite_calls(out, "regexp_replace", _regexp_replace2_rewrite)
+    out = _rewrite_calls(out, "regexp_replace", _regexp_replace_rewrite)
+    out = _rewrite_calls(out, "regexp_extract_all", _regexp_extract_all_rewrite)
+    out = _rewrite_calls(out, "regexp_extract", _regexp_extract_rewrite)
     out = _rewrite_calls(out, "greatest", _greatest_least_rewrite("greatest"))
     out = _rewrite_calls(out, "least", _greatest_least_rewrite("least"))
     out = _rewrite_calls(out, "substring", _substr_rewrite)

@@ -13,6 +13,8 @@ scheduler is the fragmenter/scheduler.  The Engine's job is only:
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -44,8 +46,27 @@ class Engine:
     def __init__(self, spark: SparkSession, sf_dir: str | None = None):
         self.spark = spark
         self.sf_dir: str | None = None
+        from prestodb_presto_spark.functions.regexp_fns import ensure_sql_support
+
+        ensure_sql_support(spark)  # SQL-path regexp lambda helper UDF
         if sf_dir:
             self.register(sf_dir)
+
+    @contextmanager
+    def _presto_literals(self):
+        """Presto string literals are raw — no backslash escapes
+        (presto-parser grammar treats '' as the only escape).  Spark
+        processes \\n, \\u… by default, silently corrupting regex
+        patterns like '\\d{3}'.  Parse presto-dialect text under
+        spark.sql.parser.escapedStringLiterals=true (the Hive-compatible
+        raw mode) and restore the session default after."""
+        key = "spark.sql.parser.escapedStringLiterals"
+        old = self.spark.conf.get(key, "false")
+        self.spark.conf.set(key, "true")
+        try:
+            yield
+        finally:
+            self.spark.conf.set(key, old)
 
     def register(self, sf_dir: str) -> "Engine":
         """Register every fixture table under ``sf_dir`` as a temp view."""
@@ -101,6 +122,12 @@ class Engine:
             from prestodb_presto_spark.dialect import translate
 
             text = translate(text)
+            with self._presto_literals():
+                # spark.sql parses/analyzes eagerly, so the raw-literal
+                # mode only covers this statement
+                if args is not None:
+                    return self.spark.sql(text, args=args)
+                return self.spark.sql(text)
         if args is not None:
             return self.spark.sql(text, args=args)
         return self.spark.sql(text)
@@ -119,15 +146,23 @@ class Engine:
 
             text = translate(text)
         if not hasattr(self, "_prepared"):
-            self._prepared: dict[str, str] = {}
-        self._prepared[name] = text
+            self._prepared: dict[str, tuple[str, bool]] = {}
+        # remember the dialect: raw-literal parsing must apply at every
+        # later parse of this text (execute/describe), not just here
+        self._prepared[name] = (text, dialect == "presto")
+
+    def _run_prepared(self, name: str, args=None) -> DataFrame:
+        text, is_presto = self._prepared[name]
+        if is_presto:
+            with self._presto_literals():
+                return self.spark.sql(text, args=args) if args else self.spark.sql(text)
+        return self.spark.sql(text, args=args) if args else self.spark.sql(text)
 
     def execute(self, name: str, *params) -> DataFrame:
         """EXECUTE <name> [USING param, ...] — binds `?` positionally."""
         if not getattr(self, "_prepared", None) or name not in self._prepared:
             raise KeyError(f"prepared statement not found: {name}")
-        text = self._prepared[name]
-        return self.spark.sql(text, args=list(params)) if params else self.spark.sql(text)
+        return self._run_prepared(name, list(params) if params else None)
 
     @staticmethod
     def _count_params(text: str) -> int:
@@ -144,9 +179,8 @@ class Engine:
         executes (parameters bind as typed NULLs for inference)."""
         if not getattr(self, "_prepared", None) or name not in self._prepared:
             raise KeyError(f"prepared statement not found: {name}")
-        text = self._prepared[name]
-        n_params = self._count_params(text)
-        df = self.spark.sql(text, args=[None] * n_params) if n_params else self.spark.sql(text)
+        n_params = self._count_params(self._prepared[name][0])
+        df = self._run_prepared(name, [None] * n_params if n_params else None)
         rows = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
         return self.spark.createDataFrame(rows, "column_name string, type string")
 
@@ -158,7 +192,7 @@ class Engine:
         (the reference also returns unknown for untyped contexts)."""
         if not getattr(self, "_prepared", None) or name not in self._prepared:
             raise KeyError(f"prepared statement not found: {name}")
-        n_params = self._count_params(self._prepared[name])
+        n_params = self._count_params(self._prepared[name][0])
         return self.spark.createDataFrame(
             [(i, "unknown") for i in range(n_params)], "position int, type string"
         )

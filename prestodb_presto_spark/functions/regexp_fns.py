@@ -7,10 +7,65 @@ used in the reference test corpus behaves identically.
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import functions as F
 
 from prestodb_presto_spark.functions import register
 from prestodb_presto_spark.functions._util import c
+
+
+def _java_re_to_python(pattern: str) -> str:
+    """Java named groups ``(?<name>..)`` → Python ``(?P<name>..)``.
+    Lookbehinds ``(?<=`` / ``(?<!`` are untouched (next char not a
+    letter); the rest of the tested dialect subset is shared."""
+    return _re.sub(r"\(\?<([A-Za-z][A-Za-z0-9]*)>", r"(?P<\1>", pattern)
+
+
+def ensure_sql_support(spark) -> None:
+    """Register the SQL-path helper UDF for the regexp lambda overload.
+
+    ``__presto_regexp_parts(s, p)`` decomposes a string by every match of
+    ``p`` into (segs: the n+1 between-match segments, grps: per match
+    ``[full, g1..gn]`` with None for non-participating groups — exactly
+    the array Presto's replace-lambda receives, 1-based via Spark's
+    0-based ``x[i]`` thanks to the leading full-match element).  The
+    dialect tier (dialect._regexp_replace_rewrite) reassembles with
+    native higher-order functions, so the user's SQL lambda body runs
+    JVM-side; only the match decomposition is Python (Arrow-batched,
+    same tier as the DataFrame lambda overload below).
+    Reference: JoniRegexpReplaceLambdaFunction.java.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<segs: array<string>, grps: array<array<string>>>")
+    def __presto_regexp_parts(s, p):
+        # signature untyped on purpose: `from __future__ import
+        # annotations` turns hints into strings, which the pandas-UDF
+        # eval-type inference rejects; untyped defaults to scalar
+        s: pd.Series
+        p: pd.Series
+        cache: dict[str, object] = {}
+
+        def one(v, pat_s):
+            if v is None or pat_s is None:
+                return None, None
+            pat = cache.get(pat_s)
+            if pat is None:
+                pat = cache[pat_s] = _re.compile(_java_re_to_python(pat_s))
+            segs, grps, last = [], [], 0
+            for m in pat.finditer(v):
+                segs.append(v[last : m.start()])
+                last = m.end()
+                grps.append([m.group(0)] + [m.group(i + 1) for i in range(pat.groups)])
+            segs.append(v[last:])
+            return segs, grps
+
+        rows = [one(v, pat_s) for v, pat_s in zip(s, p)]
+        return pd.DataFrame(rows, columns=["segs", "grps"])
+
+    spark.udf.register("__presto_regexp_parts", __presto_regexp_parts)
 
 
 @register("regexp_like")
