@@ -239,13 +239,18 @@ _AS_SPLIT = re.compile(r"\s+AS\s+", re.IGNORECASE)
 
 
 def _cast_rewrite(args: list[str]) -> str | None:
-    """CAST(x AS <presto-type>) → Spark type spelling (recursive)."""
+    """CAST(x AS <presto-type>) → Spark type spelling (recursive).
+    CHAR(n) additionally space-pads on read (CharType.java: a CHAR value
+    IS its padded form; Spark's CHAR reads back unpadded)."""
     if len(args) != 1:
         return None
     parts = _AS_SPLIT.split(args[0])
     if len(parts) < 2:
         return None
     expr, typ = " AS ".join(parts[:-1]), parts[-1]
+    cm = re.fullmatch(r"char\s*\(\s*(\d+)\s*\)", typ.strip(), re.IGNORECASE)
+    if cm:
+        return f"rpad(CAST({expr} AS STRING), {cm.group(1)}, ' ')"
     translated = _translate_type(typ)
     if translated == typ.strip():
         return None  # nothing Presto-specific; leave untouched
@@ -254,7 +259,12 @@ def _cast_rewrite(args: list[str]) -> str | None:
 
 def _try_cast_rewrite(args: list[str]) -> str | None:
     out = _cast_rewrite(args)
-    return None if out is None else "TRY_" + out
+    if out is None:
+        return None
+    if out.upper().startswith("CAST("):
+        return "TRY_" + out
+    # CHAR-pad form: the cast inside rpad becomes the TRY_CAST
+    return out.replace("CAST(", "TRY_CAST(", 1)
 
 
 # TABLESAMPLE BERNOULLI(p) / SYSTEM(p) (SqlBase.g4 sampleType) → Spark's
@@ -361,10 +371,45 @@ _TYPED_LIT_MAP = {
 }
 
 
-def _typed_literal(m: re.Match) -> str:
+def _canon_json_text(text: str) -> str:
+    """Presto's json_parse canonicalization, whitespace half: drop all
+    whitespace outside JSON strings (Jackson compact form), preserving
+    member order and number lexemes exactly (JsonFunctions.jsonParse —
+    values round-trip through Jackson without reformatting)."""
+    out: list[str] = []
+    i, n = 0, len(text)
+    in_str = False
+    while i < n:
+        ch = text[i]
+        if in_str:
+            out.append(ch)
+            if ch == "\\" and i + 1 < n:
+                out.append(text[i + 1])
+                i += 2
+                continue
+            if ch == '"':
+                in_str = False
+        elif ch == '"':
+            in_str = True
+            out.append(ch)
+        elif ch not in " \t\n\r":
+            out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _typed_literal(m: re.Match, literals: list[str] | None = None) -> str:
     t = m.group(1).lower()
-    if t in ("json", "char"):
-        # JSON 'x': the engine's JSON representation IS the string.
+    if t == "json":
+        # JSON 'x': the engine's JSON representation IS the string, in
+        # the reference's canonical (compact) form — rewrite the masked
+        # literal in place
+        if literals is not None:
+            idx = int(m.group(2)[1:-1])
+            content = literals[idx][1:-1].replace("''", "'")
+            literals[idx] = "'" + _canon_json_text(content).replace("'", "''") + "'"
+        return m.group(2)
+    if t == "char":
         # CHAR 'x': the literal keeps its own padding (CharType.java) —
         # a plain string literal preserves it exactly.
         return m.group(2)
@@ -471,18 +516,52 @@ def _substr_rewrite(args: list[str]) -> str | None:
 def _json_array_contains_rewrite(args: list[str]) -> str | None:
     """json_array_contains(json, value) (JsonFunctions.java): type-aware
     membership in a top-level JSON array.  Spark 4's VARIANT keeps JSON
-    type fidelity ("true" vs true), so elements render canonically via
-    to_json and the target renders from its lexical form."""
+    type fidelity ("true" vs true) but normalizes number lexemes
+    (1.0 → 1), while the reference matches a BIGINT search value only
+    against integral number tokens.  So elements are checked two ways:
+    the variant rendering pins the TYPE (string vs number vs bool) and
+    the raw get_json_object text pins the LEXICAL form (the raw check is
+    skipped for fractional/exponent search values, which legitimately
+    render with . or e)."""
     if len(args) != 2:
         return None
     j, v = args
     if re.fullmatch(r"\x00\d+\x00", v.strip()):
-        target = f"concat('\"', {v}, '\"')"
+        cond = f"__vj = concat('\"', {v}, '\"')"
     else:
-        target = f"CAST(({v}) AS STRING)"
+        tgt = f"CAST(({v}) AS STRING)"
+        cond = (
+            f"__vj = {tgt} AND (NOT __raw RLIKE '[.eE]' OR {tgt} RLIKE '[.eE]')"
+        )
+    varr = f"from_json({j}, 'array<variant>')"
+    raws = (
+        f"transform((CASE WHEN size({varr}) >= 1 THEN sequence(1, size({varr}))"
+        f" ELSE array() END),"
+        f" __i -> get_json_object({j}, concat('$[', CAST(__i - 1 AS STRING), ']')))"
+    )
     return (
-        f"array_contains(transform(from_json({j}, 'array<variant>'),"
-        f" __v -> to_json(__v)), {target})"
+        f"(CASE WHEN ({v}) IS NULL THEN NULL ELSE"
+        f" exists(zip_with(transform({varr}, __v -> to_json(__v)), {raws},"
+        f" (__vj, __raw) -> {cond}), __b -> __b) END)"
+    )
+
+
+def _json_array_get_rewrite(args: list[str]) -> str | None:
+    """json_array_get(json, index) (JsonFunctions.jsonArrayGet):
+    element at index as JSON text — negative index counts from the end,
+    out-of-range/malformed/JSON-null yield NULL, string elements render
+    unquoted (the reference's own documented quirk, which
+    get_json_object shares).  nullif(.., 'null') conflates a JSON null
+    element with the string "null" — no reference case distinguishes."""
+    if len(args) != 2:
+        return None
+    j, i = args
+    n = f"json_array_length({j})"
+    eff = f"(CASE WHEN ({i}) < 0 THEN {n} + ({i}) ELSE ({i}) END)"
+    return (
+        f"(CASE WHEN {eff} >= 0 AND {eff} < {n} THEN"
+        f" nullif(get_json_object({j},"
+        f" concat('$[', CAST({eff} AS STRING), ']')), 'null') END)"
     )
 
 
@@ -509,16 +588,67 @@ def _split_part_rewrite(args: list[str]) -> str | None:
     )
 
 
+# Java Character.isWhitespace code points — airlift SliceUtf8.trim's set
+# (what StringFunctions.trim strips): control whitespace + Unicode space
+# separators minus the non-breaking ones (00A0, 2007, 202F).
+_PRESTO_WS = "".join(
+    chr(c)
+    for c in (
+        [0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x1C, 0x1D, 0x1E, 0x1F, 0x20, 0x1680]
+        + list(range(0x2000, 0x2007))
+        + list(range(0x2008, 0x200B))
+        + [0x2028, 0x2029, 0x205F, 0x3000]
+    )
+)
+
+
 def _trim2_rewrite(side: str):
     """Presto ltrim/rtrim(string, chars): Spark's 2-arg spelling reverses
-    the arguments — use the unambiguous TRIM(LEADING/TRAILING x FROM y)."""
+    the arguments — use the unambiguous TRIM(LEADING/TRAILING x FROM y).
+    The 1-arg form strips the reference's full Unicode whitespace set
+    (SliceUtf8.trim), not just ASCII space like Spark's."""
 
     def fn(args: list[str]) -> str | None:
+        if len(args) == 1:
+            if re.match(r"(?is)^\s*(LEADING|TRAILING|BOTH)\b", args[0]):
+                return None  # already the standard TRIM(side .. FROM ..) form
+            return f"TRIM({side} '{_PRESTO_WS}' FROM {args[0]})"
         if len(args) != 2:
             return None
         return f"TRIM({side} {args[1]} FROM {args[0]})"
 
     return fn
+
+
+def _normalize_rewrite(args: list[str]) -> str | None:
+    """normalize(s[, form]) (StringFunctions.normalize): Unicode
+    normalization via the session pandas UDF — java.text.Normalizer has
+    no reflect()-reachable string-keyed overload.  The form is a bare
+    keyword in the reference grammar."""
+    if len(args) == 1:
+        return f"__presto_normalize({args[0]}, 'NFC')"
+    if len(args) == 2:
+        form = args[1].strip().upper()
+        if re.fullmatch(r"NFK?[CD]", form):
+            return f"__presto_normalize({args[0]}, '{form}')"
+    return None
+
+
+def _from_utf8_rewrite(args: list[str]) -> str | None:
+    """from_utf8(bin[, repl]) (StringFunctions.fromUtf8): invalid UTF-8
+    replaced with U+FFFD or the custom replacement (string literal or
+    codepoint)."""
+    if len(args) == 1:
+        return f"__presto_from_utf8({args[0]}, '�')"
+    if len(args) == 2:
+        r = args[1].strip()
+        if re.fullmatch(r"\x00\d+\x00", r):
+            return f"__presto_from_utf8({args[0]}, {r})"
+        return (
+            f"__presto_from_utf8({args[0]},"
+            f" format_string('%c', CAST({r} AS INT)))"
+        )
+    return None
 
 
 _LAMBDA_ARG = re.compile(r"^\s*(\w+)\s*->\s*(.+)$", re.DOTALL)
@@ -662,7 +792,6 @@ _SQL_TEMPLATES = {
     "infinity": "CAST('Infinity' AS DOUBLE)",
     "nan": "CAST('NaN' AS DOUBLE)",
     "to_utf8": "encode({0}, 'UTF-8')",
-    "from_utf8": "decode({0}, 'UTF-8')",
     "hamming_distance":
         "(CASE WHEN length({0}) <> length({1})"
         " THEN CAST(raise_error('the input strings must have the same length') AS BIGINT)"
@@ -676,6 +805,8 @@ _SQL_TEMPLATES = {
         " THEN CAST(CAST(conv(substr({0}, 2), {1}, 10) AS DECIMAL(20,0)) * -1 AS BIGINT)"
         " ELSE CAST(conv({0}, {1}, 10) AS BIGINT) END)",
     "codepoint": "ascii({0})",
+    # reference test-harness varbinary→varchar helper (TestJsonExtract)
+    "utf8": "decode({0}, 'UTF-8')",
     "is_infinite": "(CASE WHEN {0} IS NULL THEN NULL ELSE"
                    " abs(CAST({0} AS DOUBLE)) = CAST('Infinity' AS DOUBLE) END)",
     "is_nan": "(CASE WHEN {0} IS NULL THEN NULL ELSE isnan(CAST({0} AS DOUBLE)) END)",
@@ -935,6 +1066,14 @@ def translate(sql: str) -> str:
         return f"date_format({arg}, '{java}')"
 
     out = _DATE_FORMAT.sub(_fmt, out)
+    # X'AB CD' binary literals allow whitespace in the reference grammar;
+    # Spark's don't
+    out = re.sub(
+        r"\bX'([0-9a-fA-F \t]*)'",
+        lambda m: "X'" + re.sub(r"\s", "", m.group(1)) + "'",
+        out,
+        flags=re.IGNORECASE,
+    )
     # pre-masking pass: ${name} replacement references need to read the
     # pattern and replacement literals
     out = _rewrite_calls(out, "regexp_replace", _regexp_named_refs_rewrite)
@@ -978,7 +1117,7 @@ def translate(sql: str) -> str:
     out = _rewrite_calls(out, "timezone_minute", _tz_field_rewrite("minute"))
     out = _rewrite_calls(out, "timezone_hour", _tz_field_plain)
     out = _rewrite_calls(out, "timezone_minute", _tz_field_plain)
-    out = _TYPED_LIT_POST.sub(_typed_literal, out)
+    out = _TYPED_LIT_POST.sub(lambda m: _typed_literal(m, literals), out)
     out = _rewrite_calls(out, "truncate", _truncate_rewrite)
     out = _rewrite_calls(out, "bit_count", _bit_count_rewrite)
     out = _rewrite_calls(out, "replace", _replace_rewrite)
@@ -994,10 +1133,29 @@ def translate(sql: str) -> str:
     out = _rewrite_calls(out, "substr", _substr_rewrite)
     out = _rewrite_calls(out, "width_bucket", _width_bucket_rewrite)
     out = _rewrite_calls(out, "json_array_contains", _json_array_contains_rewrite)
+    out = _rewrite_calls(out, "json_array_get", _json_array_get_rewrite)
+
+    def _json_parse_canon(args: list[str]) -> str | None:
+        # json_parse('literal') canonicalizes at parse time in the
+        # reference (JsonFunctions.jsonParse); for literal arguments the
+        # shim does the same statically, else the value passes through
+        # (the engine's JSON representation is the string itself)
+        if len(args) != 1:
+            return None
+        lm = re.fullmatch(r"\x00(\d+)\x00", args[0].strip())
+        if lm:
+            idx = int(lm.group(1))
+            content = literals[idx][1:-1].replace("''", "'")
+            literals[idx] = "'" + _canon_json_text(content).replace("'", "''") + "'"
+        return f"({args[0]})"
+
+    out = _rewrite_calls(out, "json_parse", _json_parse_canon)
     out = _rewrite_calls(out, "split_part", _split_part_rewrite)
     out = _rewrite_calls(out, "ltrim", _trim2_rewrite("LEADING"))
     out = _rewrite_calls(out, "rtrim", _trim2_rewrite("TRAILING"))
     out = _rewrite_calls(out, "trim", _trim2_rewrite("BOTH"))
+    out = _rewrite_calls(out, "normalize", _normalize_rewrite)
+    out = _rewrite_calls(out, "from_utf8", _from_utf8_rewrite)
     for _name, _tpl in _SQL_TEMPLATES.items():
         out = _rewrite_calls(out, _name, _template_rewrite(_tpl))
     # inline the registry's at_timezone expansion (datetime_fns.at_timezone)

@@ -46,9 +46,9 @@ class Engine:
     def __init__(self, spark: SparkSession, sf_dir: str | None = None):
         self.spark = spark
         self.sf_dir: str | None = None
-        from prestodb_presto_spark.functions.regexp_fns import ensure_sql_support
+        from prestodb_presto_spark.functions.sql_support import ensure_sql_support
 
-        ensure_sql_support(spark)  # SQL-path regexp lambda helper UDF
+        ensure_sql_support(spark)  # SQL-path helper UDFs (regexp/normalize/utf8)
         if sf_dir:
             self.register(sf_dir)
 

@@ -1,0 +1,56 @@
+"""Session-registered helper UDFs for the SQL dialect path.
+
+A few reference functions have no Spark expression equivalent and no
+reasonable higher-order-function composition: Unicode normalization
+(java.text.Normalizer has no string-keyed overload reflect() could hit)
+and UTF-8 decoding with replacement semantics (Spark's decode is
+strict/UTF8-lossy without a replacement hook).  They run as Arrow-batched
+pandas UDFs, the registry's documented slow tier — none appear in
+relational catalog queries (plan-asserted, tests/test_plans.py).
+
+References: presto-main/.../scalar/StringFunctions.java (normalize,
+fromUtf8), JoniRegexpReplaceLambdaFunction.java (regexp parts).
+"""
+
+from __future__ import annotations
+
+
+def ensure_sql_support(spark) -> None:
+    """Idempotently register every SQL-path helper UDF."""
+    from prestodb_presto_spark.functions.regexp_fns import (
+        ensure_sql_support as _regexp_support,
+    )
+
+    _regexp_support(spark)
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def __presto_normalize(s, form):
+        import unicodedata
+
+        return pd.Series(
+            [
+                None if (v is None or f is None) else unicodedata.normalize(f, v)
+                for v, f in zip(s, form)
+            ]
+        )
+
+    spark.udf.register("__presto_normalize", __presto_normalize)
+
+    @pandas_udf("string")
+    def __presto_from_utf8(b, repl):
+        def one(v, r):
+            if v is None or r is None:
+                return None
+            # Java's CharsetDecoder REPLACE action emits U+FFFD per
+            # malformed sequence; Python's errors='replace' matches on
+            # the tested byte shapes, then the reference's custom
+            # replacement substitutes in
+            out = v.decode("utf-8", errors="replace")
+            return out if r == "�" else out.replace("�", r)
+
+        return pd.Series([one(v, r) for v, r in zip(b, repl)])
+
+    spark.udf.register("__presto_from_utf8", __presto_from_utf8)

@@ -6,7 +6,7 @@ parseable expected literals) from the read-only checkout and this
 module executes every expression through Engine.sql(dialect="presto"),
 comparing to the reference's expected value.
 
-859/1067 pass exactly.  The rest are DOCUMENTED deviation categories —
+918/1067 pass exactly.  The rest are DOCUMENTED deviation categories —
 asserted here as per-file minimum pass counts so any regression in the
 dialect/registry trips immediately while known gaps stay visible:
 
@@ -14,14 +14,12 @@ dialect/registry trips immediately while known gaps stay visible:
     TestCustomFunctions / TestArrayExceptFunction(null-typed):
     functions registered only by the reference's TEST harness
     (apply(), test_is_null(), "$internal$try"...), not product surface;
-  - TestStringFunctions (~56): CHAR(n) pad semantics (Spark CHAR reads
-    back unpadded; §1.2 documented) + Presto's Unicode whitespace set
-    in 1-arg trim;
+  - TestStringFunctions (6): the harness-defined vl() type probe and
+    CHAR-typed `=` comparisons (trailing-space-insensitive compare
+    needs static CHAR type tracking);
   - TestMathFunctions (~45): Presto integer `/` is integer division
     and double/0 is Infinity, Spark-ANSI divides in double and raises
     (documented ANSI posture, session.py);
-  - TestJsonFunctions (~35): JSON_FORMAT canonicalization and
-    UTF8(X'..') binary-to-json casts;
   - TestTypeOfFunction: Spark type-name spellings;
   - TestWordStemFunction (~12): suffix-stripping approximation vs
     Lucene stemmers (module not in container);
@@ -36,7 +34,7 @@ import pytest
 
 from tests.reference_literals import scrape
 
-# minimum exact-pass count per reference test file (current: 859/1067)
+# minimum exact-pass count per reference test file (current: 918/1067)
 PASS_FLOORS = {
     "TestArrayExceptFunction.java": 0,
     "TestArrayReduceFunction.java": 13,
@@ -45,12 +43,12 @@ PASS_FLOORS = {
     "TestCustomFunctions.java": 0,
     "TestDateTimeFunctionsBase.java": 41,
     "TestIsNullAnnotation.java": 0,
-    "TestJsonExtract.java": 0,
-    "TestJsonFunctions.java": 99,
+    "TestJsonExtract.java": 1,
+    "TestJsonFunctions.java": 134,
     "TestLambdaExpression.java": 0,
     "TestMathFunctions.java": 248,
     "TestRegexpFunctions.java": 60,
-    "TestStringFunctions.java": 253,
+    "TestStringFunctions.java": 276,
     "TestTryFunction.java": 0,
     "TestTypeOfFunction.java": 6,
     "TestUrlFunctions.java": 7,
@@ -98,4 +96,4 @@ def test_reference_assert_function_literals(engine):
             regressions.append(f"{f}: {got_n} < floor {floor}")
     assert not regressions, f"literal-parity regressions: {regressions}"
     # keep the headline honest: overall floor
-    assert sum(passed.values()) >= 859, sum(passed.values())
+    assert sum(passed.values()) >= 918, sum(passed.values())
