@@ -353,6 +353,86 @@ def _unnest_rewrite(sql: str) -> str:
 # DECIMAL 'x.yz' typed literal (presto-parser grammar) — Spark has no
 # DECIMAL literal keyword; lower to CAST with the literal's own
 # precision/scale, exactly how the reference types it.
+# --- Presto arithmetic posture (MathFunctions.java, *Operators.java) --------
+# Presto: integer `/` is Java truncating integer division; floating
+# division by literal zero yields ±Infinity / NaN (IEEE754).  Spark-ANSI
+# divides int/int in double and raises DIVIDE_BY_ZERO.  Two statically
+# decidable dialect rewrites recover Presto semantics without abandoning
+# the engine's ANSI default: int-literal/int-literal → DIV, and
+# X / <zero float literal> → CAST(X AS DOUBLE) * Infinity (x>0 → Inf,
+# x<0 → -Inf, x=0 or NaN → NaN, NULL → NULL — exactly IEEE x/0.0).
+_INT_DIV = re.compile(r"(?<![\w.\x00])(\d+)\s*/\s*(\d+)(?![\w.\x00])")
+_ZERO_DIVISOR = re.compile(
+    r"/\s*(?:(\d*\.\d+(?:[eE][+-]?\d+)?|\d+\.(?!\.)(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+)"
+    r"|(?:REAL|DOUBLE)\s*\x00(\d+)\x00)"
+)
+
+
+def _left_operand_start(s: str, end: int) -> int:
+    """Index where the SQL operand ending at ``end`` (exclusive) begins:
+    a balanced-paren call/group, a masked literal, or a bare token."""
+    j = end
+    while j > 0 and s[j - 1].isspace():
+        j -= 1
+    if j > 0 and s[j - 1] == ")":
+        depth = 0
+        while j > 0:
+            j -= 1
+            if s[j] == ")":
+                depth += 1
+            elif s[j] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+        while j > 0 and (s[j - 1].isalnum() or s[j - 1] in "_$"):
+            j -= 1
+        return j
+    while j > 0 and (s[j - 1].isalnum() or s[j - 1] in "_.$\x00"):
+        j -= 1
+    # a masked literal may carry a typed-literal keyword prefix
+    # (REAL '0.0' → REAL \x00n\x00) — absorb it into the operand
+    if s[j:end].strip().startswith("\x00"):
+        k = j
+        while k > 0 and s[k - 1].isspace():
+            k -= 1
+        w = k
+        while w > 0 and (s[w - 1].isalnum() or s[w - 1] == "_"):
+            w -= 1
+        if s[w:k].upper() in {
+            "REAL", "DOUBLE", "BIGINT", "INTEGER", "SMALLINT",
+            "TINYINT", "DECIMAL", "CHAR", "VARCHAR",
+        }:
+            return w
+    return j
+
+
+def _division_compat(sql: str, literals: list[str]) -> str:
+    """Apply the two Presto division rewrites (module comment above).
+    Runs on masked SQL, right-to-left so indices stay valid."""
+    matches = list(_ZERO_DIVISOR.finditer(sql))
+    for m in reversed(matches):
+        if m.group(1) is not None:
+            is_zero = float(m.group(1)) == 0.0
+        else:
+            lit = literals[int(m.group(2))][1:-1].replace("''", "'")
+            try:
+                is_zero = float(lit) == 0.0
+            except ValueError:
+                is_zero = False
+        if not is_zero:
+            continue
+        start = _left_operand_start(sql, m.start())
+        left = sql[start : m.start()].rstrip()
+        if not left:
+            continue
+        sql = (
+            sql[:start]
+            + f"(CAST({left} AS DOUBLE) * CAST('Infinity' AS DOUBLE))"
+            + sql[m.end() :]
+        )
+    return _INT_DIV.sub(r"(\1 DIV \2)", sql)
+
+
 _DECIMAL_LIT = re.compile(r"\bDECIMAL\s*'\s*([+-]?[0-9]*\.?[0-9]+)\s*'", re.IGNORECASE)
 
 
@@ -805,6 +885,32 @@ _SQL_TEMPLATES = {
         " THEN CAST(CAST(conv(substr({0}, 2), {1}, 10) AS DECIMAL(20,0)) * -1 AS BIGINT)"
         " ELSE CAST(conv({0}, {1}, 10) AS BIGINT) END)",
     "codepoint": "ascii({0})",
+    # statistical scalars (MathFunctions.java normalCdf/inverseNormalCdf
+    # use commons-math3 Erf — the same library Spark ships, reached via
+    # reflect, so values are bit-exact; wilson* is pure arithmetic)
+    "normal_cdf":
+        "(0.5 * (1 + CAST(reflect('org.apache.commons.math3.special.Erf',"
+        " 'erf', CAST((CAST({2} AS DOUBLE) - CAST({0} AS DOUBLE))"
+        " / (CAST({1} AS DOUBLE) * 1.4142135623730951) AS DOUBLE))"
+        " AS DOUBLE)))",
+    "inverse_normal_cdf":
+        "(CAST({0} AS DOUBLE) + CAST({1} AS DOUBLE) * 1.4142135623730951"
+        " * CAST(reflect('org.apache.commons.math3.special.Erf', 'erfInv',"
+        " CAST(2 * CAST({2} AS DOUBLE) - 1 AS DOUBLE)) AS DOUBLE))",
+    "wilson_interval_lower":
+        "(((CAST({0} AS DOUBLE)/CAST({1} AS DOUBLE))"
+        " + ({2})*({2})/(2*CAST({1} AS DOUBLE))"
+        " - ({2}) * sqrt((CAST({0} AS DOUBLE)/CAST({1} AS DOUBLE))"
+        "   * (1 - CAST({0} AS DOUBLE)/CAST({1} AS DOUBLE))/CAST({1} AS DOUBLE)"
+        "   + ({2})*({2})/(4.0*CAST({1} AS DOUBLE)*CAST({1} AS DOUBLE))))"
+        " / (1 + ({2})*({2})/CAST({1} AS DOUBLE)))",
+    "wilson_interval_upper":
+        "(((CAST({0} AS DOUBLE)/CAST({1} AS DOUBLE))"
+        " + ({2})*({2})/(2*CAST({1} AS DOUBLE))"
+        " + ({2}) * sqrt((CAST({0} AS DOUBLE)/CAST({1} AS DOUBLE))"
+        "   * (1 - CAST({0} AS DOUBLE)/CAST({1} AS DOUBLE))/CAST({1} AS DOUBLE)"
+        "   + ({2})*({2})/(4.0*CAST({1} AS DOUBLE)*CAST({1} AS DOUBLE))))"
+        " / (1 + ({2})*({2})/CAST({1} AS DOUBLE)))",
     # reference test-harness varbinary→varchar helper (TestJsonExtract)
     "utf8": "decode({0}, 'UTF-8')",
     "is_infinite": "(CASE WHEN {0} IS NULL THEN NULL ELSE"
@@ -1117,6 +1223,7 @@ def translate(sql: str) -> str:
     out = _rewrite_calls(out, "timezone_minute", _tz_field_rewrite("minute"))
     out = _rewrite_calls(out, "timezone_hour", _tz_field_plain)
     out = _rewrite_calls(out, "timezone_minute", _tz_field_plain)
+    out = _division_compat(out, literals)
     out = _TYPED_LIT_POST.sub(lambda m: _typed_literal(m, literals), out)
     out = _rewrite_calls(out, "truncate", _truncate_rewrite)
     out = _rewrite_calls(out, "bit_count", _bit_count_rewrite)
