@@ -546,15 +546,11 @@ def _is_json_scalar_rewrite(args: list[str]) -> str | None:
 
 
 def _word_stem_rewrite(args: list[str]) -> str | None:
+    # session-registered pandas UDF (sql_support.ensure_sql_support):
+    # Snowball English (porter2.py) for 'en', suffix heuristic otherwise
     a = args[0]
-    inner = (
-        f"(CASE WHEN {a} RLIKE '.{{4,}}ing$' THEN regexp_replace({a}, 'ing$', '')"
-        f" WHEN {a} RLIKE '.{{3,}}ed$' THEN regexp_replace({a}, 'ed$', '')"
-        f" WHEN {a} RLIKE '.{{3,}}ies$' THEN regexp_replace({a}, 'ies$', 'y')"
-        f" WHEN {a} RLIKE '.{{3,}}s$' AND NOT {a} RLIKE 'ss$'"
-        f" THEN regexp_replace({a}, 's$', '') ELSE {a} END)"
-    )
-    return f"regexp_replace({inner}, '([bdfgmnprt])\\1$', '$1')"
+    lang = args[1] if len(args) > 1 else "'en'"
+    return f"__presto_word_stem({a}, {lang})"
 
 
 def _greatest_least_rewrite(name: str):

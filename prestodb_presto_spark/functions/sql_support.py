@@ -54,3 +54,16 @@ def ensure_sql_support(spark) -> None:
         return pd.Series([one(v, r) for v, r in zip(b, repl)])
 
     spark.udf.register("__presto_from_utf8", __presto_from_utf8)
+
+    @pandas_udf("string")
+    def __presto_word_stem(s, lang):
+        from prestodb_presto_spark.functions.strings import stem_one
+
+        return pd.Series(
+            [
+                None if (v is None or lg is None) else stem_one(v, lg)
+                for v, lg in zip(s, lang)
+            ]
+        )
+
+    spark.udf.register("__presto_word_stem", __presto_word_stem)

@@ -150,21 +150,51 @@ def starts_with(x, prefix):
     return c(x).startswith(prefix)
 
 
+def _heuristic_stem(v: str) -> str:
+    """Suffix-stripping fallback for non-English languages (the
+    reference uses per-language Lucene Snowball stemmers; only the
+    English one is reimplemented — porter2.py)."""
+    import re as _re
+
+    if _re.search(r".{4}ing$", v):
+        v = v[:-3]
+    elif _re.search(r".{3}ed$", v):
+        v = v[:-2]
+    elif _re.search(r".{3}ies$", v):
+        v = v[:-3] + "y"
+    elif _re.search(r".{3}s$", v) and not v.endswith("ss"):
+        v = v[:-1]
+    return _re.sub(r"([bdfgmnprt])\1$", r"\1", v)
+
+
+def stem_one(v: str | None, lang: str = "en") -> str | None:
+    """word_stem scalar (WordStemFunction.java): Snowball English
+    (Porter2, from-scratch — porter2.py) for 'en'; documented
+    suffix-heuristic approximation for other languages."""
+    if v is None:
+        return None
+    if lang == "en":
+        from prestodb_presto_spark.functions.porter2 import stem
+
+        return stem(v)
+    return _heuristic_stem(v)
+
+
 @register("word_stem")
-def word_stem(x):
-    """Minimal English suffix-stripping stemmer (reference
-    operator/scalar/WordStemFunction.java uses Lucene stemmers — not
-    available here; this covers the common -ing/-ed/-s families)."""
-    col = c(x)
-    stripped = (
-        F.when(col.rlike(".{4,}ing$"), F.regexp_replace(col, "ing$", ""))
-        .when(col.rlike(".{3,}ed$"), F.regexp_replace(col, "ed$", ""))
-        .when(col.rlike(".{3,}ies$"), F.regexp_replace(col, "ies$", "y"))
-        .when(col.rlike(".{3,}s$") & ~col.rlike("ss$"), F.regexp_replace(col, "s$", ""))
-        .otherwise(col)
-    )
-    # Porter step-1b cleanup: undouble trailing consonant (runn→run)
-    return F.regexp_replace(stripped, r"([bdfgmnprt])\1$", "$1")
+def word_stem(x, lang="en"):
+    """Snowball English stemmer, Arrow-batched (the reference's
+    word_stem is Lucene Snowball — WordStemFunction.java)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if not isinstance(lang, str):
+        lang = "en"
+
+    @pandas_udf("string")
+    def _stem(s):
+        return pd.Series([stem_one(v, lang) for v in s])
+
+    return _stem(c(x))
 
 
 @register("normalize")

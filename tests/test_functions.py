@@ -507,3 +507,24 @@ def test_reference_name_aliases(spark):
     )
     assert str(row.d) == "2021-03-04" and str(row.td) == "2021-03-04"
     assert str(row.tts) == "2021-03-04 05:06:07"
+
+
+def test_porter2_stemmer_reference_cases():
+    # the 'en' literals from the reference's TestWordStemFunction.java
+    # (WordStemFunction.java delegates to Lucene's Snowball English =
+    # Porter2; porter2.py is a from-scratch implementation)
+    from prestodb_presto_spark.functions.porter2 import stem
+
+    cases = {
+        "": "", "x": "x", "abc": "abc", "generally": "general",
+        "useful": "use", "runs": "run", "run": "run",
+        "authorized": "author", "accessories": "accessori",
+        "intensifying": "intensifi", "resentment": "resent",
+        "faithfulness": "faith",
+        # classic Porter2 behaviors
+        "knitting": "knit", "flies": "fli", "happy": "happi",
+        "dying": "die", "news": "news", "relational": "relat",
+        "electrical": "electr", "adjustment": "adjust",
+    }
+    bad = {w: (stem(w), e) for w, e in cases.items() if stem(w) != e}
+    assert not bad, bad

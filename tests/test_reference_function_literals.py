@@ -23,8 +23,10 @@ dialect/registry trips immediately while known gaps stay visible:
     and normal_cdf/inverse_normal_cdf reflect into the same
     commons-math3 Erf the reference uses;
   - TestTypeOfFunction: Spark type-name spellings;
-  - TestWordStemFunction (~12): suffix-stripping approximation vs
-    Lucene stemmers (module not in container);
+  - TestWordStemFunction (5): English is a from-scratch Porter2
+    (functions/porter2.py, 12/12 'en' cases exact); fr/es/pt/it/de
+    keep the suffix-heuristic approximation (their Snowball stemmers
+    are not reimplemented);
   - TestDateTimeFunctionsBase (~12): session-zone-sensitive cases.
 """
 
@@ -55,7 +57,7 @@ PASS_FLOORS = {
     "TestTypeOfFunction.java": 6,
     "TestUrlFunctions.java": 7,
     "TestVarbinaryFunctions.java": 26,
-    "TestWordStemFunction.java": 5,
+    "TestWordStemFunction.java": 12,
 }
 
 
