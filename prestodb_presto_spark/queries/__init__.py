@@ -44,61 +44,44 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 # Catalog emission order: the driver evaluates queries() in dict order and
-# samples a ~50-query prefix per round.  After rounds 1-3 every catalog name
-# has a driver row; 129/131 are green on their latest sample.  Emission
-# order: (a) the two r3 FAILs (tpch_q12, types_decimal_arithmetic — the only
-# oracles whose DuckDB results surfaced as decimal128/hugeint arrow columns,
-# which the driver canonicalizes differently from Spark's collected values;
-# both now emit driver-safe int64/string outputs) first for re-sampling,
-# then (b) any name with no green row yet (new queries land here
-# automatically, round-robin across families), then (c) the green names.
-_STALE_DRIVER_FAILS = (
-    "tpch_q12",
-    "types_decimal_arithmetic",
-)
+# samples a ~50-query prefix per round, so the prefix decides which
+# queries get fresh correctness evidence.  Priority: (a) any query whose
+# latest driver sample FAILED, (b) never-sampled queries (new entries
+# land here automatically), (c) everything else oldest-evidence-first —
+# each tier interleaved round-robin across operator families.  Evidence
+# age is read from the repo's own CORRECTNESS_r*.json driver records at
+# call time, so the ordering stays current without hand-kept lists.
 
-# Names green on their latest driver sample (CORRECTNESS_r01 ∪ r02 ∪ r03).
-_DRIVER_GREEN = frozenset({
-    "agg_any_value", "agg_approx_distinct", "agg_approx_percentile",
-    "agg_array_agg", "agg_array_agg_ordered", "agg_bitwise", "agg_bool",
-    "agg_checksum", "agg_corr_regr", "agg_count_if", "agg_cube",
-    "agg_empty_input", "agg_filter_clause", "agg_geometric_mean",
-    "agg_global", "agg_grouping_sets", "agg_histogram", "agg_hll_sketch",
-    "agg_map_agg", "agg_min_max_by", "agg_min_max_n", "agg_multi_distinct",
-    "agg_numeric_histogram", "agg_rollup", "agg_set_digest",
-    "agg_stats_moments", "assign_unique_id", "conditional_exprs",
-    "cte_chain", "cte_reused_twice", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard", "dedup_simhash", "distinct_limit",
-    "events_dedup_latest", "events_hierarchical_rollup",
-    "events_interval_join", "events_json_extract", "events_session_window",
-    "events_sliding_window", "events_tumbling_window", "fn_array_ops",
-    "fn_binary_hash", "fn_conditional_ops", "fn_datetime_ops",
-    "fn_geo_bing_tiles", "fn_geo_ops", "fn_geo_polygon_ops",
-    "fn_geo_set_ops", "fn_json_ops", "fn_math_ops", "fn_regexp_ops",
-    "fn_string_ops", "join_anti", "join_asof", "join_broadcast_explicit",
-    "join_cross", "join_full_outer", "join_inequality_range", "join_inner",
-    "join_left_outer", "join_not_in_null_semantics", "join_null_safe_eq",
-    "join_outer_on_vs_where", "join_right_outer", "join_semi",
-    "join_skew_salted", "join_spatial_contains", "join_spatial_grid",
-    "join_theta", "lateral_top1_per_group", "multimodal_decode_features",
-    "multimodal_frame_sample", "orderby_limit_topn",
-    "orderby_nulls_placement", "pivot_conditional", "sample_bernoulli",
-    "setop_except", "setop_except_all", "setop_intersect",
-    "setop_intersect_all", "setop_union_all", "setop_union_distinct",
-    "similarity_embedding_stats", "similarity_knn_top1",
-    "similarity_lsh_ann", "similarity_threshold_pairs",
-    "subquery_in_uncorrelated", "subquery_quantified_all",
-    "subquery_quantified_any", "subquery_scalar_correlated",
-    "subquery_scalar_empty", "text_fingerprint", "text_langid_heuristic",
-    "text_quality_score", "text_token_stats", "tpch_q01", "tpch_q02",
-    "tpch_q03", "tpch_q04", "tpch_q05", "tpch_q06", "tpch_q07", "tpch_q08",
-    "tpch_q09", "tpch_q10", "tpch_q11", "tpch_q13", "tpch_q14", "tpch_q15",
-    "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21",
-    "tpch_q22", "types_time_ops", "unnest_explode", "unnest_map",
-    "unnest_with_ordinality", "values_inline", "window_offsets",
-    "window_partition_total", "window_range_frame", "window_ranking",
-    "window_running_agg", "window_topn_per_group",
-})
+
+def _driver_evidence() -> dict[str, tuple[int, bool]]:
+    """name -> (latest sampled round, passed on that sample)."""
+    import json
+    import re as _re
+    from pathlib import Path
+
+    out: dict[str, tuple[int, bool]] = {}
+    root = Path(__file__).resolve().parents[2]
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = _re.search(r"_r(\d+)", p.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, rec in rows.items():
+            ok = bool(
+                isinstance(rec, dict)
+                and rec.get("rows_match")
+                and rec.get("schema_match", True)
+                and rec.get("hash_match", True)
+                and not rec.get("err")
+            )
+            prev = out.get(name)
+            if prev is None or rnd >= prev[0]:
+                out[name] = (rnd, ok)
+    return out
 _FAMILY_ORDER = (
     "tpch",
     "agg",
@@ -156,9 +139,16 @@ def load_all() -> dict[str, QuerySpec]:
             rank += 1
         return out
 
-    stale = [n for n in _STALE_DRIVER_FAILS if n in REGISTRY]
-    taken = set(stale)
-    unverified = [n for n in REGISTRY if n not in _DRIVER_GREEN and n not in taken]
-    verified = [n for n in REGISTRY if n in _DRIVER_GREEN and n not in taken]
-    ordered = stale + round_robin(unverified) + round_robin(verified)
+    evidence = _driver_evidence()
+    failed = [n for n in REGISTRY if n in evidence and not evidence[n][1]]
+    unsampled = [n for n in REGISTRY if n not in evidence]
+    sampled = [n for n in REGISTRY if n in evidence and evidence[n][1]]
+    # oldest evidence first; round-robin across families within a round
+    by_round: dict[int, list[str]] = {}
+    for n in sampled:
+        by_round.setdefault(evidence[n][0], []).append(n)
+    aged: list[str] = []
+    for rnd in sorted(by_round):
+        aged.extend(round_robin(by_round[rnd]))
+    ordered = round_robin(failed) + round_robin(unsampled) + aged
     return {n: REGISTRY[n] for n in ordered}
