@@ -202,6 +202,7 @@ def _approx_percentile_rewrite(args: list[str]) -> str | None:
 # VARBINARY → BINARY, JSON/HYPERLOGLOG → engine representations.
 _SIMPLE_TYPES = {
     "varchar": "STRING",  # bare varchar is unbounded in Presto; Spark's needs (n)
+    "decimal": "DECIMAL(38,0)",  # Presto bare DECIMAL default (DecimalType)
     "varbinary": "BINARY",
     "json": "STRING",
     "hyperloglog": "BINARY",
@@ -431,6 +432,96 @@ def _division_compat(sql: str, literals: list[str]) -> str:
             + sql[m.end() :]
         )
     return _INT_DIV.sub(r"(\1 DIV \2)", sql)
+
+
+def _reduce_rewrite(args: list[str]) -> str | None:
+    """reduce(arr, 0, ..) with BIGINT-range array elements: Presto
+    coerces the initial state to the element type; Spark pins the
+    accumulator to the init literal's type (INT) and rejects the merge.
+    Widen an integer-literal init to BIGINT when the array text carries
+    beyond-int32 literals (ArrayReduceFunction.java)."""
+    if len(args) not in (3, 4):
+        return None
+    if re.fullmatch(r"-?\d+", args[1].strip()) and re.search(r"\b\d{10,}\b", args[0]):
+        rest = ", ".join(args[2:])
+        return f"reduce({args[0]}, CAST({args[1]} AS BIGINT), {rest})"
+    return None
+
+
+# --- LIKE compatibility (presto-parser SqlBase.g4 predicate / Types.java) ---
+# Presto LIKE has NO default escape character (backslash is literal
+# unless an ESCAPE clause names it); ESCAPE '' disables escaping; ESCAPE
+# NULL yields NULL.  Spark always treats backslash as the escape and
+# rejects empty/NULL ESCAPE.  All three are literal-pattern-statically
+# rewritable: double backslashes (raw-literal mode: LIKE then reads an
+# escaped, i.e. literal, backslash) and drop/replace the clause.
+_LIKE_PAT = re.compile(
+    r"((?:NOT\s+)?LIKE)\s*\x00(\d+)\x00(\s+ESCAPE\s+(?:\x00(\d+)\x00|NULL))?",
+    re.IGNORECASE,
+)
+
+
+def _like_compat(sql: str, literals: list[str]) -> str:
+    def sub(m: re.Match) -> str:
+        op, pidx = m.group(1), int(m.group(2))
+        esc_clause, eidx = m.group(3), m.group(4)
+        if esc_clause and eidx is None:  # ESCAPE NULL -> NULL (any lhs)
+            return "LIKE '%' AND NULL"
+        if esc_clause:
+            esc = literals[int(eidx)][1:-1]
+            if esc != "":
+                return m.group(0)  # real escape char: Spark supports it
+            # ESCAPE '': no escaping — drop the clause, fall through
+        pat = literals[pidx][1:-1]
+        if "\\" not in pat:
+            return f"{op} \x00{pidx}\x00"
+        literals.append("'" + pat.replace("\\", "\\\\") + "'")
+        return f"{op} \x00{len(literals) - 1}\x00"
+
+    return _LIKE_PAT.sub(sub, sql)
+
+
+# --- EXTRACT compatibility (DateTimeFunctions.java extract family) ----------
+# Presto extracts local fields of a TIMESTAMP WITH TIME ZONE in the
+# VALUE's zone (Spark converts to the session zone first), and allows
+# any field over any interval ('247' SECOND → minute 4; Spark rejects
+# fields wider than the interval's start unit).  Both are statically
+# rewritable for literal arguments.
+_EXTRACT_TS = re.compile(
+    r"\bextract\s*\(\s*(\w+)\s+FROM\s+TIMESTAMP\s*\x00(\d+)\x00\s*\)",
+    re.IGNORECASE,
+)
+_EXTRACT_ITV = re.compile(
+    r"\bextract\s*\(\s*(\w+)\s+FROM\s+"
+    r"(INTERVAL\s*\x00\d+\x00\s*(YEAR|MONTH|DAY|HOUR|MINUTE|SECOND))\s*\)",
+    re.IGNORECASE,
+)
+_TS_LOCAL_PART = re.compile(
+    r"^(\d{4}-\d{2}-\d{2}(?:[ T]\d{2}:\d{2}(?::\d{2}(?:\.\d+)?)?)?)\s+(\S.*)$"
+)
+
+
+def _extract_compat(sql: str, literals: list[str]) -> str:
+    def ts_sub(m: re.Match) -> str:
+        field, idx = m.group(1), int(m.group(2))
+        if field.lower().startswith("timezone"):
+            return m.group(0)
+        content = literals[idx][1:-1].replace("''", "'")
+        zm = _TS_LOCAL_PART.match(content.strip())
+        if not zm:
+            return m.group(0)
+        literals.append("'" + zm.group(1) + "'")
+        return (
+            f"extract({field} FROM TIMESTAMP_NTZ \x00{len(literals) - 1}\x00)"
+        )
+
+    def itv_sub(m: re.Match) -> str:
+        field, itv, unit = m.group(1), m.group(2), m.group(3).upper()
+        target = "YEAR TO MONTH" if unit in ("YEAR", "MONTH") else "DAY TO SECOND"
+        return f"extract({field} FROM CAST({itv} AS INTERVAL {target}))"
+
+    sql = _EXTRACT_TS.sub(ts_sub, sql)
+    return _EXTRACT_ITV.sub(itv_sub, sql)
 
 
 _DECIMAL_LIT = re.compile(r"\bDECIMAL\s*'\s*([+-]?[0-9]*\.?[0-9]+)\s*'", re.IGNORECASE)
@@ -858,7 +949,25 @@ _SQL_TEMPLATES = {
     "from_base64url": "unbase64(translate({0}, '-_', '+/'))",
     "to_hex": "upper(hex({0}))",
     "from_hex": "unhex({0})",
-    "url_extract_parameter": "parse_url({0}, 'QUERY', {1})",
+    # UrlFunctions.urlExtractParameter: FIRST occurrence wins and a
+    # valueless key ('...&k3&...') returns '' (Spark's parse_url
+    # key-lookup returns NULL for both); scan the query params in order
+    "url_extract_parameter":
+        "(CASE WHEN try_element_at(filter(split(parse_url({0}, 'QUERY'), '&'),"
+        " p -> split_part(p, '=', 1) = {1}), 1) IS NULL THEN NULL"
+        " WHEN locate('=', try_element_at(filter(split(parse_url({0}, 'QUERY'),"
+        " '&'), p -> split_part(p, '=', 1) = {1}), 1)) = 0 THEN ''"
+        " ELSE substring(try_element_at(filter(split(parse_url({0}, 'QUERY'),"
+        " '&'), p -> split_part(p, '=', 1) = {1}), 1),"
+        " locate('=', try_element_at(filter(split(parse_url({0}, 'QUERY'),"
+        " '&'), p -> split_part(p, '=', 1) = {1}), 1)) + 1) END)",
+    # TypeOfFunction.java: Presto type-name spellings (integer/varchar/
+    # unknown, parenthesized containers) from Spark's typeof
+    "typeof":
+        "regexp_replace(regexp_replace(regexp_replace("
+        "translate(typeof({0}), '<>', '()'),"
+        " '\\bint\\b', 'integer'), '\\bstring\\b', 'varchar'),"
+        " '\\bvoid\\b', 'unknown')",
     "year_of_week": "extract(YEAROFWEEK FROM {0})",
     "yow": "extract(YEAROFWEEK FROM {0})",
     "bitwise_and": "(({0}) & ({1}))",
@@ -881,6 +990,17 @@ _SQL_TEMPLATES = {
         " THEN CAST(CAST(conv(substr({0}, 2), {1}, 10) AS DECIMAL(20,0)) * -1 AS BIGINT)"
         " ELSE CAST(conv({0}, {1}, 10) AS BIGINT) END)",
     "codepoint": "ascii({0})",
+    # duration scalars (DateTimeFunctions.parseDuration, airlift
+    # Duration units ns/us/ms/s/m/h/d): the engine's interval scalar
+    # representation is seconds as DOUBLE (datetime_fns.parse_duration)
+    "parse_duration":
+        "(CAST(regexp_extract({0}, '^\\s*([0-9]*\\.?[0-9]+)\\s*([a-z]+)\\s*$', 1)"
+        " AS DOUBLE)"
+        " * CASE regexp_extract({0}, '^\\s*([0-9]*\\.?[0-9]+)\\s*([a-z]+)\\s*$', 2)"
+        " WHEN 'ns' THEN 1e-9 WHEN 'us' THEN 1e-6 WHEN 'ms' THEN 1e-3"
+        " WHEN 's' THEN 1e0 WHEN 'm' THEN 6e1 WHEN 'h' THEN 36e2"
+        " WHEN 'd' THEN 864e2 END)",
+    "to_milliseconds": "CAST(CAST({0} AS DOUBLE) * 1000 AS BIGINT)",
     # statistical scalars (MathFunctions.java normalCdf/inverseNormalCdf
     # use commons-math3 Erf — the same library Spark ships, reached via
     # reflect, so values are bit-exact; wilson* is pure arithmetic)
@@ -1015,12 +1135,28 @@ def _tz_field_rewrite(unit: str):
     return fn
 
 
-def _tz_field_plain(args: list[str]) -> str | None:
+def _tz_field_plain(unit: str):
     """timezone_hour/minute over a plain (zone-less) timestamp: the
-    session is pinned UTC, offset 0 (matches the registry builders)."""
-    if _AT_TZ_IN_ARG.match(args[0]):
-        return None
-    return "CAST(0 AS BIGINT)"
+    offset of the SESSION zone at that instant (reference
+    DateTimeFunctions.timeZoneHourFromTimestamp on a session-zoned
+    value).  The engine default pins UTC → 0; a session that sets
+    spark.sql.session.timeZone gets that zone's offset."""
+
+    def fn(args: list[str]) -> str | None:
+        if _AT_TZ_IN_ARG.match(args[0]):
+            return None
+        a = args[0]
+        if a.strip().lower() == "localtimestamp":
+            a = "localtimestamp()"  # bare form only parses at top level
+        off = (
+            f"(unix_timestamp(from_utc_timestamp({a}, current_timezone()))"
+            f" - unix_timestamp({a}))"
+        )
+        if unit == "hour":
+            return f"CAST({off} / 3600 AS BIGINT)"
+        return f"CAST(({off} % 3600) / 60 AS BIGINT)"
+
+    return fn
 
 
 def _kurtosis_rewrite(args: list[str]) -> str | None:
@@ -1217,9 +1353,12 @@ def translate(sql: str) -> str:
     out = _rewrite_calls(out, "random", _random_rewrite)
     out = _rewrite_calls(out, "timezone_hour", _tz_field_rewrite("hour"))
     out = _rewrite_calls(out, "timezone_minute", _tz_field_rewrite("minute"))
-    out = _rewrite_calls(out, "timezone_hour", _tz_field_plain)
-    out = _rewrite_calls(out, "timezone_minute", _tz_field_plain)
+    out = _rewrite_calls(out, "timezone_hour", _tz_field_plain("hour"))
+    out = _rewrite_calls(out, "timezone_minute", _tz_field_plain("minute"))
     out = _division_compat(out, literals)
+    out = _extract_compat(out, literals)
+    out = _like_compat(out, literals)
+    out = _rewrite_calls(out, "reduce", _reduce_rewrite)
     out = _TYPED_LIT_POST.sub(lambda m: _typed_literal(m, literals), out)
     out = _rewrite_calls(out, "truncate", _truncate_rewrite)
     out = _rewrite_calls(out, "bit_count", _bit_count_rewrite)
@@ -1277,4 +1416,42 @@ def translate(sql: str) -> str:
     # longest names first so json_extract_scalar wins over json_extract
     for presto in sorted(_RENAMES, key=len, reverse=True):
         out = _rename(out, presto, _RENAMES[presto])
-    return re.sub(r"\x00(\d+)\x00", lambda m: literals[int(m.group(1))], out)
+    return re.sub(
+        r"\x00(\d+)\x00",
+        lambda m: _spark_safe_literal(literals[int(m.group(1))]),
+        out,
+    )
+
+
+def _spark_safe_literal(lit: str) -> str:
+    """Spark's lexer treats ``\\'`` as a quote escape even in raw
+    (escapedStringLiterals) mode, so a literal whose content has an
+    odd-length backslash run directly before a quote or at the end
+    cannot be spelled as a plain literal — splice the stray backslash
+    in as ``chr(92)``."""
+    content = lit[1:-1]
+    if "\\" not in content:
+        return lit
+    parts: list[str] = []
+    buf = ""
+    i, n = 0, len(content)
+    while i < n:
+        if content[i] == "\\":
+            j = i
+            while j < n and content[j] == "\\":
+                j += 1
+            run = j - i
+            if run % 2 == 1 and (j >= n or content[j] == "'"):
+                buf += "\\" * (run - 1)
+                parts.append(f"'{buf}'")
+                parts.append("chr(92)")
+                buf = ""
+            else:
+                buf += "\\" * run
+            i = j
+        else:
+            buf += content[i]
+            i += 1
+    if buf or not parts:
+        parts.append(f"'{buf}'")
+    return parts[0] if len(parts) == 1 else "(" + " || ".join(parts) + ")"

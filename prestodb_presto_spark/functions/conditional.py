@@ -60,7 +60,12 @@ def try_divide(a, b):
 
 @register("typeof")
 def typeof(x):
-    return F.typeof(c(x))
+    """Presto type-name spellings (TypeOfFunction.java): integer/
+    varchar/unknown, parenthesized container types."""
+    t = F.translate(F.typeof(c(x)), "<>", "()")
+    t = F.regexp_replace(t, r"\bint\b", "integer")
+    t = F.regexp_replace(t, r"\bstring\b", "varchar")
+    return F.regexp_replace(t, r"\bvoid\b", "unknown")
 
 
 @register("is_distinct_from")

@@ -224,21 +224,30 @@ def at_timezone(ts, tz) -> Column:
     return F.from_utc_timestamp(F.to_utc_timestamp(c(ts), "UTC"), tz)
 
 
+def _session_offset_seconds(col: Column) -> Column:
+    """UTC offset of the SESSION zone at the column's instant (the
+    engine default pins UTC → 0; a session that overrides
+    spark.sql.session.timeZone gets that zone's offset)."""
+    return F.unix_timestamp(
+        F.from_utc_timestamp(col, F.expr("current_timezone()"))
+    ) - F.unix_timestamp(col)
+
+
 @register("timezone_hour")
 def timezone_hour(ts) -> Column:
-    return F.lit(0).cast("bigint")  # engine pins session TZ to UTC
+    return (_session_offset_seconds(c(ts)) / 3600).cast("bigint")
 
 
 @register("timezone_minute")
 def timezone_minute(ts) -> Column:
-    return F.lit(0).cast("bigint")
+    return ((_session_offset_seconds(c(ts)) % 3600) / 60).cast("bigint")
 
 
 @register("current_timezone")
 def current_timezone() -> Column:
-    """Session zone — the engine pins UTC (SessionFunctions.java
-    currentTimeZone; see session.get_spark)."""
-    return F.lit("UTC")
+    """Session zone (SessionFunctions.java currentTimeZone) — the
+    engine default pins UTC; reads the live session conf."""
+    return F.expr("current_timezone()")
 
 
 # duration literal units → seconds (DateTimeFunctions.parseDuration,

@@ -6,7 +6,7 @@ parseable expected literals) from the read-only checkout and this
 module executes every expression through Engine.sql(dialect="presto"),
 comparing to the reference's expected value.
 
-941/1067 pass exactly.  The rest are DOCUMENTED deviation categories —
+983/1067 pass exactly.  The rest are DOCUMENTED deviation categories —
 asserted here as per-file minimum pass counts so any regression in the
 dialect/registry trips immediately while known gaps stay visible:
 
@@ -22,12 +22,15 @@ dialect/registry trips immediately while known gaps stay visible:
     statically decidable dialect rewrites (dialect._division_compat),
     and normal_cdf/inverse_normal_cdf reflect into the same
     commons-math3 Erf the reference uses;
-  - TestTypeOfFunction: Spark type-name spellings;
+  - TestTypeOfFunction (2): Spark erases VARCHAR(n) lengths at
+    runtime (typeof('cat') can't see varchar(3));
   - TestWordStemFunction (5): English is a from-scratch Porter2
     (functions/porter2.py, 12/12 'en' cases exact); fr/es/pt/it/de
     keep the suffix-heuristic approximation (their Snowball stemmers
     are not reimplemented);
-  - TestDateTimeFunctionsBase (~12): session-zone-sensitive cases.
+  - TestDateTimeFunctionsBase (1): one localtimestamp edge; the
+    other session-zone cases pass under the mirrored Asia/Kabul
+    session zone (see _SESSION_ZONE below).
 """
 
 from __future__ import annotations
@@ -38,14 +41,14 @@ import pytest
 
 from tests.reference_literals import scrape
 
-# minimum exact-pass count per reference test file (current: 941/1067)
+# minimum exact-pass count per reference test file (current: 983/1067)
 PASS_FLOORS = {
     "TestArrayExceptFunction.java": 0,
-    "TestArrayReduceFunction.java": 13,
+    "TestArrayReduceFunction.java": 14,
     "TestBitwiseFunctions.java": 15,
-    "TestConditions.java": 85,
+    "TestConditions.java": 93,
     "TestCustomFunctions.java": 0,
-    "TestDateTimeFunctionsBase.java": 41,
+    "TestDateTimeFunctionsBase.java": 52,
     "TestIsNullAnnotation.java": 0,
     "TestJsonExtract.java": 1,
     "TestJsonFunctions.java": 134,
@@ -54,8 +57,8 @@ PASS_FLOORS = {
     "TestRegexpFunctions.java": 60,
     "TestStringFunctions.java": 276,
     "TestTryFunction.java": 0,
-    "TestTypeOfFunction.java": 6,
-    "TestUrlFunctions.java": 7,
+    "TestTypeOfFunction.java": 18,
+    "TestUrlFunctions.java": 10,
     "TestVarbinaryFunctions.java": 26,
     "TestWordStemFunction.java": 12,
 }
@@ -79,6 +82,13 @@ def _matches(got, exp) -> bool:
     return str(got) == exp
 
 
+# TestDateTimeFunctionsBase runs its session in Asia/Kabul
+# (TIME_ZONE_KEY, TestDateTimeFunctionsBase.java:83); mirror that when
+# evaluating its expressions so session-zone-sensitive cases compare
+# like-for-like.
+_SESSION_ZONE = {"TestDateTimeFunctionsBase.java": "Asia/Kabul"}
+
+
 def test_reference_assert_function_literals(engine):
     cases = list(scrape())
     if not cases:
@@ -86,12 +96,18 @@ def test_reference_assert_function_literals(engine):
     passed: dict[str, int] = {}
     totals: dict[str, int] = {}
     regressions: list[str] = []
+    spark = engine.spark
+    default_tz = spark.conf.get("spark.sql.session.timeZone")
     for f, expr, exp in cases:
         totals[f] = totals.get(f, 0) + 1
+        tz = _SESSION_ZONE.get(f, default_tz)
         try:
+            spark.conf.set("spark.sql.session.timeZone", tz)
             got = engine.sql(f"SELECT {expr} AS v", dialect="presto").collect()[0].v
         except Exception:
             continue
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", default_tz)
         if _matches(got, exp):
             passed[f] = passed.get(f, 0) + 1
     for f, floor in PASS_FLOORS.items():
@@ -100,4 +116,4 @@ def test_reference_assert_function_literals(engine):
             regressions.append(f"{f}: {got_n} < floor {floor}")
     assert not regressions, f"literal-parity regressions: {regressions}"
     # keep the headline honest: overall floor
-    assert sum(passed.values()) >= 941, sum(passed.values())
+    assert sum(passed.values()) >= 983, sum(passed.values())
