@@ -1148,6 +1148,9 @@ def _tz_field_plain(unit: str):
         a = args[0]
         if a.strip().lower() == "localtimestamp":
             a = "localtimestamp()"  # bare form only parses at top level
+        # TIMESTAMP_NTZ (e.g. localtimestamp) doesn't shift under
+        # from_utc_timestamp — normalize to TIMESTAMP first
+        a = f"CAST({a} AS TIMESTAMP)"
         off = (
             f"(unix_timestamp(from_utc_timestamp({a}, current_timezone()))"
             f" - unix_timestamp({a}))"

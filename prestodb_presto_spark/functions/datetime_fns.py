@@ -228,6 +228,7 @@ def _session_offset_seconds(col: Column) -> Column:
     """UTC offset of the SESSION zone at the column's instant (the
     engine default pins UTC → 0; a session that overrides
     spark.sql.session.timeZone gets that zone's offset)."""
+    col = col.cast("timestamp")  # NTZ values don't shift under from_utc_timestamp
     return F.unix_timestamp(
         F.from_utc_timestamp(col, F.expr("current_timezone()"))
     ) - F.unix_timestamp(col)

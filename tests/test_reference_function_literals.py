@@ -6,7 +6,7 @@ parseable expected literals) from the read-only checkout and this
 module executes every expression through Engine.sql(dialect="presto"),
 comparing to the reference's expected value.
 
-983/1067 pass exactly.  The rest are DOCUMENTED deviation categories —
+984/1067 pass exactly.  The rest are DOCUMENTED deviation categories —
 asserted here as per-file minimum pass counts so any regression in the
 dialect/registry trips immediately while known gaps stay visible:
 
@@ -28,8 +28,7 @@ dialect/registry trips immediately while known gaps stay visible:
     (functions/porter2.py, 12/12 'en' cases exact); fr/es/pt/it/de
     keep the suffix-heuristic approximation (their Snowball stemmers
     are not reimplemented);
-  - TestDateTimeFunctionsBase (1): one localtimestamp edge; the
-    other session-zone cases pass under the mirrored Asia/Kabul
+  - TestDateTimeFunctionsBase: 53/53 under the mirrored Asia/Kabul
     session zone (see _SESSION_ZONE below).
 """
 
@@ -41,14 +40,14 @@ import pytest
 
 from tests.reference_literals import scrape
 
-# minimum exact-pass count per reference test file (current: 983/1067)
+# minimum exact-pass count per reference test file (current: 984/1067)
 PASS_FLOORS = {
     "TestArrayExceptFunction.java": 0,
     "TestArrayReduceFunction.java": 14,
     "TestBitwiseFunctions.java": 15,
     "TestConditions.java": 93,
     "TestCustomFunctions.java": 0,
-    "TestDateTimeFunctionsBase.java": 52,
+    "TestDateTimeFunctionsBase.java": 53,
     "TestIsNullAnnotation.java": 0,
     "TestJsonExtract.java": 1,
     "TestJsonFunctions.java": 134,
@@ -116,4 +115,4 @@ def test_reference_assert_function_literals(engine):
             regressions.append(f"{f}: {got_n} < floor {floor}")
     assert not regressions, f"literal-parity regressions: {regressions}"
     # keep the headline honest: overall floor
-    assert sum(passed.values()) >= 983, sum(passed.values())
+    assert sum(passed.values()) >= 984, sum(passed.values())
