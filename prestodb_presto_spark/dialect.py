@@ -1395,6 +1395,28 @@ def translate(sql: str) -> str:
         return f"({args[0]})"
 
     out = _rewrite_calls(out, "json_parse", _json_parse_canon)
+
+    def _typeof_static(args: list[str]) -> str | None:
+        # Presto tracks VARCHAR lengths in the static type
+        # (TypeOfFunction.java); Spark erases them at runtime.  The two
+        # statically decidable shapes: a string literal (varchar(len))
+        # and an explicit CAST(.. AS VARCHAR(n)).
+        if len(args) != 1:
+            return None
+        a = args[0].strip()
+        lm = re.fullmatch(r"\x00(\d+)\x00", a)
+        if lm:
+            content = literals[int(lm.group(1))][1:-1].replace("''", "'")
+            return f"'varchar({len(content)})'"
+        cm = re.fullmatch(
+            r"CAST\s*\(.*\bAS\s+VARCHAR\s*\((\d+)\)\s*\)", a,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if cm:
+            return f"'varchar({cm.group(1)})'"
+        return None
+
+    out = _rewrite_calls(out, "typeof", _typeof_static)
     out = _rewrite_calls(out, "split_part", _split_part_rewrite)
     out = _rewrite_calls(out, "ltrim", _trim2_rewrite("LEADING"))
     out = _rewrite_calls(out, "rtrim", _trim2_rewrite("TRAILING"))

@@ -6,7 +6,7 @@ parseable expected literals) from the read-only checkout and this
 module executes every expression through Engine.sql(dialect="presto"),
 comparing to the reference's expected value.
 
-984/1067 pass exactly.  The rest are DOCUMENTED deviation categories —
+986/1067 pass exactly.  The rest are DOCUMENTED deviation categories —
 asserted here as per-file minimum pass counts so any regression in the
 dialect/registry trips immediately while known gaps stay visible:
 
@@ -22,8 +22,8 @@ dialect/registry trips immediately while known gaps stay visible:
     statically decidable dialect rewrites (dialect._division_compat),
     and normal_cdf/inverse_normal_cdf reflect into the same
     commons-math3 Erf the reference uses;
-  - TestTypeOfFunction (2): Spark erases VARCHAR(n) lengths at
-    runtime (typeof('cat') can't see varchar(3));
+  - TestTypeOfFunction: 20/20 (static VARCHAR-length shapes are
+    resolved in the dialect; runtime spellings mapped);
   - TestWordStemFunction (5): English is a from-scratch Porter2
     (functions/porter2.py, 12/12 'en' cases exact); fr/es/pt/it/de
     keep the suffix-heuristic approximation (their Snowball stemmers
@@ -40,7 +40,7 @@ import pytest
 
 from tests.reference_literals import scrape
 
-# minimum exact-pass count per reference test file (current: 984/1067)
+# minimum exact-pass count per reference test file (current: 986/1067)
 PASS_FLOORS = {
     "TestArrayExceptFunction.java": 0,
     "TestArrayReduceFunction.java": 14,
@@ -56,7 +56,7 @@ PASS_FLOORS = {
     "TestRegexpFunctions.java": 60,
     "TestStringFunctions.java": 276,
     "TestTryFunction.java": 0,
-    "TestTypeOfFunction.java": 18,
+    "TestTypeOfFunction.java": 20,
     "TestUrlFunctions.java": 10,
     "TestVarbinaryFunctions.java": 26,
     "TestWordStemFunction.java": 12,
@@ -115,4 +115,4 @@ def test_reference_assert_function_literals(engine):
             regressions.append(f"{f}: {got_n} < floor {floor}")
     assert not regressions, f"literal-parity regressions: {regressions}"
     # keep the headline honest: overall floor
-    assert sum(passed.values()) >= 984, sum(passed.values())
+    assert sum(passed.values()) >= 986, sum(passed.values())
