@@ -169,15 +169,19 @@ def _heuristic_stem(v: str) -> str:
 
 def stem_one(v: str | None, lang: str = "en") -> str | None:
     """word_stem scalar (WordStemFunction.java): Snowball English
-    (Porter2, from-scratch — porter2.py) for 'en'; documented
-    suffix-heuristic approximation for other languages."""
+    (Porter2, from-scratch — porter2.py) for 'en'; from-scratch core
+    Snowball for fr/es/pt/it/de (snowball.py); suffix-heuristic
+    fallback for anything else."""
     if v is None:
         return None
     if lang == "en":
         from prestodb_presto_spark.functions.porter2 import stem
 
         return stem(v)
-    return _heuristic_stem(v)
+    from prestodb_presto_spark.functions.snowball import STEMMERS
+
+    fn = STEMMERS.get(lang)
+    return fn(v) if fn else _heuristic_stem(v)
 
 
 @register("word_stem")

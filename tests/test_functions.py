@@ -528,3 +528,24 @@ def test_porter2_stemmer_reference_cases():
     }
     bad = {w: (stem(w), e) for w, e in cases.items() if stem(w) != e}
     assert not bad, bad
+
+
+def test_snowball_stemmers_reference_cases():
+    # the non-English literals from TestWordStemFunction.java
+    # (WordStemFunction.java -> Lucene Snowball; snowball.py implements
+    # the published algorithms' core steps from scratch)
+    from prestodb_presto_spark.functions.snowball import STEMMERS
+
+    cases = [
+        ("fr", "continuerait", "continu"),
+        ("es", "torpedearon", "torped"),
+        ("pt", "quilomtricos", "quilomtr"),
+        ("it", "pronunziare", "pronunz"),
+        ("de", "auferstnde", "auferstnd"),
+        # plural / adverb / verb families stay sane
+        ("fr", "maisons", "maison"),
+        ("es", "trabajadores", "trabaj"),
+        ("de", "kinder", "kind"),
+    ]
+    bad = [(l, w, STEMMERS[l](w), e) for l, w, e in cases if STEMMERS[l](w) != e]
+    assert not bad, bad
