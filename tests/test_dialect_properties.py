@@ -122,3 +122,60 @@ def test_at_time_zone_postfix_is_plain_spark_sql():
     assert "at_timezone" not in out
     assert "from_utc_timestamp(to_utc_timestamp(" in out
     assert translate(out) == out
+
+
+def test_division_compat_presto_posture():
+    """Presto arithmetic (MathFunctions.java, *Operators.java):
+    int-literal / int-literal is integer division; X / <zero float
+    literal> is IEEE Infinity/NaN, not an ANSI error."""
+    out = translate("SELECT 7/2 AS v")
+    assert "DIV" in out, out
+    out = translate("SELECT 1.0E0 / 0.0E0 AS v")
+    assert "Infinity" in out and "/" not in out.split("AS v")[0].replace("'", ""), out
+    # non-zero divisors and column divisions stay untouched
+    assert "DIV" not in translate("SELECT a/b FROM t")
+    assert translate("SELECT x / 2.5 FROM t") == "SELECT x / 2.5 FROM t"
+
+
+def test_like_compat_no_default_escape():
+    """Presto LIKE has no default escape char (SqlBase.g4): backslashes
+    in literal patterns are literal; ESCAPE '' disables escaping;
+    ESCAPE NULL yields NULL."""
+    out = translate(r"SELECT '_x_' like '\_x\_' AS v")
+    assert r"'\\_x\\_'" in out, out
+    out = translate("SELECT 'm' like 'm' escape '' AS v")
+    assert "escape" not in out.lower(), out
+    out = translate("SELECT 'm' like 'm' escape null AS v")
+    assert "AND NULL" in out, out
+    # a real escape char passes through untouched
+    out = translate("SELECT 'm_x' like 'mz_x' escape 'z' AS v")
+    assert "escape 'z'" in out.lower(), out
+
+
+def test_extract_compat_zoned_literal_and_interval():
+    """EXTRACT local fields of a zoned timestamp literal read the
+    VALUE's zone; any field works over any interval
+    (DateTimeFunctions.java extract family)."""
+    out = translate(
+        "SELECT extract(quarter FROM TIMESTAMP '2001-01-01 00:00:00.000 +06:00') v"
+    )
+    assert "TIMESTAMP_NTZ '2001-01-01 00:00:00.000'" in out, out
+    out = translate("SELECT extract(minute FROM INTERVAL '247' SECOND) v")
+    assert "AS INTERVAL DAY TO SECOND" in out, out
+    out = translate("SELECT extract(year FROM INTERVAL '29' MONTH) v")
+    assert "AS INTERVAL YEAR TO MONTH" in out, out
+    # timezone fields keep the zoned literal (other rewrites own them)
+    out = translate(
+        "SELECT extract(hour FROM TIMESTAMP '2001-01-01 02:00:00') v"
+    )
+    assert "TIMESTAMP_NTZ" in out, out
+
+
+def test_spark_safe_literal_trailing_backslash():
+    """Spark's lexer eats \\' even in raw-literal mode: a literal with
+    an odd trailing backslash run must splice chr(92)."""
+    out = translate(r"SELECT 'abc\' AS v")
+    assert "chr(92)" in out, out
+    # even runs and interior backslashes stay plain literals
+    out = translate(r"SELECT 'a\b' AS v")
+    assert "chr(92)" not in out, out
