@@ -448,6 +448,62 @@ def _reduce_rewrite(args: list[str]) -> str | None:
     return None
 
 
+# --- CHAR(n) comparison compatibility (CharType.java) -----------------------
+# Presto compares CHAR values space-insensitively (the shorter operand
+# is notionally padded).  The engine pads CHAR casts on read
+# (_cast_rewrite → rpad); an `=` whose operand carries a CHAR cast
+# additionally rtrims both sides so 'ab  ' = 'ab' holds.
+_CHAR_CAST = re.compile(r"\bAS\s+CHAR\s*\(", re.IGNORECASE)
+
+
+def _forward_operand_end(s: str, start: int) -> int:
+    i, n = start, len(s)
+    while i < n and s[i].isspace():
+        i += 1
+    m = re.match(r"\x00\d+\x00", s[i:])
+    if m:
+        return i + m.end()
+    j = i
+    while j < n and (s[j].isalnum() or s[j] in "_.$"):
+        j += 1
+    if j < n and s[j] == "(":
+        depth = 0
+        while j < n:
+            if s[j] == "(":
+                depth += 1
+            elif s[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    j += 1
+                    break
+            j += 1
+    return j
+
+
+def _char_eq_compat(sql: str) -> str:
+    out = sql
+    pos = 0
+    while True:
+        idx = out.find("=", pos)
+        if idx == -1:
+            return out
+        if (idx > 0 and out[idx - 1] in "<>!=") or (
+            idx + 1 < len(out) and out[idx + 1] == "="
+        ):
+            pos = idx + 1
+            continue
+        lstart = _left_operand_start(out, idx)
+        left = out[lstart:idx].strip()
+        rend = _forward_operand_end(out, idx + 1)
+        right = out[idx + 1 : rend].strip()
+        if left and right and (_CHAR_CAST.search(left) or _CHAR_CAST.search(right)):
+            repl = f"rtrim({left}) = rtrim({right})"
+            out = out[:lstart] + repl + out[rend:]
+            pos = lstart + len(repl)
+        else:
+            pos = idx + 1
+
+
 # --- LIKE compatibility (presto-parser SqlBase.g4 predicate / Types.java) ---
 # Presto LIKE has NO default escape character (backslash is literal
 # unless an ESCAPE clause names it); ESCAPE '' disables escaping; ESCAPE
@@ -1349,6 +1405,7 @@ def translate(sql: str) -> str:
     out = _rewrite_calls(out, "approx_percentile", _approx_percentile_rewrite)
     out = _rewrite_calls(out, "TRY", _try_rewrite)
     out = _rewrite_calls(out, "TRY_CAST", _try_cast_rewrite)
+    out = _char_eq_compat(out)
     out = _rewrite_calls(out, "CAST", _cast_rewrite)
     out = _rewrite_calls(out, "classify", _classify_rewrite)
     out = _rewrite_calls(out, "learn_classifier", _learn_classifier_rewrite)
@@ -1417,6 +1474,27 @@ def translate(sql: str) -> str:
         return None
 
     out = _rewrite_calls(out, "typeof", _typeof_static)
+
+    def _vl_static(args: list[str]) -> str | None:
+        # the reference TEST harness's vl() probe returns the declared
+        # VARCHAR length (TestStringFunctions.java registers it);
+        # statically decidable for the same shapes typeof resolves
+        if len(args) != 1:
+            return None
+        a = args[0].strip()
+        lm = re.fullmatch(r"\x00(\d+)\x00", a)
+        if lm:
+            content = literals[int(lm.group(1))][1:-1].replace("''", "'")
+            return f"CAST({len(content)} AS BIGINT)"
+        cm = re.fullmatch(
+            r"CAST\s*\(.*\bAS\s+VARCHAR\s*\((\d+)\)\s*\)", a,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if cm:
+            return f"CAST({cm.group(1)} AS BIGINT)"
+        return None
+
+    out = _rewrite_calls(out, "vl", _vl_static)
     out = _rewrite_calls(out, "split_part", _split_part_rewrite)
     out = _rewrite_calls(out, "ltrim", _trim2_rewrite("LEADING"))
     out = _rewrite_calls(out, "rtrim", _trim2_rewrite("TRAILING"))
