@@ -179,6 +179,20 @@ def _try_rewrite(args: list[str]) -> str:
     if split:
         lhs, op, rhs = split
         return f"{_TRY_FNS[op]}({lhs}, {rhs})"
+    # TRY(ABS(x)) can only fail on BIGINT-min overflow: |x| == sign(x)*x
+    # under try_multiply NULLs exactly that case
+    am = re.fullmatch(r"abs\s*\((.*)\)", inner, re.IGNORECASE | re.DOTALL)
+    if am:
+        e = am.group(1)
+        return f"try_multiply(CAST(sign({e}) AS BIGINT), {e})"
+    # constants cannot fail — TRY(c) == c (TryFunction.java semantics)
+    if re.fullmatch(
+        r"(?:\w+\s+)?\x00\d+\x00|[-+]?[\d.]+(?:[eE][+-]?\d+)?"
+        r"|TRUE|FALSE|NULL",
+        inner,
+        re.IGNORECASE,
+    ):
+        return f"({inner})"
     raise ValueError(
         f"TRY({inner}) not translatable: the shim supports TRY over CAST, "
         "+ - * /, and element_at; wrap other expressions with try_cast or "
@@ -434,6 +448,14 @@ def _division_compat(sql: str, literals: list[str]) -> str:
     return _INT_DIV.sub(r"(\1 DIV \2)", sql)
 
 
+def _array_except_null_rewrite(args: list[str]) -> str | None:
+    """array_except with a NULL argument is NULL (ArrayExceptFunction);
+    Spark can't type an untyped NULL array argument."""
+    if len(args) == 2 and any(a.strip().upper() == "NULL" for a in args):
+        return "NULL"
+    return None
+
+
 def _reduce_rewrite(args: list[str]) -> str | None:
     """reduce(arr, 0, ..) with BIGINT-range array elements: Presto
     coerces the initial state to the element type; Spark pins the
@@ -446,6 +468,153 @@ def _reduce_rewrite(args: list[str]) -> str | None:
         rest = ", ".join(args[2:])
         return f"reduce({args[0]}, CAST({args[1]} AS BIGINT), {rest})"
     return None
+
+
+# --- scalar lambda application (FunctionAssertions harness surface) ---------
+# The reference's lambda tests exercise apply(x, f), invoke(f) and
+# "$internal$bind" — scalar lambda application with partial binding.
+# Spark's lambda machinery only runs inside higher-order functions, so
+# each binding lowers to a single-element transform:
+#   apply(v, x -> body)  ==  element_at(transform(array(v), x -> body), 1)
+# and bind chains nest one transform per bound variable (lambda capture
+# carries outer variables into inner bodies).
+_BIND_CALL = re.compile(r'^\s*["`]\$internal\$bind["`]\s*\(', re.IGNORECASE)
+
+
+def _parse_lambda(lam: str) -> tuple[list[str], str] | None:
+    m = re.match(r"^\s*\(([^)]*)\)\s*->\s*(.*)$", lam, re.DOTALL)
+    if m:
+        return [p.strip() for p in m.group(1).split(",") if p.strip()], m.group(2)
+    m = re.match(r"^\s*(\w+)\s*->\s*(.*)$", lam, re.DOTALL)
+    if m:
+        return [m.group(1)], m.group(2)
+    return None
+
+
+def _nested_apply(values: list[str], params: list[str], body: str) -> str | None:
+    if len(values) != len(params):
+        return None
+    expr = body
+    for p, v in reversed(list(zip(params, values))):
+        expr = f"element_at(transform(array({v}), {p} -> {expr}), 1)"
+    return f"({expr})"
+
+
+def _apply_invoke_rewrite(applied: bool):
+    def fn(args: list[str]) -> str | None:
+        if applied:
+            if len(args) != 2:
+                return None
+            w, f = args
+            values: list[str] = []
+        else:
+            if len(args) != 1:
+                return None
+            w, f = None, args[0]
+            values = []
+        bm = _BIND_CALL.match(f)
+        if bm:
+            _, bind_args = _scan_balanced(f, f.index("("))
+            if len(bind_args) < 2:
+                return None
+            values = bind_args[:-1]
+            f = bind_args[-1]
+        if w is not None:
+            values = values + [w]
+        parsed = _parse_lambda(f)
+        if not parsed:
+            return None
+        params, body = parsed
+        if not params and not values:
+            return f"({body})"  # invoke(() -> X)
+        return _nested_apply(values, params, body)
+
+    return fn
+
+
+def _internal_try_rewrite(literals: list[str]):
+    # "$internal$try"(() -> X) is the harness spelling of TRY(X)
+    def fn(args: list[str]) -> str | None:
+        if len(args) != 1:
+            return None
+        m = re.match(r"^\s*\(\s*\)\s*->\s*(.*)$", args[0], re.DOTALL)
+        if not m:
+            return None
+        inner = m.group(1).strip()
+        # TRY(json_parse('lit')): parse failure is statically decidable
+        jm = re.fullmatch(
+            r"json_parse\s*\(\s*\x00(\d+)\x00\s*\)", inner, re.IGNORECASE
+        )
+        if jm:
+            import json as _json
+
+            content = literals[int(jm.group(1))][1:-1].replace("''", "'")
+            try:
+                _json.loads(content)
+            except ValueError:
+                return "NULL"
+            return f"({inner})"
+        try:
+            return _try_rewrite([inner])
+        except ValueError:
+            return None
+
+    return fn
+
+
+def _harness_lambda_compat(sql: str, literals: list[str]) -> str:
+    if "apply" not in sql.lower() and "invoke" not in sql.lower() \
+            and "$internal$" not in sql:
+        return sql
+    # the quoted name defeats \b-matching in _rewrite_calls; alias it
+    # (the identifier-quote pass has already turned " into `)
+    out = sql.replace('"$internal$try"', "__internal_try")
+    out = out.replace("`$internal$try`", "__internal_try")
+    for _ in range(8):  # nested applies: fixpoint over the emitted bodies
+        prev = out
+        out = _rewrite_calls(out, "__internal_try", _internal_try_rewrite(literals))
+        out = _rewrite_calls(out, "apply", _apply_invoke_rewrite(True))
+        out = _rewrite_calls(out, "invoke", _apply_invoke_rewrite(False))
+        if out == prev:
+            break
+    return out.replace("__internal_try", '"$internal$try"')
+
+
+# --- 1-based subscript (presto-parser SqlBase.g4 subscript) -----------------
+# Presto `expr[i]` is 1-based array/map access; Spark's [] is 0-based
+# for arrays.  element_at is 1-based for both arrays and maps.  Runs
+# after ARRAY[..] literals are rewritten, so remaining brackets are
+# subscripts.
+def _subscript_compat(sql: str) -> str:
+    out = sql
+    while True:
+        idx = None
+        for m in re.finditer(r"\[", out):
+            j = m.start()
+            if j == 0:
+                continue
+            prev = out[j - 1]
+            if prev.isalnum() or prev in ")]_\x00":
+                idx = j
+                break
+        if idx is None:
+            return out
+        depth = 0
+        k = idx
+        while k < len(out):
+            if out[k] == "[":
+                depth += 1
+            elif out[k] == "]":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        if depth != 0:
+            return out
+        start = _left_operand_start(out, idx)
+        base = out[start:idx]
+        index = out[idx + 1 : k]
+        out = out[:start] + f"element_at({base}, {index})" + out[k + 1 :]
 
 
 # --- CHAR(n) comparison compatibility (CharType.java) -----------------------
@@ -953,6 +1122,14 @@ def _regexp_replace_rewrite(args: list[str]) -> str | None:
     if not m:
         return None  # plain string replacement is native
     var, body = m.groups()
+    # resolve the lambda's 1-based group refs here (grps leads with the
+    # full match, so Presto's x[i] is grps' 0-based i = element_at i+1)
+    # — the generic 1-based _subscript_compat must not re-shift them
+    body = re.sub(
+        rf"\b{re.escape(var)}\s*\[([^\[\]]+)\]",
+        rf"element_at({var}, (\1) + 1)",
+        body,
+    )
     s, p = args[0], args[1]
     return (
         f"element_at(transform(array(__presto_regexp_parts({s}, {p})), __pp -> "
@@ -1402,11 +1579,15 @@ def translate(sql: str) -> str:
     out = _LIMIT_ALL.sub("", out)
     # paren-aware constructs (argument-splitting scanners)
     out = _array_literals(out)
+    out = _harness_lambda_compat(out, literals)
     out = _rewrite_calls(out, "approx_percentile", _approx_percentile_rewrite)
     out = _rewrite_calls(out, "TRY", _try_rewrite)
     out = _rewrite_calls(out, "TRY_CAST", _try_cast_rewrite)
     out = _char_eq_compat(out)
     out = _rewrite_calls(out, "CAST", _cast_rewrite)
+    # ROW(..) value constructor → struct(..); runs after the CAST pass
+    # has consumed ROW(...) type spellings (presto-parser rowType)
+    out = _rename(out, "row", "struct")
     out = _rewrite_calls(out, "classify", _classify_rewrite)
     out = _rewrite_calls(out, "learn_classifier", _learn_classifier_rewrite)
     out = _rewrite_calls(out, "features", _features_rewrite)
@@ -1419,6 +1600,7 @@ def translate(sql: str) -> str:
     out = _extract_compat(out, literals)
     out = _like_compat(out, literals)
     out = _rewrite_calls(out, "reduce", _reduce_rewrite)
+    out = _rewrite_calls(out, "array_except", _array_except_null_rewrite)
     out = _TYPED_LIT_POST.sub(lambda m: _typed_literal(m, literals), out)
     out = _rewrite_calls(out, "truncate", _truncate_rewrite)
     out = _rewrite_calls(out, "bit_count", _bit_count_rewrite)
@@ -1429,6 +1611,9 @@ def translate(sql: str) -> str:
     out = _rewrite_calls(out, "regexp_replace", _regexp_replace_rewrite)
     out = _rewrite_calls(out, "regexp_extract_all", _regexp_extract_all_rewrite)
     out = _rewrite_calls(out, "regexp_extract", _regexp_extract_rewrite)
+    # after the regexp rewrites: their lambda overload resolves x[i]
+    # group references itself; remaining brackets are 1-based subscripts
+    out = _subscript_compat(out)
     out = _rewrite_calls(out, "greatest", _greatest_least_rewrite("greatest"))
     out = _rewrite_calls(out, "least", _greatest_least_rewrite("least"))
     out = _rewrite_calls(out, "substring", _substr_rewrite)

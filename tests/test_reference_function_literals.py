@@ -6,14 +6,18 @@ parseable expected literals) from the read-only checkout and this
 module executes every expression through Engine.sql(dialect="presto"),
 comparing to the reference's expected value.
 
-997/1067 pass exactly.  The rest are DOCUMENTED deviation categories —
+1051/1067 pass exactly.  The rest are DOCUMENTED deviation categories —
 asserted here as per-file minimum pass counts so any regression in the
 dialect/registry trips immediately while known gaps stay visible:
 
-  - TestLambdaExpression / TestIsNullAnnotation / TestTryFunction /
-    TestCustomFunctions / TestArrayExceptFunction(null-typed):
-    functions registered only by the reference's TEST harness
-    (apply(), test_is_null(), "$internal$try"...), not product surface;
+  - TestIsNullAnnotation / TestCustomFunctions (15): custom Java
+    functions the reference registers only in its TEST harness —
+    unimplementable without their sources; apply()/invoke()/
+    "$internal$bind"/"$internal$try" ARE lowered (scalar lambda
+    application via single-element transform chains,
+    dialect._harness_lambda_compat) — TestLambdaExpression 41/42
+    (the 1: Presto CAST(25.6E0 AS BIGINT) rounds, Spark truncates;
+    documented cast posture), TestTryFunction 10/10;
   - TestStringFunctions: 282/282 — CHAR-typed `=` comparisons
     resolve via the dialect's char-equality compat (rtrim both
     sides when an operand carries a CHAR cast) and the harness vl()
@@ -39,9 +43,9 @@ import pytest
 
 from tests.reference_literals import scrape
 
-# minimum exact-pass count per reference test file (current: 997/1067)
+# minimum exact-pass count per reference test file (current: 1051/1067)
 PASS_FLOORS = {
-    "TestArrayExceptFunction.java": 0,
+    "TestArrayExceptFunction.java": 3,
     "TestArrayReduceFunction.java": 14,
     "TestBitwiseFunctions.java": 15,
     "TestConditions.java": 93,
@@ -50,11 +54,11 @@ PASS_FLOORS = {
     "TestIsNullAnnotation.java": 0,
     "TestJsonExtract.java": 1,
     "TestJsonFunctions.java": 134,
-    "TestLambdaExpression.java": 0,
+    "TestLambdaExpression.java": 41,
     "TestMathFunctions.java": 272,
     "TestRegexpFunctions.java": 60,
     "TestStringFunctions.java": 282,
-    "TestTryFunction.java": 0,
+    "TestTryFunction.java": 10,
     "TestTypeOfFunction.java": 20,
     "TestUrlFunctions.java": 10,
     "TestVarbinaryFunctions.java": 26,
@@ -84,7 +88,11 @@ def _matches(got, exp) -> bool:
 # (TIME_ZONE_KEY, TestDateTimeFunctionsBase.java:83); mirror that when
 # evaluating its expressions so session-zone-sensitive cases compare
 # like-for-like.
-_SESSION_ZONE = {"TestDateTimeFunctionsBase.java": "Asia/Kabul"}
+_SESSION_ZONE = {
+    "TestDateTimeFunctionsBase.java": "Asia/Kabul",
+    # FunctionAssertions' TestingSession zone
+    "TestLambdaExpression.java": "Pacific/Kiritimati",
+}
 
 
 def test_reference_assert_function_literals(engine):
@@ -114,4 +122,4 @@ def test_reference_assert_function_literals(engine):
             regressions.append(f"{f}: {got_n} < floor {floor}")
     assert not regressions, f"literal-parity regressions: {regressions}"
     # keep the headline honest: overall floor
-    assert sum(passed.values()) >= 997, sum(passed.values())
+    assert sum(passed.values()) >= 1051, sum(passed.values())
