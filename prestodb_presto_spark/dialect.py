@@ -1223,6 +1223,18 @@ _SQL_TEMPLATES = {
         " THEN CAST(CAST(conv(substr({0}, 2), {1}, 10) AS DECIMAL(20,0)) * -1 AS BIGINT)"
         " ELSE CAST(conv({0}, {1}, 10) AS BIGINT) END)",
     "codepoint": "ascii({0})",
+    # the reference test harness's custom scalar functions — semantics
+    # from their sources (presto-main test CustomFunctions.java,
+    # TestIsNullAnnotation.java): custom_add, IS NULL probes, and the
+    # @IsNull-annotation concat (a null non-@SqlNullable arg => NULL)
+    "custom_add": "(CAST({0} AS BIGINT) + CAST({1} AS BIGINT))",
+    "custom_is_null": "(({0}) IS NULL)",
+    "test_is_null_simple": "(CASE WHEN ({0}) IS NULL THEN 100 ELSE 2 * ({0}) END)",
+    "test_is_null":
+        "(CASE WHEN ({1}) IS NULL THEN NULL ELSE"
+        " concat(coalesce(CAST({0} AS STRING), ''), ':', {1}, ':',"
+        " coalesce({2}, ''), ':', coalesce({3}, '')) END)",
+    "test_is_null_void": "(({0}) IS NULL)",
     # duration scalars (DateTimeFunctions.parseDuration, airlift
     # Duration units ns/us/ms/s/m/h/d): the engine's interval scalar
     # representation is seconds as DOUBLE (datetime_fns.parse_duration)
