@@ -34,6 +34,11 @@ _RENAMES = {
     "json_parse": "",  # identity: Spark JSON fns take the string directly
     "json_format": "",
     "levenshtein_distance": "levenshtein",
+    # Presto element_at returns NULL out of bounds / on a missing key
+    # (ArrayFunctions/MapSubscript); Spark-ANSI element_at raises.
+    # This also catches the dialect's own emitted element_at (subscripts
+    # included) — a documented softening of Presto's erroring subscript.
+    "element_at": "try_element_at",
 }
 
 # date_add('unit', n, ts) / date_diff('unit', a, b) → Spark
@@ -224,6 +229,7 @@ _SIMPLE_TYPES = {
     "double precision": "DOUBLE",
     "time with time zone": "STRING",
     "timestamp with time zone": "TIMESTAMP",
+    "unknown": "STRING",  # Presto's NULL type (TypeRegistry UNKNOWN)
 }
 
 
@@ -234,6 +240,29 @@ def _translate_type(t: str) -> str:
         return _SIMPLE_TYPES[low]
     m = re.match(r"(array|map|row)\s*\((.*)\)\s*$", t, re.IGNORECASE | re.DOTALL)
     if not m:
+        # the reference tests also spell generics Spark-style
+        # (ARRAY<TINYINT>, MAP<INTEGER, VARCHAR>) — translate the inner
+        # types (bare VARCHAR needs Spark's STRING)
+        mg = re.match(r"(array|map)\s*<(.*)>\s*$", t, re.IGNORECASE | re.DOTALL)
+        if mg:
+            parts, depth, buf = [], 0, ""
+            for ch in mg.group(2):
+                if ch in "<(":
+                    depth += 1
+                elif ch in ">)":
+                    depth -= 1
+                if ch == "," and depth == 0:
+                    parts.append(buf)
+                    buf = ""
+                else:
+                    buf += ch
+            parts.append(buf)
+            if mg.group(1).lower() == "array":
+                return f"ARRAY<{_translate_type(parts[0].strip())}>"
+            return (
+                f"MAP<{_translate_type(parts[0].strip())},"
+                f" {_translate_type(parts[1].strip())}>"
+            )
         return t
     kind, inner = m.group(1).lower(), m.group(2)
     _, args = _scan_balanced(f"({inner})", 0)
@@ -242,11 +271,19 @@ def _translate_type(t: str) -> str:
     if kind == "map":
         return f"MAP<{_translate_type(args[0])}, {_translate_type(args[1])}>"
     fields = []
-    for a in args:
+    for i, a in enumerate(args):
         fm = re.match(r"(\w+)\s+(.*)$", a.strip(), re.DOTALL)
-        if not fm:
-            raise ValueError(f"cannot parse ROW field {a!r}")
-        fields.append(f"{fm.group(1)}: {_translate_type(fm.group(2))}")
+        if fm and not re.fullmatch(
+            r"(?:ARRAY|MAP|ROW|VARCHAR|CHAR|DECIMAL|DOUBLE|TIME|TIMESTAMP|INTERVAL)",
+            fm.group(1),
+            re.IGNORECASE,
+        ):
+            fields.append(f"{fm.group(1)}: {_translate_type(fm.group(2))}")
+        else:
+            # unnamed row field: Presto names them field0..fieldN
+            # (RowType.java), which is also how JSON casts and field
+            # accessors address them
+            fields.append(f"field{i}: {_translate_type(a.strip())}")
     return f"STRUCT<{', '.join(fields)}>"
 
 
@@ -385,25 +422,27 @@ _ZERO_DIVISOR = re.compile(
 
 def _left_operand_start(s: str, end: int) -> int:
     """Index where the SQL operand ending at ``end`` (exclusive) begins:
-    a balanced-paren call/group, a masked literal, or a bare token."""
+    a balanced-paren call/group, a masked literal, a bare token, or a
+    chained mix of those (f(x).field[i].g)."""
     j = end
     while j > 0 and s[j - 1].isspace():
         j -= 1
-    if j > 0 and s[j - 1] == ")":
-        depth = 0
-        while j > 0:
+    while True:
+        while j > 0 and (s[j - 1].isalnum() or s[j - 1] in "_.$\x00"):
             j -= 1
-            if s[j] == ")":
-                depth += 1
-            elif s[j] == "(":
-                depth -= 1
-                if depth == 0:
-                    break
-        while j > 0 and (s[j - 1].isalnum() or s[j - 1] in "_$"):
-            j -= 1
-        return j
-    while j > 0 and (s[j - 1].isalnum() or s[j - 1] in "_.$\x00"):
-        j -= 1
+        if j > 0 and s[j - 1] in ")]":
+            close, open_ = (")", "(") if s[j - 1] == ")" else ("]", "[")
+            depth = 0
+            while j > 0:
+                j -= 1
+                if s[j] == close:
+                    depth += 1
+                elif s[j] == open_:
+                    depth -= 1
+                    if depth == 0:
+                        break
+            continue  # absorb the call name / subscript base / chain
+        break
     # a masked literal may carry a typed-literal keyword prefix
     # (REAL '0.0' → REAL \x00n\x00) — absorb it into the operand
     if s[j:end].strip().startswith("\x00"):
@@ -446,6 +485,25 @@ def _division_compat(sql: str, literals: list[str]) -> str:
             + sql[m.end() :]
         )
     return _INT_DIV.sub(r"(\1 DIV \2)", sql)
+
+
+def _contains_rewrite(args: list[str]) -> str | None:
+    """Presto CONTAINS(array, x) is array membership
+    (ArrayContains.java); Spark's contains is the string function.  A
+    literal NULL needle is NULL (Spark's array_contains rejects an
+    untyped NULL at analysis)."""
+    if len(args) != 2:
+        return None
+    if args[1].strip().upper() == "NULL":
+        return "NULL"
+    return f"array_contains({args[0]}, {args[1]})"
+
+
+def _array_position_null_rewrite(args: list[str]) -> str | None:
+    """array_position(arr, NULL) is NULL (ArrayPositionFunction)."""
+    if len(args) == 2 and args[1].strip().upper() == "NULL":
+        return "NULL"
+    return None
 
 
 def _array_except_null_rewrite(args: list[str]) -> str | None:
@@ -617,6 +675,133 @@ def _subscript_compat(sql: str) -> str:
         out = out[:start] + f"element_at({base}, {index})" + out[k + 1 :]
 
 
+# --- JSON cast compatibility (JsonOperators.java, JsonCastsRow/Map...) ------
+# CAST(complex AS JSON): Presto renders compact JSON — arrays as-is,
+# maps with SORTED keys, rows as POSITIONAL arrays.  Spark's to_json
+# matches Presto's scalar rendering exactly (NaN/Infinity quoted,
+# Java Double.toString, plain decimals); sorting map entries and
+# flattening rows are the two deltas.  CAST(JSON 'lit' AS scalar):
+# Presto parses the JSON value first ('"128"'→128, 128.9→round,
+# true→1); statically decidable for literals.
+def _element_json(expr: str) -> str:
+    j = f"to_json(array({expr}))"
+    return f"substr({j}, 2, length({j}) - 2)"
+
+
+def _json_cast_rewrite(literals: list[str]):
+    def fn(args: list[str]) -> str | None:
+        if len(args) != 1:
+            return None
+        parts = _AS_SPLIT.split(args[0])
+        if len(parts) < 2:
+            return None
+        expr, typ = " AS ".join(parts[:-1]), parts[-1].strip()
+        t_up = typ.upper()
+        if t_up == "JSON":
+            inner = expr.strip()
+            while True:  # unwrap textual casts to find the constructor
+                m = re.match(r"^(?:try_)?cast\s*\(", inner, re.IGNORECASE)
+                if not m:
+                    break
+                _, cargs = _scan_balanced(inner, inner.index("("))
+                cp = _AS_SPLIT.split(cargs[0])
+                inner = (" AS ".join(cp[:-1]) if len(cp) >= 2 else cargs[0]).strip()
+            up = inner.upper()
+            if up == "NULL":
+                return "NULL"
+            if up.startswith("MAP"):
+                return (
+                    f"to_json(map_from_entries(array_sort(map_entries({expr}))))"
+                )
+            if up.startswith("ARRAY"):
+                return f"to_json({expr})"
+            if up.startswith("ROW") and "(" in inner:
+                _, rargs = _scan_balanced(inner, inner.index("("))
+                fields = ", ".join(f"{_element_json(a)}" for a in rargs)
+                return f"concat('[', concat_ws(',', {fields}), ']')"
+            # already-JSON values cast to JSON are identity
+            if re.match(
+                r"(?:json_parse|json_extract)\s*\(|JSON\s*\x00", inner,
+                re.IGNORECASE,
+            ):
+                return None
+            # any other scalar: Presto renders its JSON form ('abc' →
+            # '"abc"', NaN → '"NaN"'); to_json of a 1-element array,
+            # brackets stripped, matches it exactly
+            return _element_json(expr)
+        # CAST(JSON 'literal' AS scalar): parse the JSON value statically
+        jm = re.fullmatch(r"JSON\s*\x00(\d+)\x00", expr.strip(), re.IGNORECASE)
+        if not jm:
+            if re.fullmatch(
+                r"cast\s*\(\s*null\s+as\s+json\s*\)", expr.strip(), re.IGNORECASE
+            ):
+                return "NULL"
+            return None
+        content = literals[int(jm.group(1))][1:-1].replace("''", "'").strip()
+        base = re.match(r"[A-Z]+", t_up)
+        base = base.group(0) if base else t_up
+        if content == "null":
+            return "NULL"
+        if base == "ARRAY":
+            import json as _json
+
+            try:
+                arr = _json.loads(content)
+            except ValueError:
+                return None
+            if not isinstance(arr, list):
+                return None
+            els = []
+            for e in arr:
+                if e is None:
+                    els.append("NULL")
+                elif isinstance(e, bool):
+                    els.append("TRUE" if e else "FALSE")
+                elif isinstance(e, (int, float)):
+                    els.append(repr(e))
+                elif isinstance(e, str):
+                    els.append("'" + e.replace("'", "''") + "'")
+                else:
+                    return None  # nested structures: leave to runtime
+            return f"CAST(array({', '.join(els)}) AS {_translate_type(typ)})"
+        val: object = content
+        if content in ("true", "false"):
+            val = content == "true"
+        elif content.startswith('"') and content.endswith('"') and len(content) >= 2:
+            val = content[1:-1]
+        if base in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT"):
+            try:
+                f_ = float(val) if not isinstance(val, bool) else int(val)
+                n = int(f_) if float(f_).is_integer() else round(float(f_))
+                return f"CAST({n} AS {_translate_type(typ)})"
+            except (TypeError, ValueError):
+                return None
+        if base in ("DOUBLE", "REAL"):
+            try:
+                f_ = float(val) if not isinstance(val, bool) else float(int(val))
+                return f"CAST('{f_}' AS {_translate_type(typ)})"
+            except (TypeError, ValueError):
+                return None
+        if base == "BOOLEAN":
+            if isinstance(val, bool):
+                return "TRUE" if val else "FALSE"
+            if isinstance(val, str) and val.lower() in ("true", "false"):
+                return "TRUE" if val.lower() == "true" else "FALSE"
+            try:
+                return "TRUE" if float(val) != 0 else "FALSE"
+            except (TypeError, ValueError):
+                return None
+        if base == "VARCHAR":
+            if isinstance(val, bool):
+                s = "true" if val else "false"
+            else:
+                s = str(val)
+            return "'" + s.replace("'", "''") + "'"
+        return None
+
+    return fn
+
+
 # --- CHAR(n) comparison compatibility (CharType.java) -----------------------
 # Presto compares CHAR values space-insensitively (the shorter operand
 # is notionally padded).  The engine pads CHAR casts on read
@@ -649,28 +834,222 @@ def _forward_operand_end(s: str, start: int) -> int:
     return j
 
 
+# --- MAP equality (MapOperators.java EQUAL/NOT_EQUAL) -----------------------
+# Spark map types aren't comparable; Presto map equality is entry-set
+# equality.  Sorted-entries arrays compare exactly when either operand
+# is textually a MAP constructor.
+_MAP_HEAD = re.compile(r"^\s*MAP\s*\(", re.IGNORECASE)
+_MAP_EQ_OP = re.compile(r"(<>|!=|=)")
+
+
+def _map_distinct_eq(left: str, right: str) -> str:
+    """NULL-safe per-value map equality for IS DISTINCT FROM
+    (MapDistinctFromOperator): NULL values compare as equal-to-NULL."""
+    return (
+        f"(CASE WHEN size({left}) != size({right})"
+        f" OR array_sort(map_keys({left})) != array_sort(map_keys({right}))"
+        f" THEN FALSE ELSE forall(map_keys({left}),"
+        f" __k -> element_at({left}, __k) <=> element_at({right}, __k)) END)"
+    )
+
+
+def _map_eq_compat(sql: str) -> str:
+    if "MAP" not in sql.upper():
+        return sql
+    out = sql
+    # IS [NOT] DISTINCT FROM with a map operand (Spark rejects map
+    # ordering): a MAP constructor is never NULL, so vs literal NULL it
+    # is statically distinct; map-vs-map uses NULL-safe value equality
+    m = _CHAR_DISTINCT.search(out)
+    while m:
+        lstart = _left_operand_start(out, m.start())
+        left = out[lstart : m.start()].strip()
+        rend = _forward_operand_end(out, m.end())
+        right = out[m.end() : rend].strip()
+        def _null_map(s: str) -> bool:
+            return s.upper() == "NULL" or bool(
+                re.match(r"CAST\s*\(\s*NULL\s+AS\s+MAP", s, re.IGNORECASE)
+            )
+
+        mapish = _MAP_HEAD.match(left) or _MAP_HEAD.match(right) or (
+            _null_map(left) and _null_map(right)
+            and "MAP" in (left + right).upper()
+        )
+        if left and right and mapish:
+            neg = bool(m.group(1))
+            ln, rn = _null_map(left), _null_map(right)
+            if ln or rn:
+                distinct = not (ln and rn)
+                repl = ("FALSE" if distinct else "TRUE") if neg else (
+                    "TRUE" if distinct else "FALSE"
+                )
+            else:
+                eq = _map_distinct_eq(left, right)
+                repl = eq if neg else f"(NOT {eq})"
+            out = out[:lstart] + repl + out[rend:]
+            m = _CHAR_DISTINCT.search(out, lstart + len(repl))
+        else:
+            m = _CHAR_DISTINCT.search(out, m.end())
+    pos = 0
+    while True:
+        m = _MAP_EQ_OP.search(out, pos)
+        if not m:
+            return out
+        idx, op = m.start(), m.group(1)
+        if op == "=" and idx > 0 and out[idx - 1] in "<>!=":
+            pos = m.end()
+            continue
+        lstart = _left_operand_start(out, idx)
+        left = out[lstart:idx].strip()
+        rend = _forward_operand_end(out, m.end())
+        right = out[m.end() : rend].strip()
+        if left and right and (_MAP_HEAD.match(left) or _MAP_HEAD.match(right)):
+            # three-valued per MapEqualOperator: FALSE on key-set
+            # mismatch, else iterate values in map order and STOP at the
+            # first NULL or FALSE comparison (Presto short-circuits NULL
+            # before a later definite mismatch)
+            eq = (
+                f"(CASE WHEN size({left}) != size({right})"
+                f" OR array_sort(map_keys({left})) !="
+                f" array_sort(map_keys({right})) THEN FALSE"
+                f" ELSE aggregate(map_keys({left}), CAST(TRUE AS BOOLEAN),"
+                f" (__acc, __k) -> CASE WHEN __acc IS NULL OR NOT __acc"
+                f" THEN __acc ELSE element_at({left}, __k) ="
+                f" element_at({right}, __k) END)"
+                f" END)"
+            )
+            repl = eq if op == "=" else f"(NOT {eq})"
+            out = out[:lstart] + repl + out[rend:]
+            pos = lstart + len(repl)
+        else:
+            pos = m.end()
+
+
+# JSON equality is structural (JsonOperators.java EQUAL): member order
+# is insignificant.  Statically decidable for literal-vs-literal.
+_JSON_LIT_EQ = re.compile(
+    r"JSON\s*\x00(\d+)\x00\s*"
+    r"(=|!=|<>|IS\s+(?:NOT\s+)?DISTINCT\s+FROM)\s*"
+    r"JSON\s*\x00(\d+)\x00",
+    re.IGNORECASE,
+)
+
+
+def _json_literal_eq(sql: str, literals: list[str]) -> str:
+    import json as _json
+
+    def sub(m: re.Match) -> str:
+        try:
+            a = _json.loads(literals[int(m.group(1))][1:-1].replace("''", "'"))
+            b = _json.loads(literals[int(m.group(3))][1:-1].replace("''", "'"))
+        except ValueError:
+            return m.group(0)
+        op = re.sub(r"\s+", " ", m.group(2).upper())
+        eq = a == b
+        if op in ("=",):
+            return "TRUE" if eq else "FALSE"
+        if op in ("!=", "<>"):
+            return "FALSE" if eq else "TRUE"
+        if op == "IS DISTINCT FROM":
+            return "FALSE" if eq else "TRUE"
+        return "TRUE" if eq else "FALSE"  # IS NOT DISTINCT FROM
+
+    return _JSON_LIT_EQ.sub(sub, sql)
+
+
+_CMP_OP = re.compile(r"(<=|>=|<>|!=|=|<|>)")
+
+
 def _char_eq_compat(sql: str) -> str:
     out = sql
     pos = 0
     while True:
-        idx = out.find("=", pos)
-        if idx == -1:
+        m = _CMP_OP.search(out, pos)
+        if not m:
             return out
-        if (idx > 0 and out[idx - 1] in "<>!=") or (
-            idx + 1 < len(out) and out[idx + 1] == "="
-        ):
-            pos = idx + 1
+        idx, op = m.start(), m.group(1)
+        # skip lambda arrows and the tail of compound operators
+        if op == ">" and idx > 0 and out[idx - 1] == "-":
+            pos = m.end()
+            continue
+        if op == "=" and idx > 0 and out[idx - 1] in "<>!=":
+            pos = m.end()
             continue
         lstart = _left_operand_start(out, idx)
         left = out[lstart:idx].strip()
-        rend = _forward_operand_end(out, idx + 1)
-        right = out[idx + 1 : rend].strip()
+        rend = _forward_operand_end(out, m.end())
+        right = out[m.end() : rend].strip()
         if left and right and (_CHAR_CAST.search(left) or _CHAR_CAST.search(right)):
-            repl = f"rtrim({left}) = rtrim({right})"
+            repl = f"{_char_pad(left, right)} {op} {_char_pad(right, left)}"
             out = out[:lstart] + repl + out[rend:]
             pos = lstart + len(repl)
         else:
-            pos = idx + 1
+            pos = m.end()
+
+
+def _char_pad(a: str, b: str) -> str:
+    """Space-pad ``a`` to the common length with ``b`` — exactly
+    Presto's CHAR comparison coercion (CharType.java): the shorter
+    operand is padded, so trailing spaces are insignificant but
+    sub-space characters (e.g. NUL) still order below ' '."""
+    # coalesce keeps greatest's args non-null so the Presto
+    # greatest-rewrite's NULL-propagation wrapper stays inert; rpad of
+    # a NULL value is still NULL
+    return (
+        f"rpad({a}, greatest(coalesce(length({a}), 0),"
+        f" coalesce(length({b}), 0)), ' ')"
+    )
+
+
+_CHAR_DISTINCT = re.compile(r"\bIS\s+(NOT\s+)?DISTINCT\s+FROM\b", re.IGNORECASE)
+_CHAR_BETWEEN = re.compile(r"\bBETWEEN\b", re.IGNORECASE)
+
+
+def _char_distinct_between_compat(sql: str) -> str:
+    """CHAR coercion for IS [NOT] DISTINCT FROM and BETWEEN."""
+    out = sql
+    m = _CHAR_DISTINCT.search(out)
+    while m:
+        lstart = _left_operand_start(out, m.start())
+        left = out[lstart : m.start()].strip()
+        rend = _forward_operand_end(out, m.end())
+        right = out[m.end() : rend].strip()
+        if left and right and (_CHAR_CAST.search(left) or _CHAR_CAST.search(right)):
+            mid = " IS NOT DISTINCT FROM " if m.group(1) else " IS DISTINCT FROM "
+            repl = _char_pad(left, right) + mid + _char_pad(right, left)
+            out = out[:lstart] + repl + out[rend:]
+            m = _CHAR_DISTINCT.search(out, lstart + len(repl))
+        else:
+            m = _CHAR_DISTINCT.search(out, m.end())
+    m = _CHAR_BETWEEN.search(out)
+    while m:
+        lstart = _left_operand_start(out, m.start())
+        x = out[lstart : m.start()].strip()
+        negated = False
+        if x.upper() == "NOT":
+            negated = True
+            lstart = _left_operand_start(out, lstart)
+            x = out[lstart:].split(" NOT ")[0].strip() if " NOT " in out[lstart:] \
+                else out[lstart : m.start()].rsplit("NOT", 1)[0].strip()
+        lo_end = _forward_operand_end(out, m.end())
+        lo = out[m.end() : lo_end].strip()
+        am = re.match(r"\s*AND\b", out[lo_end:], re.IGNORECASE)
+        if not am:
+            m = _CHAR_BETWEEN.search(out, m.end())
+            continue
+        hi_end = _forward_operand_end(out, lo_end + am.end())
+        hi = out[lo_end + am.end() : hi_end].strip()
+        if x and lo and hi and any(_CHAR_CAST.search(s) for s in (x, lo, hi)):
+            body = (
+                f"({_char_pad(x, lo)} >= {_char_pad(lo, x)}"
+                f" AND {_char_pad(x, hi)} <= {_char_pad(hi, x)})"
+            )
+            repl = f"(NOT {body})" if negated else body
+            out = out[:lstart] + repl + out[hi_end:]
+            m = _CHAR_BETWEEN.search(out, lstart + len(repl))
+        else:
+            m = _CHAR_BETWEEN.search(out, m.end())
+    return out
 
 
 # --- LIKE compatibility (presto-parser SqlBase.g4 predicate / Types.java) ---
@@ -1227,6 +1606,14 @@ _SQL_TEMPLATES = {
     # from their sources (presto-main test CustomFunctions.java,
     # TestIsNullAnnotation.java): custom_add, IS NULL probes, and the
     # @IsNull-annotation concat (a null non-@SqlNullable arg => NULL)
+    # ArrayFunctions.java: array_min/max return NULL when ANY element
+    # is NULL (Spark's skip nulls)
+    "array_min":
+        "(CASE WHEN exists({0}, __e -> __e IS NULL) THEN NULL"
+        " ELSE array_min({0}) END)",
+    "array_max":
+        "(CASE WHEN exists({0}, __e -> __e IS NULL) THEN NULL"
+        " ELSE array_max({0}) END)",
     "custom_add": "(CAST({0} AS BIGINT) + CAST({1} AS BIGINT))",
     "custom_is_null": "(({0}) IS NULL)",
     "test_is_null_simple": "(CASE WHEN ({0}) IS NULL THEN 100 ELSE 2 * ({0}) END)",
@@ -1595,11 +1982,47 @@ def translate(sql: str) -> str:
     out = _rewrite_calls(out, "approx_percentile", _approx_percentile_rewrite)
     out = _rewrite_calls(out, "TRY", _try_rewrite)
     out = _rewrite_calls(out, "TRY_CAST", _try_cast_rewrite)
+    out = _rewrite_calls(out, "CAST", _json_cast_rewrite(literals))
+    out = _json_literal_eq(out, literals)
+    out = _map_eq_compat(out)
     out = _char_eq_compat(out)
-    out = _rewrite_calls(out, "CAST", _cast_rewrite)
-    # ROW(..) value constructor → struct(..); runs after the CAST pass
-    # has consumed ROW(...) type spellings (presto-parser rowType)
-    out = _rename(out, "row", "struct")
+    out = _char_distinct_between_compat(out)
+    # to fixpoint: a rewritten outer CAST skips nested CASTs inside its
+    # replacement (the scanner resumes past it)
+    for _ in range(5):
+        prev_cast = out
+        out = _rewrite_calls(out, "CAST", _cast_rewrite)
+        if out == prev_cast:
+            break
+    # ROW(..) value constructor → named_struct with Presto's anonymous
+    # field names field0..fieldN (RowType.java), so .fieldN accessors
+    # resolve; runs after the CAST pass has consumed ROW(...) types
+    def _row_ctor(args: list[str]) -> str | None:
+        if len(args) == 1 and not args[0].strip():
+            return None
+        fields = ", ".join(
+            f"'field{i}', {a}" for i, a in enumerate(args)
+        )
+        return f"named_struct({fields})"
+
+    for _ in range(5):  # nested ROW constructors
+        prev_row = out
+        out = _rewrite_calls(out, "row", _row_ctor)
+        if out == prev_row:
+            break
+
+    def _map_ctor(args: list[str]) -> str | None:
+        # Presto MAP(key_array, value_array) / MAP() constructors
+        # (MapConstructor.java); type spellings are already consumed by
+        # the CAST pass above.  Spark's 2-arg map() would build a
+        # single-entry map<array,array> instead.
+        if len(args) == 2:
+            return f"map_from_arrays({args[0]}, {args[1]})"
+        if len(args) == 1 and not args[0].strip():
+            return "map()"
+        return None
+
+    out = _rewrite_calls(out, "map", _map_ctor)
     out = _rewrite_calls(out, "classify", _classify_rewrite)
     out = _rewrite_calls(out, "learn_classifier", _learn_classifier_rewrite)
     out = _rewrite_calls(out, "features", _features_rewrite)
@@ -1613,6 +2036,8 @@ def translate(sql: str) -> str:
     out = _like_compat(out, literals)
     out = _rewrite_calls(out, "reduce", _reduce_rewrite)
     out = _rewrite_calls(out, "array_except", _array_except_null_rewrite)
+    out = _rewrite_calls(out, "contains", _contains_rewrite)
+    out = _rewrite_calls(out, "array_position", _array_position_null_rewrite)
     out = _TYPED_LIT_POST.sub(lambda m: _typed_literal(m, literals), out)
     out = _rewrite_calls(out, "truncate", _truncate_rewrite)
     out = _rewrite_calls(out, "bit_count", _bit_count_rewrite)

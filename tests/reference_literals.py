@@ -17,6 +17,11 @@ import re
 REF_TEST_DIR = (
     "/root/reference/presto-main/src/test/java/com/facebook/presto/operator/scalar"
 )
+# the type-operator suites (comparisons, casts, per-type arithmetic,
+# array/map/row operators) use the same assertFunction idiom
+REF_TYPE_TEST_DIR = (
+    "/root/reference/presto-main/src/test/java/com/facebook/presto/type"
+)
 
 _CASE = re.compile(
     r'assertFunction\(\s*"((?:[^"\\]|\\.)*)"\s*,\s*'
@@ -88,7 +93,10 @@ def parse_expected(raw: str):
 
 def scrape(files: list[str] | None = None):
     """Yield (file, expr_sql, expected) for parseable cases."""
-    paths = files or sorted(glob.glob(f"{REF_TEST_DIR}/Test*.java"))
+    paths = files or sorted(
+        glob.glob(f"{REF_TEST_DIR}/Test*.java")
+        + glob.glob(f"{REF_TYPE_TEST_DIR}/Test*.java")
+    )
     for path in paths:
         for line in open(path).read().splitlines():
             m = _CASE.search(line)
