@@ -303,6 +303,10 @@ def _cast_rewrite(args: list[str]) -> str | None:
     cm = re.fullmatch(r"char\s*\(\s*(\d+)\s*\)", typ.strip(), re.IGNORECASE)
     if cm:
         return f"rpad(CAST({expr} AS STRING), {cm.group(1)}, ' ')"
+    if typ.strip().lower() == "ipaddress":
+        # canonical textual form via the session-registered UDF
+        # (IpAddressOperators.java; sql_support.ensure_sql_support)
+        return f"__presto_ipaddress({expr})"
     translated = _translate_type(typ)
     if translated == typ.strip():
         return None  # nothing Presto-specific; leave untouched
@@ -1085,6 +1089,98 @@ def _like_compat(sql: str, literals: list[str]) -> str:
     return _LIKE_PAT.sub(sub, sql)
 
 
+# --- zoned TIME / TIMESTAMP literal compatibility ---------------------------
+# Spark 4 has a TIME type but no TIME WITH TIME ZONE and no date-only
+# zoned TIMESTAMP literal.  Presto compares zoned values by instant, so
+# a zoned TIME literal lowers to the session-zone time-of-day (same
+# instant, comparable with plain TIME), and a date-only zoned TIMESTAMP
+# gains an explicit midnight.  Reference: TestTimeWithTimeZoneBase
+# (session +06:09), SqlTimeWithTimeZone.
+_TIME_ZONED = re.compile(r"\bTIME\s*\x00(\d+)\x00", re.IGNORECASE)
+_TIME_ZONED_CONTENT = re.compile(
+    r"^(\d{1,2}:\d{2}(?::\d{2}(?:\.\d+)?)?)\s+(\S+)$"
+)
+_TS_DATE_ZONE_CONTENT = re.compile(
+    r"^(\d{4}-\d{1,2}-\d{1,2})\s+([+-]\d{2}:\d{2}|[A-Za-z][\w/+\-]*)$"
+)
+
+
+_TEMPORAL_VARCHAR = re.compile(
+    r"CAST\s*\(\s*(TIME|TIMESTAMP)\s*\x00(\d+)\x00\s+AS\s+(?:VARCHAR|STRING)\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _render_time(t: str) -> str | None:
+    m = re.match(r"^(\d{1,2}):(\d{2})(?::(\d{2})(?:\.(\d+))?)?$", t)
+    if not m:
+        return None
+    h, mi, s, f = m.groups()
+    return f"{int(h):02d}:{mi}:{s or '00'}.{(f or '').ljust(3, '0')[:3]}"
+
+
+def _temporal_varchar_sub(literals: list[str]):
+    """cast(TIME/TIMESTAMP 'literal' as varchar): Presto renders
+    millisecond precision and keeps the literal's zone on the value
+    (SqlTime/SqlTimestampWithTimeZone.toString) — statically decidable,
+    and the only place the engine's instant-only representation would
+    otherwise drop the zone text."""
+
+    def sub(m: re.Match) -> str:
+        kind = m.group(1).upper()
+        content = literals[int(m.group(2))][1:-1].replace("''", "'").strip()
+        parts = content.split()
+        zone = None
+        if len(parts) >= 2 and (
+            re.match(r"^[+-]\d{2}:\d{2}$", parts[-1])
+            or re.match(r"^[A-Za-z][\w/+\-]*$", parts[-1])
+        ):
+            zone = parts[-1]
+            parts = parts[:-1]
+        if kind == "TIME":
+            if len(parts) != 1:
+                return m.group(0)
+            t = _render_time(parts[0])
+            if t is None:
+                return m.group(0)
+            return f"'{t}{' ' + zone if zone else ''}'"
+        dm = re.match(r"^(\d{4})-(\d{1,2})-(\d{1,2})$", parts[0])
+        if not dm or len(parts) > 2:
+            return m.group(0)
+        date = f"{dm.group(1)}-{int(dm.group(2)):02d}-{int(dm.group(3)):02d}"
+        t = _render_time(parts[1]) if len(parts) == 2 else "00:00:00.000"
+        if t is None:
+            return m.group(0)
+        return f"'{date} {t}{' ' + zone if zone else ''}'"
+
+    return sub
+
+
+def _zoned_literal_compat(sql: str, literals: list[str]) -> str:
+    sql = _TEMPORAL_VARCHAR.sub(_temporal_varchar_sub(literals), sql)
+
+    def time_sub(m: re.Match) -> str:
+        content = literals[int(m.group(1))][1:-1].replace("''", "'").strip()
+        zm = _TIME_ZONED_CONTENT.match(content)
+        if not zm:
+            return m.group(0)
+        t, zone = zm.groups()
+        return (
+            f"CAST(date_format(from_utc_timestamp(to_utc_timestamp("
+            f"TIMESTAMP '1970-01-01 {t}', '{zone}'), current_timezone()),"
+            f" 'HH:mm:ss.SSS') AS TIME)"
+        )
+
+    out = _TIME_ZONED.sub(time_sub, sql)
+    for m in re.finditer(r"\bTIMESTAMP\s*\x00(\d+)\x00", out, re.IGNORECASE):
+        idx = int(m.group(1))
+        content = literals[idx][1:-1].replace("''", "'").strip()
+        zm = _TS_DATE_ZONE_CONTENT.match(content)
+        if zm:
+            literals[idx] = f"'{zm.group(1)} 00:00:00 {zm.group(2)}'"
+    return out
+
+
 # --- EXTRACT compatibility (DateTimeFunctions.java extract family) ----------
 # Presto extracts local fields of a TIMESTAMP WITH TIME ZONE in the
 # VALUE's zone (Spark converts to the session zone first), and allows
@@ -1136,7 +1232,8 @@ _DECIMAL_LIT = re.compile(r"\bDECIMAL\s*'\s*([+-]?[0-9]*\.?[0-9]+)\s*'", re.IGNO
 # and X''.  Rewrite the rest to CAST; JSON 'x' becomes the bare string
 # (the engine's JSON value representation IS the string).
 _TYPED_LIT_POST = re.compile(
-    r"\b(BIGINT|INTEGER|SMALLINT|TINYINT|DOUBLE|REAL|VARCHAR|JSON|CHAR)\s*(\x00\d+\x00)",
+    r"\b(BIGINT|INTEGER|SMALLINT|TINYINT|DOUBLE|REAL|VARCHAR|JSON|CHAR"
+    r"|IPADDRESS)\s*(\x00\d+\x00)",
     re.IGNORECASE,
 )
 _TYPED_LIT_MAP = {
@@ -1188,6 +1285,8 @@ def _typed_literal(m: re.Match, literals: list[str] | None = None) -> str:
         # CHAR 'x': the literal keeps its own padding (CharType.java) —
         # a plain string literal preserves it exactly.
         return m.group(2)
+    if t == "ipaddress":
+        return f"__presto_ipaddress({m.group(2)})"
     return f"CAST({m.group(2)} AS {_TYPED_LIT_MAP[t]})"
 
 
@@ -2034,6 +2133,7 @@ def translate(sql: str) -> str:
     out = _division_compat(out, literals)
     out = _extract_compat(out, literals)
     out = _like_compat(out, literals)
+    out = _zoned_literal_compat(out, literals)
     out = _rewrite_calls(out, "reduce", _reduce_rewrite)
     out = _rewrite_calls(out, "array_except", _array_except_null_rewrite)
     out = _rewrite_calls(out, "contains", _contains_rewrite)

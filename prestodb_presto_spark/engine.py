@@ -49,6 +49,11 @@ class Engine:
         from prestodb_presto_spark.functions.sql_support import ensure_sql_support
 
         ensure_sql_support(spark)  # SQL-path helper UDFs (regexp/normalize/utf8)
+        try:
+            # TIME-type gate for sessions not built by session.get_spark
+            spark.conf.set("spark.sql.timeType.enabled", "true")
+        except Exception:
+            pass  # older Spark: TIME literals unavailable anyway
         if sf_dir:
             self.register(sf_dir)
 

@@ -67,3 +67,25 @@ def ensure_sql_support(spark) -> None:
         )
 
     spark.udf.register("__presto_word_stem", __presto_word_stem)
+
+    @pandas_udf("string")
+    def __presto_ipaddress(s):
+        import ipaddress
+
+        def one(v):
+            if v is None:
+                return None
+            if isinstance(v, (bytes, bytearray)):
+                a = ipaddress.ip_address(bytes(v))
+            else:
+                a = ipaddress.ip_address(v)
+            # Presto canonicalizes (IpAddressOperators.castFromVarchar):
+            # IPv4-mapped IPv6 renders as dotted IPv4; IPv6 compresses
+            # to the RFC 5952 form — Python's str() matches both
+            if isinstance(a, ipaddress.IPv6Address) and a.ipv4_mapped:
+                return str(a.ipv4_mapped)
+            return str(a)
+
+        return pd.Series([one(v) for v in s])
+
+    spark.udf.register("__presto_ipaddress", __presto_ipaddress)

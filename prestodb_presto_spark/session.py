@@ -49,6 +49,9 @@ def get_spark(
         # explicit, not just the Spark 4 default: Presto-style errors on
         # div-by-zero/overflow must survive a Spark 3.x backport
         .config("spark.sql.ansi.enabled", "true")
+        # Spark 4.1 TIME type gate: the engine's TIME convention uses
+        # real TIME values (CAST/to_time need this flag)
+        .config("spark.sql.timeType.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
