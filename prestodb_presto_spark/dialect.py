@@ -289,26 +289,56 @@ def _translate_type(t: str) -> str:
 
 _AS_SPLIT = re.compile(r"\s+AS\s+", re.IGNORECASE)
 
+# Presto rounds fractional → integral casts (HALF_UP away from zero:
+# DoubleOperators.castToLong / DecimalCasts); Spark truncates.  The
+# rewrite fires only when the source is STATICALLY fractional — a
+# decimal/double literal, a DOUBLE/REAL typed literal, or a CAST whose
+# own target type is DOUBLE/FLOAT/REAL/DECIMAL — so column references
+# and huge-bigint strings are never routed through round().
+_INTEGRAL_TYPES = {"bigint", "integer", "int", "smallint", "tinyint"}
+_STATIC_FRACTIONAL = re.compile(
+    r"^\s*(?:"
+    r"[-+]?\d*\.\d+(?:[eE][+-]?\d+)?"
+    r"|[-+]?\d+[eE][+-]?\d+"
+    r"|(?:DOUBLE|REAL)\s*\x00\d+\x00"
+    r"|(?:TRY_)?CAST\s*\(\s*\x00?\d*\x00?[^()]*\bAS\s+"
+    r"(?:DOUBLE|FLOAT|REAL|DECIMAL\s*\([^()]*\))\s*\)"
+    r")\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
 
 def _cast_rewrite(args: list[str]) -> str | None:
     """CAST(x AS <presto-type>) → Spark type spelling (recursive).
     CHAR(n) additionally space-pads on read (CharType.java: a CHAR value
-    IS its padded form; Spark's CHAR reads back unpadded)."""
+    IS its padded form; Spark's CHAR reads back unpadded); VARCHAR(n)
+    truncates to n (TestCharacterStringCasts); fractional → integral
+    rounds (DoubleOperators.castToLong)."""
     if len(args) != 1:
         return None
     parts = _AS_SPLIT.split(args[0])
     if len(parts) < 2:
         return None
     expr, typ = " AS ".join(parts[:-1]), parts[-1]
-    cm = re.fullmatch(r"char\s*\(\s*(\d+)\s*\)", typ.strip(), re.IGNORECASE)
+    typs = typ.strip()
+    cm = re.fullmatch(r"char\s*\(\s*(\d+)\s*\)", typs, re.IGNORECASE)
     if cm:
         return f"rpad(CAST({expr} AS STRING), {cm.group(1)}, ' ')"
-    if typ.strip().lower() == "ipaddress":
+    if re.fullmatch(r"char", typs, re.IGNORECASE):
+        # bare CHAR is CHAR(1) (CharParametricType default)
+        return f"rpad(CAST({expr} AS STRING), 1, ' ')"
+    vm = re.fullmatch(r"varchar\s*\(\s*(\d+)\s*\)", typs, re.IGNORECASE)
+    if vm:
+        # Presto CAST to varchar(n) truncates (VarcharOperators)
+        return f"substr(CAST({expr} AS STRING), 1, {vm.group(1)})"
+    if typs.lower() in _INTEGRAL_TYPES and _STATIC_FRACTIONAL.match(expr):
+        return f"CAST(round({expr}) AS {typs})"
+    if typs.lower() == "ipaddress":
         # canonical textual form via the session-registered UDF
         # (IpAddressOperators.java; sql_support.ensure_sql_support)
         return f"__presto_ipaddress({expr})"
     translated = _translate_type(typ)
-    if translated == typ.strip():
+    if translated == typs:
         return None  # nothing Presto-specific; leave untouched
     return f"CAST({expr} AS {translated})"
 
@@ -510,6 +540,118 @@ def _array_position_null_rewrite(args: list[str]) -> str | None:
     return None
 
 
+_NUMERIC_LIT = re.compile(
+    r"[-+]?\d+(\.\d+)?([eE][+-]?\d+)?"
+    r"|(?:TRY_)?CAST\s*\(.*\bAS\s+DECIMAL\s*\([^()]*\)\s*\)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _array_position_numeric_rewrite(args: list[str]) -> str | None:
+    """Presto coerces mixed decimal scales / int-vs-decimal in
+    array_position (ArrayPositionFunction signature unification); Spark
+    requires the needle type to equal the element type exactly.  For a
+    literal array with decimal content, compare as DOUBLE (exact at
+    these literal magnitudes; the int-only path is left alone so
+    beyond-2^53 bigints never lose precision)."""
+    if len(args) != 2:
+        return None
+    arr, x = args[0].strip(), args[1].strip()
+    if not re.match(r"^array\s*\(", arr, re.IGNORECASE):
+        return None
+    if "." not in arr and "." not in x:
+        return None
+    if not _NUMERIC_LIT.fullmatch(x):
+        return None
+    return (
+        f"array_position(transform({arr}, __ap -> CAST(__ap AS DOUBLE)),"
+        f" CAST({x} AS DOUBLE))"
+    )
+
+
+def _concat_null_array_rewrite(args: list[str]) -> str | None:
+    """concat over arrays with a literal NULL argument is NULL
+    (ArrayConcatFunction); Spark cannot type the untyped NULL."""
+    if len(args) < 2:
+        return None
+    if not any(a.strip().upper() == "NULL" for a in args):
+        return None
+    if not any(
+        re.match(r"^array\s*\(", a.strip(), re.IGNORECASE) for a in args
+    ):
+        return None
+    return "CAST(NULL AS ARRAY<STRING>)"
+
+
+# element || array / array || element (ArrayConcatUtils appendElement/
+# prependElement): Spark's || lowers both sides to concat() and fails on
+# the type mix.  Statically decidable when one side is textually an
+# array(..) constructor and the other a scalar literal (number, masked
+# string, boolean, or TYPE 'literal').
+_TYPED_KEYWORDS = (
+    r"(?:DATE|TIME|TIMESTAMP|BIGINT|INTEGER|SMALLINT|TINYINT|DOUBLE|REAL"
+    r"|CHAR|VARCHAR|DECIMAL)"
+)
+_FWD_SCALAR = re.compile(
+    r"\s*(" + _TYPED_KEYWORDS + r"\s*\x00\d+\x00"
+    r"|\x00\d+\x00|TRUE\b|FALSE\b|[-+]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)",
+    re.IGNORECASE,
+)
+_BWD_SCALAR = re.compile(
+    r"((?:" + _TYPED_KEYWORDS + r"\s*)?\x00\d+\x00"
+    r"|\bTRUE|\bFALSE|(?<![\w.\x00])\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)\s*$",
+    re.IGNORECASE,
+)
+
+
+def _rev_array_span(s: str) -> int | None:
+    """Start index of a trailing ``array( ... )`` constructor in s, else
+    None (rejects array_append/CAST/other callables)."""
+    t = s.rstrip()
+    if not t.endswith(")"):
+        return None
+    depth = 0
+    for i in range(len(t) - 1, -1, -1):
+        if t[i] == ")":
+            depth += 1
+        elif t[i] == "(":
+            depth -= 1
+            if depth == 0:
+                m = re.search(r"\barray\s*$", t[:i], re.IGNORECASE)
+                return m.start() if m else None
+    return None
+
+
+def _element_array_concat(sql: str) -> str:
+    out = sql
+    pos = 0
+    while True:
+        idx = out.find("||", pos)
+        if idx == -1:
+            return out
+        left_txt, right_txt = out[:idx], out[idx + 2 :]
+        # array(..) || scalar-literal → array_append
+        la = _rev_array_span(left_txt)
+        mr = _FWD_SCALAR.match(right_txt)
+        if la is not None and mr:
+            arr = left_txt[la:].strip()
+            repl = f"array_append({arr}, {mr.group(1)})"
+            out = out[:la] + repl + right_txt[mr.end() :]
+            pos = la + len(repl)
+            continue
+        # scalar-literal || array(..) → array_prepend
+        ml = _BWD_SCALAR.search(left_txt)
+        am = re.match(r"\s*array\s*\(", right_txt, re.IGNORECASE)
+        if ml and am:
+            aend, _ = _scan_balanced(right_txt, am.end() - 1)
+            arr = right_txt[am.start() : aend].strip()
+            repl = f"array_prepend({arr}, {ml.group(1)})"
+            out = out[: ml.start(1)] + repl + right_txt[aend:]
+            pos = ml.start(1) + len(repl)
+            continue
+        pos = idx + 2
+
+
 def _array_except_null_rewrite(args: list[str]) -> str | None:
     """array_except with a NULL argument is NULL (ArrayExceptFunction);
     Spark can't type an untyped NULL array argument."""
@@ -558,7 +700,21 @@ def _nested_apply(values: list[str], params: list[str], body: str) -> str | None
         return None
     expr = body
     for p, v in reversed(list(zip(params, values))):
-        expr = f"element_at(transform(array({v}), {p} -> {expr}), 1)"
+        vs = v.strip()
+        # beta-reduce simple literal bindings textually — this lets the
+        # static cast rewrites (rounding, truncation) see the value's
+        # type, matching Presto's pre-bound constant folding
+        if re.fullmatch(
+            r"[-+]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?|\x00\d+\x00|TRUE|FALSE|NULL",
+            vs,
+            re.IGNORECASE,
+        ) and not re.search(
+            rf"[(,]?\s*\b{re.escape(p)}\b[^)>]*->", expr
+        ):
+            sub = f"({vs})" if vs[0] in "+-" else vs
+            expr = re.sub(rf"\b{re.escape(p)}\b", sub, expr)
+        else:
+            expr = f"element_at(transform(array({v}), {p} -> {expr}), 1)"
     return f"({expr})"
 
 
@@ -838,6 +994,45 @@ def _forward_operand_end(s: str, start: int) -> int:
     return j
 
 
+# --- ROW equality (RowEqualOperator.java) -----------------------------------
+# Spark cannot order/compare structs containing MAP fields; Presto row
+# equality is field-wise.  When BOTH sides are textual row(..)
+# constructors, decompose statically so the map-equality compat below
+# picks up any MAP(..) = MAP(..) field comparisons.
+_ROW_HEAD = re.compile(r"\brow\s*\(", re.IGNORECASE)
+
+
+def _row_eq_compat(sql: str) -> str:
+    out = sql
+    pos = 0
+    while True:
+        m = _ROW_HEAD.search(out, pos)
+        if not m:
+            return out
+        end1, args1 = _scan_balanced(out, m.end() - 1)
+        m2 = re.match(r"\s*(!=|<>|=)\s*row\s*\(", out[end1:], re.IGNORECASE)
+        if not m2:
+            pos = m.end()
+            continue
+        op = m2.group(1)
+        end2, args2 = _scan_balanced(out, end1 + m2.end() - 1)
+        if len(args1) != len(args2):
+            pos = m.end()
+            continue
+        terms = []
+        for a, b in zip(args1, args2):
+            a, b = a.strip(), b.strip()
+            # MAP operands stay bare so _map_eq_compat's head-matcher
+            # sees them; everything else gets precedence parens
+            la = a if _MAP_HEAD.match(a) else f"({a})"
+            rb = b if _MAP_HEAD.match(b) else f"({b})"
+            terms.append(f"{la} = {rb}")
+        conj = " AND ".join(terms)
+        repl = f"({conj})" if op == "=" else f"(NOT ({conj}))"
+        out = out[: m.start()] + repl + out[end2:]
+        pos = m.start()
+
+
 # --- MAP equality (MapOperators.java EQUAL/NOT_EQUAL) -----------------------
 # Spark map types aren't comparable; Presto map equality is entry-set
 # equality.  Sorted-entries arrays compare exactly when either operand
@@ -962,6 +1157,44 @@ def _json_literal_eq(sql: str, literals: list[str]) -> str:
 
 
 _CMP_OP = re.compile(r"(<=|>=|<>|!=|=|<|>)")
+
+
+# IPADDRESS ordering (IpAddressOperators lessThan): compares the
+# 16-byte IPv6 form, IPv4 mapped into ::ffff:0:0/96 — NOT the canonical
+# text (::1 < 1.2.3.5 numerically, but '1...' < ':...' lexically).
+# Route ordering comparisons through the fixed-width hex key UDF;
+# equality stays on the canonical text, which is already injective.
+_IP_CMP = re.compile(r"(<=|>=|<>|<|>)")
+
+
+def _ipaddress_cmp_compat(sql: str) -> str:
+    if "__presto_ipaddress(" not in sql:
+        return sql
+    out = sql
+    pos = 0
+    while True:
+        m = _IP_CMP.search(out, pos)
+        if not m:
+            return out
+        op = m.group(1)
+        if op == "<>":
+            pos = m.end()
+            continue
+        lstart = _left_operand_start(out, m.start())
+        left = out[lstart : m.start()].strip()
+        rend = _forward_operand_end(out, m.end())
+        right = out[m.end() : rend].strip()
+        if left.startswith("__presto_ipaddress(") or right.startswith(
+            "__presto_ipaddress("
+        ):
+            repl = (
+                f"__presto_ipaddress_key({left}) {op} "
+                f"__presto_ipaddress_key({right})"
+            )
+            out = out[:lstart] + repl + out[rend:]
+            pos = lstart + len(repl)
+        else:
+            pos = m.end()
 
 
 def _char_eq_compat(sql: str) -> str:
@@ -1103,12 +1336,69 @@ _TIME_ZONED_CONTENT = re.compile(
 _TS_DATE_ZONE_CONTENT = re.compile(
     r"^(\d{4}-\d{1,2}-\d{1,2})\s+([+-]\d{2}:\d{2}|[A-Za-z][\w/+\-]*)$"
 )
+_TS_ZONED_NO_SECONDS = re.compile(
+    r"^(\d{4}-\d{1,2}-\d{1,2})[ T](\d{1,2}:\d{2})\s+"
+    r"([+-]\d{2}:\d{2}|[A-Za-z][\w/+\-]*)$"
+)
 
 
 _TEMPORAL_VARCHAR = re.compile(
     r"CAST\s*\(\s*(TIME|TIMESTAMP)\s*\x00(\d+)\x00\s+AS\s+(?:VARCHAR|STRING)\s*\)",
     re.IGNORECASE,
 )
+_INTERVAL_VARCHAR = re.compile(
+    r"CAST\s*\(\s*INTERVAL\s*\x00(\d+)\x00\s*"
+    r"(YEAR\s+TO\s+MONTH|DAY\s+TO\s+SECOND|DAY\s+TO\s+MINUTE|DAY\s+TO\s+HOUR"
+    r"|HOUR\s+TO\s+SECOND|HOUR\s+TO\s+MINUTE|MINUTE\s+TO\s+SECOND"
+    r"|YEAR|MONTH|DAY|HOUR|MINUTE|SECOND)"
+    r"\s+AS\s+(?:VARCHAR|STRING)\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _render_interval(content: str, qualifier: str) -> str | None:
+    """Presto's canonical interval renderings
+    (presto-client IntervalYearMonth.formatMonths: '%d-%d';
+    IntervalDayTime.formatMillis: '%d %02d:%02d:%02d.%03d')."""
+    q = re.sub(r"\s+", " ", qualifier.upper())
+    sign = ""
+    c = content.strip()
+    if c.startswith("-"):
+        sign, c = "-", c[1:].strip()
+    start = q.split(" ")[0]
+    if start in ("YEAR", "MONTH"):
+        m = re.fullmatch(r"(\d+)(?:-(\d+))?", c)
+        if not m:
+            return None
+        a, b = int(m.group(1)), int(m.group(2) or 0)
+        months = (
+            a if q == "MONTH" and m.group(2) is None else a * 12 + b
+        )
+        return f"{sign}{months // 12}-{months % 12}"
+    m = re.fullmatch(
+        r"(\d+)(?:[ ](\d+))?(?::(\d+))?(?::(\d+))?(?:\.(\d+))?", c
+    )
+    if not m:
+        return None
+    fields = [int(g or 0) for g in m.groups()[:4]]
+    frac = (m.group(5) or "").ljust(3, "0")[:3]
+    # map the parsed fields onto day/hour/minute/second by start unit
+    order = ["DAY", "HOUR", "MINUTE", "SECOND"]
+    offset = order.index(start)
+    vals = {"DAY": 0, "HOUR": 0, "MINUTE": 0, "SECOND": 0}
+    # 'D H:M:S' parses as groups (D, H, M, S); 'H:M:S' as (H, None, M, S)
+    parsed = [g for g in [m.group(1), m.group(2), m.group(3), m.group(4)] if g is not None]
+    for unit, val in zip(order[offset:], parsed):
+        vals[unit] = int(val)
+    millis = (
+        ((vals["DAY"] * 24 + vals["HOUR"]) * 60 + vals["MINUTE"]) * 60
+        + vals["SECOND"]
+    ) * 1000 + int(frac)
+    day, rem = divmod(millis, 86_400_000)
+    hour, rem = divmod(rem, 3_600_000)
+    minute, rem = divmod(rem, 60_000)
+    second, ms = divmod(rem, 1000)
+    return f"{sign}{day} {hour:02d}:{minute:02d}:{second:02d}.{ms:03d}"
 
 
 def _render_time(t: str) -> str | None:
@@ -1159,6 +1449,16 @@ def _temporal_varchar_sub(literals: list[str]):
 def _zoned_literal_compat(sql: str, literals: list[str]) -> str:
     sql = _TEMPORAL_VARCHAR.sub(_temporal_varchar_sub(literals), sql)
 
+    def itv_sub(m: re.Match) -> str:
+        content = literals[int(m.group(1))][1:-1].replace("''", "'")
+        rendered = _render_interval(content, m.group(2))
+        if rendered is None:
+            return m.group(0)
+        literals.append("'" + rendered.replace("'", "''") + "'")
+        return f"\x00{len(literals) - 1}\x00"
+
+    sql = _INTERVAL_VARCHAR.sub(itv_sub, sql)
+
     def time_sub(m: re.Match) -> str:
         content = literals[int(m.group(1))][1:-1].replace("''", "'").strip()
         zm = _TIME_ZONED_CONTENT.match(content)
@@ -1178,6 +1478,12 @@ def _zoned_literal_compat(sql: str, literals: list[str]) -> str:
         zm = _TS_DATE_ZONE_CONTENT.match(content)
         if zm:
             literals[idx] = f"'{zm.group(1)} 00:00:00 {zm.group(2)}'"
+            continue
+        # zoned datetime without seconds ('2012-10-31 08:00 UTC'):
+        # Spark's literal parser needs the seconds field before a zone id
+        zm2 = _TS_ZONED_NO_SECONDS.match(content)
+        if zm2:
+            literals[idx] = f"'{zm2.group(1)} {zm2.group(2)}:00 {zm2.group(3)}'"
     return out
 
 
@@ -1232,14 +1538,15 @@ _DECIMAL_LIT = re.compile(r"\bDECIMAL\s*'\s*([+-]?[0-9]*\.?[0-9]+)\s*'", re.IGNO
 # and X''.  Rewrite the rest to CAST; JSON 'x' becomes the bare string
 # (the engine's JSON value representation IS the string).
 _TYPED_LIT_POST = re.compile(
-    r"\b(BIGINT|INTEGER|SMALLINT|TINYINT|DOUBLE|REAL|VARCHAR|JSON|CHAR"
-    r"|IPADDRESS)\s*(\x00\d+\x00)",
+    r"\b(BIGINT|INTEGER|SMALLINT|TINYINT|DOUBLE\s+PRECISION|DOUBLE|REAL"
+    r"|VARCHAR|JSON|CHAR|BOOLEAN|IPADDRESS)\s*(\x00\d+\x00)",
     re.IGNORECASE,
 )
 _TYPED_LIT_MAP = {
     "bigint": "BIGINT", "integer": "INT", "smallint": "SMALLINT",
     "tinyint": "TINYINT", "double": "DOUBLE", "real": "FLOAT",
-    "varchar": "STRING",
+    "varchar": "STRING", "double precision": "DOUBLE",
+    "boolean": "BOOLEAN",
 }
 
 
@@ -1271,7 +1578,7 @@ def _canon_json_text(text: str) -> str:
 
 
 def _typed_literal(m: re.Match, literals: list[str] | None = None) -> str:
-    t = m.group(1).lower()
+    t = re.sub(r"\s+", " ", m.group(1).lower())
     if t == "json":
         # JSON 'x': the engine's JSON representation IS the string, in
         # the reference's canonical (compact) form — rewrite the masked
@@ -1714,6 +2021,12 @@ _SQL_TEMPLATES = {
         "(CASE WHEN exists({0}, __e -> __e IS NULL) THEN NULL"
         " ELSE array_max({0}) END)",
     "custom_add": "(CAST({0} AS BIGINT) + CAST({1} AS BIGINT))",
+    # TestInstanceFunction.java:40 (precomputed → 42),
+    # TestBlockAndPositionNullConvention.java (identityFunction),
+    # TestUnknownOperators.java:39 (null_function → unknown NULL)
+    "identityFunction": "CAST({0} AS BIGINT)",
+    "precomputed": "CAST(42 AS BIGINT)",
+    "null_function": "NULL",
     "custom_is_null": "(({0}) IS NULL)",
     "test_is_null_simple": "(CASE WHEN ({0}) IS NULL THEN 100 ELSE 2 * ({0}) END)",
     "test_is_null":
@@ -2077,109 +2390,24 @@ def translate(sql: str) -> str:
     out = _LIMIT_ALL.sub("", out)
     # paren-aware constructs (argument-splitting scanners)
     out = _array_literals(out)
+    out = _element_array_concat(out)
     out = _harness_lambda_compat(out, literals)
     out = _rewrite_calls(out, "approx_percentile", _approx_percentile_rewrite)
     out = _rewrite_calls(out, "TRY", _try_rewrite)
     out = _rewrite_calls(out, "TRY_CAST", _try_cast_rewrite)
     out = _rewrite_calls(out, "CAST", _json_cast_rewrite(literals))
     out = _json_literal_eq(out, literals)
+    out = _row_eq_compat(out)
     out = _map_eq_compat(out)
     out = _char_eq_compat(out)
     out = _char_distinct_between_compat(out)
-    # to fixpoint: a rewritten outer CAST skips nested CASTs inside its
-    # replacement (the scanner resumes past it)
-    for _ in range(5):
-        prev_cast = out
-        out = _rewrite_calls(out, "CAST", _cast_rewrite)
-        if out == prev_cast:
-            break
-    # ROW(..) value constructor → named_struct with Presto's anonymous
-    # field names field0..fieldN (RowType.java), so .fieldN accessors
-    # resolve; runs after the CAST pass has consumed ROW(...) types
-    def _row_ctor(args: list[str]) -> str | None:
-        if len(args) == 1 and not args[0].strip():
-            return None
-        fields = ", ".join(
-            f"'field{i}', {a}" for i, a in enumerate(args)
-        )
-        return f"named_struct({fields})"
-
-    for _ in range(5):  # nested ROW constructors
-        prev_row = out
-        out = _rewrite_calls(out, "row", _row_ctor)
-        if out == prev_row:
-            break
-
-    def _map_ctor(args: list[str]) -> str | None:
-        # Presto MAP(key_array, value_array) / MAP() constructors
-        # (MapConstructor.java); type spellings are already consumed by
-        # the CAST pass above.  Spark's 2-arg map() would build a
-        # single-entry map<array,array> instead.
-        if len(args) == 2:
-            return f"map_from_arrays({args[0]}, {args[1]})"
-        if len(args) == 1 and not args[0].strip():
-            return "map()"
-        return None
-
-    out = _rewrite_calls(out, "map", _map_ctor)
-    out = _rewrite_calls(out, "classify", _classify_rewrite)
-    out = _rewrite_calls(out, "learn_classifier", _learn_classifier_rewrite)
-    out = _rewrite_calls(out, "features", _features_rewrite)
-    out = _rewrite_calls(out, "random", _random_rewrite)
-    out = _rewrite_calls(out, "timezone_hour", _tz_field_rewrite("hour"))
-    out = _rewrite_calls(out, "timezone_minute", _tz_field_rewrite("minute"))
-    out = _rewrite_calls(out, "timezone_hour", _tz_field_plain("hour"))
-    out = _rewrite_calls(out, "timezone_minute", _tz_field_plain("minute"))
-    out = _division_compat(out, literals)
-    out = _extract_compat(out, literals)
-    out = _like_compat(out, literals)
-    out = _zoned_literal_compat(out, literals)
-    out = _rewrite_calls(out, "reduce", _reduce_rewrite)
-    out = _rewrite_calls(out, "array_except", _array_except_null_rewrite)
-    out = _rewrite_calls(out, "contains", _contains_rewrite)
-    out = _rewrite_calls(out, "array_position", _array_position_null_rewrite)
-    out = _TYPED_LIT_POST.sub(lambda m: _typed_literal(m, literals), out)
-    out = _rewrite_calls(out, "truncate", _truncate_rewrite)
-    out = _rewrite_calls(out, "bit_count", _bit_count_rewrite)
-    out = _rewrite_calls(out, "replace", _replace_rewrite)
-    out = _rewrite_calls(out, "chr", _chr_rewrite)
-    out = _rewrite_calls(out, "is_json_scalar", _is_json_scalar_rewrite)
-    out = _rewrite_calls(out, "word_stem", _word_stem_rewrite)
-    out = _rewrite_calls(out, "regexp_replace", _regexp_replace_rewrite)
-    out = _rewrite_calls(out, "regexp_extract_all", _regexp_extract_all_rewrite)
-    out = _rewrite_calls(out, "regexp_extract", _regexp_extract_rewrite)
-    # after the regexp rewrites: their lambda overload resolves x[i]
-    # group references itself; remaining brackets are 1-based subscripts
-    out = _subscript_compat(out)
-    out = _rewrite_calls(out, "greatest", _greatest_least_rewrite("greatest"))
-    out = _rewrite_calls(out, "least", _greatest_least_rewrite("least"))
-    out = _rewrite_calls(out, "substring", _substr_rewrite)
-    out = _rewrite_calls(out, "substr", _substr_rewrite)
-    out = _rewrite_calls(out, "width_bucket", _width_bucket_rewrite)
-    out = _rewrite_calls(out, "json_array_contains", _json_array_contains_rewrite)
-    out = _rewrite_calls(out, "json_array_get", _json_array_get_rewrite)
-
-    def _json_parse_canon(args: list[str]) -> str | None:
-        # json_parse('literal') canonicalizes at parse time in the
-        # reference (JsonFunctions.jsonParse); for literal arguments the
-        # shim does the same statically, else the value passes through
-        # (the engine's JSON representation is the string itself)
-        if len(args) != 1:
-            return None
-        lm = re.fullmatch(r"\x00(\d+)\x00", args[0].strip())
-        if lm:
-            idx = int(lm.group(1))
-            content = literals[idx][1:-1].replace("''", "'")
-            literals[idx] = "'" + _canon_json_text(content).replace("'", "''") + "'"
-        return f"({args[0]})"
-
-    out = _rewrite_calls(out, "json_parse", _json_parse_canon)
 
     def _typeof_static(args: list[str]) -> str | None:
         # Presto tracks VARCHAR lengths in the static type
         # (TypeOfFunction.java); Spark erases them at runtime.  The two
         # statically decidable shapes: a string literal (varchar(len))
-        # and an explicit CAST(.. AS VARCHAR(n)).
+        # and an explicit CAST(.. AS VARCHAR(n)).  Runs BEFORE the CAST
+        # pass, which lowers VARCHAR(n) casts to substr truncation.
         if len(args) != 1:
             return None
         a = args[0].strip()
@@ -2217,6 +2445,105 @@ def translate(sql: str) -> str:
         return None
 
     out = _rewrite_calls(out, "vl", _vl_static)
+    # to fixpoint: a rewritten outer CAST skips nested CASTs inside its
+    # replacement (the scanner resumes past it)
+    for _ in range(5):
+        prev_cast = out
+        out = _rewrite_calls(out, "CAST", _cast_rewrite)
+        if out == prev_cast:
+            break
+    # ROW(..) value constructor → named_struct with Presto's anonymous
+    # field names field0..fieldN (RowType.java), so .fieldN accessors
+    # resolve; runs after the CAST pass has consumed ROW(...) types
+    def _row_ctor(args: list[str]) -> str | None:
+        if len(args) == 1 and not args[0].strip():
+            return None
+        fields = ", ".join(
+            f"'field{i}', {a}" for i, a in enumerate(args)
+        )
+        return f"named_struct({fields})"
+
+    for _ in range(5):  # nested ROW constructors
+        prev_row = out
+        out = _rewrite_calls(out, "row", _row_ctor)
+        if out == prev_row:
+            break
+
+    def _map_ctor(args: list[str]) -> str | None:
+        # Presto MAP(key_array, value_array) / MAP() constructors
+        # (MapConstructor.java); type spellings are already consumed by
+        # the CAST pass above.  Spark's 2-arg map() would build a
+        # single-entry map<array,array> instead.  Only fires when an
+        # argument is STATICALLY array-typed, so Spark-style scalar
+        # map(k, v) entry-constructors pass through untouched.
+        if len(args) == 2 and any(
+            re.match(r"^\s*(?:array\s*\(|CAST\s*\(.*\bAS\s+ARRAY)", a,
+                     re.IGNORECASE | re.DOTALL)
+            for a in args
+        ):
+            return f"map_from_arrays({args[0]}, {args[1]})"
+        if len(args) == 1 and not args[0].strip():
+            return "map()"
+        return None
+
+    out = _rewrite_calls(out, "map", _map_ctor)
+    out = _rewrite_calls(out, "classify", _classify_rewrite)
+    out = _rewrite_calls(out, "learn_classifier", _learn_classifier_rewrite)
+    out = _rewrite_calls(out, "features", _features_rewrite)
+    out = _rewrite_calls(out, "random", _random_rewrite)
+    out = _rewrite_calls(out, "timezone_hour", _tz_field_rewrite("hour"))
+    out = _rewrite_calls(out, "timezone_minute", _tz_field_rewrite("minute"))
+    out = _rewrite_calls(out, "timezone_hour", _tz_field_plain("hour"))
+    out = _rewrite_calls(out, "timezone_minute", _tz_field_plain("minute"))
+    out = _division_compat(out, literals)
+    out = _extract_compat(out, literals)
+    out = _like_compat(out, literals)
+    out = _zoned_literal_compat(out, literals)
+    out = _rewrite_calls(out, "reduce", _reduce_rewrite)
+    out = _rewrite_calls(out, "array_except", _array_except_null_rewrite)
+    out = _rewrite_calls(out, "contains", _contains_rewrite)
+    out = _rewrite_calls(out, "array_position", _array_position_null_rewrite)
+    out = _rewrite_calls(out, "array_position", _array_position_numeric_rewrite)
+    out = _rewrite_calls(out, "concat", _concat_null_array_rewrite)
+    # TestExpressionCompiler / FunctionAssertions bound symbols
+    out = re.sub(r"\bbound_long\b", "CAST(1234 AS BIGINT)", out)
+    out = _TYPED_LIT_POST.sub(lambda m: _typed_literal(m, literals), out)
+    out = _ipaddress_cmp_compat(out)
+    out = _rewrite_calls(out, "truncate", _truncate_rewrite)
+    out = _rewrite_calls(out, "bit_count", _bit_count_rewrite)
+    out = _rewrite_calls(out, "replace", _replace_rewrite)
+    out = _rewrite_calls(out, "chr", _chr_rewrite)
+    out = _rewrite_calls(out, "is_json_scalar", _is_json_scalar_rewrite)
+    out = _rewrite_calls(out, "word_stem", _word_stem_rewrite)
+    out = _rewrite_calls(out, "regexp_replace", _regexp_replace_rewrite)
+    out = _rewrite_calls(out, "regexp_extract_all", _regexp_extract_all_rewrite)
+    out = _rewrite_calls(out, "regexp_extract", _regexp_extract_rewrite)
+    # after the regexp rewrites: their lambda overload resolves x[i]
+    # group references itself; remaining brackets are 1-based subscripts
+    out = _subscript_compat(out)
+    out = _rewrite_calls(out, "greatest", _greatest_least_rewrite("greatest"))
+    out = _rewrite_calls(out, "least", _greatest_least_rewrite("least"))
+    out = _rewrite_calls(out, "substring", _substr_rewrite)
+    out = _rewrite_calls(out, "substr", _substr_rewrite)
+    out = _rewrite_calls(out, "width_bucket", _width_bucket_rewrite)
+    out = _rewrite_calls(out, "json_array_contains", _json_array_contains_rewrite)
+    out = _rewrite_calls(out, "json_array_get", _json_array_get_rewrite)
+
+    def _json_parse_canon(args: list[str]) -> str | None:
+        # json_parse('literal') canonicalizes at parse time in the
+        # reference (JsonFunctions.jsonParse); for literal arguments the
+        # shim does the same statically, else the value passes through
+        # (the engine's JSON representation is the string itself)
+        if len(args) != 1:
+            return None
+        lm = re.fullmatch(r"\x00(\d+)\x00", args[0].strip())
+        if lm:
+            idx = int(lm.group(1))
+            content = literals[idx][1:-1].replace("''", "'")
+            literals[idx] = "'" + _canon_json_text(content).replace("'", "''") + "'"
+        return f"({args[0]})"
+
+    out = _rewrite_calls(out, "json_parse", _json_parse_canon)
     out = _rewrite_calls(out, "split_part", _split_part_rewrite)
     out = _rewrite_calls(out, "ltrim", _trim2_rewrite("LEADING"))
     out = _rewrite_calls(out, "rtrim", _trim2_rewrite("TRAILING"))

@@ -89,3 +89,24 @@ def ensure_sql_support(spark) -> None:
         return pd.Series([one(v) for v in s])
 
     spark.udf.register("__presto_ipaddress", __presto_ipaddress)
+
+    @pandas_udf("string")
+    def __presto_ipaddress_key(s):
+        import ipaddress
+
+        def one(v):
+            if v is None:
+                return None
+            a = ipaddress.ip_address(
+                bytes(v) if isinstance(v, (bytes, bytearray)) else v
+            )
+            # Presto compares IPADDRESS values on the 16-byte IPv6 form
+            # (IpAddressOperators lessThan — IPv4 maps into ::ffff:0:0/96),
+            # so the fixed-width hex expansion is an order-preserving key
+            if isinstance(a, ipaddress.IPv4Address):
+                a = ipaddress.IPv6Address(b"\x00" * 10 + b"\xff\xff" + a.packed)
+            return a.packed.hex()
+
+        return pd.Series([one(v) for v in s])
+
+    spark.udf.register("__presto_ipaddress_key", __presto_ipaddress_key)

@@ -98,9 +98,19 @@ def scrape(files: list[str] | None = None):
         + glob.glob(f"{REF_TYPE_TEST_DIR}/Test*.java")
     )
     for path in paths:
-        for line in open(path).read().splitlines():
+        lines = open(path).read().splitlines()
+        for i, line in enumerate(lines):
             m = _CASE.search(line)
             if not m:
+                continue
+            # a handful of reference cases wrap assertFunction in
+            # try { assertFunction(...); fail(...); } catch — the
+            # assertion is EXPECTED to throw (TestArrayOperators.java:453
+            # et al.); skip those, they are not value assertions
+            nxt = next(
+                (l.strip() for l in lines[i + 1 : i + 3] if l.strip()), ""
+            )
+            if nxt.startswith("fail("):
                 continue
             expr_raw, _type, expected_raw = m.groups()
             ok, expected = parse_expected(expected_raw)
