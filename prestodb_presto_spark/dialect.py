@@ -190,13 +190,14 @@ def _try_rewrite(args: list[str]) -> str:
     if am:
         e = am.group(1)
         return f"try_multiply(CAST(sign({e}) AS BIGINT), {e})"
-    # constants cannot fail — TRY(c) == c (TryFunction.java semantics)
+    # constants cannot fail — TRY(c) == c (TryFunction.java semantics);
+    # an array(..) constructor over constants likewise
     if re.fullmatch(
         r"(?:\w+\s+)?\x00\d+\x00|[-+]?[\d.]+(?:[eE][+-]?\d+)?"
         r"|TRUE|FALSE|NULL",
         inner,
         re.IGNORECASE,
-    ):
+    ) or (re.match(r"array\s*\(", inner, re.IGNORECASE) and inner.endswith(")")):
         return f"({inner})"
     raise ValueError(
         f"TRY({inner}) not translatable: the shim supports TRY over CAST, "
@@ -622,6 +623,25 @@ def _rev_array_span(s: str) -> int | None:
     return None
 
 
+def _all_nested(arr: str) -> bool | None:
+    """True if every element of a textual array(..) ctor is itself an
+    array(..) ctor, False if none are; None when mixed/empty."""
+    m = re.match(r"\s*array\s*\(", arr, re.IGNORECASE)
+    if not m:
+        return None
+    _, args = _scan_balanced(arr, m.end() - 1)
+    if len(args) == 1 and not args[0].strip():
+        return None
+    nested = [
+        bool(re.match(r"^\s*array\s*\(", a, re.IGNORECASE)) for a in args
+    ]
+    if all(nested):
+        return True
+    if not any(nested):
+        return False
+    return None
+
+
 def _element_array_concat(sql: str) -> str:
     out = sql
     pos = 0
@@ -630,8 +650,28 @@ def _element_array_concat(sql: str) -> str:
         if idx == -1:
             return out
         left_txt, right_txt = out[:idx], out[idx + 2 :]
-        # array(..) || scalar-literal → array_append
         la = _rev_array_span(left_txt)
+        am0 = re.match(r"\s*array\s*\(", right_txt, re.IGNORECASE)
+        # flat-array element || array-of-arrays (ArrayConcatUtils
+        # appendElement/prependElement with an array element type)
+        if la is not None and am0:
+            aend, _ = _scan_balanced(right_txt, am0.end() - 1)
+            rarr = right_txt[am0.start() : aend].strip()
+            larr = left_txt[la:].strip()
+            ln, rn = _all_nested(larr), _all_nested(rarr)
+            if ln is False and rn is True:
+                repl = f"array_prepend({rarr}, {larr})"
+                out = out[:la] + repl + right_txt[aend:]
+                pos = la + len(repl)
+                continue
+            if ln is True and rn is False:
+                repl = f"array_append({larr}, {rarr})"
+                out = out[:la] + repl + right_txt[aend:]
+                pos = la + len(repl)
+                continue
+            pos = idx + 2
+            continue
+        # array(..) || scalar-literal → array_append
         mr = _FWD_SCALAR.match(right_txt)
         if la is not None and mr:
             arr = left_txt[la:].strip()
@@ -1597,6 +1637,120 @@ def _typed_literal(m: re.Match, literals: list[str] | None = None) -> str:
     return f"CAST({m.group(2)} AS {_TYPED_LIT_MAP[t]})"
 
 
+_TRANSFORM_HEAD = re.compile(r"\btransform\s*\(", re.IGNORECASE)
+_FRACTIONAL_ELEM = re.compile(
+    r"[-+]?\d*\.\d+(?:[eE][+-]?\d+)?|[-+]?\d+[eE][+-]?\d+"
+)
+
+
+def _transform_fractional_cast(sql: str) -> str:
+    """transform over an all-double-literal array: integral casts of the
+    lambda variable round like the reference (the element type is
+    statically DOUBLE, so CAST(x AS BIGINT) is a rounding cast)."""
+    out = sql
+    pos = 0
+    while True:
+        m = _TRANSFORM_HEAD.search(out, pos)
+        if not m:
+            return out
+        end, args = _scan_balanced(out, m.end() - 1)
+        if len(args) != 2:
+            pos = m.end()
+            continue
+        arr, lam = args
+        am = re.fullmatch(r"\s*array\s*\(([^()]*)\)\s*", arr, re.IGNORECASE)
+        lm = re.match(r"\s*(\w+)\s*->", lam)
+        if not (am and lm):
+            pos = m.end()
+            continue
+        elems = [e.strip() for e in am.group(1).split(",")]
+        if not all(_FRACTIONAL_ELEM.fullmatch(e) for e in elems):
+            pos = m.end()
+            continue
+        p = lm.group(1)
+        new_lam = re.sub(
+            rf"CAST\s*\(\s*{re.escape(p)}\s+AS\s+"
+            r"(BIGINT|INTEGER|INT|SMALLINT|TINYINT)\b",
+            rf"CAST(round({p}) AS \1",
+            lam,
+            flags=re.IGNORECASE,
+        )
+        if new_lam == lam:
+            pos = m.end()
+            continue
+        repl = f"transform({arr}, {new_lam})"
+        out = out[: m.start()] + repl + out[end:]
+        pos = m.start() + len(repl)
+
+
+def _split_rewrite(args: list[str]) -> str | None:
+    """Presto split(s, delim[, limit]) treats the delimiter as a LITERAL
+    string (StringFunctions.split); Spark's split is regex — quote it.
+    Limit semantics agree (last element carries the rest, trailing
+    empties kept)."""
+    if len(args) == 2:
+        return f"split({args[0]}, concat('\\Q', {args[1]}, '\\E'), -1)"
+    if len(args) == 3:
+        return f"split({args[0]}, concat('\\Q', {args[1]}, '\\E'), {args[2]})"
+    return None
+
+
+def _regexp_split_rewrite(literals: list[str]):
+    """regexp_split(s, pattern) — Spark's split IS regex; -1 keeps the
+    trailing empty fields Presto keeps (RegexpFunctions.regexpSplit).
+    Joni splits on the empty pattern at EVERY boundary including both
+    ends.  Runs AFTER the literal-delimiter split rewrite so its
+    emission is not re-quoted."""
+
+    def fn(args: list[str]) -> str | None:
+        if len(args) != 2:
+            return None
+        lm = re.fullmatch(r"\x00(\d+)\x00", args[1].strip())
+        if lm and literals[int(lm.group(1))] == "''":
+            return (
+                f"concat(array(''), split({args[0]}, ''), array(''))"
+            )
+        return f"split({args[0]}, {args[1]}, -1)"
+
+    return fn
+
+
+def _split_to_map_rewrite(args: list[str]) -> str | None:
+    """split_to_map(s, entryDelim, kvDelim) (StringFunctions.splitToMap)
+    → Spark str_to_map with regex-quoted literal delimiters; Presto
+    returns the empty map for empty input and '' (not NULL) for an
+    entry whose value is empty."""
+    if len(args) != 3:
+        return None
+    s, d1, d2 = args
+    m = (
+        f"transform_values(str_to_map({s}, concat('\\Q', {d1}, '\\E'),"
+        f" concat('\\Q', {d2}, '\\E')), (__k, __v) -> coalesce(__v, ''))"
+    )
+    return f"(CASE WHEN length({s}) = 0 THEN map() ELSE {m} END)"
+
+
+def _split_to_multimap_rewrite(args: list[str]) -> str | None:
+    """split_to_multimap keeps every value per key, in entry order
+    (StringFunctions.splitToMultimap)."""
+    if len(args) != 3:
+        return None
+    s, d1, d2 = args
+    entries = f"split({s}, concat('\\Q', {d1}, '\\E'), -1)"
+    key = f"substr(__e, 1, locate({d2}, __e) - 1)"
+    val = f"substr(__e, locate({d2}, __e) + length({d2}))"
+    keys = f"array_distinct(transform({entries}, __e -> {key}))"
+    vals = (
+        f"transform({keys}, __k -> transform("
+        f"filter({entries}, __e -> {key} = __k),"
+        f" __e -> {val}))"
+    )
+    return (
+        f"(CASE WHEN length({s}) = 0 THEN map()"
+        f" ELSE map_from_arrays({keys}, {vals}) END)"
+    )
+
+
 def _if2_rewrite(args: list[str]) -> str | None:
     """Presto allows if(cond, trueVal) with an implicit NULL else branch
     (presto-parser SqlBase.g4 / ConditionalFunctions); Spark's IF is
@@ -2337,6 +2491,207 @@ def _decimal_lit(m: re.Match) -> str:
     return f"CAST('{text}' AS DECIMAL({precision},{scale}))"
 
 
+# --- decimal literal arithmetic folding (DecimalOperators.java) -------------
+# Presto's decimal type-derivation rules differ from Spark's
+# (allowPrecisionLoss): add/sub keep the max scale even at precision 38,
+# multiply keeps scale s1+s2, and DIVIDE keeps scale max(s1,s2) with
+# HALF_UP rounding (Spark widens to at least 6).  For literal operands —
+# exactly what Presto's own constant folder sees — fold the arithmetic
+# statically under the reference's rules.
+_DEC_CAST_RE = (
+    r"CAST\s*\(\s*\x00(\d+)\x00\s+AS\s+DECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)\s*\)"
+)
+# operand n of a foldable decimal expression: a decimal-literal CAST, a
+# typed integer literal, or a bare unsigned integer literal (Presto
+# coerces INTEGER → DECIMAL(10,0), BIGINT → DECIMAL(19,0))
+_INT_TYPE_PREC = {"tinyint": 3, "smallint": 5, "integer": 10, "bigint": 19}
+
+
+def _fold_operand(n: int) -> str:
+    return (
+        rf"(?:CAST\s*\(\s*\x00(?P<l{n}>\d+)\x00\s+AS\s+DECIMAL\s*"
+        rf"\(\s*(?P<p{n}>\d+)\s*,\s*(?P<s{n}>\d+)\s*\)\s*\)"
+        rf"|(?P<t{n}>BIGINT|INTEGER|SMALLINT|TINYINT)\s*\x00(?P<tl{n}>\d+)\x00"
+        rf"|(?<![\w.\x00])(?P<i{n}>\d+)(?![\w.\x00]))"
+    )
+
+
+def _operand_value(m: re.Match, n: int, literals: list[str]):
+    """(Decimal value, precision, scale) of fold operand n, else None."""
+    from decimal import Decimal
+
+    if m.group(f"l{n}") is not None:
+        return (
+            Decimal(literals[int(m.group(f"l{n}"))][1:-1]),
+            int(m.group(f"p{n}")),
+            int(m.group(f"s{n}")),
+        )
+    if m.group(f"t{n}") is not None:
+        v = Decimal(literals[int(m.group(f"tl{n}"))][1:-1])
+        return v, _INT_TYPE_PREC[m.group(f"t{n}").lower()], 0
+    v = Decimal(m.group(f"i{n}"))
+    return v, (10 if abs(int(v)) <= 2**31 - 1 else 19), 0
+
+
+def _fold_decimal_arith(sql: str, literals: list[str]) -> str:
+    if "DECIMAL" not in sql.upper():
+        return sql
+    from decimal import ROUND_HALF_UP, Decimal, localcontext
+
+    # collapse (CAST(..)) grouping parens only — never a function call's
+    # argument parens (lookbehind rejects a preceding identifier char)
+    paren = re.compile(
+        r"(?<![\w\x00])\(\s*(CAST\s*\(\s*\x00\d+\x00\s+AS\s+DECIMAL\s*"
+        r"\(\s*\d+\s*,\s*\d+\s*\)\s*\))\s*\)"
+    )
+
+    def _pat(ops: str) -> re.Pattern:
+        return re.compile(
+            _fold_operand(1) + r"\s*(?P<op>[" + ops + r"])\s*" + _fold_operand(2),
+            re.IGNORECASE,
+        )
+
+    def _fold(m: re.Match) -> str | None:
+        if m.group("l1") is None and m.group("l2") is None:
+            return None  # int op int is integer arithmetic, not decimal
+        op = m.group("op")
+        try:
+            a, p1, s1 = _operand_value(m, 1, literals)
+            b, p2, s2 = _operand_value(m, 2, literals)
+        except Exception:
+            return None
+        try:
+            with localcontext() as ctx:
+                ctx.prec = 90
+                if op in "+-":
+                    rs = max(s1, s2)
+                    rp = min(38, max(p1 - s1, p2 - s2) + rs + 1)
+                    v = a + b if op == "+" else a - b
+                elif op == "*":
+                    rs = s1 + s2
+                    rp = min(38, p1 + p2)
+                    if rs > 38:
+                        return None
+                    v = a * b
+                elif op == "/":
+                    rs = max(s1, s2)
+                    rp = min(38, p1 + s2 + max(0, s2 - s1))
+                    if b == 0:
+                        return None
+                    v = a / b
+                else:  # %
+                    rs = max(s1, s2)
+                    rp = min(p1 - s1, p2 - s2) + rs
+                    if b == 0:
+                        return None
+                    v = a % b
+                v = v.quantize(Decimal(1).scaleb(-rs), rounding=ROUND_HALF_UP)
+        except Exception:
+            return None
+        digits = len(v.as_tuple().digits)
+        if digits > 38 or digits - rs > rp - rs and v != 0:
+            return None  # Presto raises a decimal overflow here
+        literals.append("'" + format(v, "f") + "'")
+        return f"CAST(\x00{len(literals) - 1}\x00 AS DECIMAL({rp},{rs}))"
+
+    out = sql
+    for _ in range(12):
+        changed = False
+        out2 = paren.sub(r"\1", out)
+        if out2 != out:
+            out, changed = out2, True
+        for ops in (r"*/%", r"+\-"):
+            p = _pat(ops)
+            pos = 0
+            while True:
+                m = p.search(out, pos)
+                if not m:
+                    break
+                # precedence guards: skip if a tighter-binding neighbor
+                # operator did not fold (stays textually adjacent)
+                after = out[m.end() :].lstrip()[:1]
+                before = out[: m.start()].rstrip()[-1:]
+                if ops == r"+\-" and (after in "*/%" or before in "*/%"):
+                    pos = m.end()
+                    continue
+                if m.group("i1") is not None and before in "+-":
+                    # a bare-int left operand carrying a unary sign:
+                    # folding would drop the sign — leave it to Spark
+                    pos = m.end()
+                    continue
+                repl = _fold(m)
+                if repl is None:
+                    pos = m.end()
+                    continue
+                out = out[: m.start()] + repl + out[m.end() :]
+                changed = True
+                pos = m.start()
+        if not changed:
+            return out
+    return out
+
+
+# REAL → DECIMAL(p,s) casts go through Float.toString's decimal
+# rendering in the reference (RealToDecimalCasts), not the exact binary
+# expansion Spark uses.  Float.toString is not always the SHORTEST
+# round-trip form (it can emit one extra digit), so the faithful route
+# is the JVM's own renderer via reflect.
+_REAL_DEC_CAST = re.compile(
+    r"CAST\s*\(\s*REAL\s*(\x00\d+\x00)\s+AS\s+(DECIMAL"
+    r"\s*\(\s*\d+\s*,\s*\d+\s*\))\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _fold_real_decimal_cast(sql: str, literals: list[str]) -> str:
+    return _REAL_DEC_CAST.sub(
+        lambda m: (
+            f"CAST(reflect('java.lang.Float', 'toString',"
+            f" CAST({m.group(1)} AS FLOAT)) AS {m.group(2)})"
+        ),
+        sql,
+    )
+
+
+# Spark constant-folds unary minus over a wide decimal literal in the
+# DECIMAL128 context (34 significant digits) — negating a DECIMAL(38)
+# literal silently loses the low digits.  Fold the sign into the
+# literal statically.
+_NEG_DEC_CAST = re.compile(
+    r"-\s*CAST\s*\(\s*\x00(\d+)\x00\s+AS\s+(DECIMAL\s*\(\s*\d+\s*,\s*\d+\s*\))\s*\)",
+    re.IGNORECASE,
+)
+_UNARY_PRECEDERS = {
+    "select", "when", "then", "else", "and", "or", "not", "where",
+    "having", "by", "on", "in", "values", "case", "between", "return",
+    "union", "all", "distinct", "as", "from", "limit", "offset",
+}
+
+
+def _fold_decimal_negation(sql: str, literals: list[str]) -> str:
+    out = sql
+    pos = 0
+    while True:
+        m = _NEG_DEC_CAST.search(out, pos)
+        if not m:
+            return out
+        head = out[: m.start()].rstrip()
+        prev = head[-1:] if head else ""
+        if prev and (prev.isalnum() or prev in ")]\x00"):
+            # identifier/value before the minus → binary unless it is a
+            # SQL keyword
+            wm = re.search(r"(\w+)$", head)
+            if not (wm and wm.group(1).lower() in _UNARY_PRECEDERS):
+                pos = m.end()
+                continue
+        content = literals[int(m.group(1))][1:-1]
+        neg = content[1:] if content.startswith("-") else "-" + content
+        literals.append("'" + neg + "'")
+        repl = f"CAST(\x00{len(literals) - 1}\x00 AS {m.group(2)})"
+        out = out[: m.start()] + repl + out[m.end() :]
+        pos = m.start() + len(repl)
+
+
 # the reference test harness's bound input symbols and their page
 # values (FunctionAssertions.java SOURCE_PAGE / INPUT_MAPPING).
 # bound_timestamp is typed BIGINT in the harness (epoch millis of
@@ -2528,9 +2883,40 @@ def translate(sql: str) -> str:
     out = _rewrite_calls(out, "timezone_minute", _tz_field_rewrite("minute"))
     out = _rewrite_calls(out, "timezone_hour", _tz_field_plain("hour"))
     out = _rewrite_calls(out, "timezone_minute", _tz_field_plain("minute"))
+    out = _fold_decimal_negation(out, literals)
+    out = _fold_decimal_arith(out, literals)
+    out = _fold_real_decimal_cast(out, literals)
+    out = _transform_fractional_cast(out)
     out = _division_compat(out, literals)
     out = _extract_compat(out, literals)
     out = _like_compat(out, literals)
+    out = _rewrite_calls(out, "split", _split_rewrite)
+    out = _rewrite_calls(out, "split_to_map", _split_to_map_rewrite)
+    out = _rewrite_calls(out, "split_to_multimap", _split_to_multimap_rewrite)
+    out = _rewrite_calls(out, "regexp_split", _regexp_split_rewrite(literals))
+    # Presto repeat(v, n) builds an array (ArrayFunctions.repeat);
+    # Spark's repeat is string repetition
+    out = _rewrite_calls(
+        out, "repeat", lambda a: f"array_repeat({a[0]}, {a[1]})" if len(a) == 2 else None
+    )
+    # flatten skips NULL inner arrays (ArrayFlattenFunction); Spark
+    # propagates the NULL to the whole result
+    out = _rewrite_calls(
+        out,
+        "flatten",
+        lambda a: f"flatten(filter({a[0]}, __f -> __f IS NOT NULL))"
+        if len(a) == 1 and a[0].strip()
+        else None,
+    )
+    # array_intersect returns elements in ascending order, NULL first
+    # (ArrayIntersectFunction compares with the type's ordering)
+    out = _rewrite_calls(
+        out,
+        "array_intersect",
+        lambda a: f"sort_array(array_intersect({a[0]}, {a[1]}))"
+        if len(a) == 2
+        else None,
+    )
     out = _zoned_literal_compat(out, literals)
     out = _rewrite_calls(out, "reduce", _reduce_rewrite)
     out = _rewrite_calls(out, "array_except", _array_except_null_rewrite)

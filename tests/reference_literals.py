@@ -43,6 +43,13 @@ _EXEC_CASE = re.compile(
 _FILTER_CASE = re.compile(
     r'assertFilter\(\s*"((?:[^"\\]|\\.)*)"\s*,\s*(true|false)\);\s*$'
 )
+# assertDecimalFunction("<expr>", decimal("<digits>")) — the digit
+# string encodes the expected DECIMAL value (leading zeros pad to the
+# type's precision; the numeric value and scale are what we can check)
+_DECIMAL_CASE = re.compile(
+    r'assertDecimalFunction\(\s*"((?:[^"\\]|\\.)*)"\s*,\s*'
+    r'decimal\("([^"]*)"\)\);\s*$'
+)
 
 _INT = re.compile(r"^[+-]?(0x[0-9a-fA-F]+|\d+)L?$")
 _FLOAT = re.compile(r"^[+-]?(\d+\.\d*([eE][+-]?\d+)?|\d+[eE][+-]?\d+)$")
@@ -88,6 +95,43 @@ def _junescape_simple(s: str) -> str:
     return "".join(out).encode("utf-16", "surrogatepass").decode("utf-16")
 
 
+_LIST_CTORS = ("ImmutableList.of(", "asList(", "Lists.newArrayList(")
+_MAP_CTOR = "ImmutableMap.of("
+
+
+def _split_top_args(s: str) -> list[str] | None:
+    """Split comma-separated Java args at paren depth 0 (quote-aware)."""
+    parts, depth, buf, i, n = [], 0, "", 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch == '"':
+            j = i + 1
+            while j < n:
+                if s[j] == "\\":
+                    j += 2
+                    continue
+                if s[j] == '"':
+                    break
+                j += 1
+            buf += s[i : j + 1]
+            i = j + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                return None
+        if ch == "," and depth == 0:
+            parts.append(buf)
+            buf = ""
+        else:
+            buf += ch
+        i += 1
+    parts.append(buf)
+    return parts
+
+
 def parse_expected(raw: str):
     """Returns (ok, value)."""
     raw = raw.strip()
@@ -103,6 +147,42 @@ def parse_expected(raw: str):
     m = _STR.match(raw)
     if m:
         return True, _junescape_simple(m.group(1))
+    dm = re.fullmatch(r'decimal\("([^"]*)"\)', raw)
+    if dm:
+        return True, ("__decimal__", dm.group(1))
+    # Java collection constructors with plainly-literal elements
+    # (ImmutableList.of(1, 2), asList(false, null),
+    # ImmutableMap.of("a", 1)) — recursive; a non-literal element
+    # (constructed object) rejects the whole case
+    for ctor in _LIST_CTORS:
+        if raw.startswith(ctor) and raw.endswith(")"):
+            inner = raw[len(ctor) : -1].strip()
+            if not inner:
+                return True, []
+            parts = _split_top_args(inner)
+            if parts is None:
+                return False, None
+            vals = []
+            for p in parts:
+                ok, v = parse_expected(p)
+                if not ok:
+                    return False, None
+                vals.append(v)
+            return True, vals
+    if raw.startswith(_MAP_CTOR) and raw.endswith(")"):
+        inner = raw[len(_MAP_CTOR) : -1].strip()
+        if not inner:
+            return True, {}
+        parts = _split_top_args(inner)
+        if parts is None or len(parts) % 2:
+            return False, None
+        items = []
+        for p in parts:
+            ok, v = parse_expected(p)
+            if not ok:
+                return False, None
+            items.append(v)
+        return True, dict(zip(items[0::2], items[1::2]))
     return False, None
 
 
@@ -117,6 +197,18 @@ def scrape(files: list[str] | None = None):
         lines = open(path).read().splitlines()
         is_compiler = path.endswith("TestExpressionCompiler.java")
         for i, line in enumerate(lines):
+            dm = _DECIMAL_CASE.search(line)
+            if dm:
+                nxt = next(
+                    (l.strip() for l in lines[i + 1 : i + 3] if l.strip()), ""
+                )
+                if not nxt.startswith("fail("):
+                    yield (
+                        path.rsplit("/", 1)[-1],
+                        _junescape_simple(dm.group(1)),
+                        ("__decimal__", dm.group(2)),
+                    )
+                continue
             if is_compiler:
                 fm = _FILTER_CASE.search(line)
                 if fm:
