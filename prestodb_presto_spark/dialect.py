@@ -39,6 +39,8 @@ _RENAMES = {
     # This also catches the dialect's own emitted element_at (subscripts
     # included) — a documented softening of Presto's erroring subscript.
     "element_at": "try_element_at",
+    # Presto zip pads to the longest array with NULLs, like arrays_zip
+    "zip": "arrays_zip",
 }
 
 # date_add('unit', n, ts) / date_diff('unit', a, b) → Spark
@@ -315,9 +317,10 @@ def _cast_rewrite(args: list[str]) -> str | None:
     IS its padded form; Spark's CHAR reads back unpadded); VARCHAR(n)
     truncates to n (TestCharacterStringCasts); fractional → integral
     rounds (DoubleOperators.castToLong)."""
-    if len(args) != 1:
+    if not args:
         return None
-    parts = _AS_SPLIT.split(args[0])
+    # MAP<K, V> angle generics carry a comma the paren scanner splits on
+    parts = _AS_SPLIT.split(", ".join(args) if len(args) > 1 else args[0])
     if len(parts) < 2:
         return None
     expr, typ = " AS ".join(parts[:-1]), parts[-1]
@@ -570,6 +573,140 @@ def _array_position_numeric_rewrite(args: list[str]) -> str | None:
     )
 
 
+# --- decimal-scale harmonization for literal array operands ------------------
+# Presto unifies mixed-scale decimal (and int-with-decimal) operands to
+# the max scale (DecimalType common super type); Spark requires exact
+# element-type matches in array functions and comparisons.  For literal
+# operands the unification is static: pad every element to the max
+# scale as DECIMAL(38, s) — padding zeros never changes the value.
+
+
+def _parse_numeric_array(text: str, literals: list[str], need_dec=True):
+    """array(..) ctor of int/decimal/null literals → node list, or
+    None; with need_dec, requires at least one decimal so int-only
+    arrays are left in integer typing."""
+    from prestodb_presto_spark.functions import json_static
+
+    node = json_static.parse_literal_expr(text, literals)
+    if node is None or node[0] != "array":
+        return None
+    els = node[1]
+    if not els or not all(e[0] in ("int", "dec", "null") for e in els):
+        return None
+    if need_dec and not any(e[0] == "dec" for e in els):
+        return None
+    return els
+
+
+def _numeric_node(text: str, literals: list[str]):
+    from prestodb_presto_spark.functions import json_static
+
+    node = json_static.parse_literal_expr(text, literals)
+    if node is not None and node[0] in ("int", "dec", "null"):
+        return node
+    return None
+
+
+def _emit_dec38(node, s: int, literals: list[str]) -> str:
+    from decimal import Decimal
+
+    if node[0] == "null":
+        return f"CAST(NULL AS DECIMAL(38,{s}))"
+    d = Decimal(node[1]).quantize(Decimal(1).scaleb(-s))
+    literals.append("'" + format(d, "f") + "'")
+    return f"CAST(\x00{len(literals) - 1}\x00 AS DECIMAL(38,{s}))"
+
+
+def _node_scale(n) -> int:
+    return n[3] if n[0] == "dec" else 0
+
+
+def _unified_scale(groups) -> int:
+    return max(
+        (_node_scale(n) for g in groups for n in g if n[0] != "null"),
+        default=0,
+    )
+
+
+def _array_numeric_binary_rewrite(name: str):
+    """array_intersect/array_remove-style: harmonize two literal
+    numeric operands (array,array) or (array,scalar) to DECIMAL(38,s)."""
+
+    def make(literals: list[str]):
+        def fn(args: list[str]) -> str | None:
+            if len(args) != 2:
+                return None
+            a = _parse_numeric_array(args[0].strip(), literals, need_dec=False)
+            if a is None:
+                return None
+            b = _parse_numeric_array(args[1].strip(), literals, need_dec=False)
+            if b is not None:
+                groups = [a, b]
+            else:
+                sc = _numeric_node(args[1].strip(), literals)
+                if sc is None:
+                    return None
+                groups = [a, [sc]]
+            # the unification is only needed (and only correct) when a
+            # decimal is involved somewhere across the operands
+            if not any(n[0] == "dec" for g in groups for n in g):
+                return None
+            s = _unified_scale(groups)
+            sides = [
+                "array(" + ", ".join(_emit_dec38(n, s, literals) for n in g) + ")"
+                for g in (groups[0],)
+            ]
+            if b is not None:
+                rhs = (
+                    "array(" + ", ".join(_emit_dec38(n, s, literals) for n in b) + ")"
+                )
+            else:
+                rhs = _emit_dec38(groups[1][0], s, literals)
+            return f"{name}({sides[0]}, {rhs})"
+
+        return fn
+
+    return make
+
+
+def _array_cmp_decimal_compat(sql: str, literals: list[str]) -> str:
+    """Comparisons between literal numeric arrays of differing decimal
+    scales (ARRAY [..10-scale..] = ARRAY [.., 0])."""
+    if "array" not in sql.lower():
+        return sql
+    out = sql
+    pos = 0
+    while True:
+        m = _CMP_OP.search(out, pos)
+        if not m:
+            return out
+        op = m.group(1)
+        if op == "=" and m.start() > 0 and out[m.start() - 1] in "<>!=":
+            pos = m.end()
+            continue
+        lstart = _left_operand_start(out, m.start())
+        left = out[lstart : m.start()].strip()
+        rend = _forward_operand_end(out, m.end())
+        right = out[m.end() : rend].strip()
+        if not (
+            re.match(r"^array\s*\(", left, re.IGNORECASE)
+            and re.match(r"^array\s*\(", right, re.IGNORECASE)
+        ):
+            pos = m.end()
+            continue
+        a = _parse_numeric_array(left, literals)
+        b = _parse_numeric_array(right, literals)
+        if a is None or b is None:
+            pos = m.end()
+            continue
+        s = _unified_scale([a, b])
+        la = "array(" + ", ".join(_emit_dec38(n, s, literals) for n in a) + ")"
+        rb = "array(" + ", ".join(_emit_dec38(n, s, literals) for n in b) + ")"
+        repl = f"{la} {op} {rb}"
+        out = out[:lstart] + repl + out[rend:]
+        pos = lstart + len(repl)
+
+
 def _concat_null_array_rewrite(args: list[str]) -> str | None:
     """concat over arrays with a literal NULL argument is NULL
     (ArrayConcatFunction); Spark cannot type the untyped NULL."""
@@ -642,7 +779,21 @@ def _all_nested(arr: str) -> bool | None:
     return None
 
 
-def _element_array_concat(sql: str) -> str:
+def _fold_dec_concat(arr_txt, sc_txt, literals, append: bool) -> str | None:
+    """array(..) ++ scalar with decimal literals: fold to one array
+    constructor at the unified scale (Presto's common-supertype rule)."""
+    a = _parse_numeric_array(arr_txt, literals)
+    if a is None:
+        return None
+    sc = _numeric_node(sc_txt, literals)
+    if sc is None:
+        return None
+    nodes = a + [sc] if append else [sc] + a
+    s = _unified_scale([nodes])
+    return "array(" + ", ".join(_emit_dec38(n, s, literals) for n in nodes) + ")"
+
+
+def _element_array_concat(sql: str, literals: list[str]) -> str:
     out = sql
     pos = 0
     while True:
@@ -671,13 +822,16 @@ def _element_array_concat(sql: str) -> str:
                 continue
             pos = idx + 2
             continue
-        # array(..) || scalar-literal → array_append
+        # array(..) || scalar-literal → array_append (or a folded
+        # array constructor when decimal scales must unify)
         mr = _FWD_SCALAR.match(right_txt)
         if la is not None and mr:
             arr = left_txt[la:].strip()
-            repl = f"array_append({arr}, {mr.group(1)})"
+            repl = _fold_dec_concat(
+                arr, mr.group(1), literals, append=True
+            ) or f"array_append({arr}, {mr.group(1)})"
             out = out[:la] + repl + right_txt[mr.end() :]
-            pos = la + len(repl)
+            pos = la
             continue
         # scalar-literal || array(..) → array_prepend
         ml = _BWD_SCALAR.search(left_txt)
@@ -685,9 +839,11 @@ def _element_array_concat(sql: str) -> str:
         if ml and am:
             aend, _ = _scan_balanced(right_txt, am.end() - 1)
             arr = right_txt[am.start() : aend].strip()
-            repl = f"array_prepend({arr}, {ml.group(1)})"
+            repl = _fold_dec_concat(
+                arr, ml.group(1), literals, append=False
+            ) or f"array_prepend({arr}, {ml.group(1)})"
             out = out[: ml.start(1)] + repl + right_txt[aend:]
-            pos = ml.start(1) + len(repl)
+            pos = ml.start(1)
             continue
         pos = idx + 2
 
@@ -890,14 +1046,33 @@ def _element_json(expr: str) -> str:
 
 def _json_cast_rewrite(literals: list[str]):
     def fn(args: list[str]) -> str | None:
-        if len(args) != 1:
+        if not args:
             return None
-        parts = _AS_SPLIT.split(args[0])
+        # angle-bracket generics (MAP<K, V>) carry commas the paren
+        # scanner splits on — a CAST has exactly one argument, rejoin
+        parts = _AS_SPLIT.split(", ".join(args) if len(args) > 1 else args[0])
         if len(parts) < 2:
             return None
         expr, typ = " AS ".join(parts[:-1]), parts[-1].strip()
         t_up = typ.upper()
         if t_up == "JSON":
+            # literal constructor trees fold statically to Presto's
+            # canonical JSON text (sorted-object maps with string keys,
+            # positional rows, Java double renderings, raw JSON splices)
+            from prestodb_presto_spark.functions import json_static
+
+            node = json_static.parse_literal_expr(expr, literals)
+            if node is not None:
+                if node[0] == "null":
+                    # CAST(typed NULL AS JSON) is SQL NULL, not 'null'
+                    return "NULL"
+                rendered = json_static.render_presto_json(node)
+                if rendered is not None:
+                    literals.append("'" + rendered.replace("'", "''") + "'")
+                    # keep the JSON typing visible so a chained
+                    # CAST(... AS MAP/ARRAY/ROW) re-enters the static
+                    # JSON→type path; _TYPED_LIT_POST unwraps it later
+                    return f"JSON \x00{len(literals) - 1}\x00"
             inner = expr.strip()
             while True:  # unwrap textual casts to find the constructor
                 m = re.match(r"^(?:try_)?cast\s*\(", inner, re.IGNORECASE)
@@ -929,6 +1104,24 @@ def _json_cast_rewrite(literals: list[str]):
             # '"abc"', NaN → '"NaN"'); to_json of a 1-element array,
             # brackets stripped, matches it exactly
             return _element_json(expr)
+        # literal constructor → complex target: Presto's complex-CAST
+        # value coercions match the JSON coercion matrix, so route the
+        # statically-parsed value tree through it
+        if re.match(r"^(?:MAP|ARRAY|ROW)\s*[<(]", t_up):
+            from prestodb_presto_spark.functions import json_static
+
+            tyc = json_static.parse_type(typ)
+            if tyc is not None and tyc[0] in ("map", "array", "row"):
+                node = json_static.parse_literal_expr(expr, literals)
+                if node is not None and node[0] != "json":
+                    try:
+                        val = json_static.node_to_value(node)
+                    except Exception:
+                        val = Ellipsis
+                    if val is not Ellipsis:
+                        folded = json_static.json_to_expr(val, tyc, literals)
+                        if folded is not None:
+                            return folded
         # CAST(JSON 'literal' AS scalar): parse the JSON value statically
         jm = re.fullmatch(r"JSON\s*\x00(\d+)\x00", expr.strip(), re.IGNORECASE)
         if not jm:
@@ -942,6 +1135,25 @@ def _json_cast_rewrite(literals: list[str]):
         base = base.group(0) if base else t_up
         if content == "null":
             return "NULL"
+        # full Presto JSON→type coercion matrix for any statically
+        # parseable target type (JsonToXxxCasts)
+        from prestodb_presto_spark.functions import json_static
+
+        ty = json_static.parse_type(typ)
+        if ty is not None:
+            import json as _jsonlib
+            from decimal import Decimal as _Dec
+
+            try:
+                # exact number lexemes: decimal targets read the raw
+                # text (JsonToDecimalCast), not a double round-trip
+                val = _jsonlib.loads(content, parse_float=_Dec)
+            except ValueError:
+                val = Ellipsis  # malformed JSON: leave to runtime
+            if val is not Ellipsis:
+                folded = json_static.json_to_expr(val, ty, literals)
+                if folded is not None:
+                    return folded
         if base == "ARRAY":
             import json as _json
 
@@ -1083,12 +1295,24 @@ _MAP_EQ_OP = re.compile(r"(<>|!=|=)")
 
 def _map_distinct_eq(left: str, right: str) -> str:
     """NULL-safe per-value map equality for IS DISTINCT FROM
-    (MapDistinctFromOperator): NULL values compare as equal-to-NULL."""
+    (MapDistinctFromOperator): NULL values compare as equal-to-NULL.
+    Map-valued maps (Spark cannot <=> a map) compare via the values'
+    canonical sorted-entry JSON rendering."""
+    if re.search(r"array\s*\(\s*map", left + right, re.IGNORECASE):
+        def vj(m: str) -> str:
+            return (
+                f"to_json(map_from_entries(array_sort(map_entries("
+                f"element_at({m}, __k)))))"
+            )
+
+        cmp = f"{vj(left)} <=> {vj(right)}"
+    else:
+        cmp = f"element_at({left}, __k) <=> element_at({right}, __k)"
     return (
         f"(CASE WHEN size({left}) != size({right})"
         f" OR array_sort(map_keys({left})) != array_sort(map_keys({right}))"
         f" THEN FALSE ELSE forall(map_keys({left}),"
-        f" __k -> element_at({left}, __k) <=> element_at({right}, __k)) END)"
+        f" __k -> {cmp}) END)"
     )
 
 
@@ -1643,10 +1867,15 @@ _FRACTIONAL_ELEM = re.compile(
 )
 
 
+_SCALAR_ELEM = re.compile(r"[-+]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?|NULL", re.IGNORECASE)
+
+
 def _transform_fractional_cast(sql: str) -> str:
-    """transform over an all-double-literal array: integral casts of the
-    lambda variable round like the reference (the element type is
-    statically DOUBLE, so CAST(x AS BIGINT) is a rounding cast)."""
+    """transform over an all-scalar-literal array: the lambda variable's
+    static element type enables two reference-parity rewrites —
+    integral casts of a double element ROUND (DoubleOperators), and
+    concat(array, x) with a scalar element is array_append
+    (ArrayConcatUtils appendElement)."""
     out = sql
     pos = 0
     while True:
@@ -1664,15 +1893,26 @@ def _transform_fractional_cast(sql: str) -> str:
             pos = m.end()
             continue
         elems = [e.strip() for e in am.group(1).split(",")]
-        if not all(_FRACTIONAL_ELEM.fullmatch(e) for e in elems):
+        if not all(_SCALAR_ELEM.fullmatch(e) for e in elems):
             pos = m.end()
             continue
         p = lm.group(1)
+        new_lam = lam
+        if all(
+            _FRACTIONAL_ELEM.fullmatch(e) for e in elems if e.upper() != "NULL"
+        ):
+            new_lam = re.sub(
+                rf"CAST\s*\(\s*{re.escape(p)}\s+AS\s+"
+                r"(BIGINT|INTEGER|INT|SMALLINT|TINYINT)\b",
+                rf"CAST(round({p}) AS \1",
+                new_lam,
+                flags=re.IGNORECASE,
+            )
         new_lam = re.sub(
-            rf"CAST\s*\(\s*{re.escape(p)}\s+AS\s+"
-            r"(BIGINT|INTEGER|INT|SMALLINT|TINYINT)\b",
-            rf"CAST(round({p}) AS \1",
-            lam,
+            rf"\bconcat\s*\(\s*(array\s*\([^()]*\))\s*,\s*{re.escape(p)}\s*\)",
+            rf"(CASE WHEN {p} IS NULL THEN NULL"
+            rf" ELSE array_append(\1, {p}) END)",
+            new_lam,
             flags=re.IGNORECASE,
         )
         if new_lam == lam:
@@ -1715,6 +1955,72 @@ def _regexp_split_rewrite(literals: list[str]):
     return fn
 
 
+def _map_from_entries_edge_rewrite(args: list[str]) -> str | None:
+    """map_from_entries(NULL) is NULL and the empty array yields the
+    empty map (MapFromEntriesFunction); Spark cannot type either."""
+    if len(args) != 1:
+        return None
+    a = args[0].strip()
+    if a.upper() == "NULL":
+        return "CAST(NULL AS MAP<STRING, STRING>)"
+    if re.fullmatch(r"array\s*\(\s*\)", a, re.IGNORECASE):
+        return "map()"
+    return None
+
+
+def _map_concat_null_rewrite(args: list[str]) -> str | None:
+    """map_concat with a NULL argument is NULL (MapConcatFunction)."""
+    if len(args) >= 2 and any(x.strip().upper() == "NULL" for x in args):
+        return "CAST(NULL AS MAP<STRING, STRING>)"
+    return None
+
+
+def _multimap_from_entries_rewrite(args: list[str]) -> str | None:
+    """multimap_from_entries over a literal array of (k, v) tuples —
+    grouped statically, preserving entry order per key
+    (MultimapFromEntriesFunction)."""
+    if len(args) != 1:
+        return None
+    a = args[0].strip()
+    if a.upper() == "NULL":
+        return "CAST(NULL AS MAP<STRING, ARRAY<STRING>>)"
+    if re.fullmatch(r"array\s*\(\s*\)", a, re.IGNORECASE) or re.match(
+        r"^(?:TRY_)?CAST\s*\(\s*array\s*\(\s*\)", a, re.IGNORECASE
+    ):
+        return "map()"
+    m = re.match(r"^array\s*\(", a, re.IGNORECASE)
+    if not m:
+        return None
+    try:
+        end, items = _scan_balanced(a, m.end() - 1)
+    except ValueError:
+        return None
+    if end != len(a):
+        return None
+    pairs: list[tuple[str, str]] = []
+    for it in items:
+        t = it.strip()
+        if not (t.startswith("(") and t.endswith(")")):
+            return None
+        try:
+            tend, kv = _scan_balanced(t, 0)
+        except ValueError:
+            return None
+        if tend != len(t) or len(kv) != 2:
+            return None
+        pairs.append((kv[0].strip(), kv[1].strip()))
+    keys: list[str] = []
+    groups: dict[str, list[str]] = {}
+    for k, v in pairs:
+        if k not in groups:
+            keys.append(k)
+            groups[k] = []
+        groups[k].append(v)
+    ks = ", ".join(keys)
+    vs = ", ".join(f"array({', '.join(groups[k])})" for k in keys)
+    return f"map_from_arrays(array({ks}), array({vs}))"
+
+
 def _split_to_map_rewrite(args: list[str]) -> str | None:
     """split_to_map(s, entryDelim, kvDelim) (StringFunctions.splitToMap)
     → Spark str_to_map with regex-quoted literal delimiters; Presto
@@ -1749,6 +2055,42 @@ def _split_to_multimap_rewrite(args: list[str]) -> str | None:
         f"(CASE WHEN length({s}) = 0 THEN map()"
         f" ELSE map_from_arrays({keys}, {vals}) END)"
     )
+
+
+def _cosine_sim_map_rewrite(args: list[str]) -> str | None:
+    """Reference cosine_similarity is over sparse MAP(varchar, double)
+    vectors (MathFunctions.cosineSimilarity).  Fires when an argument is
+    textually a map constructor; NULL maps / NULL values propagate NULL
+    through the aggregates naturally."""
+    if len(args) != 2:
+        return None
+    a, b = args[0].strip(), args[1].strip()
+
+    def mapish(x: str) -> bool:
+        return bool(
+            re.match(r"^map(?:_from_arrays)?\s*\(", x, re.IGNORECASE)
+        )
+
+    if not (mapish(a) or mapish(b)):
+        return None
+    if a.upper() == "NULL":
+        a = "CAST(NULL AS MAP<STRING, DOUBLE>)"
+    if b.upper() == "NULL":
+        b = "CAST(NULL AS MAP<STRING, DOUBLE>)"
+    dot = (
+        f"aggregate(map_keys({a}), CAST(0 AS DOUBLE), (__acc, __k) ->"
+        f" __acc + coalesce(element_at({a}, __k), 0D)"
+        f" * coalesce(element_at({b}, __k), 0D))"
+    )
+    na = (
+        f"sqrt(aggregate(map_values({a}), CAST(0 AS DOUBLE),"
+        f" (__acc, __v) -> __acc + __v * __v))"
+    )
+    nb = (
+        f"sqrt(aggregate(map_values({b}), CAST(0 AS DOUBLE),"
+        f" (__acc, __v) -> __acc + __v * __v))"
+    )
+    return f"({dot} / ({na} * {nb}))"
 
 
 def _if2_rewrite(args: list[str]) -> str | None:
@@ -2778,12 +3120,29 @@ def translate(sql: str) -> str:
     out = _LIMIT_ALL.sub("", out)
     # paren-aware constructs (argument-splitting scanners)
     out = _array_literals(out)
-    out = _element_array_concat(out)
+    out = _element_array_concat(out, literals)
+    out = _array_cmp_decimal_compat(out, literals)
+    # harness helper: unchecked_to_json('x') IS the JSON literal
+    out = re.sub(
+        r"\bunchecked_to_json\s*\(\s*(\x00\d+\x00)\s*\)", r"JSON \1", out,
+        flags=re.IGNORECASE,
+    )
+    # Spark rejects an untyped NULL as a CASE condition
+    out = re.sub(
+        r"\bWHEN\s+NULL\s+THEN\b", "WHEN CAST(NULL AS BOOLEAN) THEN", out,
+        flags=re.IGNORECASE,
+    )
     out = _harness_lambda_compat(out, literals)
     out = _rewrite_calls(out, "approx_percentile", _approx_percentile_rewrite)
     out = _rewrite_calls(out, "TRY", _try_rewrite)
     out = _rewrite_calls(out, "TRY_CAST", _try_cast_rewrite)
-    out = _rewrite_calls(out, "CAST", _json_cast_rewrite(literals))
+    # fixpoint: a folded inner CAST(.. AS JSON) re-exposes a JSON
+    # literal an outer CAST(.. AS MAP/ARRAY/ROW) can then consume
+    for _ in range(4):
+        prev_json = out
+        out = _rewrite_calls(out, "CAST", _json_cast_rewrite(literals))
+        if out == prev_json:
+            break
     out = _json_literal_eq(out, literals)
     out = _row_eq_compat(out)
     out = _map_eq_compat(out)
@@ -2874,7 +3233,11 @@ def translate(sql: str) -> str:
             return "map()"
         return None
 
-    out = _rewrite_calls(out, "map", _map_ctor)
+    for _ in range(5):  # nested MAP constructors (map values/keys)
+        prev_map = out
+        out = _rewrite_calls(out, "map", _map_ctor)
+        if out == prev_map:
+            break
     out = _rewrite_calls(out, "classify", _classify_rewrite)
     out = _rewrite_calls(out, "learn_classifier", _learn_classifier_rewrite)
     out = _rewrite_calls(out, "features", _features_rewrite)
@@ -2891,6 +3254,9 @@ def translate(sql: str) -> str:
     out = _extract_compat(out, literals)
     out = _like_compat(out, literals)
     out = _rewrite_calls(out, "split", _split_rewrite)
+    out = _rewrite_calls(out, "multimap_from_entries", _multimap_from_entries_rewrite)
+    out = _rewrite_calls(out, "map_from_entries", _map_from_entries_edge_rewrite)
+    out = _rewrite_calls(out, "map_concat", _map_concat_null_rewrite)
     out = _rewrite_calls(out, "split_to_map", _split_to_map_rewrite)
     out = _rewrite_calls(out, "split_to_multimap", _split_to_multimap_rewrite)
     out = _rewrite_calls(out, "regexp_split", _regexp_split_rewrite(literals))
@@ -2909,13 +3275,21 @@ def translate(sql: str) -> str:
         else None,
     )
     # array_intersect returns elements in ascending order, NULL first
-    # (ArrayIntersectFunction compares with the type's ordering)
+    # (ArrayIntersectFunction compares with the type's ordering);
+    # literal decimal operands harmonize to the max scale first
+    _ai_harm = _array_numeric_binary_rewrite("array_intersect")(literals)
+
+    def _ai(a: list[str]) -> str | None:
+        if len(a) != 2:
+            return None
+        h = _ai_harm(a)
+        if h is not None:
+            return f"sort_array({h})"
+        return f"sort_array(array_intersect({a[0]}, {a[1]}))"
+
+    out = _rewrite_calls(out, "array_intersect", _ai)
     out = _rewrite_calls(
-        out,
-        "array_intersect",
-        lambda a: f"sort_array(array_intersect({a[0]}, {a[1]}))"
-        if len(a) == 2
-        else None,
+        out, "array_remove", _array_numeric_binary_rewrite("array_remove")(literals)
     )
     out = _zoned_literal_compat(out, literals)
     out = _rewrite_calls(out, "reduce", _reduce_rewrite)
@@ -2927,6 +3301,7 @@ def translate(sql: str) -> str:
     out = _TYPED_LIT_POST.sub(lambda m: _typed_literal(m, literals), out)
     out = _ipaddress_cmp_compat(out)
     out = _rewrite_calls(out, "if", _if2_rewrite)
+    out = _rewrite_calls(out, "cosine_similarity", _cosine_sim_map_rewrite)
     out = _rewrite_calls(out, "truncate", _truncate_rewrite)
     out = _rewrite_calls(out, "bit_count", _bit_count_rewrite)
     out = _rewrite_calls(out, "replace", _replace_rewrite)

@@ -17,6 +17,9 @@ from __future__ import annotations
 
 def ensure_sql_support(spark) -> None:
     """Idempotently register every SQL-path helper UDF."""
+    # Presto map_concat keeps the LAST occurrence of a duplicated key
+    # (MapConcatFunction); Spark's default errors on duplicates
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     from prestodb_presto_spark.functions.regexp_fns import (
         ensure_sql_support as _regexp_support,
     )

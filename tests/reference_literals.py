@@ -182,8 +182,39 @@ def parse_expected(raw: str):
             if not ok:
                 return False, None
             items.append(v)
-        return True, dict(zip(items[0::2], items[1::2]))
+        try:
+            return True, dict(zip(items[0::2], items[1::2]))
+        except TypeError:  # unhashable key (list-valued) — out of scope
+            return False, None
     return False, None
+
+
+def _scan_java_call(src: str, open_idx: int) -> int | None:
+    """Index of the ')' closing the call whose '(' is at open_idx,
+    skipping Java string/char literals."""
+    i, depth, n = open_idx, 0, len(src)
+    while i < n:
+        c = src[i]
+        if c in ('"', "'"):
+            q = c
+            i += 1
+            while i < n and src[i] != q:
+                if src[i] == "\\":
+                    i += 1
+                i += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    return None
+
+
+_ASSERT_START = re.compile(r"\bassert(Function|DecimalFunction)\s*\(")
+_JOIN_CONCAT = re.compile(r'"\s*\+\s*"', re.DOTALL)
+_LEAD_STR = re.compile(r'^\s*"((?:[^"\\]|\\.)*)"\s*,\s*(.*)$', re.DOTALL)
 
 
 def scrape(files: list[str] | None = None):
@@ -194,49 +225,62 @@ def scrape(files: list[str] | None = None):
         + glob.glob(REF_EXPR_COMPILER)
     )
     for path in paths:
-        lines = open(path).read().splitlines()
-        is_compiler = path.endswith("TestExpressionCompiler.java")
-        for i, line in enumerate(lines):
-            dm = _DECIMAL_CASE.search(line)
-            if dm:
-                nxt = next(
-                    (l.strip() for l in lines[i + 1 : i + 3] if l.strip()), ""
-                )
-                if not nxt.startswith("fail("):
-                    yield (
-                        path.rsplit("/", 1)[-1],
-                        _junescape_simple(dm.group(1)),
-                        ("__decimal__", dm.group(2)),
-                    )
-                continue
-            if is_compiler:
+        fname = path.rsplit("/", 1)[-1]
+        src = open(path).read()
+        if fname == "TestExpressionCompiler.java":
+            # single-line idioms: assertExecute / assertFilter
+            for line in src.splitlines():
                 fm = _FILTER_CASE.search(line)
                 if fm:
                     # a filter DROPS the row on NULL (FilterAndProject
                     # semantics) — assertFilter expects false for NULL
-                    # predicates, so compare the kept/dropped outcome
+                    # predicates; compare the kept/dropped outcome
                     yield (
-                        path.rsplit("/", 1)[-1],
+                        fname,
                         "COALESCE((" + _junescape_simple(fm.group(1)) + "), FALSE)",
                         fm.group(2) == "true",
                     )
                     continue
                 m = _EXEC_CASE.search(line)
-            else:
-                m = _CASE.search(line)
-            if not m:
+                if not m:
+                    continue
+                ok, expected = parse_expected(m.group(3))
+                if ok:
+                    yield fname, _junescape_simple(m.group(1)), expected
+            continue
+        # statement-based scan: multi-line calls with "…" + "…" string
+        # concatenation are joined before parsing
+        for m in _ASSERT_START.finditer(src):
+            open_idx = m.end() - 1
+            close = _scan_java_call(src, open_idx)
+            if close is None:
                 continue
-            # a handful of reference cases wrap assertFunction in
-            # try { assertFunction(...); fail(...); } catch — the
-            # assertion is EXPECTED to throw (TestArrayOperators.java:453
-            # et al.); skip those, they are not value assertions
-            nxt = next(
-                (l.strip() for l in lines[i + 1 : i + 3] if l.strip()), ""
-            )
-            if nxt.startswith("fail("):
+            # try { assertFunction(...); fail(); } wraps assertions the
+            # reference EXPECTS to throw — skip, not value assertions
+            tail = src[close + 1 :].lstrip()
+            if tail.startswith(";"):
+                tail = tail[1:].lstrip()
+            if tail.startswith("fail("):
                 continue
-            expr_raw, _type, expected_raw = m.groups()
+            arg_text = _JOIN_CONCAT.sub("", src[open_idx + 1 : close])
+            lm = _LEAD_STR.match(arg_text)
+            if not lm:
+                continue
+            expr_raw, rest = lm.group(1), lm.group(2).strip()
+            if m.group(1) == "DecimalFunction":
+                dm = re.fullmatch(r'decimal\("([^"]*)"\)', rest, re.DOTALL)
+                if dm:
+                    yield (
+                        fname,
+                        _junescape_simple(expr_raw),
+                        ("__decimal__", dm.group(1)),
+                    )
+                continue
+            parts = _split_top_args(rest)
+            if parts is None or len(parts) < 2:
+                continue
+            expected_raw = ",".join(parts[1:]).strip()
             ok, expected = parse_expected(expected_raw)
             if not ok:
                 continue
-            yield path.rsplit("/", 1)[-1], _junescape_simple(expr_raw), expected
+            yield fname, _junescape_simple(expr_raw), expected

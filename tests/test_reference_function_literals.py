@@ -1,46 +1,36 @@
 """Run the reference's OWN scalar-function unit-test assertions.
 
-tests/reference_literals.py scrapes presto-main's Test*.java
-``assertFunction("<expr>", TYPE, <literal>)`` cases (1067 with plainly
-parseable expected literals) from the read-only checkout and this
-module executes every expression through Engine.sql(dialect="presto"),
-comparing to the reference's expected value.
+tests/reference_literals.py scrapes presto-main's Test*.java assertion
+calls — assertFunction / assertDecimalFunction (statement-based, so
+multi-line "…" + "…" string concatenations join), plus
+TestExpressionCompiler's assertExecute/assertFilter — from the
+read-only checkout, and this module executes every expression through
+Engine.sql(dialect="presto"), comparing to the reference's expected
+value.  Parseable expectations include scalars, ImmutableList/
+ImmutableMap/asList collections, and decimal("..") digit strings
+(value AND scale checked).
 
-3971/3971 pass exactly — every parseable assertion in the
-operator/scalar suites, the presto-main type-operator suites
-(array/map/row/char/decimal/json operators, per-type arithmetic and
-casts), and the expression-compiler suite (assertExecute/assertFilter,
-incl. the bound_* input symbols from FunctionAssertions' SOURCE_PAGE) —
-now also covering LIST/MAP-valued expectations (ImmutableList/
-ImmutableMap/asList), assertDecimalFunction's decimal("..") digit
-strings (value AND scale checked), and Presto's decimal-literal
-arithmetic type rules folded statically in the dialect
-(DecimalOperators: add/sub keep max scale at precision 38, divide keeps
-scale max(s1,s2) with HALF_UP), at 100% in every file.  Highlights of how the last
-deviations closed (all statically decidable dialect rewrites, no
-engine-default changes):
+4431/4433 pass exactly.  The machinery behind the long tail is all
+statically decidable dialect rewrites (no engine-default changes):
+Presto's decimal-literal arithmetic/negation type rules folded per
+DecimalOperators, JSON<->complex casts folded through the Presto
+coercion matrix with canonical rendering (sorted-object maps with
+string keys, positional rows, Java Double.toString forms,
+JsonUtil), literal decimal-scale harmonization for array operators and
+comparisons, fractional->integral casts rounding HALF_UP, split with
+literal delimiters, repeat/flatten/array_intersect/zip/
+map-entries/sparse-cosine lowerings, the FunctionAssertions bound_*
+input page, and the reference harness's lambda surface with literal
+beta-reduction.
 
-  - fractional → integral casts round HALF_UP like the reference
-    (DoubleOperators.castToLong / DecimalCasts) when the source is
-    statically fractional; CAST to varchar(n) truncates and bare CHAR
-    is CHAR(1) (TestCharacterStringCasts);
-  - the harness lambda surface (apply/invoke/"$internal$bind")
-    beta-reduces literal bindings so the cast rewrites see the bound
-    value's type — apply(25.6E0, x -> CAST(x AS BIGINT)) = 26;
-  - row(..) = row(..) decomposes field-wise so map-typed fields go
-    through the map-equality compat (RowEqualOperator semantics);
-  - element || array lowers to array_append/array_prepend
-    (ArrayConcatUtils), concat over arrays with a literal NULL is
-    NULL, and mixed decimal-scale array_position compares as DOUBLE;
-  - interval → varchar casts render statically in the reference's
-    canonical forms ('%d-%d' / '%d %02d:%02d:%02d.%03d');
-  - IPADDRESS ordering compares the 16-byte IPv6 form via a
-    fixed-width hex key UDF (IpAddressOperators), not canonical text;
-  - BOOLEAN 'x' / DOUBLE PRECISION 'x' typed literals, and the
-    harness-only functions (identityFunction, precomputed,
-    null_function, bound_long) lowered from their sources;
-  - 3 try{assertFunction(...);fail();} cases the reference EXPECTS to
-    throw are excluded by the scraper (we raise too — correct).
+The TWO remaining deviations are structural, not bugs:
+  - TestMapZipWithFunction: v1/v2 between lambda variables is ANSI
+    (double) division here; Presto's int/int truncation is not
+    statically decidable for unbound lambda operands (documented
+    arithmetic posture);
+  - TestMapOperators: a MAP-typed map KEY (map_entries over
+    MAP(ARRAY[MAP..], ..)) — Spark forbids map-typed map keys
+    (INVALID_MAP_KEY_TYPE), a type-system limit.
 """
 
 from __future__ import annotations
@@ -51,27 +41,27 @@ import pytest
 
 from tests.reference_literals import scrape
 
-# exact-pass count per reference test file (current: 3971/3971 — all)
+# exact-pass count per reference test file (current: 4431/4433)
 PASS_FLOORS = {
     "TestArrayExceptFunction.java": 17,
-    "TestArrayFilterFunction.java": 19,
-    "TestArrayOperators.java": 604,
-    "TestArrayReduceFunction.java": 14,
-    "TestArrayTransformFunction.java": 28,
+    "TestArrayFilterFunction.java": 21,
+    "TestArrayOperators.java": 669,
+    "TestArrayReduceFunction.java": 17,
+    "TestArrayTransformFunction.java": 36,
     "TestBigintOperators.java": 59,
     "TestBitwiseFunctions.java": 15,
     "TestBlockAndPositionNullConvention.java": 2,
     "TestBooleanOperators.java": 47,
-    "TestCharOperators.java": 104,
+    "TestCharOperators.java": 114,
     "TestCharParametricType.java": 1,
     "TestCharacterStringCasts.java": 14,
-    "TestConditions.java": 93,
+    "TestConditions.java": 133,
     "TestCustomFunctions.java": 5,
     "TestDateBase.java": 31,
     "TestDateTimeFunctionsBase.java": 53,
     "TestDateTimeOperatorsBase.java": 12,
     "TestDecimalCasts.java": 215,
-    "TestDecimalOperators.java": 488,
+    "TestDecimalOperators.java": 498,
     "TestDecimalParametricType.java": 15,
     "TestDecimalToDecimalCasts.java": 34,
     "TestDoubleOperators.java": 67,
@@ -84,16 +74,20 @@ PASS_FLOORS = {
     "TestIsNullAnnotation.java": 10,
     "TestJsonExtract.java": 1,
     "TestJsonFunctions.java": 134,
-    "TestJsonOperators.java": 99,
-    "TestLambdaExpression.java": 46,
+    "TestJsonOperators.java": 119,
+    "TestLambdaExpression.java": 48,
     "TestLegacyMapSubscript.java": 1,
-    "TestMapOperators.java": 143,
-    "TestMathFunctions.java": 280,
+    "TestMapFilterFunction.java": 29,
+    "TestMapOperators.java": 262,
+    "TestMapTransformKeyFunction.java": 30,
+    "TestMapTransformValueFunction.java": 33,
+    "TestMapZipWithFunction.java": 5,
+    "TestMathFunctions.java": 296,
     "TestRealOperators.java": 53,
-    "TestRegexpFunctions.java": 75,
-    "TestRowOperators.java": 71,
+    "TestRegexpFunctions.java": 91,
+    "TestRowOperators.java": 95,
     "TestSmallintOperators.java": 48,
-    "TestStringFunctions.java": 314,
+    "TestStringFunctions.java": 319,
     "TestTimeBase.java": 29,
     "TestTimeWithTimeZoneBase.java": 72,
     "TestTimestampBase.java": 43,
@@ -104,8 +98,10 @@ PASS_FLOORS = {
     "TestUnknownOperators.java": 17,
     "TestUrlFunctions.java": 10,
     "TestVarbinaryFunctions.java": 26,
-    "TestVarcharOperators.java": 43,
+    "TestVarcharOperators.java": 48,
     "TestWordStemFunction.java": 17,
+    "TestZipFunction.java": 1,
+    "TestZipWithFunction.java": 17,
 }
 
 
@@ -200,4 +196,4 @@ def test_reference_assert_function_literals(engine):
             regressions.append(f"{f}: {got_n} < floor {floor}")
     assert not regressions, f"literal-parity regressions: {regressions}"
     # keep the headline honest: overall floor
-    assert sum(passed.values()) >= 3971, sum(passed.values())
+    assert sum(passed.values()) >= 4431, sum(passed.values())
