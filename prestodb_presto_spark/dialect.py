@@ -2795,6 +2795,113 @@ _WINFN_PAT = re.compile(r"\b(" + "|".join(_NO_FRAME_FNS) + r")\s*\(", re.IGNOREC
 _OVER_PAT = re.compile(r"\s*(?:ignore\s+nulls\s+)?over\s*\(", re.IGNORECASE)
 
 
+_WINARG_PAT = re.compile(r"\b(lag|lead|nth_value|ntile)\s*\(", re.IGNORECASE)
+
+
+def _const_int_product(text: str, literals: list[str]) -> int | None:
+    """Value of a product of integer literals / typed integer literals
+    (BIGINT '8' * 1000 * 1000), else None."""
+    prod = 1
+    for part in text.split("*"):
+        p = part.strip()
+        if re.fullmatch(r"\d+", p):
+            prod *= int(p)
+            continue
+        tm = re.fullmatch(
+            r"(?:BIGINT|INTEGER|SMALLINT|TINYINT)\s*\x00(\d+)\x00"
+            r"|CAST\s*\(\s*\x00(\d+)\x00\s+AS\s+"
+            r"(?:BIGINT|INT|INTEGER|SMALLINT|TINYINT)\s*\)"
+            r"|CAST\s*\(\s*(\d+)\s+AS\s+"
+            r"(?:BIGINT|INT|INTEGER|SMALLINT|TINYINT)\s*\)",
+            p,
+            re.IGNORECASE,
+        )
+        if tm:
+            try:
+                if tm.group(3) is not None:
+                    prod *= int(tm.group(3))
+                else:
+                    idx = tm.group(1) or tm.group(2)
+                    prod *= int(literals[int(idx)][1:-1])
+            except ValueError:
+                return None
+            continue
+        return None
+    return prod
+
+
+def _window_arg_compat(sql: str, literals: list[str]) -> str:
+    """Presto window-argument shapes Spark rejects:
+
+    - lag/lead/nth_value/ntile with a literal NULL offset/bucket count
+      produce NULL (the reference's null-argument semantics);
+    - offsets beyond int32 clamp to 2147483647 — both exceed any
+      partition, so the semantics (NULL/default) are identical;
+    - nth_value with a PER-ROW offset becomes element_at over the
+      frame's collect_list;
+    - ntile with a per-row bucket count expands to Presto's bucket
+      formula (NTileFunction: first `count % n` buckets get the extra
+      row) over row_number/count windows.
+    """
+    out = sql
+    pos = 0
+    while True:
+        m = _WINARG_PAT.search(out, pos)
+        if not m:
+            return out
+        fn = m.group(1).lower()
+        call_end, args = _scan_balanced(out, m.end() - 1)
+        om = _OVER_PAT.match(out, call_end)
+        if not om:
+            pos = call_end
+            continue
+        spec_open = om.end() - 1
+        spec_end, _ = _scan_balanced(out, spec_open)
+        spec = out[spec_open + 1 : spec_end - 1]
+        repl = None
+        off_idx = 0 if fn == "ntile" else 1
+        if len(args) > off_idx and args[off_idx].strip().upper() == "NULL":
+            repl = "NULL"
+        elif fn in ("lag", "lead", "nth_value") and len(args) > 1:
+            v = _const_int_product(args[1], literals)
+            if v is not None and v > 2147483647:
+                clamped = args[:]
+                clamped[1] = " 2147483647"
+                repl = f"{fn}({','.join(clamped)}) OVER ({spec})"
+            elif fn == "nth_value" and re.fullmatch(
+                r"[A-Za-z_]\w*", args[1].strip()
+            ):
+                # per-row offset: index into the frame's value list;
+                # the struct wrapper keeps NULL elements collect_list
+                # would otherwise drop (NthValueFunction keeps them)
+                repl = (
+                    f"try_element_at(transform(collect_list("
+                    f"named_struct('v', {args[0]})) OVER ({spec}),"
+                    f" __s -> __s.v), CAST({args[1]} AS INT))"
+                )
+        elif fn == "ntile" and len(args) == 1 and not re.fullmatch(
+            r"\s*\d+\s*", args[0]
+        ):
+            n = f"({args[0].strip()})"
+            rn = f"row_number() OVER ({spec})"
+            part = re.split(r"\border\s+by\b", spec, flags=re.IGNORECASE)[0].strip()
+            cnt = f"count(*) OVER ({part})"
+            q = f"({cnt} DIV {n})"
+            r = f"({cnt} % {n})"
+            p = f"({rn} - 1)"
+            repl = (
+                f"(CASE WHEN {n} IS NULL THEN NULL"
+                f" WHEN {q} = 0 THEN {rn}"
+                f" WHEN {p} < ({q} + 1) * {r} THEN {p} DIV ({q} + 1) + 1"
+                f" ELSE {r} + ({p} - ({q} + 1) * {r}) DIV {q} + 1 END)"
+            )
+        if repl is None:
+            pos = call_end
+            continue
+        out = out[: m.start()] + repl + out[spec_end:]
+        pos = m.start() + len(repl)
+
+
 def _window_compat(sql: str) -> str:
     """Presto→Spark window-spec fixes for rank-family and lag/lead:
     drop the (ignored-by-Presto) explicit frame, and emulate Presto's
@@ -3356,6 +3463,7 @@ def translate(sql: str) -> str:
     out = _rewrite_calls(out, "kurtosis", _kurtosis_rewrite)
     out = _rewrite_calls(out, "skewness", _skewness_rewrite)
     out = _unnest_rewrite(out)
+    out = _window_arg_compat(out, literals)
     out = _window_compat(out)
     out = _order_by_nulls(out)
     # longest names first so json_extract_scalar wins over json_extract
