@@ -1767,7 +1767,10 @@ _EXTRACT_ITV = re.compile(
     re.IGNORECASE,
 )
 _TS_LOCAL_PART = re.compile(
-    r"^(\d{4}-\d{2}-\d{2}(?:[ T]\d{2}:\d{2}(?::\d{2}(?:\.\d+)?)?)?)\s+(\S.*)$"
+    # the zone must start with a letter or sign — otherwise a bare time
+    # part ('... 03:04:05.321') would be swallowed as a zone
+    r"^(\d{4}-\d{2}-\d{2}(?:[ T]\d{2}:\d{2}(?::\d{2}(?:\.\d+)?)?)?)"
+    r"\s+([A-Za-z+\-]\S*.*)$"
 )
 
 
@@ -1792,6 +1795,28 @@ def _extract_compat(sql: str, literals: list[str]) -> str:
 
     sql = _EXTRACT_TS.sub(ts_sub, sql)
     return _EXTRACT_ITV.sub(itv_sub, sql)
+
+
+def _extract_field_rewrite(args: list[str]) -> str | None:
+    """Field-level EXTRACT parity (DateTimeFunctions extract family):
+    DOW is ISO (Monday=1; Spark's is Sunday-based), SECOND is integral
+    (Spark returns decimal seconds), and TIMEZONE_HOUR/MINUTE route to
+    the session-zone-aware scalars."""
+    if len(args) != 1:
+        return None
+    m = re.match(r"^\s*(\w+)\s+FROM\s+(.*)$", args[0], re.IGNORECASE | re.DOTALL)
+    if not m:
+        return None
+    field, e = m.group(1).upper(), m.group(2)
+    if field == "DOW":
+        return f"CAST((dayofweek({e}) + 5) % 7 + 1 AS BIGINT)"
+    if field == "SECOND":
+        return f"CAST(floor(extract(SECOND FROM {e})) AS BIGINT)"
+    if field == "TIMEZONE_HOUR":
+        return f"timezone_hour({e})"
+    if field == "TIMEZONE_MINUTE":
+        return f"timezone_minute({e})"
+    return None
 
 
 _DECIMAL_LIT = re.compile(r"\bDECIMAL\s*'\s*([+-]?[0-9]*\.?[0-9]+)\s*'", re.IGNORECASE)
@@ -3359,6 +3384,13 @@ def translate(sql: str) -> str:
     out = _transform_fractional_cast(out)
     out = _division_compat(out, literals)
     out = _extract_compat(out, literals)
+    out = _rewrite_calls(out, "extract", _extract_field_rewrite)
+    # the TIMEZONE_HOUR/MINUTE extract fields emit timezone_* calls,
+    # and the scalar lowering pass has already run — re-apply it
+    out = _rewrite_calls(out, "timezone_hour", _tz_field_rewrite("hour"))
+    out = _rewrite_calls(out, "timezone_minute", _tz_field_rewrite("minute"))
+    out = _rewrite_calls(out, "timezone_hour", _tz_field_plain("hour"))
+    out = _rewrite_calls(out, "timezone_minute", _tz_field_plain("minute"))
     out = _like_compat(out, literals)
     out = _rewrite_calls(out, "split", _split_rewrite)
     out = _rewrite_calls(out, "multimap_from_entries", _multimap_from_entries_rewrite)

@@ -164,11 +164,14 @@ def test_extract_compat_zoned_literal_and_interval():
     assert "AS INTERVAL DAY TO SECOND" in out, out
     out = translate("SELECT extract(year FROM INTERVAL '29' MONTH) v")
     assert "AS INTERVAL YEAR TO MONTH" in out, out
-    # timezone fields keep the zoned literal (other rewrites own them)
+    # a ZONELESS timestamp literal stays plain — only a trailing zone
+    # (letter/sign-led) triggers the NTZ local-part rewrite; a bare
+    # time part must never be mistaken for a zone (hour would become 0)
     out = translate(
         "SELECT extract(hour FROM TIMESTAMP '2001-01-01 02:00:00') v"
     )
-    assert "TIMESTAMP_NTZ" in out, out
+    assert "TIMESTAMP_NTZ" not in out, out
+    assert "TIMESTAMP '2001-01-01 02:00:00'" in out, out
 
 
 def test_spark_safe_literal_trailing_backslash():
