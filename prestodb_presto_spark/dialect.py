@@ -2538,6 +2538,11 @@ _SQL_TEMPLATES = {
         " THEN CAST(CAST(conv(substr({0}, 2), {1}, 10) AS DECIMAL(20,0)) * -1 AS BIGINT)"
         " ELSE CAST(conv({0}, {1}, 10) AS BIGINT) END)",
     "codepoint": "ascii({0})",
+    # presto-teradata-functions (TeradataStringFunctions.java): INDEX is
+    # 1-based locate (0 = absent); CHAR2HEXINT is the UTF-16BE hex of
+    # the string, uppercase
+    "index": "CAST(locate({1}, {0}) AS BIGINT)",
+    "char2hexint": "upper(hex(encode({0}, 'UTF-16BE')))",
     # the reference test harness's custom scalar functions — semantics
     # from their sources (presto-main test CustomFunctions.java,
     # TestIsNullAnnotation.java): custom_add, IS NULL probes, and the

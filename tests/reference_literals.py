@@ -223,6 +223,14 @@ def scrape(files: list[str] | None = None):
         glob.glob(f"{REF_TEST_DIR}/Test*.java")
         + glob.glob(f"{REF_TYPE_TEST_DIR}/Test*.java")
         + glob.glob(REF_EXPR_COMPILER)
+        + glob.glob(
+            "/root/reference/presto-teradata-functions/src/test/java/com"
+            "/facebook/presto/teradata/functions/Test*.java"
+        )
+        + glob.glob(
+            "/root/reference/presto-main/src/test/java/com/facebook"
+            "/presto/sql/TestLikeFunctions.java"
+        )
     )
     for path in paths:
         fname = path.rsplit("/", 1)[-1]
