@@ -23,7 +23,6 @@ from prestodb_presto_spark.functions.datetime_fns import _mysql_to_java
 
 # Presto name -> Spark name, signature-compatible 1:1 renames.
 _RENAMES = {
-    "arbitrary": "any_value",
     "approx_distinct": "approx_count_distinct",
     "json_extract_scalar": "get_json_object",
     "json_extract": "get_json_object",
@@ -209,8 +208,13 @@ def _try_rewrite(args: list[str]) -> str:
 
 
 def _approx_percentile_rewrite(args: list[str]) -> str | None:
-    """approx_percentile(x, p) and the weighted (x, w, p) spelling
-    (ApproximateLongPercentileAggregations.java overloads)."""
+    """approx_percentile(x, p), the weighted (x, w, p) spelling, and
+    the accuracy variant (x, w, p, accuracy)
+    (ApproximateLongPercentileAggregations.java overloads).  The
+    accuracy parameter drops: the engine's weighted path is exact."""
+    if len(args) == 4:
+        x, w, p, _acc = args
+        return f"percentile({x}, {p}, CAST({w} AS BIGINT))"
     if len(args) == 3:
         x, w, p = args
         return f"percentile({x}, {p}, CAST({w} AS BIGINT))"
@@ -2543,6 +2547,16 @@ _SQL_TEMPLATES = {
     # the string, uppercase
     "index": "CAST(locate({1}, {0}) AS BIGINT)",
     "char2hexint": "upper(hex(encode({0}, 'UTF-16BE')))",
+    # arbitrary skips NULLs (ArbitraryAggregationFunction @SqlNullable
+    # combine keeps the first non-null); Spark any_value defaults to
+    # respecting them
+    "arbitrary": "any_value({0}, true)",
+    # order-independent checksum (ChecksumAggregationFunction.java):
+    # XOR of 60-bit per-row hashes — the engine's cross-engine
+    # convention (functions/aggregates_reg.py)
+    "checksum":
+        "bit_xor(CAST(conv(substr(md5(CAST({0} AS STRING)), 1, 15),"
+        " 16, 10) AS BIGINT))",
     # the reference test harness's custom scalar functions — semantics
     # from their sources (presto-main test CustomFunctions.java,
     # TestIsNullAnnotation.java): custom_add, IS NULL probes, and the
