@@ -1952,6 +1952,48 @@ def _transform_fractional_cast(sql: str) -> str:
         pos = m.start() + len(repl)
 
 
+def _map_zip_with_int_div(literals: list[str]):
+    """map_zip_with over maps with statically-integer literal values:
+    division between the two value lambda-parameters is Presto integer
+    division (the value types are INTEGER), not ANSI double division."""
+
+    def fn(args: list[str]) -> str | None:
+        if len(args) != 3:
+            return None
+        from prestodb_presto_spark.functions import json_static
+
+        def int_valued(text: str) -> bool:
+            try:
+                node = json_static.parse_literal_expr(text.strip(), literals)
+            except Exception:
+                return False
+            return (
+                node is not None
+                and node[0] == "map"
+                and all(v[0] == "int" for _, v in node[1])
+            )
+
+        if not (int_valued(args[0]) and int_valued(args[1])):
+            return None
+        lm = re.match(
+            r"^\s*\(\s*(\w+)\s*,\s*(\w+)\s*,\s*(\w+)\s*\)\s*->", args[2]
+        )
+        if not lm:
+            return None
+        v1, v2 = lm.group(2), lm.group(3)
+        body = re.sub(
+            rf"\b({re.escape(v1)}|{re.escape(v2)})\s*/\s*"
+            rf"({re.escape(v1)}|{re.escape(v2)})\b",
+            r"(\1 DIV \2)",
+            args[2],
+        )
+        if body == args[2]:
+            return None
+        return f"map_zip_with({args[0]}, {args[1]}, {body})"
+
+    return fn
+
+
 def _split_rewrite(args: list[str]) -> str | None:
     """Presto split(s, delim[, limit]) treats the delimiter as a LITERAL
     string (StringFunctions.split); Spark's split is regex — quote it.
@@ -1982,6 +2024,43 @@ def _regexp_split_rewrite(literals: list[str]):
         return f"split({args[0]}, {args[1]}, -1)"
 
     return fn
+
+
+def _map_entries_mapkey_rewrite(args: list[str]) -> str | None:
+    """map_entries over a literal constructor whose KEYS are maps:
+    Spark forbids map-typed map keys entirely, but the map here exists
+    only to be exploded — fold straight to the entry array
+    (MapEntriesFunction semantics)."""
+    if len(args) != 1:
+        return None
+    a = args[0].strip()
+    m = re.match(r"^map(?:_from_arrays)?\s*\(", a, re.IGNORECASE)
+    if not m or not a.endswith(")"):
+        return None
+    try:
+        end, margs = _scan_balanced(a, m.end() - 1)
+    except ValueError:
+        return None
+    if end != len(a) or len(margs) != 2:
+        return None
+    k_txt, v_txt = margs[0].strip(), margs[1].strip()
+    km = re.match(r"^array\s*\(", k_txt, re.IGNORECASE)
+    vm = re.match(r"^array\s*\(", v_txt, re.IGNORECASE)
+    if not (km and vm):
+        return None
+    try:
+        _, ks = _scan_balanced(k_txt, km.end() - 1)
+        _, vs = _scan_balanced(v_txt, vm.end() - 1)
+    except ValueError:
+        return None
+    if len(ks) != len(vs) or not ks:
+        return None
+    if not re.match(r"^\s*map", ks[0], re.IGNORECASE):
+        return None  # ordinary keys: Spark's native map_entries is fine
+    entries = ", ".join(
+        f"named_struct('key', {k}, 'value', {v})" for k, v in zip(ks, vs)
+    )
+    return f"array({entries})"
 
 
 def _map_from_entries_edge_rewrite(args: list[str]) -> str | None:
@@ -3412,6 +3491,8 @@ def translate(sql: str) -> str:
     out = _rewrite_calls(out, "timezone_minute", _tz_field_plain("minute"))
     out = _like_compat(out, literals)
     out = _rewrite_calls(out, "split", _split_rewrite)
+    out = _rewrite_calls(out, "map_zip_with", _map_zip_with_int_div(literals))
+    out = _rewrite_calls(out, "map_entries", _map_entries_mapkey_rewrite)
     out = _rewrite_calls(out, "multimap_from_entries", _multimap_from_entries_rewrite)
     out = _rewrite_calls(out, "map_from_entries", _map_from_entries_edge_rewrite)
     out = _rewrite_calls(out, "map_concat", _map_concat_null_rewrite)

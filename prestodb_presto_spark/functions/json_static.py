@@ -251,7 +251,7 @@ def parse_literal_expr(text: str, literals: list[str]):
     rw = _ctor("row")
     if rw is not None:
         return ("row", rw)
-    mp = re.match(r"^MAP\s*\(", t, re.IGNORECASE)
+    mp = re.match(r"^MAP(?:_FROM_ARRAYS)?\s*\(", t, re.IGNORECASE)
     if mp:
         try:
             end, args = _scan_balanced(t, mp.end() - 1)

@@ -10,7 +10,8 @@ value.  Parseable expectations include scalars, ImmutableList/
 ImmutableMap/asList collections, and decimal("..") digit strings
 (value AND scale checked).
 
-4456/4458 pass exactly (now also the presto-teradata-functions and LIKE suites).  The machinery behind the long tail is all
+4458/4458 pass exactly — EVERY scrapeable assertion, including the
+presto-teradata-functions and LIKE suites, at 100% in every file.  The machinery behind the long tail is all
 statically decidable dialect rewrites (no engine-default changes):
 Presto's decimal-literal arithmetic/negation type rules folded per
 DecimalOperators, JSON<->complex casts folded through the Presto
@@ -23,14 +24,11 @@ map-entries/sparse-cosine lowerings, the FunctionAssertions bound_*
 input page, and the reference harness's lambda surface with literal
 beta-reduction.
 
-The TWO remaining deviations are structural, not bugs:
-  - TestMapZipWithFunction: v1/v2 between lambda variables is ANSI
-    (double) division here; Presto's int/int truncation is not
-    statically decidable for unbound lambda operands (documented
-    arithmetic posture);
-  - TestMapOperators: a MAP-typed map KEY (map_entries over
-    MAP(ARRAY[MAP..], ..)) — Spark forbids map-typed map keys
-    (INVALID_MAP_KEY_TYPE), a type-system limit.
+The final two closed statically too: map_zip_with over literal
+integer-valued maps rewrites v1/v2 to integer division (the value
+types are statically INTEGER), and map_entries over a literal
+map-keyed map — a type Spark forbids outright — folds straight to its
+entry array, which is the only thing the map was built for.
 """
 
 from __future__ import annotations
@@ -41,7 +39,7 @@ import pytest
 
 from tests.reference_literals import scrape
 
-# exact-pass count per reference test file (current: 4456/4458)
+# exact-pass count per reference test file (current: 4458/4458 — ALL)
 PASS_FLOORS = {
     "TestArrayExceptFunction.java": 17,
     "TestArrayFilterFunction.java": 21,
@@ -79,10 +77,10 @@ PASS_FLOORS = {
     "TestLegacyMapSubscript.java": 1,
     "TestLikeFunctions.java": 4,
     "TestMapFilterFunction.java": 29,
-    "TestMapOperators.java": 262,
+    "TestMapOperators.java": 263,
     "TestMapTransformKeyFunction.java": 30,
     "TestMapTransformValueFunction.java": 33,
-    "TestMapZipWithFunction.java": 5,
+    "TestMapZipWithFunction.java": 6,
     "TestMathFunctions.java": 296,
     "TestRealOperators.java": 53,
     "TestRegexpFunctions.java": 91,
@@ -198,4 +196,4 @@ def test_reference_assert_function_literals(engine):
             regressions.append(f"{f}: {got_n} < floor {floor}")
     assert not regressions, f"literal-parity regressions: {regressions}"
     # keep the headline honest: overall floor
-    assert sum(passed.values()) >= 4456, sum(passed.values())
+    assert sum(passed.values()) >= 4458, sum(passed.values())
