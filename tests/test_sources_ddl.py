@@ -109,8 +109,10 @@ def test_describe_show_session(spark, nation):
 
 
 def test_translate_renames():
+    # arbitrary SKIPS nulls (ArbitraryAggregationFunction) — hence the
+    # ignore-nulls flag
     assert translate("SELECT arbitrary(x), approx_distinct(y) FROM t") == (
-        "SELECT any_value(x), approx_count_distinct(y) FROM t"
+        "SELECT any_value(x, true), approx_count_distinct(y) FROM t"
     )
     assert translate("SELECT json_extract_scalar(j, '$.a') FROM t") == (
         "SELECT get_json_object(j, '$.a') FROM t"
