@@ -1,12 +1,14 @@
 """Scraper for the reference's scalar-function unit tests.
 
-Extracts single-line ``assertFunction("<expr>", TYPE, <expected>);``
-cases from presto-main's Test*.java (read from the read-only checkout at
-test time, never copied) and keeps those whose expected value is a plain
-Java literal we can parse: string, integer (incl. hex / L suffix),
-float, boolean, or null.  Everything else (constructed objects, lists,
-constants) is out of scope for the literal runner — the differential
-gate and function unit tests cover those paths.
+Extracts ``assertFunction`` / ``assertDecimalFunction`` statements
+(multi-line, with Java "…" + "…" string concatenations joined) from
+presto-main's scalar and type-operator Test*.java, TestExpressionCompiler's
+``assertExecute``/``assertFilter``, and the presto-teradata-functions and
+LIKE suites (all read from the read-only checkout at test time, never
+copied).  Parseable expectations: scalar Java literals, ImmutableList/
+asList/ImmutableMap collections, and decimal("..") digit strings.
+Constructed objects (SqlTimestamp, sqlTimestampOf, ...) are out of
+scope — the differential gate and function unit tests cover those.
 """
 
 from __future__ import annotations
