@@ -165,8 +165,35 @@ def _split_top_binary(expr: str) -> tuple[str, str, str] | None:
 
 _TRY_FNS = {"/": "try_divide", "*": "try_multiply", "+": "try_add", "-": "try_subtract"}
 
+_CMP_OPS = ("!=", "<>", "<=", ">=", "=", "<", ">")
 
-def _try_rewrite(args: list[str]) -> str:
+
+def _split_top_comparison(expr: str) -> tuple[str, str, str] | None:
+    """Split at a top-level comparison operator (quote/paren aware)."""
+    depth = 0
+    i, n = 0, len(expr)
+    while i < n:
+        ch = expr[i]
+        if ch == "'":
+            j = expr.find("'", i + 1)
+            i = (j if j != -1 else n) + 1
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif depth == 0:
+            for op in _CMP_OPS:
+                if expr.startswith(op, i):
+                    lhs, rhs = expr[:i].strip(), expr[i + len(op) :].strip()
+                    if lhs and rhs and not lhs.endswith(("<", ">", "!", "=")):
+                        return lhs, op, rhs
+                    break
+        i += 1
+    return None
+
+
+def _try_rewrite(args: list[str], literals: list[str] | None = None) -> str:
     """TRY(expr) → NULL-on-error (reference scalar/TryFunction.java).
 
     Spark has no generic TRY; the shim lowers the reference's documented
@@ -177,6 +204,15 @@ def _try_rewrite(args: list[str]) -> str:
         raise ValueError("TRY takes exactly one argument")
     inner = args[0].strip()
     low = inner.lower()
+    # a top-level comparison distributes TRY over both sides
+    # (TRY(1/(b-a) != 1000): the failable arithmetic is inside)
+    cm = _split_top_comparison(inner)
+    if cm:
+        lhs, op, rhs = cm
+        return (
+            f"({_try_rewrite([lhs], literals)} {op} "
+            f"{_try_rewrite([rhs], literals)})"
+        )
     # the CAST/element_at fast paths only apply when the call IS the
     # whole TRY operand — TRY(CAST(..) / y) must take the arithmetic
     # branch below, not TRY_CAST the left operand
@@ -207,6 +243,24 @@ def _try_rewrite(args: list[str]) -> str:
     if am:
         e = am.group(1)
         return f"try_multiply(CAST(sign({e}) AS BIGINT), {e})"
+    # TRY over a JSON literal / json_parse(literal): the reference
+    # parses eagerly (JsonFunctions.jsonParse) so invalid text NULLs
+    # under TRY — statically decidable for literal arguments
+    jm = re.fullmatch(
+        r"(?:JSON\s+(\x00\d+\x00)|json_parse\s*\(\s*(\x00\d+\x00)\s*\))",
+        inner,
+        re.IGNORECASE,
+    )
+    if jm and literals is not None:
+        import json as _json
+
+        idx = int((jm.group(1) or jm.group(2)).strip("\x00"))
+        content = literals[idx][1:-1].replace("''", "'")
+        try:
+            _json.loads(content)
+        except ValueError:
+            return "CAST(NULL AS STRING)"
+        return f"({inner})"
     # constants cannot fail — TRY(c) == c (TryFunction.java semantics);
     # an array(..) constructor over constants likewise
     if re.fullmatch(
@@ -561,10 +615,23 @@ def _unnest_rewrite(sql: str) -> str:
             return out
         end, exprs = _scan_balanced(out, m.end() - 1)
         tail = _UNNEST_TAIL.match(out, end)
-        if not tail:
-            raise ValueError(
-                "UNNEST requires an alias with column names: UNNEST(x) AS t(c, ...)"
+        if not tail or tail.group(2).upper() in _RESERVED_AFTER_UNNEST:
+            # alias-less lateral UNNEST: Spark names the generator output
+            # itself (col / key,value / pos,col) — nothing downstream can
+            # reference the columns by name, so synthetic names suffice
+            om = re.match(r"\s*WITH\s+ORDINALITY", out[end:], re.IGNORECASE)
+            tail_end = end + (om.end() if om else 0)
+            e = exprs[0] if len(exprs) == 1 else f"arrays_zip({', '.join(exprs)})"
+            gen = (
+                f"posexplode({e})" if om
+                else (f"explode({e})" if len(exprs) == 1 else f"inline({e})")
             )
+            out = (
+                out[: m.start()]
+                + f" LATERAL VIEW {gen} __unnest_{m.start()} "
+                + out[tail_end:]
+            )
+            continue
         ordinal, alias, cols_s = tail.group(1), tail.group(2), tail.group(3)
         cols = [c.strip() for c in cols_s.split(",")]
         if ordinal:
@@ -753,7 +820,8 @@ def _in_values_compat(sql: str) -> str:
         open_idx = out.index("(", m.end(1))
         end, _ = _scan_balanced(out, open_idx)
         inner = out[open_idx + 1 : end - 1]
-        repl = f"(SELECT * FROM ({inner}))"
+        # Spark needs a table alias on a parenthesized VALUES in FROM
+        repl = f"(SELECT * FROM ({inner}) AS __v)"
         out = out[: open_idx] + repl + out[end:]
         pos = open_idx + len(repl)
 
@@ -778,10 +846,190 @@ def _grouping_compat(sql: str) -> str:
         if not has_gs:
             return "0"
         if len(args) > 1:
-            return f"grouping_id({', '.join(args)})"
+            # bit-sum of single-column grouping() calls: leftmost arg is
+            # the most significant bit, same layout as the reference's
+            # rewriter — and unlike Spark's grouping_id it accepts any
+            # subset/order of the grouping columns
+            n = len(args)
+            terms = [
+                f"grouping({a}) * {1 << (n - 1 - i)}" if n - 1 - i else f"grouping({a})"
+                for i, a in enumerate(args)
+            ]
+            return f"({' + '.join(terms)})"
         return None
 
     return _rewrite_calls(sql, "grouping", fn)
+
+
+_GB_DISTINCT = re.compile(
+    r"\bGROUP\s+BY\s+DISTINCT\s+(GROUPING\s+SETS\s*)?", re.IGNORECASE
+)
+
+
+def _group_by_distinct_compat(sql: str) -> str:
+    """GROUP BY DISTINCT [GROUPING SETS (...)] — the reference dedupes
+    grouping sets before expansion (SqlBase.g4 setQuantifier on
+    groupBy); Spark has no DISTINCT there.  Dedupe the set list
+    statically (whitespace-normalized) and drop the keyword."""
+    out = sql
+    while True:
+        m = _GB_DISTINCT.search(out)
+        if not m:
+            return out
+        if not m.group(1):
+            # plain GROUP BY DISTINCT a, b — grouping keys are a set
+            # already; just drop DISTINCT
+            out = out[: m.start()] + "GROUP BY " + out[m.end() :]
+            continue
+        open_idx = out.index("(", m.end() - 1)
+        end, sets = _scan_balanced(out, open_idx)
+        seen, deduped = set(), []
+        for s_item in sets:
+            key = " ".join(s_item.split())
+            if key not in seen:
+                seen.add(key)
+                deduped.append(s_item if s_item.strip() else "()")
+        body = ", ".join(
+            d if d.lstrip().startswith("(") or d == "()" else f"({d})"
+            for d in deduped
+        )
+        out = (
+            out[: m.start()]
+            + f"GROUP BY GROUPING SETS ({body})"
+            + out[end:]
+        )
+
+
+def _entries_sql(k: str, v: str) -> str:
+    return (
+        f"collect_list(CASE WHEN {k} IS NOT NULL THEN "
+        f"struct({k} AS k, {v} AS v) END)"
+    )
+
+
+def _map_agg_sql(args: list[str]) -> str | None:
+    """map_agg(k, v) in the SQL path (MapAggregationFunction.java):
+    dedupe BY KEY — first value wins, NULL keys skipped, matching the
+    DataFrame-tier builder (functions/aggregates_reg.py map_agg).  A
+    fold (aggregate HOF) dedupes so the collect_list never appears
+    inside a lambda body (SQL lambda binding would capture its column
+    references); the zero map derives its type from the entries
+    themselves via an empty slice."""
+    if len(args) != 2:
+        return None
+    e = _entries_sql(args[0], args[1])
+    zero = f"map_from_entries(slice({e}, 1, 0))"
+    return (
+        f"aggregate({e}, {zero}, (__acc, __e) -> "
+        f"CASE WHEN map_contains_key(__acc, __e.k) THEN __acc "
+        f"ELSE map_concat(__acc, map(__e.k, __e.v)) END)"
+    )
+
+
+def _multimap_agg_sql(args: list[str]) -> str | None:
+    """multimap_agg(k, v) → map<k, array<v>> (MultimapAggregationFunction;
+    NULL keys skipped like map_agg)."""
+    if len(args) != 2:
+        return None
+    e = _entries_sql(args[0], args[1])
+    zero = (
+        f"map_from_entries(slice(transform({e}, "
+        f"__t -> struct(__t.k AS k, array(__t.v) AS v)), 1, 0))"
+    )
+    return (
+        f"aggregate({e}, {zero}, (__acc, __e) -> "
+        f"CASE WHEN map_contains_key(__acc, __e.k) THEN "
+        f"map_concat(map_filter(__acc, (__kk, __vv) -> NOT (__kk <=> __e.k)), "
+        f"map(__e.k, array_append(element_at(__acc, __e.k), __e.v))) "
+        f"ELSE map_concat(__acc, map(__e.k, array(__e.v))) END)"
+    )
+
+
+def _minmax_by_n(desc: bool):
+    """min_by/max_by(x, y, n) → top-n x by y (minmaxby/ package;
+    MaxByNAggregationFunction).  NULL keys skipped like the reference's
+    TypedKeyValueHeap."""
+    first, second = ("-1", "1") if desc else ("1", "-1")
+
+    def fn(args: list[str]) -> str | None:
+        if len(args) != 3:
+            return None
+        x, y, n = args
+        return (
+            f"slice(transform(array_sort("
+            f"collect_list(CASE WHEN {y} IS NOT NULL THEN "
+            f"struct({y} AS k, {x} AS v) END), "
+            f"(__a, __b) -> CASE WHEN __a.k > __b.k THEN {first} "
+            f"WHEN __a.k < __b.k THEN {second} ELSE 0 END), "
+            f"__s -> __s.v), 1, {n})"
+        )
+
+    return fn
+
+
+_AGG_ORDER_BY = re.compile(
+    r"^(.*?)\s+ORDER\s+BY\s+(.+?)(?:\s+(ASC|DESC))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+_ARRAY_AGG_CALL = re.compile(r"\barray_agg\s*\(", re.IGNORECASE)
+_FILTER_TAIL = re.compile(r"\s*FILTER\s*\(\s*WHERE\s+", re.IGNORECASE)
+
+
+def _array_agg_body(arg: str, pred: str | None) -> str | None:
+    m = _AGG_ORDER_BY.match(arg)
+    if m:
+        e, k, direction = m.group(1), m.group(2), (m.group(3) or "ASC").upper()
+        first, second = ("1", "-1") if direction == "ASC" else ("-1", "1")
+        entry = f"struct({k} AS k, {e} AS v)"
+        if pred:
+            entry = f"CASE WHEN ({pred}) THEN {entry} END"
+        lst = (
+            f"array_sort(collect_list({entry}), "
+            f"(__a, __b) -> CASE WHEN __a.k > __b.k THEN {first} "
+            f"WHEN __a.k < __b.k THEN {second} ELSE 0 END)"
+        )
+    else:
+        entry = f"struct({arg} AS v)"
+        if pred:
+            entry = f"CASE WHEN ({pred}) THEN {entry} END"
+        lst = f"collect_list({entry})"
+    return (
+        f"(CASE WHEN size({lst}) = 0 THEN NULL "
+        f"ELSE transform({lst}, __s -> __s.v) END)"
+    )
+
+
+def _array_agg_compat(sql: str) -> str:
+    """array_agg(e [ORDER BY k [ASC|DESC]]) [FILTER (WHERE p)] in the
+    SQL path (arrayagg/ArrayAggregationFunction + AggregationNode
+    orderings + ImplementFilteredAggregations): keeps NULL values
+    (collect_list drops bare NULLs, so elements ride in structs),
+    returns NULL — not [] — for an empty group, and folds a FILTER
+    clause into the collected entry (equivalent, since NULL entries are
+    dropped)."""
+    out = sql
+    pos = 0
+    while True:
+        m = _ARRAY_AGG_CALL.search(out, pos)
+        if not m:
+            return out
+        end, args = _scan_balanced(out, m.end() - 1)
+        if len(args) != 1 or args[0].strip().upper().startswith("DISTINCT"):
+            pos = m.end()
+            continue
+        pred = None
+        tail_end = end
+        fm = _FILTER_TAIL.match(out, end)
+        if fm:
+            open_idx = out.index("(", end, fm.end())
+            fend, _ = _scan_balanced(out, open_idx)
+            pred = out[fm.end() : fend - 1].strip()
+            tail_end = fend
+        body = _array_agg_body(args[0], pred)
+        out = out[: m.start()] + body + out[tail_end:]
+        pos = m.start() + len(body)
 
 
 # DECIMAL 'x.yz' typed literal (presto-parser grammar) — Spark has no
@@ -3734,12 +3982,25 @@ def translate(sql: str) -> str:
         r"\bWHEN\s+NULL\s+THEN\b", "WHEN CAST(NULL AS BOOLEAN) THEN", out,
         flags=re.IGNORECASE,
     )
+    # ... or as a WHERE/HAVING filter (Presto types it BOOLEAN); only
+    # when NULL is the WHOLE predicate (WHERE NULL IN (...) keeps the
+    # untyped NULL so the IN comparison types it)
+    out = re.sub(
+        r"\b(WHERE|HAVING)\s+NULL\b"
+        r"(?=\s*(?:$|\)|GROUP\b|ORDER\b|LIMIT\b|UNION\b|INTERSECT\b|EXCEPT\b))",
+        r"\1 CAST(NULL AS BOOLEAN)",
+        out,
+        flags=re.IGNORECASE,
+    )
+    # GROUP BY () is the empty grouping set == global aggregation
+    out = re.sub(r"\bGROUP\s+BY\s+\(\s*\)", "", out, flags=re.IGNORECASE)
+    out = _group_by_distinct_compat(out)
     out = _harness_lambda_compat(out, literals)
     out = _quantified_compat(out)
     out = _in_values_compat(out)
     out = _grouping_compat(out)
     out = _rewrite_calls(out, "approx_percentile", _approx_percentile_rewrite)
-    out = _rewrite_calls(out, "TRY", _try_rewrite)
+    out = _rewrite_calls(out, "TRY", lambda a: _try_rewrite(a, literals))
     # fixpoint: a rewritten outer TRY_CAST may embed an unprocessed
     # nested try_cast (the call scanner skips replacement text)
     for _ in range(4):
@@ -3978,6 +4239,11 @@ def translate(sql: str) -> str:
     )
     out = _rewrite_calls(out, "kurtosis", _kurtosis_rewrite)
     out = _rewrite_calls(out, "skewness", _skewness_rewrite)
+    out = _rewrite_calls(out, "map_agg", _map_agg_sql)
+    out = _rewrite_calls(out, "multimap_agg", _multimap_agg_sql)
+    out = _rewrite_calls(out, "max_by", _minmax_by_n(desc=True))
+    out = _rewrite_calls(out, "min_by", _minmax_by_n(desc=False))
+    out = _array_agg_compat(out)
     out = _unnest_rewrite(out)
     out = _window_arg_compat(out, literals)
     out = _window_compat(out)

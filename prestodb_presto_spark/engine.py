@@ -126,6 +126,24 @@ class Engine:
         if dialect == "presto":
             from prestodb_presto_spark.dialect import translate
 
+            if "information_schema." in text.lower():
+                # materialize the synthesized metadata views under plain
+                # names (temp views can't be schema-qualified in Spark)
+                import re as _re
+
+                for view in ("tables", "columns"):
+                    if _re.search(
+                        rf"information_schema\.{view}\b", text, _re.IGNORECASE
+                    ):
+                        self.information_schema(view).createOrReplaceTempView(
+                            f"__information_schema_{view}"
+                        )
+                text = _re.sub(
+                    r"\binformation_schema\.(tables|columns)\b",
+                    r"__information_schema_\1",
+                    text,
+                    flags=_re.IGNORECASE,
+                )
             text = translate(text)
             with self._presto_literals():
                 # spark.sql parses/analyzes eagerly, so the raw-literal

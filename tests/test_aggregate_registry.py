@@ -85,6 +85,17 @@ def test_information_schema(engine):
     assert "l_orderkey" in li_cols and "l_shipdate" in li_cols
 
 
+def test_information_schema_sql_path(engine):
+    """information_schema.tables/columns queryable through Engine.sql
+    (AbstractTestQueries.testInformationSchemaFiltering shape)."""
+    rows = engine.sql(
+        "SELECT table_name FROM information_schema.tables"
+        " WHERE table_name = 'orders' LIMIT 1",
+        dialect="presto",
+    ).collect()
+    assert [r.table_name for r in rows] == ["orders"]
+
+
 def test_weighted_percentile(spark, li):
     # weight 1 == unweighted exact median; tripling weights preserves it
     row = li.select(

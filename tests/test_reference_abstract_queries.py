@@ -1,0 +1,275 @@
+"""Run the reference's OWN end-to-end SQL suites differentially.
+
+AbstractTestQueries.java (8096 lines, 505 @Test methods) and
+AbstractTestAggregations.java are the reference's core correctness
+asset (SURVEY.md §5 layer 2): every SQL feature over the TPC-H ``tiny``
+catalog, checked against H2 (H2QueryRunner.java:88,
+QueryAssertions.java:75).  tests/abstract_queries_scrape.py scrapes
+their assertQuery / assertQueryOrdered / assertQueryReturnsEmptyResult
+statements from the read-only checkout (1264 runnable cases) and this
+module executes each through Engine.sql(dialect="presto") against real
+dbgen sf0.01 data — which IS tpch.tiny — comparing to DuckDB running
+the same SQL (1-arg form) or the reference's own expected SQL (2-arg
+form), exactly the reference's H2 differential pattern.
+
+Current state: **1005 of the 1264 scrapeable cases pass** the full
+differential.  159 have no runnable oracle (DuckDB can't parse that
+Presto SQL — lambdas, UNNEST-ordinality forms; not an engine gap) and
+100 are frozen as known deviations below, each with its cause —
+mostly Catalyst decorrelation limits, Spark 3VL-in-projection
+existence joins, and the documented engine-specific sketch values.
+The floors make any regression (or silently-lost oracle) fail loudly.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from prestodb_presto_spark.testing import _tolerant_cell as _tc0
+from tests.abstract_queries_scrape import scrape
+
+PASS_FLOOR = 1005
+ORACLE_UNRUNNABLE_MAX = 165
+
+# method → (max allowed non-passing cases, recorded cause).  A failure
+# in any OTHER method, or above these counts, is a regression.
+ALLOWED = {
+    # engine-defined values (documented deviations, tolerance-gated
+    # elsewhere)
+    "testApproximateCountDistinct": (
+        32,
+        "approx_distinct returns Spark HLL++ estimates; the reference "
+        "asserts its airlift-HLL exact estimates (engine-defined values; "
+        "the driver gate checks tolerance instead)",
+    ),
+    "testChecksum": (
+        1,
+        "checksum values are engine-defined (documented md5/xor "
+        "cross-engine convention, gate agg_checksum)",
+    ),
+    # Catalyst decorrelation boundaries
+    "testCorrelatedScalarSubqueries": (
+        6, "non-aggregated / LIMIT-bearing correlated scalar subqueries "
+           "exceed Catalyst decorrelation"),
+    "testCorrelatedScalarSubqueriesWithScalarAggregation": (
+        6, "correlated scalar agg over outer-alias two levels deep"),
+    "testCorrelatedScalarSubqueriesWithScalarAggregationAndEqualityPredicatesInWhere": (
+        6, "same family, equality-predicate variants"),
+    "testCorrelatedExistsSubqueries": (
+        6, "EXISTS in ORDER BY / JOIN ON and deep-alias correlation"),
+    "testCorrelatedExistsSubqueriesWithEqualityPredicatesInWhere": (
+        4, "same family"),
+    "testCorrelatedExistsSubqueriesWithPrunedCorrelationSymbols": (
+        4, "same family"),
+    "testExistsSubquery": (2, "EXISTS in ORDER BY"),
+    "testJoinWithScalarSubqueryInOnClause": (
+        1, "scalar subquery inside JOIN ON"),
+    "testSemiJoin": (1, "IN-subquery inside JOIN ON"),
+    "testInUncorrelatedSubquery": (
+        1, "MAP values are not comparable in Spark (IN over map column)"),
+    # Spark three-valued-logic gap: IN-subquery in a PROJECTION lowers
+    # to an existence join that yields FALSE where ANSI 3VL gives NULL
+    "testSemiJoinNullHandling": (4, "3VL IN-subquery in projection"),
+    "testSemiJoinUnionNullHandling": (1, "same"),
+    "testSemiJoinAggregationNullHandling": (1, "same"),
+    "testSemiJoinUnionAggregationNullHandling": (1, "same"),
+    "testSemiJoinAggregationUnionNullHandling": (1, "same"),
+    "testNullOnLhsOfInPredicateAllowed": (2, "same"),
+    "testCorrelatedInPredicateSubqueries": (1, "same"),
+    # ORDER BY output-column scoping
+    "testOrderByWithOutputColumnReference": (
+        4, "Spark cannot resolve output aliases / window functions in "
+           "these ORDER BY positions"),
+    # grouping() scope rules
+    "testGrouping": (
+        1, "grouping() in ORDER BY over a mixed grouping-set query"),
+    "testGroupingInTableSubquery": (
+        3, "grouping() in an outer query over a grouping-sets subquery "
+           "(Presto scopes per-aggregation; Spark rejects or NULLs)"),
+    # Spark returns zero rows for global grouping sets over empty input
+    "testGroupingSetsWithGlobalAggregationNoInput": (
+        1, "Spark emits no rows for () grouping sets over empty input"),
+    "testGroupingSetsRepeatedSetsAllNoInput": (1, "same"),
+    "testGroupingSetsMultipleGrandTotalSetsNoInput": (1, "same"),
+    "testCubeNoInput": (1, "same"),
+    # JSON rendering of runtime rows
+    "testRows": (
+        4, "runtime ROW → JSON renders named objects (to_json); Presto "
+           "renders positional arrays — literal rows fold exactly "
+           "(functions/json_static.py), runtime rows keep Spark's form"),
+    # numeric coercion corner
+    "testJoinWithConstantTrueExpressionWithCoercion": (
+        1, "REAL = DECIMAL compares in double (Spark) vs real (Presto)"),
+    "testJoinWithCanonicalizedConstantTrueExpressionWithCoercion": (1, "same"),
+    # wildcard scoping
+    "testQualifiedWildcardFromJoin": (
+        1, "qualified wildcard over USING join: Spark keeps the join "
+           "columns, ANSI/Presto exclude them"),
+    # TRY shim limits
+    "testTry": (2, "TRY over arbitrary scalar calls (to_base) untranslated"),
+    "testMaps": (1, "TRY(MAP(array(NULL), ..)) runtime error not translatable"),
+    "testNonEqualityJoinWithTryInFilter": (
+        1, "TRY comparison against current_timestamp typing"),
+    # lambdas in exotic positions
+    "testLambdaInSubqueryContext": (
+        1, "higher-order function inside a subquery expression"),
+    "testLambdaInValuesAndUnnest": (
+        1, "lambda-built array inside an inline table"),
+    # array subscript typing
+    "testArrays": (
+        1, "element_at(array, BIGINT-typed runtime index): Spark wants INT"),
+    "testRowFieldAccessorInAggregate": (1, "same"),
+    # misc
+    "testCrossJoinUnnestWithUnion": (
+        1, "UNNEST over a parenthesized UNION relation (LATERAL shape)"),
+    "testAggregationWithSomeArgumentCasts": (
+        1, "approx_percentile with a column percentage (Spark requires "
+           "a foldable fraction)"),
+}
+
+TINY = ("region", "nation", "customer", "supplier", "part", "partsupp",
+        "orders", "lineitem")
+
+
+def _strip(cols):
+    return [f"{c} AS {c.split('_', 1)[1]}" for c in cols]
+
+
+@pytest.fixture(scope="module")
+def aq_env(engine):
+    """Bare-name, unprefixed-column views of REAL dbgen sf0.01 (what
+    ``tpch.tiny`` means in the reference CI) in BOTH engines."""
+    from tests.tpch_real import build_tpch_real_dir
+
+    real_dir = build_tpch_real_dir("/tmp/spark_graft_tpch_real_sf0.01")
+    spark = engine.spark
+
+    def fresh_con():
+        c = duckdb.connect()
+        for name in TINY:
+            cols = [
+                d[0]
+                for d in duckdb.connect()
+                .execute(f"SELECT * FROM '{real_dir}/{name}.parquet' LIMIT 0")
+                .description
+            ]
+            c.execute(
+                f"CREATE OR REPLACE VIEW {name} AS SELECT"
+                f" {', '.join(_strip(cols))} FROM '{real_dir}/{name}.parquet'"
+            )
+        return c
+
+    for name in TINY:
+        df = spark.read.parquet(f"{real_dir}/{name}.parquet")
+        df.selectExpr(*_strip(df.columns)).createOrReplaceTempView(name)
+
+    yield engine, fresh_con
+
+    from prestodb_presto_spark.queries.util import t as load_table
+
+    for name in ("nation", "region", "customer", "supplier", "part",
+                 "orders", "lineitem"):
+        load_table(spark, "/root/testdata/sf0.001", name).createOrReplaceTempView(name)
+    spark.catalog.dropTempView("partsupp")
+
+
+def _cell(v):
+    # H2QueryRunner coerces numerics (and booleans print as 0/1 in its
+    # VALUES expectations); unify the same way
+    if isinstance(v, bool):
+        return _tc0(1.0 if v else 0.0)
+    if isinstance(v, int):
+        return _tc0(float(v))
+    return _tc0(v)
+
+
+def _compare(sdf, con, oracle_sql, ordered):
+    srows = [tuple(r) for r in sdf.collect()]
+    res = con.execute(oracle_sql)
+    orows = res.fetchall()
+    if len(srows) == 0 and len(orows) == 0:
+        return None  # row-list compare, like assertEqualsIgnoreOrder
+    if len(sdf.columns) != len(res.description):
+        return f"column count {len(sdf.columns)} vs {len(res.description)}"
+    if len(srows) != len(orows):
+        return f"rowcount {len(srows)} vs {len(orows)}"
+    a = [tuple(_cell(v) for v in r) for r in srows]
+    b = [tuple(_cell(v) for v in r) for r in orows]
+    if not ordered:
+        a, b = sorted(a), sorted(b)
+
+    def cell_ok(x, y):
+        if x == y:
+            return True
+        if x[0] == y[0] == "f" and len(x) == len(y) == 3:
+            return math.isclose(x[2], y[2], rel_tol=1e-5, abs_tol=2e-6)
+        return False
+
+    bad = [
+        (x, y)
+        for x, y in zip(a, b)
+        if not (len(x) == len(y) and all(cell_ok(u, v) for u, v in zip(x, y)))
+    ][:2]
+    return f"value mismatch, e.g. {bad}" if bad else None
+
+
+def test_reference_abstract_queries(aq_env):
+    cases = list(scrape())
+    if not cases:
+        pytest.skip("reference checkout not present")
+    engine, fresh_con = aq_env
+    con = fresh_con()
+    passed = 0
+    oracle_unrunnable = 0
+    failed: dict[str, list[str]] = {}
+    for fname, method, k, kind, actual, expected in cases:
+        cid = f"{method}[{k}]"
+        try:
+            sdf = engine.sql(actual, dialect="presto")
+            if kind == "empty":
+                if sdf.count() == 0:
+                    passed += 1
+                else:
+                    failed.setdefault(method, []).append(cid + ": not empty")
+                continue
+            sdf.columns
+        except Exception as e:
+            failed.setdefault(method, []).append(f"{cid}: {type(e).__name__}")
+            continue
+        osql = expected if expected is not None else actual
+        try:
+            con.execute(osql).fetchall()
+        except (duckdb.InternalException, duckdb.FatalException):
+            con = fresh_con()  # a DuckDB internal error poisons the conn
+            oracle_unrunnable += 1
+            continue
+        except duckdb.Error:
+            oracle_unrunnable += 1
+            continue
+        try:
+            err = _compare(sdf, con, osql, ordered=(kind == "ordered"))
+        except Exception as e:
+            failed.setdefault(method, []).append(f"{cid}: exec {type(e).__name__}")
+            continue
+        if err is None:
+            passed += 1
+        else:
+            failed.setdefault(method, []).append(f"{cid}: {err[:120]}")
+
+    regressions = []
+    for method, cases_failed in sorted(failed.items()):
+        limit, _reason = ALLOWED.get(method, (0, ""))
+        if len(cases_failed) > limit:
+            regressions.append(
+                f"{method}: {len(cases_failed)} > allowed {limit}: "
+                f"{cases_failed[:3]}"
+            )
+    assert not regressions, f"abstract-queries regressions: {regressions}"
+    assert passed >= PASS_FLOOR, f"pass count fell: {passed} < {PASS_FLOOR}"
+    assert oracle_unrunnable <= ORACLE_UNRUNNABLE_MAX, (
+        f"oracle lost queries it used to run: {oracle_unrunnable}"
+    )
