@@ -129,6 +129,44 @@ def scrape():
                     break
 
 
+def oracle_values_compat(osql: str) -> str:
+    """H2 (the reference's oracle) accepts bare scalar VALUES rows
+    (``VALUES 1, 2``); DuckDB requires each row parenthesized.  Wrap
+    bare items so DuckDB can serve as the oracle for the reference's
+    expected-SQL form."""
+    s = osql.lstrip()
+    if not s.upper().startswith("VALUES"):
+        return osql
+    body = s[6:]
+    items: list[str] = []
+    depth = 0
+    buf: list[str] = []
+    i, n = 0, len(body)
+    while i < n:
+        ch = body[i]
+        if ch == "'":
+            j = body.find("'", i + 1)
+            j = j if j != -1 else n - 1
+            buf.append(body[i : j + 1])
+            i = j + 1
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            items.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    items.append("".join(buf))
+    wrapped = [
+        it if it.strip().startswith("(") else f"({it.strip()})" for it in items
+    ]
+    return "VALUES " + ", ".join(wrapped)
+
+
 if __name__ == "__main__":
     from collections import Counter
 

@@ -12,8 +12,8 @@ dbgen sf0.01 data — which IS tpch.tiny — comparing to DuckDB running
 the same SQL (1-arg form) or the reference's own expected SQL (2-arg
 form), exactly the reference's H2 differential pattern.
 
-Current state: **1005 of the 1264 scrapeable cases pass** the full
-differential.  159 have no runnable oracle (DuckDB can't parse that
+Current state: **1101 of the 1264 scrapeable cases pass** the full
+differential.  63 have no runnable oracle (DuckDB can't parse that
 Presto SQL — lambdas, UNNEST-ordinality forms; not an engine gap) and
 100 are frozen as known deviations below, each with its cause —
 mostly Catalyst decorrelation limits, Spark 3VL-in-projection
@@ -30,10 +30,10 @@ import duckdb
 import pytest
 
 from prestodb_presto_spark.testing import _tolerant_cell as _tc0
-from tests.abstract_queries_scrape import scrape
+from tests.abstract_queries_scrape import oracle_values_compat, scrape
 
-PASS_FLOOR = 1005
-ORACLE_UNRUNNABLE_MAX = 165
+PASS_FLOOR = 1101
+ORACLE_UNRUNNABLE_MAX = 70
 
 # method → (max allowed non-passing cases, recorded cause).  A failure
 # in any OTHER method, or above these counts, is a regression.
@@ -240,7 +240,7 @@ def test_reference_abstract_queries(aq_env):
         except Exception as e:
             failed.setdefault(method, []).append(f"{cid}: {type(e).__name__}")
             continue
-        osql = expected if expected is not None else actual
+        osql = oracle_values_compat(expected if expected is not None else actual)
         try:
             con.execute(osql).fetchall()
         except (duckdb.InternalException, duckdb.FatalException):
