@@ -93,18 +93,25 @@ class Engine:
         presto-main/.../connector/informationSchema/): "tables" and
         "columns" views over the session catalog."""
         tables = sorted(t.name for t in self.spark.catalog.listTables())
+        catalog = self.spark.catalog.currentCatalog()
+        schema = self.spark.catalog.currentDatabase()
         if view == "tables":
             return self.spark.createDataFrame(
-                [(n,) for n in tables], "table_name string"
+                [(catalog, schema, n, "BASE TABLE") for n in tables],
+                "table_catalog string, table_schema string, table_name string,"
+                " table_type string",
             )
         if view == "columns":
             rows = [
-                (t, col.name, col.dataType, col.nullable)
+                (catalog, schema, t, col.name, i + 1, col.dataType, col.nullable)
                 for t in tables
-                for col in self.spark.catalog.listColumns(t)
+                for i, col in enumerate(self.spark.catalog.listColumns(t))
             ]
             return self.spark.createDataFrame(
-                rows, "table_name string, column_name string, data_type string, is_nullable boolean"
+                rows,
+                "table_catalog string, table_schema string, table_name string,"
+                " column_name string, ordinal_position long, data_type string,"
+                " is_nullable boolean",
             )
         raise ValueError(f"unknown information_schema view {view!r}")
 

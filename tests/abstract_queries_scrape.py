@@ -27,7 +27,14 @@ import re
 
 REF_TESTS_DIR = "/root/reference/presto-tests/src/main/java/com/facebook/presto/tests"
 
-FILES = ("AbstractTestQueries.java", "AbstractTestAggregations.java")
+FILES = (
+    "AbstractTestQueries.java",
+    "AbstractTestAggregations.java",
+    # index joins are a physical strategy in the reference; the queries
+    # themselves are plain joins and must hold on any engine
+    "AbstractTestIndexedQueries.java",
+    "AbstractTestIntegrationSmokeTest.java",
+)
 
 _SQL_LIT = r'"((?:[^"\\]|\\.)*)"'
 _PATTERNS = (

@@ -199,8 +199,8 @@ def test_dialect_try_rewrites(engine):
     from prestodb_presto_spark.dialect import translate
 
     assert translate("SELECT TRY(CAST(s AS BIGINT)) FROM t") == (
-        "SELECT TRY_CAST(s AS BIGINT) FROM t"
-    )
+        "SELECT TRY_CAST(TRY_CAST(s AS DECIMAL(38,0)) AS BIGINT) FROM t"
+    )  # DECIMAL(38,0) pivot: Presto rounds HALF_UP to integral types
     assert translate("SELECT try(a / b) FROM t") == "SELECT try_divide(a, b) FROM t"
     assert translate("SELECT TRY(element_at(m, 'k')) FROM t") == (
         "SELECT try_element_at(m, 'k') FROM t"
@@ -263,7 +263,7 @@ def test_dialect_weighted_approx_percentile(engine, oracle):
     from prestodb_presto_spark.dialect import translate
 
     assert translate("SELECT approx_percentile(x, w, 0.5) FROM t") == (
-        "SELECT percentile(x, 0.5, CAST(w AS BIGINT)) FROM t"
+        "SELECT percentile(x, 0.5, CAST(CAST(w AS DECIMAL(38,0)) AS BIGINT)) FROM t"
     )
     got = engine.sql(
         """
@@ -335,8 +335,11 @@ def test_dialect_type_spellings(engine):
     assert translate("SELECT CAST(b AS VARBINARY) FROM t") == (
         "SELECT CAST(b AS BINARY) FROM t"
     )
-    # plain types pass through untouched
-    assert translate("SELECT CAST(x AS BIGINT) FROM t") == "SELECT CAST(x AS BIGINT) FROM t"
+    # integral targets get the HALF_UP rounding pivot (Presto
+    # DoubleOperators.castToLong rounds; Spark truncates)
+    assert translate("SELECT CAST(x AS BIGINT) FROM t") == (
+        "SELECT CAST(CAST(x AS DECIMAL(38,0)) AS BIGINT) FROM t"
+    )
     row = engine.sql(
         """
         SELECT CAST(ARRAY[1, 2] AS ARRAY(DOUBLE)) AS arr,
