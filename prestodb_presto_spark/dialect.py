@@ -826,6 +826,96 @@ def _in_values_compat(sql: str) -> str:
         pos = open_idx + len(repl)
 
 
+_IN_SUBQ = re.compile(r"\b(NOT\s+)?IN\s*\(\s*\(?\s*SELECT\b", re.IGNORECASE)
+
+_CLAUSE_WORD = re.compile(r"[A-Za-z_][A-Za-z_0-9]*")
+
+
+def _clause_at(sql: str, pos: int) -> str | None:
+    """The SQL clause ('select' = projection list, 'from', 'where', …)
+    the position belongs to, via a depth-stacked keyword scan."""
+    stack: list[str | None] = [None]
+    i = 0
+    while i < pos:
+        ch = sql[i]
+        if ch == "'":
+            j = sql.find("'", i + 1)
+            i = (j if j != -1 else len(sql)) + 1
+            continue
+        if ch == "(":
+            stack.append(None)
+            i += 1
+            continue
+        if ch == ")":
+            if len(stack) > 1:
+                stack.pop()
+            i += 1
+            continue
+        if ch.isalpha() or ch == "_":
+            m = _CLAUSE_WORD.match(sql, i)
+            w = m.group(0).upper()
+            if w == "SELECT":
+                stack[-1] = "select"
+            elif w in ("FROM", "WHERE", "GROUP", "HAVING", "ORDER",
+                       "LIMIT", "WINDOW"):
+                stack[-1] = w.lower()
+            i = m.end()
+            continue
+        i += 1
+    return stack[-1]
+
+
+def _in_subquery_3vl_compat(sql: str) -> str:
+    """``x [NOT] IN (subquery)`` in a PROJECTION renders Spark's
+    existence join, which yields FALSE where ANSI three-valued logic
+    gives NULL (x IS NULL with a non-empty subquery, or no match with
+    NULLs present in the subquery; reference semantics
+    presto-main InPredicate evaluation / H2 differential
+    testSemiJoinNullHandling).  Rewrites the projection occurrence into
+    Spark's IN (correct for the definitive TRUE) plus one scalar
+    aggregate subquery supplying (count(*), count(col)) for the NULL
+    disambiguation — same shape as the quantified-comparison lowering.
+    WHERE/HAVING/ON positions are left to Spark's native semi/anti
+    joins, which are both correct there and join-optimal."""
+    out = sql
+    pos = 0
+    while True:
+        m = _IN_SUBQ.search(out, pos)
+        if not m:
+            return out
+        if _clause_at(out, m.start()) != "select":
+            pos = m.end()
+            continue
+        open_idx = out.index("(", m.start() + (len(m.group(1) or "") + 2))
+        end, _ = _scan_balanced(out, open_idx)
+        sub = out[open_idx + 1 : end - 1].strip()
+        start = _left_operand_start(out, m.start())
+        x = out[start : m.start()].strip()
+        # bail on tuple operands (the single-column alias can't bind)
+        if not x or (x.startswith("(") and "," in x):
+            pos = m.end()
+            continue
+        # a GROUP BY / HAVING twin of the same expression must stay
+        # textually identical to the projection for Spark to match them
+        norm = " ".join(out[start:end].split())
+        if " ".join(out.split()).count(norm) > 1:
+            pos = m.end()
+            continue
+        s = (
+            "(SELECT named_struct('n', count(*), 'nn', count(__qc)) "
+            f"FROM ({sub}) AS __qa(__qc))"
+        )
+        core = (
+            f"(CASE WHEN ({x}) IN ({sub}) THEN TRUE "
+            f"WHEN {s}.n = 0 THEN FALSE "
+            f"WHEN ({x}) IS NULL THEN {_NULL_BOOL} "
+            f"WHEN {s}.n > {s}.nn THEN {_NULL_BOOL} ELSE FALSE END)"
+        )
+        repl = f"(NOT {core})" if m.group(1) else core
+        out = out[:start] + repl + out[end:]
+        pos = start + len(repl)
+
+
 _HAS_GROUPING_SETS = re.compile(
     r"\bGROUPING\s+SETS\b|\bCUBE\s*\(|\bROLLUP\s*\(", re.IGNORECASE
 )
@@ -3998,6 +4088,7 @@ def translate(sql: str) -> str:
     out = _harness_lambda_compat(out, literals)
     out = _quantified_compat(out)
     out = _in_values_compat(out)
+    out = _in_subquery_3vl_compat(out)
     out = _grouping_compat(out)
     out = _rewrite_calls(out, "approx_percentile", _approx_percentile_rewrite)
     out = _rewrite_calls(out, "TRY", lambda a: _try_rewrite(a, literals))

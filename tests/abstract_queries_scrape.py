@@ -136,27 +136,71 @@ def scrape():
                     break
 
 
-def oracle_values_compat(osql: str) -> str:
-    """H2 (the reference's oracle) accepts bare scalar VALUES rows
-    (``VALUES 1, 2``); DuckDB requires each row parenthesized.  Wrap
-    bare items so DuckDB can serve as the oracle for the reference's
-    expected-SQL form."""
-    s = osql.lstrip()
-    if not s.upper().startswith("VALUES"):
-        return osql
-    body = s[6:]
-    items: list[str] = []
-    depth = 0
-    buf: list[str] = []
-    i, n = 0, len(body)
+# ---------------------------------------------------------------------------
+# Oracle compat: the reference's expected SQL targets H2
+# (H2QueryRunner.java); DuckDB is the stand-in oracle here and differs
+# from H2 in a handful of purely syntactic ways.  These rewrites
+# translate the ORACLE side only — the engine under test always gets the
+# reference's original Presto SQL.
+
+_VALUES_STOP = re.compile(
+    r"(?i)^(ORDER|LIMIT|UNION|EXCEPT|INTERSECT|OFFSET|FETCH)\b"
+)
+_VALUES_KW = re.compile(r"(?i)VALUES\b")
+
+
+def _wrap_values_rows(sql: str) -> str:
+    """H2 accepts bare scalar VALUES rows (``VALUES 1, 2`` — also inside
+    subqueries); DuckDB requires each row parenthesized."""
+    out: list[str] = []
+    i, n = 0, len(sql)
     while i < n:
-        ch = body[i]
+        ch = sql[i]
         if ch == "'":
-            j = body.find("'", i + 1)
+            j = sql.find("'", i + 1)
             j = j if j != -1 else n - 1
-            buf.append(body[i : j + 1])
+            out.append(sql[i : j + 1])
             i = j + 1
             continue
+        m = _VALUES_KW.match(sql, i)
+        if m and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")):
+            items, end = _values_items(sql, m.end())
+            wrapped = [
+                it if it.strip().startswith("(") else f"({it.strip()})"
+                for it in (_wrap_values_rows(s) for s in items)
+            ]
+            clause = "VALUES " + ", ".join(w.strip() for w in wrapped)
+            # H2 allows FROM VALUES ... unparenthesized; DuckDB doesn't
+            if re.search(r"(?i)\bFROM\s*$", "".join(out)):
+                clause = f"({clause})"
+            out.append(clause)
+            i = end
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _values_items(sql: str, start: int) -> tuple[list[str], int]:
+    """Comma-split a VALUES body from ``start`` at depth 0, stopping at
+    the enclosing ``)``, a depth-0 trailing clause keyword, or the end."""
+    items: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    i, n = start, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            j = sql.find("'", i + 1)
+            j = j if j != -1 else n - 1
+            buf.append(sql[i : j + 1])
+            i = j + 1
+            continue
+        if depth == 0:
+            if ch == ")":
+                break
+            if ch.isalpha() and _VALUES_STOP.match(sql, i):
+                break
         if ch in "([":
             depth += 1
         elif ch in ")]":
@@ -168,10 +212,44 @@ def oracle_values_compat(osql: str) -> str:
             buf.append(ch)
         i += 1
     items.append("".join(buf))
-    wrapped = [
-        it if it.strip().startswith("(") else f"({it.strip()})" for it in items
-    ]
-    return "VALUES " + ", ".join(wrapped)
+    return items, i
+
+
+_DATEADD = re.compile(
+    r"(?i)\bDATEADD\s*\(\s*'(\w+)'\s*,\s*([^(),]+?)\s*,\s*([^()]+?)\s*\)"
+)
+
+
+def oracle_compat(osql: str) -> str:
+    """Translate the reference's H2-dialect expected SQL to DuckDB."""
+    s = _wrap_values_rows(osql)
+    # H2 rand() is DuckDB random(); values are only compared through
+    # always-true/false predicates in the suite
+    s = re.sub(r"(?i)\brand\s*\(", "random(", s)
+    # H2 DATEADD('DAY', n, x) → interval arithmetic
+    s = _DATEADD.sub(r"(\3 + (\2) * INTERVAL '1' \1)", s)
+    # SELECT * with no FROM (empty-result idiom)
+    s = re.sub(r"(?i)^\s*SELECT\s+\*\s+WHERE\b", "SELECT 1 WHERE", s)
+    # (query ORDER BY a) ORDER BY b — H2 allows the inner ORDER BY at
+    # top level; DuckDB needs the parenthesized query as a derived table
+    t = s.lstrip()
+    if t.startswith("("):
+        depth = 0
+        for k, ch in enumerate(t):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    rest = t[k + 1 :].lstrip()
+                    if re.match(r"(?i)^ORDER\s+BY\b", rest):
+                        s = f"SELECT * FROM {t[: k + 1]} {rest}"
+                    break
+    return s
+
+
+# retained name: the earliest compat rewrite, now part of oracle_compat
+oracle_values_compat = oracle_compat
 
 
 if __name__ == "__main__":

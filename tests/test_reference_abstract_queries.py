@@ -6,21 +6,22 @@ asset (SURVEY.md §5 layer 2): every SQL feature over the TPC-H ``tiny``
 catalog, checked against H2 (H2QueryRunner.java:88,
 QueryAssertions.java:75).  tests/abstract_queries_scrape.py scrapes
 their assertQuery / assertQueryOrdered / assertQueryReturnsEmptyResult
-statements from the read-only checkout (1264 runnable cases) and this
+statements from the read-only checkout (1318 runnable cases) and this
 module executes each through Engine.sql(dialect="presto") against real
 dbgen sf0.01 data — which IS tpch.tiny — comparing to DuckDB running
 the same SQL (1-arg form) or the reference's own expected SQL (2-arg
 form), exactly the reference's H2 differential pattern.
 
-Current state: **1154 of the 1318 scrapeable cases pass** the full
+Current state: **1220 of the 1318 scrapeable cases pass** the full
 differential (AbstractTestIndexedQueries 39/40 and
 AbstractTestIntegrationSmokeTest 14/14 included — index joins are a
-physical strategy; the SQL must hold on any engine).  63 have no
-runnable oracle (DuckDB can't parse that
-Presto SQL — lambdas, UNNEST-ordinality forms; not an engine gap) and
-100 are frozen as known deviations below, each with its cause —
-mostly Catalyst decorrelation limits, Spark 3VL-in-projection
-existence joins, and the documented engine-specific sketch values.
+physical strategy; the SQL must hold on any engine).  Only 7 have no
+runnable oracle (oracle_compat translates H2-isms — bare VALUES rows,
+rand(), DATEADD — to DuckDB; what's left is H2-lax SQL DuckDB rejects
+outright) and 91 are frozen as known deviations below, each with its
+cause — mostly Catalyst decorrelation limits and the documented
+engine-specific sketch values.  The 3VL-in-projection existence-join
+family is CLOSED by the dialect's _in_subquery_3vl_compat rewrite.
 The floors make any regression (or silently-lost oracle) fail loudly.
 """
 
@@ -33,10 +34,10 @@ import duckdb
 import pytest
 
 from prestodb_presto_spark.testing import _tolerant_cell as _tc0
-from tests.abstract_queries_scrape import oracle_values_compat, scrape
+from tests.abstract_queries_scrape import oracle_compat, scrape
 
-PASS_FLOOR = 1154
-ORACLE_UNRUNNABLE_MAX = 70
+PASS_FLOOR = 1220
+ORACLE_UNRUNNABLE_MAX = 10
 
 # method → (max allowed non-passing cases, recorded cause).  A failure
 # in any OTHER method, or above these counts, is a regression.
@@ -44,7 +45,7 @@ ALLOWED = {
     # engine-defined values (documented deviations, tolerance-gated
     # elsewhere)
     "testApproximateCountDistinct": (
-        32,
+        29,
         "approx_distinct returns Spark HLL++ estimates; the reference "
         "asserts its airlift-HLL exact estimates (engine-defined values; "
         "the driver gate checks tolerance instead)",
@@ -56,33 +57,27 @@ ALLOWED = {
     ),
     # Catalyst decorrelation boundaries
     "testCorrelatedScalarSubqueries": (
-        6, "non-aggregated / LIMIT-bearing correlated scalar subqueries "
+        5, "non-aggregated / LIMIT-bearing correlated scalar subqueries "
            "exceed Catalyst decorrelation"),
     "testCorrelatedScalarSubqueriesWithScalarAggregation": (
-        6, "correlated scalar agg over outer-alias two levels deep"),
+        5, "correlated scalar agg over outer-alias two levels deep"),
     "testCorrelatedScalarSubqueriesWithScalarAggregationAndEqualityPredicatesInWhere": (
-        6, "same family, equality-predicate variants"),
+        5, "same family, equality-predicate variants"),
     "testCorrelatedExistsSubqueries": (
-        6, "EXISTS in ORDER BY / JOIN ON and deep-alias correlation"),
+        5, "EXISTS in ORDER BY / JOIN ON and deep-alias correlation"),
     "testCorrelatedExistsSubqueriesWithEqualityPredicatesInWhere": (
-        4, "same family"),
+        3, "same family"),
     "testCorrelatedExistsSubqueriesWithPrunedCorrelationSymbols": (
-        4, "same family"),
+        3, "same family"),
     "testExistsSubquery": (2, "EXISTS in ORDER BY"),
     "testJoinWithScalarSubqueryInOnClause": (
         1, "scalar subquery inside JOIN ON"),
     "testSemiJoin": (1, "IN-subquery inside JOIN ON"),
     "testInUncorrelatedSubquery": (
         1, "MAP values are not comparable in Spark (IN over map column)"),
-    # Spark three-valued-logic gap: IN-subquery in a PROJECTION lowers
-    # to an existence join that yields FALSE where ANSI 3VL gives NULL
-    "testSemiJoinNullHandling": (4, "3VL IN-subquery in projection"),
-    "testSemiJoinUnionNullHandling": (1, "same"),
-    "testSemiJoinAggregationNullHandling": (1, "same"),
-    "testSemiJoinUnionAggregationNullHandling": (1, "same"),
-    "testSemiJoinAggregationUnionNullHandling": (1, "same"),
-    "testNullOnLhsOfInPredicateAllowed": (2, "same"),
-    "testCorrelatedInPredicateSubqueries": (1, "same"),
+    # (the 3VL IN-subquery-in-projection family — testSemiJoin*NullHandling,
+    # testNullOnLhsOfInPredicateAllowed, testCorrelatedInPredicateSubqueries —
+    # is fully closed by dialect._in_subquery_3vl_compat)
     # ORDER BY output-column scoping
     "testOrderByWithOutputColumnReference": (
         4, "Spark cannot resolve output aliases / window functions in "
@@ -246,7 +241,7 @@ def test_reference_abstract_queries(aq_env):
         except Exception as e:
             failed.setdefault(method, []).append(f"{cid}: {type(e).__name__}")
             continue
-        osql = oracle_values_compat(expected if expected is not None else actual)
+        osql = oracle_compat(expected if expected is not None else actual)
         try:
             con.execute(osql).fetchall()
         except (duckdb.InternalException, duckdb.FatalException):
