@@ -261,6 +261,16 @@ def _try_rewrite(args: list[str], literals: list[str] | None = None) -> str:
         except ValueError:
             return "CAST(NULL AS STRING)"
         return f"({inner})"
+    # TRY(to_base(x, radix)): the only runtime failure is radix outside
+    # [2, 36] (MathFunctions.toBase checkRadix) — guard instead
+    if re.match(r"to_base\s*\(", low) and inner.endswith(")") and not split:
+        _, parts = _scan_balanced(inner, inner.index("("))
+        if len(parts) == 2:
+            x, r = parts[0].strip(), parts[1].strip()
+            return (
+                f"(CASE WHEN ({r}) BETWEEN 2 AND 36 "
+                f"THEN to_base({x}, {r}) ELSE CAST(NULL AS STRING) END)"
+            )
     # constants cannot fail — TRY(c) == c (TryFunction.java semantics);
     # an array(..) constructor over constants likewise
     if re.fullmatch(
@@ -691,6 +701,22 @@ def _values_row_strip(sql: str) -> str:
             n = len(out)
             while i < n and out[i].isspace():
                 i += 1
+            # (ROW(..)) — the constructor also binds inside one layer of
+            # item parens (testRowFieldAccessorInAggregate's array rows)
+            pm = re.match(r"\(\s*ROW\s*\(", out[i:], re.IGNORECASE)
+            if pm:
+                inner_open = i + pm.end() - 1
+                inner_end, inner_args = _scan_balanced(out, inner_open)
+                outer_end, _ = _scan_balanced(out, i)
+                # single-arg only: (ROW(x)) unwraps to the value in
+                # Presto, while (ROW(a, b)) is a genuine struct row
+                if (
+                    out[inner_end : outer_end - 1].strip() == ""
+                    and len(inner_args) == 1
+                ):
+                    kw = re.search(r"(?i)ROW", out[i : i + pm.end()])
+                    out = out[: i + kw.start()] + out[i + kw.end() :]
+                    continue
             rm = re.match(r"ROW\s*\(", out[i:], re.IGNORECASE)
             if rm:
                 open_idx = i + rm.end() - 1
@@ -824,6 +850,256 @@ def _in_values_compat(sql: str) -> str:
         repl = f"(SELECT * FROM ({inner}) AS __v)"
         out = out[: open_idx] + repl + out[end:]
         pos = open_idx + len(repl)
+
+
+_PSELECT = re.compile(r"\(\s*SELECT\b", re.IGNORECASE)
+
+_SUBQ_CLAUSES = ("FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
+                 "UNION", "EXCEPT", "INTERSECT", "OFFSET", "FETCH", "WINDOW")
+
+
+def _no_from_select(body: str):
+    """For the text after SELECT inside a parenthesized subquery: if the
+    query has no FROM (or any clause beyond an optional WHERE) at depth
+    0, return (select_list, where_condition_or_None); else None."""
+    depth = 0
+    i, n = 0, len(body)
+    while i < n:
+        ch = body[i]
+        if ch == "'":
+            j = body.find("'", i + 1)
+            i = (j if j != -1 else n) + 1
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif depth == 0 and (ch.isalpha() or ch == "_"):
+            m = _CLAUSE_WORD.match(body, i)
+            w = m.group(0).upper()
+            if w == "WHERE":
+                return body[:i], body[m.end() :]
+            if w in _SUBQ_CLAUSES:
+                return None
+            i = m.end()
+            continue
+        i += 1
+    return body, None
+
+
+def _exists_no_from_compat(sql: str) -> str:
+    """``EXISTS (SELECT .. [WHERE c])`` with no FROM — Presto evaluates
+    the standalone SELECT (one row, filtered by c); Spark rejects EXISTS
+    outside filter/join/projection positions (e.g. in ORDER BY).  The
+    form folds exactly: no WHERE → TRUE, WHERE c → (c) IS TRUE."""
+    out = sql
+    pos = 0
+    while True:
+        m = re.search(r"\bEXISTS\s*\(\s*SELECT\b", out[pos:], re.IGNORECASE)
+        if not m:
+            return out
+        start = pos + m.start()
+        open_idx = out.index("(", start + 6)
+        end, _ = _scan_balanced(out, open_idx)
+        body = out[open_idx + 1 : end - 1]
+        sm = re.match(r"\s*SELECT\b", body, re.IGNORECASE)
+        parts = _no_from_select(body[sm.end() :])
+        if parts is None:
+            pos = end
+            continue
+        _items, cond = parts
+        repl = "TRUE" if cond is None else f"(({cond.strip()}) IS TRUE)"
+        out = out[:start] + repl + out[end:]
+        pos = start + len(repl)
+
+
+_COLLAPSE_SKIP_BEFORE = {
+    "EXISTS", "FROM", "JOIN", "LATERAL", "UNION", "EXCEPT", "INTERSECT",
+    "ALL", "ANY", "SOME", "IN", "TABLE", "AS",
+}
+
+
+def _trivial_scalar_subquery_collapse(sql: str) -> str:
+    """``(SELECT expr)`` / ``(SELECT expr WHERE c)`` with no FROM — the
+    reference's correlated shapes like ORDER BY (SELECT 2 * n.nationkey)
+    or GROUP BY (SELECT l.orderkey) exceed Catalyst's subquery placement
+    rules, but the no-FROM form folds exactly: the expression itself
+    (NULL-when-filtered via CASE for the WHERE variant)."""
+    out = sql
+    pos = 0
+    while True:
+        m = _PSELECT.search(out, pos)
+        if not m:
+            return out
+        before = out[: m.start()].rstrip()
+        w = re.search(r"([A-Za-z_]\w*)$", before)
+        if (not before) or (w and w.group(1).upper() in _COLLAPSE_SKIP_BEFORE):
+            pos = m.end()
+            continue
+        end, _ = _scan_balanced(out, m.start())
+        rest = out[end:].lstrip()
+        # a set-op / ORDER BY right after the parens means the group is
+        # a parenthesized QUERY, not a scalar (a trailing LIMIT belongs
+        # to the enclosing query in the scalar positions Presto allows)
+        if re.match(r"(?i)(UNION|EXCEPT|INTERSECT|ORDER)\b", rest):
+            pos = m.end()
+            continue
+        body = out[m.start() + 1 : end - 1]
+        sm = re.match(r"\s*SELECT\b", body, re.IGNORECASE)
+        parts = _no_from_select(body[sm.end() :])
+        if parts is None:
+            pos = end
+            continue
+        items, cond = parts
+        item = items.strip()
+        if (
+            not item
+            or item == "*"
+            or re.match(r"(?i)DISTINCT\b", item)
+            or _top_level_comma(item)
+            # an aggregate makes it a real one-row aggregation query
+            # (SELECT count(*) WHERE c) — leave it to Spark's subquery
+            or re.search(
+                r"(?i)\b(count|sum|avg|min|max|array_agg|bool_and|bool_or"
+                r"|every|arbitrary|any_value|stddev\w*|var\w*)\s*\(",
+                item,
+            )
+        ):
+            pos = end
+            continue
+        repl = (
+            f"({item})"
+            if cond is None
+            else f"(CASE WHEN ({cond.strip()}) THEN {item} END)"
+        )
+        out = out[: m.start()] + repl + out[end:]
+        # stay at the same position: the collapsed item may itself hold
+        # a nested (SELECT ..) that now becomes outermost
+
+
+def _top_level_comma(expr: str) -> bool:
+    depth = 0
+    i, n = 0, len(expr)
+    while i < n:
+        ch = expr[i]
+        if ch == "'":
+            j = expr.find("'", i + 1)
+            i = (j if j != -1 else n) + 1
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            return True
+        i += 1
+    return False
+
+
+def _order_by_subquery_hoist(sql: str) -> str:
+    """ORDER BY items holding EXISTS/scalar subqueries — Presto sorts on
+    them directly; Spark's grammar/analyzer rejects subqueries in sort
+    items.  Hoist each subquery item into a projected __ordN column of a
+    derived table and sort on that.  Applies to the simple shape the
+    reference uses: a bare-identifier select list, no GROUP BY/DISTINCT,
+    top-level ORDER BY."""
+    # the LAST depth-0 ORDER BY of the statement
+    depth = 0
+    ob = -1
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            j = sql.find("'", i + 1)
+            i = (j if j != -1 else n) + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and ch in "Oo":
+            m = re.match(r"(?i)ORDER\s+BY\b", sql[i:])
+            if m and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")):
+                ob = i
+                i += m.end()
+                continue
+        i += 1
+    if ob < 0:
+        return sql
+    tail_m = re.search(r"(?i)\b(LIMIT|OFFSET|FETCH)\b", sql[ob:])
+    items_end = ob + tail_m.start() if tail_m else n
+    items_text = sql[ob:items_end]
+    items_text = re.sub(r"(?i)^ORDER\s+BY", "", items_text)
+    items = []
+    buf, depth = [], 0
+    for ch in items_text:
+        if ch == "," and depth == 0:
+            items.append("".join(buf))
+            buf = []
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        buf.append(ch)
+    items.append("".join(buf))
+    if not any(
+        re.search(r"(?i)EXISTS\s*\(|\(\s*SELECT\b", it) for it in items
+    ):
+        return sql
+    head_m = re.match(r"(?i)\s*SELECT\s+", sql)
+    if not head_m:
+        return sql
+    from_m = None
+    depth = 0
+    for k in range(head_m.end(), ob):
+        ch = sql[k]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and ch in "Ff":
+            fm = re.match(r"(?i)FROM\b", sql[k:])
+            if fm and not (sql[k - 1].isalnum() or sql[k - 1] == "_"):
+                from_m = k
+                break
+    if from_m is None:
+        return sql
+    sel = sql[head_m.end() : from_m].strip()
+    if not re.fullmatch(
+        r"[A-Za-z_][\w.]*(\s+AS\s+[A-Za-z_]\w*)?"
+        r"(\s*,\s*[A-Za-z_][\w.]*(\s+AS\s+[A-Za-z_]\w*)?)*",
+        sel,
+        re.IGNORECASE,
+    ):
+        return sql
+    middle = sql[from_m:ob]
+    if re.search(r"(?i)\b(GROUP\s+BY|HAVING|DISTINCT)\b", middle):
+        return sql
+    names = []
+    for part in re.split(r"\s*,\s*", sel):
+        am = re.split(r"(?i)\s+AS\s+", part)
+        names.append(am[1] if len(am) > 1 else am[0].split(".")[-1])
+    hoisted, new_items = [], []
+    for it in items:
+        core = it.strip()
+        sm = re.match(
+            r"(?i)^(.*?)\s*(ASC|DESC)?\s*(NULLS\s+(?:FIRST|LAST))?\s*$",
+            core,
+            re.DOTALL,
+        )
+        expr, suffix = sm.group(1), core[len(sm.group(1)) :]
+        if re.search(r"(?i)EXISTS\s*\(|\(\s*SELECT\b", expr):
+            alias = f"__ord{len(hoisted) + 1}"
+            hoisted.append(f"{expr} AS {alias}")
+            new_items.append(alias + suffix)
+        else:
+            new_items.append(core)
+    inner = f"SELECT {sel}, {', '.join(hoisted)} {middle}"
+    return (
+        f"SELECT {', '.join(names)} FROM ({inner.rstrip()}) __hoist "
+        f"ORDER BY {', '.join(new_items)} {sql[items_end:]}"
+    )
 
 
 _IN_SUBQ = re.compile(r"\b(NOT\s+)?IN\s*\(\s*\(?\s*SELECT\b", re.IGNORECASE)
@@ -1708,6 +1984,63 @@ def _harness_lambda_compat(sql: str, literals: list[str]) -> str:
     return out.replace("__internal_try", '"$internal$try"')
 
 
+_FROM_PAREN = re.compile(r"(?i)\bFROM\s*\(")
+
+_REL_KEYWORDS = re.compile(
+    r"(?i)^(GROUP|WHERE|ORDER|LIMIT|UNION|EXCEPT|INTERSECT|HAVING|ON|"
+    r"JOIN|CROSS|LEFT|RIGHT|FULL|INNER|NATURAL|WINDOW)\b"
+)
+
+
+def _depth0_join(inner: str) -> bool:
+    depth = 0
+    i, n = 0, len(inner)
+    while i < n:
+        ch = inner[i]
+        if ch == "'":
+            j = inner.find("'", i + 1)
+            i = (j if j != -1 else n) + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and ch in "Jj" and re.match(
+            r"(?i)JOIN\b", inner[i:]
+        ) and (i == 0 or not (inner[i - 1].isalnum() or inner[i - 1] == "_")):
+            return True
+        i += 1
+    return False
+
+
+def _from_join_parens_strip(sql: str) -> str:
+    """``FROM (a JOIN b ...)`` — Presto's grammar allows a parenthesized
+    join relation (SqlBase.g4 relation); Spark's does not (the UNNEST
+    lowering's LATERAL VIEW cannot sit inside parens either).  The
+    parens are redundant when the group is not aliased — drop them.  A
+    subquery (inner text starting with SELECT/VALUES/WITH) keeps its
+    parens."""
+    out = sql
+    pos = 0
+    while True:
+        m = _FROM_PAREN.search(out, pos)
+        if not m:
+            return out
+        open_idx = out.index("(", m.end() - 1)
+        end, _ = _scan_balanced(out, open_idx)
+        inner = out[open_idx + 1 : end - 1]
+        lead = inner.lstrip()
+        if re.match(r"(?i)(SELECT|VALUES|WITH|TABLE)\b", lead) or not _depth0_join(inner):
+            pos = end
+            continue
+        rest = out[end:].lstrip()
+        if rest[:1].isalpha() and not _REL_KEYWORDS.match(rest):
+            pos = end  # aliased derived table — leave it
+            continue
+        out = out[:open_idx] + inner.strip() + out[end:]
+        # re-scan from FROM: the stripped text may expose nesting
+
+
 # --- 1-based subscript (presto-parser SqlBase.g4 subscript) -----------------
 # Presto `expr[i]` is 1-based array/map access; Spark's [] is 0-based
 # for arrays.  element_at is 1-based for both arrays and maps.  Runs
@@ -1742,6 +2075,12 @@ def _subscript_compat(sql: str) -> str:
         start = _left_operand_start(out, idx)
         base = out[start:idx]
         index = out[idx + 1 : k]
+        # a runtime BIGINT-typed index (Presto subscripts are BIGINT)
+        # fails Spark's element_at(array, INT) signature; narrow it.
+        # Map subscripts never carry an AS BIGINT cast in practice, and
+        # numeric map keys upcast INT→BIGINT implicitly anyway.
+        if re.search(r"(?i)\bAS\s+BIGINT\b", index):
+            index = f"CAST(({index.strip()}) AS INT)"
         out = out[:start] + f"element_at({base}, {index})" + out[k + 1 :]
 
 
@@ -1756,6 +2095,78 @@ def _subscript_compat(sql: str) -> str:
 def _element_json(expr: str) -> str:
     j = f"to_json(array({expr}))"
     return f"substr({j}, 2, length({j}) - 2)"
+
+
+def _presto_json_value(e: str, literals: list[str] | None = None) -> str | None:
+    """Presto renders ROW values in JSON as POSITIONAL arrays
+    (RowToJsonCast); Spark's to_json renders named objects.  Render the
+    statically-visible constructor shapes — ROW(..) (nested to any
+    depth), array(..) with ROW items, ARRAY_AGG(ROW(..)) — as
+    concatenated positional JSON text; anything else defers to the
+    caller's scalar/to_json paths."""
+    def _lit(text: str) -> str:
+        # mask emitted literals so later passes (subscript, renames)
+        # can't rewrite inside them
+        if literals is None:
+            return "'" + text.replace("'", "''") + "'"
+        literals.append("'" + text.replace("'", "''") + "'")
+        return f"\x00{len(literals) - 1}\x00"
+
+    def _fallback(a: str) -> str:
+        x = _element_json(a)
+        if re.fullmatch(r"[A-Za-z_][\w.]*", a.strip()):
+            # a bare column may hold a ROW value: its to_json rendering
+            # starts with {"field0": — flatten the anonymous-field
+            # objects to positional arrays (string scalars render
+            # quoted, so the guard cannot misfire on text values)
+            key_pat = _lit('"field[0-9]+":')
+            empty = _lit("")
+            braces = _lit("{}")
+            brackets = _lit("[]")
+            guard = _lit('{"field0":%')
+            flat = (
+                f"translate(regexp_replace({x}, {key_pat}, {empty}), "
+                f"{braces}, {brackets})"
+            )
+            return (
+                f"(CASE WHEN {x} LIKE {guard} THEN {flat} ELSE {x} END)"
+            )
+        return x
+
+    t = e.strip()
+    rm = re.match(r"^ROW\s*\(", t, re.IGNORECASE)
+    if rm:
+        end, args = _scan_balanced(t, t.index("("))
+        if t[end:].strip() == "":
+            fields = ", ".join(
+                _presto_json_value(a, literals) or _fallback(a) for a in args
+            )
+            return f"concat('[', concat_ws(',', {fields}), ']')"
+        return None
+    am = re.match(r"^array\s*\(", t, re.IGNORECASE)
+    if am:
+        end, items = _scan_balanced(t, t.index("("))
+        if t[end:].strip() == "" and any(
+            re.match(r"^ROW\s*\(", it.strip(), re.IGNORECASE) for it in items
+        ):
+            fields = ", ".join(
+                _presto_json_value(it, literals) or _element_json(it) for it in items
+            )
+            return f"concat('[', concat_ws(',', {fields}), ']')"
+        return None
+    gm = re.match(r"^ARRAY_AGG\s*\(", t, re.IGNORECASE)
+    if gm:
+        end, args = _scan_balanced(t, t.index("("))
+        if t[end:].strip() == "" and len(args) == 1:
+            elem = _presto_json_value(args[0].strip(), literals)
+            if elem is not None:
+                # aggregate the per-row rendered text; concat_ws of the
+                # empty aggregation renders '[]' like Presto's empty agg
+                return (
+                    f"concat('[', concat_ws(',', array_agg({elem})), ']')"
+                )
+        return None
+    return None
 
 
 def _json_cast_rewrite(literals: list[str]):
@@ -1803,8 +2214,12 @@ def _json_cast_rewrite(literals: list[str]):
                     f"to_json(map_from_entries(array_sort(map_entries({expr}))))"
                 )
             if up.startswith("ARRAY"):
-                return f"to_json({expr})"
+                pj = _presto_json_value(inner, literals)
+                return pj if pj is not None else f"to_json({expr})"
             if up.startswith("ROW") and "(" in inner:
+                pj = _presto_json_value(inner, literals)
+                if pj is not None:
+                    return pj
                 _, rargs = _scan_balanced(inner, inner.index("("))
                 fields = ", ".join(f"{_element_json(a)}" for a in rargs)
                 return f"concat('[', concat_ws(',', {fields}), ']')"
@@ -4086,6 +4501,9 @@ def translate(sql: str) -> str:
     out = re.sub(r"\bGROUP\s+BY\s+\(\s*\)", "", out, flags=re.IGNORECASE)
     out = _group_by_distinct_compat(out)
     out = _harness_lambda_compat(out, literals)
+    out = _exists_no_from_compat(out)
+    out = _trivial_scalar_subquery_collapse(out)
+    out = _order_by_subquery_hoist(out)
     out = _quantified_compat(out)
     out = _in_values_compat(out)
     out = _in_subquery_3vl_compat(out)
@@ -4335,6 +4753,7 @@ def translate(sql: str) -> str:
     out = _rewrite_calls(out, "max_by", _minmax_by_n(desc=True))
     out = _rewrite_calls(out, "min_by", _minmax_by_n(desc=False))
     out = _array_agg_compat(out)
+    out = _from_join_parens_strip(out)
     out = _unnest_rewrite(out)
     out = _window_arg_compat(out, literals)
     out = _window_compat(out)

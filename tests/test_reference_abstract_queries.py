@@ -12,16 +12,22 @@ dbgen sf0.01 data — which IS tpch.tiny — comparing to DuckDB running
 the same SQL (1-arg form) or the reference's own expected SQL (2-arg
 form), exactly the reference's H2 differential pattern.
 
-Current state: **1220 of the 1318 scrapeable cases pass** the full
+Current state: **1247 of the 1318 scrapeable cases pass** the full
 differential (AbstractTestIndexedQueries 39/40 and
 AbstractTestIntegrationSmokeTest 14/14 included — index joins are a
 physical strategy; the SQL must hold on any engine).  Only 7 have no
 runnable oracle (oracle_compat translates H2-isms — bare VALUES rows,
 rand(), DATEADD — to DuckDB; what's left is H2-lax SQL DuckDB rejects
-outright) and 91 are frozen as known deviations below, each with its
+outright) and 64 are frozen as known deviations below, each with its
 cause — mostly Catalyst decorrelation limits and the documented
-engine-specific sketch values.  The 3VL-in-projection existence-join
-family is CLOSED by the dialect's _in_subquery_3vl_compat rewrite.
+engine-specific sketch values.  Closed by dialect rewrites this round:
+the whole 3VL-in-projection existence-join family
+(_in_subquery_3vl_compat), no-FROM EXISTS/scalar-subquery folds
+(_exists_no_from_compat, _trivial_scalar_subquery_collapse), ORDER BY
+subquery hoisting (_order_by_subquery_hoist), TRY(to_base), runtime
+ROW→JSON positional rendering (_presto_json_value), BIGINT subscript
+narrowing, parenthesized-join FROM relations, and (ROW(x)) VALUES
+items.
 The floors make any regression (or silently-lost oracle) fail loudly.
 """
 
@@ -36,7 +42,7 @@ import pytest
 from prestodb_presto_spark.testing import _tolerant_cell as _tc0
 from tests.abstract_queries_scrape import oracle_compat, scrape
 
-PASS_FLOOR = 1220
+PASS_FLOOR = 1247
 ORACLE_UNRUNNABLE_MAX = 10
 
 # method → (max allowed non-passing cases, recorded cause).  A failure
@@ -56,20 +62,13 @@ ALLOWED = {
         "cross-engine convention, gate agg_checksum)",
     ),
     # Catalyst decorrelation boundaries
-    "testCorrelatedScalarSubqueries": (
-        5, "non-aggregated / LIMIT-bearing correlated scalar subqueries "
-           "exceed Catalyst decorrelation"),
     "testCorrelatedScalarSubqueriesWithScalarAggregation": (
-        5, "correlated scalar agg over outer-alias two levels deep"),
+        4, "correlated scalar agg over outer-alias two levels deep"),
     "testCorrelatedScalarSubqueriesWithScalarAggregationAndEqualityPredicatesInWhere": (
         5, "same family, equality-predicate variants"),
     "testCorrelatedExistsSubqueries": (
-        5, "EXISTS in ORDER BY / JOIN ON and deep-alias correlation"),
-    "testCorrelatedExistsSubqueriesWithEqualityPredicatesInWhere": (
-        3, "same family"),
-    "testCorrelatedExistsSubqueriesWithPrunedCorrelationSymbols": (
-        3, "same family"),
-    "testExistsSubquery": (2, "EXISTS in ORDER BY"),
+        2, "correlated EXISTS through a derived table / join condition "
+           "referencing both inputs"),
     "testJoinWithScalarSubqueryInOnClause": (
         1, "scalar subquery inside JOIN ON"),
     "testSemiJoin": (1, "IN-subquery inside JOIN ON"),
@@ -94,11 +93,6 @@ ALLOWED = {
     "testGroupingSetsRepeatedSetsAllNoInput": (1, "same"),
     "testGroupingSetsMultipleGrandTotalSetsNoInput": (1, "same"),
     "testCubeNoInput": (1, "same"),
-    # JSON rendering of runtime rows
-    "testRows": (
-        4, "runtime ROW → JSON renders named objects (to_json); Presto "
-           "renders positional arrays — literal rows fold exactly "
-           "(functions/json_static.py), runtime rows keep Spark's form"),
     # numeric coercion corner
     "testJoinWithConstantTrueExpressionWithCoercion": (
         1, "REAL = DECIMAL compares in double (Spark) vs real (Presto)"),
@@ -108,25 +102,16 @@ ALLOWED = {
         1, "qualified wildcard over USING join: Spark keeps the join "
            "columns, ANSI/Presto exclude them"),
     # TRY shim limits
-    "testTry": (2, "TRY over arbitrary scalar calls (to_base) untranslated"),
     "testMaps": (1, "TRY(MAP(array(NULL), ..)) runtime error not translatable"),
     "testNonEqualityJoinWithTryInFilter": (
         1, "TRY comparison against current_timestamp typing"),
     # lambdas in exotic positions
-    "testLambdaInSubqueryContext": (
-        1, "higher-order function inside a subquery expression"),
     "testLambdaInValuesAndUnnest": (
         1, "lambda-built array inside an inline table"),
-    # array subscript typing
-    "testArrays": (
-        1, "element_at(array, BIGINT-typed runtime index): Spark wants INT"),
-    "testRowFieldAccessorInAggregate": (1, "same"),
     # misc
     "testExampleSystemTable": (
         1, "sys.example is the example-connector's demo system table; "
            "no tpch analog"),
-    "testCrossJoinUnnestWithUnion": (
-        1, "UNNEST over a parenthesized UNION relation (LATERAL shape)"),
     "testAggregationWithSomeArgumentCasts": (
         1, "approx_percentile with a column percentage (Spark requires "
            "a foldable fraction)"),
