@@ -1044,7 +1044,8 @@ def _order_by_subquery_hoist(sql: str) -> str:
         buf.append(ch)
     items.append("".join(buf))
     if not any(
-        re.search(r"(?i)EXISTS\s*\(|\(\s*SELECT\b", it) for it in items
+        re.search(r"(?i)EXISTS\s*\(|\(\s*SELECT\b|\bOVER\s*\(", it)
+        for it in items
     ):
         return sql
     head_m = re.match(r"(?i)\s*SELECT\s+", sql)
@@ -1089,7 +1090,7 @@ def _order_by_subquery_hoist(sql: str) -> str:
             re.DOTALL,
         )
         expr, suffix = sm.group(1), core[len(sm.group(1)) :]
-        if re.search(r"(?i)EXISTS\s*\(|\(\s*SELECT\b", expr):
+        if re.search(r"(?i)EXISTS\s*\(|\(\s*SELECT\b|\bOVER\s*\(", expr):
             alias = f"__ord{len(hoisted) + 1}"
             hoisted.append(f"{expr} AS {alias}")
             new_items.append(alias + suffix)
