@@ -1198,6 +1198,101 @@ _HAS_GROUPING_SETS = re.compile(
 )
 
 
+_AGG_CALL = re.compile(
+    r"(?i)\b(count|sum|avg|min|max|array_agg|bool_and|bool_or|every"
+    r"|arbitrary|any_value|stddev\w*|var\w*|corr|covar\w*|checksum"
+    r"|approx_\w+|geometric_mean|kurtosis|skewness)\s*\("
+)
+
+
+def _empty_grouping_sets_compat(sql: str) -> str:
+    """Spark's expand-based grouping sets emit ZERO rows over empty
+    input; Presto emits one row per empty () grouping set (grand
+    total) — AbstractTestQueries testGroupingSets*NoInput /
+    testCubeNoInput.  Decompose statically: the () sets split off as
+    UNION ALL'd global aggregations (a Spark global aggregate always
+    emits its row), the remaining sets keep the GROUPING SETS plan.
+    Equivalent on any input, applied only to the trailing-GROUP BY shape
+    without grouping()/HAVING/ORDER."""
+    m = re.search(
+        r"(?i)\bGROUP\s+BY\s+(GROUPING\s+SETS|CUBE|ROLLUP)\s*\(", sql
+    )
+    if not m or re.search(r"(?i)\bgrouping\s*\(|\bHAVING\b|\bDISTINCT\b", sql):
+        return sql
+    kind = m.group(1).upper()
+    open_idx = sql.index("(", m.end() - 1)
+    end, sets_raw = _scan_balanced(sql, open_idx)
+    if sql[end:].strip():
+        return sql  # only the trailing-clause shape
+    if kind.startswith("GROUPING"):
+        sets = [s.strip() for s in sets_raw]
+    else:
+        cols = [c.strip() for c in sets_raw]
+        if kind == "CUBE":
+            from itertools import combinations
+
+            sets = [
+                "(" + ", ".join(c) + ")"
+                for r in range(len(cols), -1, -1)
+                for c in combinations(cols, r)
+            ]
+        else:  # ROLLUP
+            sets = [
+                "(" + ", ".join(cols[:r]) + ")"
+                for r in range(len(cols), -1, -1)
+            ]
+    empties = [s for s in sets if re.fullmatch(r"\(\s*\)", s)]
+    nonempty = [s for s in sets if not re.fullmatch(r"\(\s*\)", s)]
+    if not empties:
+        return sql
+    head_m = re.match(r"(?i)\s*SELECT\s+", sql)
+    if not head_m:
+        return sql
+    gb = m.start()
+    depth = 0
+    from_at = None
+    for k in range(head_m.end(), gb):
+        ch = sql[k]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and ch in "Ff" and re.match(r"(?i)FROM\b", sql[k:]) \
+                and not (sql[k - 1].isalnum() or sql[k - 1] == "_"):
+            from_at = k
+            break
+    if from_at is None:
+        return sql
+    sel = sql[head_m.end() : from_at].strip()
+    items = []
+    buf, depth = [], 0
+    for ch in sel:
+        if ch == "," and depth == 0:
+            items.append("".join(buf))
+            buf = []
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        buf.append(ch)
+    items.append("".join(buf))
+    # grand-total branch: grouping columns render NULL, aggregates keep
+    global_sel = ", ".join(
+        it.strip() if _AGG_CALL.search(it) else "NULL" for it in items
+    )
+    middle = sql[from_at:gb].rstrip()
+    global_q = f"SELECT {global_sel} {middle}"
+    parts = []
+    if nonempty:
+        parts.append(
+            f"SELECT {sel} {middle} GROUP BY GROUPING SETS "
+            f"({', '.join(nonempty)})"
+        )
+    parts.extend([global_q] * len(empties))
+    return " UNION ALL ".join(parts)
+
+
 def _grouping_compat(sql: str) -> str:
     """grouping(a, b, ...) (GroupingOperationRewriter.java) — Presto
     allows multiple arguments (a bitmap, leftmost = most significant,
@@ -4508,6 +4603,7 @@ def translate(sql: str) -> str:
     out = _quantified_compat(out)
     out = _in_values_compat(out)
     out = _in_subquery_3vl_compat(out)
+    out = _empty_grouping_sets_compat(out)
     out = _grouping_compat(out)
     out = _rewrite_calls(out, "approx_percentile", _approx_percentile_rewrite)
     out = _rewrite_calls(out, "TRY", lambda a: _try_rewrite(a, literals))
