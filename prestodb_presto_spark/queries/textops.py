@@ -308,3 +308,100 @@ def dedup_simhash(spark, sf_dir):
     return with_simhash64(docs, F.array_distinct(tokens())).select("doc_id", "simhash").orderBy(
         "doc_id"
     )
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM documents) t
+    WHERE rn <= CEIL(n * 0.1)
+    ORDER BY source, doc_id
+    """,
+    tags=("pipeline", "sampling"),
+)
+def sample_stratified(spark, sf_dir):
+    """Deterministic stratified (per-source) 10% sample — the
+    training-mix primitive: every source contributes proportionally and
+    the selection is a pure function of the data (md5 of the key), so
+    reruns and backfills pick identical rows.
+
+    Scale posture: ONE hash shuffle on source for the two windows; at
+    100 TB a skewed giant source serializes its partition — for that
+    regime switch the ORDER BY rank to a per-partition md5 threshold
+    (keep rows with md5(key) < frac * 2^128, no window at all), which
+    this operator documents as the approximate path; the exact
+    row_number form is the oracle-checkable one.  No Python, no
+    collect; the sampled set streams straight to the sink.
+    """
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source")
+    w_rank = w.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        docs.withColumn("__n", F.count("*").over(w))
+        .withColumn("__rn", F.row_number().over(w_rank))
+        .filter(F.col("__rn") <= F.ceil(F.col("__n") * F.lit(0.1)))
+        .select("doc_id", "source")
+        .orderBy("source", "doc_id")
+    )
+
+
+@query(
+    "text_topk_ngrams",
+    oracle="""
+    SELECT lang, ngram, cnt FROM (
+        SELECT lang, ngram, cnt,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY cnt DESC, ngram) AS rk
+        FROM (
+            SELECT lang, ngram, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (
+                SELECT lang,
+                       unnest([l[i] || ' ' || l[i + 1]
+                               for i in range(1, len(l))]) AS ngram
+                FROM (SELECT lang, string_split(text, ' ') AS l
+                      FROM documents) s
+            ) g
+            GROUP BY lang, ngram
+        ) c
+    ) r
+    WHERE rk <= 5
+    ORDER BY lang, cnt DESC, ngram
+    """,
+    tags=("text", "pipeline"),
+)
+def text_topk_ngrams(spark, sf_dir):
+    """Top-5 bigrams per language — vocabulary induction over the
+    corpus, the first step of tokenizer/quality work on training data.
+
+    Bigram construction is a per-row array expression (transform over
+    the token array — no explode until the array is built), then ONE
+    explode feeds a partial-agg-friendly (lang, ngram) count and a
+    WindowGroupLimit top-k per language.  Shuffle volume is the
+    distinct-bigram count, not the token count.
+    """
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),"
+        " (x, i) -> concat(x, ' ', element_at(split(text, ' '), i + 2)))"
+    )
+    counts = (
+        docs.select("lang", F.explode(bigrams).alias("ngram"))
+        .groupBy("lang", "ngram")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("ngram"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("lang", "ngram", "cnt")
+        .orderBy("lang", F.desc("cnt"), "ngram")
+    )

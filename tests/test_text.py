@@ -114,3 +114,40 @@ def test_verifier_only_guard_refuses_large_input(spark):
     with pytest.raises(ValueError, match="verifier-only"):
         guard_rows(big, 100, "op_under_test", "use the LSH path")
     assert guard_rows(big, 1000, "op_under_test", "").count() == 1000
+
+
+def test_stratified_sample_deterministic_and_proportional(spark):
+    """sample_stratified is a pure function of the data: two runs pick
+    identical rows, and every source contributes ceil(0.1 * n) rows."""
+    from prestodb_presto_spark.queries.textops import sample_stratified
+    import math
+
+    sf = "/root/testdata/sf0.001"
+    a = [tuple(r) for r in sample_stratified(spark, sf).collect()]
+    b = [tuple(r) for r in sample_stratified(spark, sf).collect()]
+    assert a == b and a
+    from prestodb_presto_spark.queries.util import t as load
+
+    totals = {
+        r.source: r.n
+        for r in load(spark, sf, "documents").groupBy("source").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    from collections import Counter
+
+    picked = Counter(src for _id, src in a)
+    assert picked == {s: math.ceil(0.1 * n) for s, n in totals.items()}
+
+
+def test_topk_ngrams_shape(spark):
+    """Top-5 bigrams per language: <=5 rows per lang, counts descending
+    with the lexicographic tie-break."""
+    from prestodb_presto_spark.queries.textops import text_topk_ngrams
+
+    rows = text_topk_ngrams(spark, "/root/testdata/sf0.001").collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append((r.cnt, r.ngram))
+    for lang, pairs in by_lang.items():
+        assert len(pairs) <= 5
+        assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))
