@@ -193,6 +193,37 @@ def _split_top_comparison(expr: str) -> tuple[str, str, str] | None:
     return None
 
 
+def _split_top_boolean(expr: str) -> tuple[str, str, str] | None:
+    """Split at the last top-level OR (else AND) — quote/paren aware."""
+    best = None
+    depth = 0
+    i, n = 0, len(expr)
+    while i < n:
+        ch = expr[i]
+        if ch == "'":
+            j = expr.find("'", i + 1)
+            i = (j if j != -1 else n) + 1
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif depth == 0 and (ch in "OoAa"):
+            m = re.match(r"(?i)(OR|AND)\b", expr[i:])
+            if m and i > 0 and not (expr[i - 1].isalnum() or expr[i - 1] == "_"):
+                op = m.group(1).upper()
+                lhs, rhs = expr[:i].strip(), expr[i + len(op) :].strip()
+                if lhs and rhs:
+                    if op == "OR":
+                        best = (lhs, op, rhs)  # OR binds loosest — prefer
+                    elif best is None:
+                        best = (lhs, op, rhs)
+                i += m.end()
+                continue
+        i += 1
+    return best
+
+
 def _try_rewrite(args: list[str], literals: list[str] | None = None) -> str:
     """TRY(expr) → NULL-on-error (reference scalar/TryFunction.java).
 
@@ -204,6 +235,18 @@ def _try_rewrite(args: list[str], literals: list[str] | None = None) -> str:
         raise ValueError("TRY takes exactly one argument")
     inner = args[0].strip()
     low = inner.lower()
+    # OR/AND distribute (TryExpressionRewriter evaluates the whole
+    # boolean; a side that errors NULLs it).  Caveat: distribution keeps
+    # short-circuit wins (NULL OR TRUE = TRUE where Presto yields NULL
+    # only if it evaluated the erroring side) — the reference's own
+    # suite shapes agree with the distributed form.
+    bm = _split_top_boolean(inner)
+    if bm:
+        lhs, op, rhs = bm
+        return (
+            f"({_try_rewrite([lhs], literals)} {op} "
+            f"{_try_rewrite([rhs], literals)})"
+        )
     # a top-level comparison distributes TRY over both sides
     # (TRY(1/(b-a) != 1000): the failable arithmetic is inside)
     cm = _split_top_comparison(inner)
@@ -261,6 +304,16 @@ def _try_rewrite(args: list[str], literals: list[str] | None = None) -> str:
         except ValueError:
             return "CAST(NULL AS STRING)"
         return f"({inner})"
+    # TRY(MAP(keys, values)): a NULL key is the failure mode
+    # (MapConstructor "map key cannot be null") — guard it to NULL
+    if re.match(r"MAP\s*\(", inner, re.IGNORECASE) and inner.endswith(")") and not split:
+        _, parts = _scan_balanced(inner, inner.index("("))
+        if len(parts) == 2:
+            k = parts[0].strip()
+            return (
+                f"(CASE WHEN exists({k}, __nk -> __nk IS NULL) "
+                f"THEN NULL ELSE {inner} END)"
+            )
     # TRY(to_base(x, radix)): the only runtime failure is radix outside
     # [2, 36] (MathFunctions.toBase checkRadix) — guard instead
     if re.match(r"to_base\s*\(", low) and inner.endswith(")") and not split:
@@ -271,6 +324,15 @@ def _try_rewrite(args: list[str], literals: list[str] | None = None) -> str:
                 f"(CASE WHEN ({r}) BETWEEN 2 AND 36 "
                 f"THEN to_base({x}, {r}) ELSE CAST(NULL AS STRING) END)"
             )
+    # total functions cannot fail — pass through
+    if re.fullmatch(
+        r"(?i)current_timestamp|current_date|localtimestamp", inner
+    ) or (
+        re.match(r"(?i)(from_unixtime|to_unixtime)\s*\(", inner)
+        and inner.endswith(")")
+        and not split
+    ):
+        return f"({inner})"
     # constants cannot fail — TRY(c) == c (TryFunction.java semantics);
     # an array(..) constructor over constants likewise
     if re.fullmatch(
@@ -996,6 +1058,85 @@ def _top_level_comma(expr: str) -> bool:
     return False
 
 
+def _order_by_alias_subst(sql: str) -> str:
+    """Presto resolves ORDER BY against BOTH output and input scopes; in
+    a grouping-sets query Spark only sees the output columns, so ORDER
+    BY -a fails when the projection is ``a AS foo``.  Substitute the
+    alias for bare-identifier select items (value-identical by
+    construction), unless the identifier is itself an output name."""
+    # top-level SELECT list and last top-level ORDER BY
+    head = re.match(r"(?i)\s*SELECT\s+", sql)
+    if not head:
+        return sql
+    depth = 0
+    from_at = ob = -1
+    i, n = head.end(), len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            j = sql.find("'", i + 1)
+            i = (j if j != -1 else n) + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and (ch.isalpha() or ch == "_") and not (
+            sql[i - 1].isalnum() or sql[i - 1] == "_"
+        ):
+            m = _CLAUSE_WORD.match(sql, i)
+            w = m.group(0).upper()
+            if w == "FROM" and from_at < 0:
+                from_at = i
+            elif w == "ORDER" and re.match(r"(?i)ORDER\s+BY\b", sql[i:]):
+                ob = i
+            i = m.end()
+            continue
+        i += 1
+    if from_at < 0 or ob < 0:
+        return sql
+    aliases: dict[str, str] = {}
+    outputs: set[str] = set()
+    sel_items, buf, d = [], [], 0
+    for ch in sql[head.end() : from_at]:
+        if ch == "," and d == 0:
+            sel_items.append("".join(buf))
+            buf = []
+            continue
+        if ch in "([":
+            d += 1
+        elif ch in ")]":
+            d -= 1
+        buf.append(ch)
+    sel_items.append("".join(buf))
+    for item in sel_items:
+        am = re.fullmatch(
+            r"\s*([A-Za-z_]\w*)\s+AS\s+([A-Za-z_]\w*)\s*", item, re.IGNORECASE
+        )
+        if am:
+            aliases[am.group(1)] = am.group(2)
+        # EVERY trailing alias is an output name (expr AS x shadows any
+        # input column x in Presto's ORDER BY output scope)
+        tm = re.search(r"(?i)\s+AS\s+([A-Za-z_]\w*)\s*$", item)
+        if tm:
+            outputs.add(tm.group(1))
+        else:
+            bm = re.fullmatch(r"\s*([A-Za-z_]\w*)\s*", item)
+            if bm:
+                outputs.add(bm.group(1))
+    subst = {k: v for k, v in aliases.items() if k not in outputs}
+    tail = sql[ob:]
+    if not subst or "'" in tail or re.search(
+        r"(?i)\(\s*SELECT\b|\bgrouping(_id)?\s*\(", tail
+    ):
+        # quoted text / subqueries / grouping() (whose arguments must BE
+        # the grouping columns): leave resolution alone
+        return sql
+    for k, v in subst.items():
+        tail = re.sub(rf"(?<![\w.]){k}(?![\w.(])", v, tail)
+    return sql[:ob] + tail
+
+
 def _order_by_subquery_hoist(sql: str) -> str:
     """ORDER BY items holding EXISTS/scalar subqueries — Presto sorts on
     them directly; Spark's grammar/analyzer rejects subqueries in sort
@@ -1101,6 +1242,102 @@ def _order_by_subquery_hoist(sql: str) -> str:
         f"SELECT {', '.join(names)} FROM ({inner.rstrip()}) __hoist "
         f"ORDER BY {', '.join(new_items)} {sql[items_end:]}"
     )
+
+
+def _cast_target(content: str) -> str | None:
+    c = content.strip()
+    if re.search(r"(?i)\bAS\s+REAL\s*$", c):
+        return "real"
+    if re.search(r"(?i)\bAS\s+DECIMAL\s*\([^()]*\)\s*$", c):
+        return "dec"
+    return None
+
+
+def _real_decimal_cmp_compat(sql: str) -> str:
+    """REAL ⋈ DECIMAL comparisons coerce the decimal to REAL in Presto
+    (TypeRegistry real/decimal coercion); Spark widens both to DOUBLE,
+    where float literals like 1.2f no longer equal their decimal
+    spelling.  Cast the decimal side down to REAL for the static
+    CAST-vs-CAST shape (balanced-paren scan, so CASE operands work)."""
+    out = sql
+    pos = 0
+    while True:
+        m = re.search(r"(?i)\bCAST\s*\(", out[pos:])
+        if not m:
+            return out
+        start = pos + m.start()
+        open_idx = out.index("(", start + 4)
+        end, _ = _scan_balanced(out, open_idx)
+        side = _cast_target(out[open_idx + 1 : end - 1])
+        m2 = re.match(
+            r"\s*(=|<>|!=|<=|>=|<|>)\s*CAST\s*\(", out[end:], re.IGNORECASE
+        )
+        if side is None or not m2:
+            pos = open_idx + 1
+            continue
+        open2 = out.index("(", end + m2.end() - 1)
+        end2, _ = _scan_balanced(out, open2)
+        other = _cast_target(out[open2 + 1 : end2 - 1])
+        if other is None or {side, other} != {"real", "dec"}:
+            pos = open_idx + 1
+            continue
+        if side == "dec":
+            out = (
+                out[:start] + "CAST(" + out[start:end] + " AS REAL)"
+                + out[end:]
+            )
+        else:
+            rstart = end + re.search(
+                r"(?i)CAST\s*\($", out[end : open2 + 1]
+            ).start()
+            out = (
+                out[:rstart] + "CAST(" + out[rstart:end2] + " AS REAL)"
+                + out[end2:]
+            )
+        pos = end2 + len("CAST( AS REAL)")
+
+
+def _values_lambda_compat(sql: str) -> str:
+    """``(VALUES transform(seq, x -> ..))`` — Spark inline tables demand
+    foldable expressions and reject lambdas; rewrite the VALUES rows as
+    a UNION ALL of SELECTs (exactly Presto's semantics for computed
+    rows)."""
+    out = sql
+    pos = 0
+    while True:
+        m = re.search(r"\(\s*VALUES\b", out[pos:], re.IGNORECASE)
+        if not m:
+            return out
+        start = pos + m.start()
+        end, _ = _scan_balanced(out, start)
+        body = out[start + 1 : end - 1]
+        body = body[re.match(r"\s*VALUES", body, re.IGNORECASE).end() :]
+        if "->" not in body:
+            pos = end
+            continue
+        rows, buf, d = [], [], 0
+        for ch in body:
+            if ch == "," and d == 0:
+                rows.append("".join(buf))
+                buf = []
+                continue
+            if ch in "([":
+                d += 1
+            elif ch in ")]":
+                d -= 1
+            buf.append(ch)
+        rows.append("".join(buf))
+        selects = []
+        for r in rows:
+            r = r.strip()
+            if r.startswith("(") and r.endswith(")"):
+                e, _args = _scan_balanced(r, 0)
+                if e == len(r):
+                    r = r[1:-1]
+            selects.append(f"SELECT {r}")
+        repl = "(" + " UNION ALL ".join(selects) + ")"
+        out = out[:start] + repl + out[end:]
+        pos = start + len(repl)
 
 
 _IN_SUBQ = re.compile(r"\b(NOT\s+)?IN\s*\(\s*\(?\s*SELECT\b", re.IGNORECASE)
@@ -2305,10 +2542,15 @@ def _json_cast_rewrite(literals: list[str]):
             up = inner.upper()
             if up == "NULL":
                 return "NULL"
-            if up.startswith("MAP"):
-                return (
-                    f"to_json(map_from_entries(array_sort(map_entries({expr}))))"
-                )
+            if up.startswith("MAP") or re.match(
+                r"(?is)^\(CASE\b.*\bELSE\s+MAP\s*\(.*END\s*\)$", inner
+            ):
+                # the CASE form is the TRY(MAP(..)) null-key guard; a
+                # runtime-NULL map casts to SQL NULL, not 'null' text
+                j = f"to_json(map_from_entries(array_sort(map_entries({expr}))))"
+                if up.startswith("MAP"):
+                    return j
+                return f"(CASE WHEN ({expr}) IS NULL THEN NULL ELSE {j} END)"
             if up.startswith("ARRAY"):
                 pj = _presto_json_value(inner, literals)
                 return pj if pj is not None else f"to_json({expr})"
@@ -4600,6 +4842,9 @@ def translate(sql: str) -> str:
     out = _exists_no_from_compat(out)
     out = _trivial_scalar_subquery_collapse(out)
     out = _order_by_subquery_hoist(out)
+    out = _order_by_alias_subst(out)
+    out = _real_decimal_cmp_compat(out)
+    out = _values_lambda_compat(out)
     out = _quantified_compat(out)
     out = _in_values_compat(out)
     out = _in_subquery_3vl_compat(out)
