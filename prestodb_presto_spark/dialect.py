@@ -1208,20 +1208,38 @@ def _order_by_subquery_hoist(sql: str) -> str:
     if from_m is None:
         return sql
     sel = sql[head_m.end() : from_m].strip()
-    if not re.fullmatch(
-        r"[A-Za-z_][\w.]*(\s+AS\s+[A-Za-z_]\w*)?"
-        r"(\s*,\s*[A-Za-z_][\w.]*(\s+AS\s+[A-Za-z_]\w*)?)*",
-        sel,
-        re.IGNORECASE,
-    ):
-        return sql
+    bare = bool(
+        re.fullmatch(
+            r"[A-Za-z_][\w.]*(\s+AS\s+[A-Za-z_]\w*)?"
+            r"(\s*,\s*[A-Za-z_][\w.]*(\s+AS\s+[A-Za-z_]\w*)?)*",
+            sel,
+            re.IGNORECASE,
+        )
+    )
     middle = sql[from_m:ob]
     if re.search(r"(?i)\b(GROUP\s+BY|HAVING|DISTINCT)\b", middle):
         return sql
     names = []
-    for part in re.split(r"\s*,\s*", sel):
-        am = re.split(r"(?i)\s+AS\s+", part)
-        names.append(am[1] if len(am) > 1 else am[0].split(".")[-1])
+    sel_parts, buf, d = [], [], 0
+    for ch in sel:
+        if ch == "," and d == 0:
+            sel_parts.append("".join(buf))
+            buf = []
+            continue
+        if ch in "([":
+            d += 1
+        elif ch in ")]":
+            d -= 1
+        buf.append(ch)
+    sel_parts.append("".join(buf))
+    for part in sel_parts:
+        am = re.search(r"(?i)\s+AS\s+([A-Za-z_]\w*)\s*$", part)
+        if am:
+            names.append(am.group(1))
+        elif re.fullmatch(r"\s*[A-Za-z_][\w.]*\s*", part):
+            names.append(part.strip().split(".")[-1])
+        else:
+            return sql  # an unnamed expression item — can't re-project
     hoisted, new_items = [], []
     for it in items:
         core = it.strip()
@@ -1237,9 +1255,24 @@ def _order_by_subquery_hoist(sql: str) -> str:
             new_items.append(alias + suffix)
         else:
             new_items.append(core)
-    inner = f"SELECT {sel}, {', '.join(hoisted)} {middle}"
+    if bare:
+        # input scope == output scope for bare-identifier projections:
+        # compute the sort expressions alongside the projection
+        inner = f"SELECT {sel}, {', '.join(hoisted)} {middle}"
+        return (
+            f"SELECT {', '.join(names)} FROM ({inner.rstrip()}) __hoist "
+            f"ORDER BY {', '.join(new_items)} {sql[items_end:]}"
+        )
+    # aliased-expression projection: Presto resolves the sort items in
+    # the OUTPUT scope (a AS alias shadows input a) — two layers, so
+    # the hoisted expressions see the projected values
+    inner1 = f"SELECT {sel} {middle}".rstrip()
+    inner2 = (
+        f"SELECT {', '.join(names)}, {', '.join(hoisted)} "
+        f"FROM ({inner1}) __h1"
+    )
     return (
-        f"SELECT {', '.join(names)} FROM ({inner.rstrip()}) __hoist "
+        f"SELECT {', '.join(names)} FROM ({inner2}) __hoist "
         f"ORDER BY {', '.join(new_items)} {sql[items_end:]}"
     )
 

@@ -12,13 +12,13 @@ dbgen sf0.01 data — which IS tpch.tiny — comparing to DuckDB running
 the same SQL (1-arg form) or the reference's own expected SQL (2-arg
 form), exactly the reference's H2 differential pattern.
 
-Current state: **1258 of the 1318 scrapeable cases pass** the full
+Current state: **1259 of the 1318 scrapeable cases pass** the full
 differential (AbstractTestIndexedQueries 39/40 and
 AbstractTestIntegrationSmokeTest 14/14 included — index joins are a
 physical strategy; the SQL must hold on any engine).  Only 7 have no
 runnable oracle (oracle_compat translates H2-isms — bare VALUES rows,
 rand(), DATEADD — to DuckDB; what's left is H2-lax SQL DuckDB rejects
-outright) and 53 are frozen as known deviations below, each with its
+outright) and 52 are frozen as known deviations below, each with its
 cause — mostly Catalyst decorrelation limits and the documented
 engine-specific sketch values.  Closed by dialect rewrites this round:
 the whole 3VL-in-projection existence-join family
@@ -42,7 +42,7 @@ import pytest
 from prestodb_presto_spark.testing import _tolerant_cell as _tc0
 from tests.abstract_queries_scrape import oracle_compat, scrape
 
-PASS_FLOOR = 1258
+PASS_FLOOR = 1259
 ORACLE_UNRUNNABLE_MAX = 10
 
 # method → (max allowed non-passing cases, recorded cause).  A failure
@@ -79,9 +79,8 @@ ALLOWED = {
     # is fully closed by dialect._in_subquery_3vl_compat)
     # ORDER BY output-column scoping
     "testOrderByWithOutputColumnReference": (
-        2, "window functions OVER output aliases in ORDER BY (the plain "
-           "window-fn sort item is hoisted; alias references inside the "
-           "window body are not)"),
+        1, "a sort item mixing OUTPUT scope (a) and INPUT scope (t.a) in "
+           "one expression — unexpressible by re-projection"),
     # grouping() scope rules
     "testGrouping": (
         1, "grouping() in ORDER BY over a mixed grouping-set query"),
