@@ -1563,6 +1563,81 @@ def _empty_grouping_sets_compat(sql: str) -> str:
     return " UNION ALL ".join(parts)
 
 
+def _depth0_search(text: str, pat: re.Pattern) -> bool:
+    depth = 0
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch == "'":
+            j = text.find("'", i + 1)
+            i = (j if j != -1 else n) + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and (ch.isalpha() or ch == "_"):
+            m = pat.match(text, i)
+            if m and (i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_")):
+                return True
+            w = _CLAUSE_WORD.match(text, i)
+            i = w.end() if w else i + 1
+            continue
+        i += 1
+    return False
+
+
+_GS_KW = re.compile(r"(?i)GROUPING\s+SETS|CUBE\s*\(|ROLLUP\s*\(")
+_SELECT_KW = re.compile(r"(?i)SELECT\b")
+
+
+def _grouping_plain_scope_fold(sql: str) -> str:
+    """grouping(..) whose OWN query block uses a plain GROUP BY folds to
+    constant 0 (GroupingOperationRewriter) — scope-aware, so a grouping
+    sets clause in an OUTER or INNER block doesn't leak in
+    (AbstractTestQueries testGroupingInTableSubquery: alternating GROUP
+    BY and GROUPING SETS in one plan)."""
+    out = sql
+    pos = 0
+    while True:
+        m = re.search(r"(?i)\bgrouping\s*\(", out[pos:])
+        if not m:
+            return out
+        start = pos + m.start()
+        open_idx = out.index("(", start + 8)
+        end, _ = _scan_balanced(out, open_idx)
+        # innermost→outermost enclosing paren spans containing the call
+        spans = []
+        stack = []
+        i, n = 0, len(out)
+        while i < n:
+            ch = out[i]
+            if ch == "'":
+                j = out.find("'", i + 1)
+                i = (j if j != -1 else n) + 1
+                continue
+            if ch == "(":
+                stack.append(i)
+            elif ch == ")":
+                if stack:
+                    s = stack.pop()
+                    if s < start and i >= end:
+                        spans.append((s + 1, i))
+            i += 1
+        spans.sort(key=lambda se: se[1] - se[0])
+        spans.append((0, n))
+        block = None
+        for s, e in spans:
+            if _depth0_search(out[s:e], _SELECT_KW):
+                block = (s, e)
+                break
+        if block and not _depth0_search(out[block[0] : block[1]], _GS_KW):
+            out = out[:start] + "0" + out[end:]
+            pos = start + 1
+        else:
+            pos = end
+
+
 def _grouping_compat(sql: str) -> str:
     """grouping(a, b, ...) (GroupingOperationRewriter.java) — Presto
     allows multiple arguments (a bitmap, leftmost = most significant,
@@ -4882,6 +4957,7 @@ def translate(sql: str) -> str:
     out = _in_values_compat(out)
     out = _in_subquery_3vl_compat(out)
     out = _empty_grouping_sets_compat(out)
+    out = _grouping_plain_scope_fold(out)
     out = _grouping_compat(out)
     out = _rewrite_calls(out, "approx_percentile", _approx_percentile_rewrite)
     out = _rewrite_calls(out, "TRY", lambda a: _try_rewrite(a, literals))

@@ -12,13 +12,13 @@ dbgen sf0.01 data — which IS tpch.tiny — comparing to DuckDB running
 the same SQL (1-arg form) or the reference's own expected SQL (2-arg
 form), exactly the reference's H2 differential pattern.
 
-Current state: **1259 of the 1318 scrapeable cases pass** the full
+Current state: **1262 of the 1318 scrapeable cases pass** the full
 differential (AbstractTestIndexedQueries 39/40 and
 AbstractTestIntegrationSmokeTest 14/14 included — index joins are a
 physical strategy; the SQL must hold on any engine).  Only 7 have no
 runnable oracle (oracle_compat translates H2-isms — bare VALUES rows,
 rand(), DATEADD — to DuckDB; what's left is H2-lax SQL DuckDB rejects
-outright) and 52 are frozen as known deviations below, each with its
+outright) and 49 are frozen as known deviations below, each with its
 cause — mostly Catalyst decorrelation limits and the documented
 engine-specific sketch values.  Closed by dialect rewrites this round:
 the whole 3VL-in-projection existence-join family
@@ -42,7 +42,7 @@ import pytest
 from prestodb_presto_spark.testing import _tolerant_cell as _tc0
 from tests.abstract_queries_scrape import oracle_compat, scrape
 
-PASS_FLOOR = 1259
+PASS_FLOOR = 1262
 ORACLE_UNRUNNABLE_MAX = 10
 
 # method → (max allowed non-passing cases, recorded cause).  A failure
@@ -84,9 +84,8 @@ ALLOWED = {
     # grouping() scope rules
     "testGrouping": (
         1, "grouping() in ORDER BY over a mixed grouping-set query"),
-    "testGroupingInTableSubquery": (
-        3, "grouping() in an outer query over a grouping-sets subquery "
-           "(Presto scopes per-aggregation; Spark rejects or NULLs)"),
+    # (testGroupingInTableSubquery closed by the scope-aware
+    # _grouping_plain_scope_fold)
     # (the grouping-sets-over-empty-input family is closed by
     # dialect._empty_grouping_sets_compat: () sets split off as global
     # aggregations, which always emit their row)
