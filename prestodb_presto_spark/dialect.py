@@ -1208,6 +1208,7 @@ def _order_by_subquery_hoist(sql: str) -> str:
     if from_m is None:
         return sql
     sel = sql[head_m.end() : from_m].strip()
+    star = sel == "*"
     bare = bool(
         re.fullmatch(
             r"[A-Za-z_][\w.]*(\s+AS\s+[A-Za-z_]\w*)?"
@@ -1220,26 +1221,27 @@ def _order_by_subquery_hoist(sql: str) -> str:
     if re.search(r"(?i)\b(GROUP\s+BY|HAVING|DISTINCT)\b", middle):
         return sql
     names = []
-    sel_parts, buf, d = [], [], 0
-    for ch in sel:
-        if ch == "," and d == 0:
-            sel_parts.append("".join(buf))
-            buf = []
-            continue
-        if ch in "([":
-            d += 1
-        elif ch in ")]":
-            d -= 1
-        buf.append(ch)
-    sel_parts.append("".join(buf))
-    for part in sel_parts:
-        am = re.search(r"(?i)\s+AS\s+([A-Za-z_]\w*)\s*$", part)
-        if am:
-            names.append(am.group(1))
-        elif re.fullmatch(r"\s*[A-Za-z_][\w.]*\s*", part):
-            names.append(part.strip().split(".")[-1])
-        else:
-            return sql  # an unnamed expression item — can't re-project
+    if not star:
+        sel_parts, buf, d = [], [], 0
+        for ch in sel:
+            if ch == "," and d == 0:
+                sel_parts.append("".join(buf))
+                buf = []
+                continue
+            if ch in "([":
+                d += 1
+            elif ch in ")]":
+                d -= 1
+            buf.append(ch)
+        sel_parts.append("".join(buf))
+        for part in sel_parts:
+            am = re.search(r"(?i)\s+AS\s+([A-Za-z_]\w*)\s*$", part)
+            if am:
+                names.append(am.group(1))
+            elif re.fullmatch(r"\s*[A-Za-z_][\w.]*\s*", part):
+                names.append(part.strip().split(".")[-1])
+            else:
+                return sql  # an unnamed expression item — can't re-project
     hoisted, new_items = [], []
     for it in items:
         core = it.strip()
@@ -1255,6 +1257,16 @@ def _order_by_subquery_hoist(sql: str) -> str:
             new_items.append(alias + suffix)
         else:
             new_items.append(core)
+    if star:
+        # SELECT * — hoist alongside, drop the helper columns outside
+        inner = f"SELECT *, {', '.join(hoisted)} {middle}"
+        drops = ", ".join(
+            f"__ord{k + 1}" for k in range(len(hoisted))
+        )
+        return (
+            f"SELECT * EXCEPT ({drops}) FROM ({inner.rstrip()}) __hoist "
+            f"ORDER BY {', '.join(new_items)} {sql[items_end:]}"
+        )
     if bare:
         # input scope == output scope for bare-identifier projections:
         # compute the sort expressions alongside the projection
