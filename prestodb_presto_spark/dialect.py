@@ -449,17 +449,38 @@ _INTEGRAL_TYPES = {"bigint", "integer", "int", "smallint", "tinyint"}
 # operands that are statically integral/boolean/string-literal: the
 # plain Spark CAST already matches Presto (identity, 1/0, or strict
 # Long.parseLong-style parse), so no rounding route is needed
-_STATIC_INTEGRAL_SAFE = re.compile(
+_STATIC_INTEGRAL_SIMPLE = re.compile(
     r"^\s*(?:"
     r"[-+]?\d+"
     r"|\x00\d+\x00"
     r"|TRUE|FALSE|NULL"
     r"|(?:BIGINT|INTEGER|INT|SMALLINT|TINYINT)\s*\x00\d+\x00"
-    r"|(?:TRY_)?CAST\s*\(.*\bAS\s+"
-    r"(?:BIGINT|INTEGER|INT|SMALLINT|TINYINT|STRING|DECIMAL\s*\(\s*38\s*,\s*0\s*\))\s*\)"
     r")\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_INTEGRAL_CAST_HEAD = re.compile(r"^\s*(?:TRY_)?CAST\s*\(", re.IGNORECASE)
+_INTEGRAL_CAST_TAIL = re.compile(
+    r"\bAS\s+(?:BIGINT|INTEGER|INT|SMALLINT|TINYINT|STRING"
+    r"|DECIMAL\s*\(\s*38\s*,\s*0\s*\))\s*$",
+    re.IGNORECASE,
+)
+
+
+def _static_integral_safe(expr: str) -> bool:
+    """The operand is already integral — skip the HALF_UP rounding pivot —
+    only when it is a bare integral literal/placeholder or a SINGLE
+    balanced CAST to an integral type.  A compound expression that merely
+    ENDS with an integral cast (``CAST(x AS DOUBLE) + CAST(y AS INTEGER)``)
+    is NOT safe: Presto rounds its double result, Spark would truncate."""
+    if _STATIC_INTEGRAL_SIMPLE.match(expr):
+        return True
+    m = _INTEGRAL_CAST_HEAD.match(expr)
+    if not m:
+        return False
+    end, args = _scan_balanced(expr, m.end() - 1)
+    if expr[end:].strip():
+        return False  # top-level operators after the cast — compound expr
+    return bool(args and _INTEGRAL_CAST_TAIL.search(args[-1]))
 
 
 def _bool_shaped(expr: str) -> bool:
@@ -525,7 +546,7 @@ def _cast_rewrite(args: list[str], try_: bool = False) -> str | None:
     if vm:
         # Presto CAST to varchar(n) truncates (VarcharOperators)
         return f"substr(CAST({expr} AS STRING), 1, {vm.group(1)})"
-    if typs.lower() in _INTEGRAL_TYPES and not _STATIC_INTEGRAL_SAFE.match(expr):
+    if typs.lower() in _INTEGRAL_TYPES and not _static_integral_safe(expr):
         if _STATIC_FRACTIONAL.match(expr):
             return f"CAST(round({expr}) AS {typs})"
         if not _bool_shaped(expr):
@@ -768,16 +789,14 @@ def _values_row_strip(sql: str) -> str:
             pm = re.match(r"\(\s*ROW\s*\(", out[i:], re.IGNORECASE)
             if pm:
                 inner_open = i + pm.end() - 1
-                inner_end, inner_args = _scan_balanced(out, inner_open)
+                inner_end, _inner_args = _scan_balanced(out, inner_open)
                 outer_end, _ = _scan_balanced(out, i)
-                # single-arg only: (ROW(x)) unwraps to the value in
-                # Presto, while (ROW(a, b)) is a genuine struct row
-                if (
-                    out[inner_end : outer_end - 1].strip() == ""
-                    and len(inner_args) == 1
-                ):
-                    kw = re.search(r"(?i)ROW", out[i : i + pm.end()])
-                    out = out[: i + kw.start()] + out[i + kw.end() :]
+                # StatementAnalyzer.visitValues decomposes ANY row-typed
+                # row expression into its field types: (ROW(x)) is the
+                # value x, (ROW(a, b)) is a TWO-column row — so unwrap
+                # both parens + keyword regardless of arity
+                if out[inner_end : outer_end - 1].strip() == "":
+                    out = out[:i] + out[inner_open:inner_end] + out[outer_end:]
                     continue
             rm = re.match(r"ROW\s*\(", out[i:], re.IGNORECASE)
             if rm:
@@ -998,6 +1017,11 @@ def _trivial_scalar_subquery_collapse(sql: str) -> str:
         if (not before) or (w and w.group(1).upper() in _COLLAPSE_SKIP_BEFORE):
             pos = m.end()
             continue
+        # a comma-join derived table — `FROM a, (SELECT 1 AS x) b` — is a
+        # relation, not a scalar; collapsing it breaks valid SQL
+        if before.endswith(",") and _clause_at(out, m.start()) == "from":
+            pos = m.end()
+            continue
         end, _ = _scan_balanced(out, m.start())
         rest = out[end:].lstrip()
         # a set-op / ORDER BY right after the parens means the group is
@@ -1056,6 +1080,240 @@ def _top_level_comma(expr: str) -> bool:
             return True
         i += 1
     return False
+
+
+def _derived_scalar_wrapper_flatten(sql: str) -> str:
+    """``(SELECT * FROM (SELECT <item>))`` — a scalar subquery whose body
+    is only a derived-table wrapper around one no-FROM select item
+    (AbstractTestQueries' "correlation two levels deep" shapes).  Presto
+    decorrelates through the wrapper (PlanNodeDecorrelator.java); Spark
+    cannot resolve an outer column through two subquery levels.  The
+    wrapper adds nothing — flatten to ``(<item>)``, which Spark's own
+    single-level decorrelation (or the later no-FROM folds) then handles."""
+    pat = re.compile(r"\(\s*SELECT\s+\*\s+FROM\s*\(\s*SELECT\b", re.IGNORECASE)
+    out = sql
+    pos = 0
+    while True:
+        m = pat.search(out, pos)
+        if not m:
+            return out
+        outer_open = m.start()
+        inner_open = out.rindex("(", outer_open + 1, m.end())
+        inner_end, _ = _scan_balanced(out, inner_open)
+        outer_end, _ = _scan_balanced(out, outer_open)
+        # the inner group must close the outer subquery (no alias or
+        # trailing clauses), and its body be a single no-WHERE item
+        if out[inner_end : outer_end - 1].strip():
+            pos = m.end()
+            continue
+        body = out[inner_open + 1 : inner_end - 1]
+        sm = re.match(r"\s*SELECT\b", body, re.IGNORECASE)
+        parts = _no_from_select(body[sm.end() :])
+        if parts is None or parts[1] is not None or _top_level_comma(parts[0]):
+            pos = m.end()
+            continue
+        item = parts[0].strip()
+        if not item or item == "*" or re.match(r"(?i)DISTINCT\b", item):
+            pos = m.end()
+            continue
+        out = out[:outer_open] + f"({item})" + out[outer_end:]
+        # same position: the exposed item may itself start a foldable form
+
+
+def _collect_correlated_subqueries(text: str, alias: str) -> list[str]:
+    """Outermost balanced ``(SELECT ..)`` spans in *text* that reference
+    ``alias.`` (i.e. correlate to the enclosing query's relation)."""
+    spans: list[str] = []
+    pos = 0
+    while True:
+        m = _PSELECT.search(text, pos)
+        if not m:
+            return spans
+        end, _ = _scan_balanced(text, m.start())
+        # EXISTS/IN/quantified predicates are not scalar subqueries —
+        # Spark handles those positions natively (or other passes do)
+        w = re.search(r"([A-Za-z_]\w*)\s*$", text[: m.start()])
+        if w and w.group(1).upper() in ("EXISTS", "IN", "ANY", "ALL", "SOME"):
+            pos = end
+            continue
+        span = text[m.start() : end]
+        if re.search(rf"\b{re.escape(alias)}\s*\.", span):
+            spans.append(span)
+        pos = end
+
+
+def _group_by_scalar_subquery_hoist(sql: str) -> str:
+    """Correlated scalar subqueries as GROUP BY items, or in the select
+    list of a grouped query (the reference decorrelates them via
+    TransformCorrelatedScalarAggregationToJoin.java): Spark rejects a
+    subquery as a grouping expression, and requires a select-list
+    subquery to literally appear in GROUP BY.  Hoist: compute the
+    subquery in a derived table projecting ``alias.*``, then group on the
+    hoisted column (functionally dependent on the grouping keys, since
+    Presto's analyzer only admits group-key correlations here).  Fires on
+    the single-table ``FROM <rel> <alias> [WHERE ..] GROUP BY`` shape."""
+    f0 = _depth0_find(sql, re.compile(r"(?i)\bFROM\b"))
+    if f0 is None:
+        return sql
+    fm = re.match(
+        r"(?i)FROM\s+([A-Za-z_]\w*)\s+(?:AS\s+)?([A-Za-z_]\w*)"
+        r"\s+(WHERE\b|GROUP\s+BY\b)",
+        sql[f0[0] :],
+    )
+    if not fm:
+        return sql
+    head = re.match(r"(?i)\s*SELECT\s+", sql)
+    if not head or head.end() > f0[0]:
+        return sql
+    rel, alias = fm.group(1), fm.group(2)
+    if alias.upper() in ("WHERE", "GROUP", "CROSS", "JOIN", "INNER", "LEFT",
+                         "RIGHT", "FULL", "NATURAL", "UNION", "ORDER"):
+        return sql
+    # segment: select list / optional WHERE / GROUP BY items / tail
+    sel = sql[head.end() : f0[0]]
+    after = sql[f0[0] + fm.end(3) - len(fm.group(3)) :]
+    where_txt = ""
+    if fm.group(3).upper().startswith("WHERE"):
+        gm = _depth0_find(after, re.compile(r"(?i)\bGROUP\s+BY\b"))
+        if gm is None:
+            return sql
+        where_txt = after[5:gm[0]]  # text after WHERE keyword
+        after = after[gm[0] :]
+    gb_kw = re.match(r"(?i)GROUP\s+BY\b", after)
+    if not gb_kw:
+        return sql
+    rest = after[gb_kw.end() :]
+    tm = _depth0_find(
+        rest, re.compile(r"(?i)\b(HAVING|ORDER|LIMIT|UNION|INTERSECT|EXCEPT)\b")
+    )
+    gb_items = rest[: tm[0]] if tm else rest
+    tail = rest[tm[0] :] if tm else ""
+    subs = _collect_correlated_subqueries(sel + " " + gb_items, alias)
+    if not subs:
+        return sql
+    names: dict[str, str] = {}
+    for s in subs:
+        names.setdefault(s, f"__csq{len(names) + 1}")
+    new_sel, new_gb, new_tail = sel, gb_items, tail
+    for s, nm in names.items():
+        new_sel = new_sel.replace(s, nm)
+        new_gb = new_gb.replace(s, nm)
+        new_tail = new_tail.replace(s, nm)
+    # select-list subqueries not grouped yet join the grouping keys
+    # (legal: Presto only admits group-key-correlated subqueries here)
+    gb_list = [g.strip() for g in new_gb.split(",")]
+    extra = [nm for nm in names.values() if nm not in gb_list]
+    derived_cols = ", ".join(f"{s} AS {nm}" for s, nm in names.items())
+    where_clause = f" WHERE {where_txt.strip()}" if where_txt.strip() else ""
+    new_from = (
+        f"FROM (SELECT {alias}.*, {derived_cols} FROM {rel} {alias}"
+        f"{where_clause}) {alias} "
+    )
+    new_gb_full = ", ".join(gb_list + extra)
+    return (
+        sql[: head.end()] + new_sel + new_from
+        + "GROUP BY " + new_gb_full + " " + new_tail
+    ).rstrip() + ("" if not sql.endswith(" ") else " ")
+
+
+def _depth0_find(text: str, pat: re.Pattern) -> tuple[int, str] | None:
+    """(position, match text) of the first depth-0, non-quoted match."""
+    depth = 0
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch == "'":
+            j = text.find("'", i + 1)
+            i = (j if j != -1 else n) + 1
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif depth == 0 and (ch.isalpha() or ch == "_") and (
+            i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_")
+        ):
+            m = pat.match(text, i)
+            if m:
+                return i, m.group(0)
+            w = _CLAUSE_WORD.match(text, i)
+            i = w.end() if w else i + 1
+            continue
+        i += 1
+    return None
+
+
+_JOIN_ON_CLAUSE_END = re.compile(
+    r"(?i)\b(WHERE|GROUP|HAVING|ORDER|LIMIT|UNION|INTERSECT|EXCEPT"
+    r"|JOIN|INNER|LEFT|RIGHT|FULL|CROSS)\b"
+)
+
+
+def _join_on_subquery_compat(sql: str) -> str:
+    """A scalar/EXISTS/IN subquery inside an INNER JOIN ON condition:
+    Spark rejects correlated subqueries in join predicates referencing
+    both inputs; the reference decorrelates them
+    (PlanNodeDecorrelator.java) and falls back to nested-loop.  For an
+    INNER join, ON <cond> ≡ CROSS JOIN + WHERE <cond>, and Spark's
+    subquery decorrelation DOES work in filters — rewrite accordingly.
+    Top-level INNER joins only; outer joins are left untouched (the
+    equivalence doesn't hold)."""
+    out = sql
+    jm_pos = 0
+    pending: list[str] = []
+    while True:
+        jm = _depth0_find(out[jm_pos:], re.compile(r"(?i)\bJOIN\b"))
+        if jm is None:
+            break
+        j_at = jm_pos + jm[0]
+        before = out[:j_at].rstrip()
+        lead = re.search(r"(?i)\b(LEFT|RIGHT|FULL|CROSS|NATURAL|OUTER)\s*$", before)
+        if lead:
+            jm_pos = j_at + 4
+            continue
+        om = _depth0_find(out[j_at:], re.compile(r"(?i)\bON\b"))
+        if om is None:
+            jm_pos = j_at + 4
+            continue
+        on_at = j_at + om[0]
+        cond_start = on_at + 2
+        em = _depth0_find(out[cond_start:], _JOIN_ON_CLAUSE_END)
+        cond_end = cond_start + em[0] if em else len(out)
+        cond = out[cond_start:cond_end]
+        if not re.search(r"(?i)\(\s*SELECT\b|\bEXISTS\s*\(", cond):
+            jm_pos = cond_end
+            continue
+        # drop INNER if present, rewrite to CROSS JOIN, move cond to WHERE
+        inner = re.search(r"(?i)\bINNER\s*$", out[:j_at].rstrip())
+        cut = inner.start() if inner else j_at
+        out = (
+            out[:cut] + "CROSS JOIN" + out[j_at + 4 : on_at]
+            + out[cond_end:]
+        )
+        pending.append(cond.strip())
+        jm_pos = cut + 10
+    if not pending:
+        return sql
+    conj = " AND ".join(f"({c})" for c in pending)
+    wm = _depth0_find(out, re.compile(r"(?i)\bWHERE\b"))
+    if wm is not None:
+        at = wm[0] + 5
+        return out[:at] + f" {conj} AND " + "(" + _insert_close(out, at)
+    cm = _depth0_find(
+        out, re.compile(r"(?i)\b(GROUP|HAVING|ORDER|LIMIT|UNION|INTERSECT|EXCEPT)\b")
+    )
+    at = cm[0] if cm else len(out)
+    return out[:at].rstrip() + f" WHERE {conj} " + out[at:]
+
+
+def _insert_close(out: str, at: int) -> str:
+    """Close the parenthesis opened around an existing WHERE condition:
+    the original predicate runs to the end of its clause."""
+    em = _depth0_find(
+        out[at:], re.compile(r"(?i)\b(GROUP|HAVING|ORDER|LIMIT|UNION|INTERSECT|EXCEPT)\b")
+    )
+    end = at + em[0] if em else len(out)
+    return out[at:end].rstrip() + ") " + out[end:]
 
 
 def _order_by_alias_subst(sql: str) -> str:
@@ -1221,6 +1479,7 @@ def _order_by_subquery_hoist(sql: str) -> str:
     if re.search(r"(?i)\b(GROUP\s+BY|HAVING|DISTINCT)\b", middle):
         return sql
     names = []
+    mixed = False  # an unnamed expression item (incl. a *) in the list
     if not star:
         sel_parts, buf, d = [], [], 0
         for ch in sel:
@@ -1238,10 +1497,14 @@ def _order_by_subquery_hoist(sql: str) -> str:
             am = re.search(r"(?i)\s+AS\s+([A-Za-z_]\w*)\s*$", part)
             if am:
                 names.append(am.group(1))
-            elif re.fullmatch(r"\s*[A-Za-z_][\w.]*\s*", part):
+            elif re.fullmatch(r"\s*[A-Za-z_][\w.]*\s*", part) and not \
+                    part.strip().endswith("*"):
                 names.append(part.strip().split(".")[-1])
             else:
-                return sql  # an unnamed expression item — can't re-project
+                # unnamed expression item — re-projection by name is
+                # impossible; the * EXCEPT nesting below still works
+                mixed = True
+                break
     hoisted, new_items = [], []
     for it in items:
         core = it.strip()
@@ -1257,9 +1520,12 @@ def _order_by_subquery_hoist(sql: str) -> str:
             new_items.append(alias + suffix)
         else:
             new_items.append(core)
-    if star:
-        # SELECT * — hoist alongside, drop the helper columns outside
-        inner = f"SELECT *, {', '.join(hoisted)} {middle}"
+    if star or mixed:
+        # SELECT * (or a list with unnamed expression items) — hoist
+        # alongside, drop the helper columns outside; auto-generated
+        # names for unnamed items survive the nesting unchanged
+        base = "*" if star else sel
+        inner = f"SELECT {base}, {', '.join(hoisted)} {middle}"
         drops = ", ".join(
             f"__ord{k + 1}" for k in range(len(hoisted))
         )
@@ -1487,6 +1753,23 @@ _AGG_CALL = re.compile(
 )
 
 
+_CONST_ITEM_KEYWORDS = {
+    "TRUE", "FALSE", "NULL", "AS", "CAST", "TRY_CAST", "INTERVAL", "DATE",
+    "TIMESTAMP", "DOUBLE", "REAL", "FLOAT", "BIGINT", "INTEGER", "INT",
+    "SMALLINT", "TINYINT", "VARCHAR", "CHAR", "DECIMAL", "BOOLEAN", "STRING",
+}
+
+
+def _const_select_item(item: str) -> bool:
+    """True when the select item is a constant expression — only literal
+    placeholders, numbers, quoted strings, and literal/type keywords; no
+    column references."""
+    core = re.sub(r"(?is)\s+AS\s+[A-Za-z_]\w*\s*$", "", item.strip())
+    scrubbed = re.sub(r"\x00\d+\x00|'(?:[^']|'')*'", " ", core)
+    toks = re.findall(r"[A-Za-z_]\w*", scrubbed)
+    return all(t.upper() in _CONST_ITEM_KEYWORDS for t in toks)
+
+
 def _empty_grouping_sets_compat(sql: str) -> str:
     """Spark's expand-based grouping sets emit ZERO rows over empty
     input; Presto emits one row per empty () grouping set (grand
@@ -1559,10 +1842,17 @@ def _empty_grouping_sets_compat(sql: str) -> str:
             depth -= 1
         buf.append(ch)
     items.append("".join(buf))
-    # grand-total branch: grouping columns render NULL, aggregates keep
-    global_sel = ", ".join(
-        it.strip() if _AGG_CALL.search(it) else "NULL" for it in items
-    )
+    # grand-total branch: grouping columns render NULL; aggregates and
+    # constant items (literals/masked placeholders — `SELECT 1, count(*)`)
+    # keep their value, exactly as Presto's grand-total row does
+    def _global_item(it: str) -> str:
+        s = it.strip()
+        if _AGG_CALL.search(s) or _const_select_item(s):
+            return s
+        am = re.search(r"(?is)\s+AS\s+([A-Za-z_]\w*)\s*$", s)
+        return f"NULL AS {am.group(1)}" if am else "NULL"
+
+    global_sel = ", ".join(_global_item(it) for it in items)
     middle = sql[from_at:gb].rstrip()
     global_q = f"SELECT {global_sel} {middle}"
     parts = []
@@ -4959,6 +5249,12 @@ def translate(sql: str) -> str:
     out = re.sub(r"\bGROUP\s+BY\s+\(\s*\)", "", out, flags=re.IGNORECASE)
     out = _group_by_distinct_compat(out)
     out = _harness_lambda_compat(out, literals)
+    # zero-arg count() counts rows, like count(*) (the reference parser
+    # admits it; Spark requires the explicit star)
+    out = re.sub(r"(?i)\bcount\s*\(\s*\)", "count(*)", out)
+    out = _derived_scalar_wrapper_flatten(out)
+    out = _join_on_subquery_compat(out)
+    out = _group_by_scalar_subquery_hoist(out)
     out = _exists_no_from_compat(out)
     out = _trivial_scalar_subquery_collapse(out)
     out = _order_by_subquery_hoist(out)

@@ -135,22 +135,37 @@ class Engine:
 
             if "information_schema." in text.lower():
                 # materialize the synthesized metadata views under plain
-                # names (temp views can't be schema-qualified in Spark)
+                # names (temp views can't be schema-qualified in Spark).
+                # The rewrite skips string literals and consumes an
+                # optional catalog qualifier (hive.information_schema.t),
+                # but never rewrites across other dotted prefixes.
                 import re as _re
 
-                for view in ("tables", "columns"):
-                    if _re.search(
-                        rf"information_schema\.{view}\b", text, _re.IGNORECASE
-                    ):
-                        self.information_schema(view).createOrReplaceTempView(
-                            f"__information_schema_{view}"
-                        )
-                text = _re.sub(
-                    r"\binformation_schema\.(tables|columns)\b",
-                    r"__information_schema_\1",
-                    text,
-                    flags=_re.IGNORECASE,
+                pat = _re.compile(
+                    r"(?<![\w.])(?:[A-Za-z_]\w*\.)?"
+                    r"information_schema\.(tables|columns)\b",
+                    _re.IGNORECASE,
                 )
+                lit = _re.compile(r"'(?:[^']|'')*'")
+                pieces, last, found = [], 0, set()
+                for lm in lit.finditer(text):
+                    pieces.append((text[last : lm.start()], True))
+                    pieces.append((lm.group(0), False))
+                    last = lm.end()
+                pieces.append((text[last:], True))
+
+                def _repl(m):
+                    found.add(m.group(1).lower())
+                    return f"__information_schema_{m.group(1).lower()}"
+
+                text = "".join(
+                    pat.sub(_repl, seg) if rewrite else seg
+                    for seg, rewrite in pieces
+                )
+                for view in found:
+                    self.information_schema(view).createOrReplaceTempView(
+                        f"__information_schema_{view}"
+                    )
             text = translate(text)
             with self._presto_literals():
                 # spark.sql parses/analyzes eagerly, so the raw-literal

@@ -332,11 +332,12 @@ def sample_stratified(spark, sf_dir):
 
     Scale posture: ONE hash shuffle on source for the two windows; at
     100 TB a skewed giant source serializes its partition — for that
-    regime switch the ORDER BY rank to a per-partition md5 threshold
-    (keep rows with md5(key) < frac * 2^128, no window at all), which
-    this operator documents as the approximate path; the exact
-    row_number form is the oracle-checkable one.  No Python, no
-    collect; the sampled set streams straight to the sink.
+    regime use ``sample_stratified_threshold`` below: the windowless
+    md5-prefix filter (zero shuffles, binomial-exact at scale), which is
+    itself oracle-checked row-for-row.  This exact row_number form
+    guarantees ceil(n * 0.1) per source and is the small/medium-scale
+    choice.  No Python, no collect; the sampled set streams straight to
+    the sink.
     """
     from pyspark.sql import Window
 
@@ -347,6 +348,50 @@ def sample_stratified(spark, sf_dir):
         docs.withColumn("__n", F.count("*").over(w))
         .withColumn("__rn", F.row_number().over(w_rank))
         .filter(F.col("__rn") <= F.ceil(F.col("__n") * F.lit(0.1)))
+        .select("doc_id", "source")
+        .orderBy("source", "doc_id")
+    )
+
+
+# 10% of the md5-prefix space: floor(0.1 * 16^15) as a 15-digit lowercase
+# hex string.  Lexicographic `<` on equal-length lowercase hex equals
+# numeric `<`, and Spark's md5() and DuckDB's md5() render identical
+# lowercase hex — so both engines select the exact same rows.
+_STRAT_RATE_HEX = format(16**15 // 10, "x").rjust(15, "0")
+
+
+@query(
+    "sample_stratified_threshold",
+    oracle=f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) < '{_STRAT_RATE_HEX}'
+    ORDER BY source, doc_id
+    """,
+    tags=("pipeline", "sampling"),
+)
+def sample_stratified_threshold(spark, sf_dir):
+    """Windowless stratified 10% sample — the 100 TB scale path for
+    sample_stratified.  Selection is a pure per-row filter: keep rows
+    whose md5(key) prefix falls below the rate threshold.  ZERO shuffles
+    (the trailing ORDER BY exists only for oracle determinism); no
+    per-source window, so a skewed giant source can never serialize one
+    partition the way row_number() over PARTITION BY source does.
+
+    Trade-off vs the exact form: each source's realized rate is binomial
+    around 10% (concentrating as the source grows — exactly the regime
+    where the window form breaks), rather than exactly ceil(n * 0.1).
+    Deterministic: md5 of the key, so reruns/backfills pick identical
+    rows, and the DuckDB oracle selects the exact same set.  Reference
+    context: SampleNode.java / ImplementBernoulliSampleAsFilter.java —
+    the same sample-as-filter rewrite.
+    """
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.filter(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15)
+            < F.lit(_STRAT_RATE_HEX)
+        )
         .select("doc_id", "source")
         .orderBy("source", "doc_id")
     )

@@ -182,3 +182,46 @@ def test_spark_safe_literal_trailing_backslash():
     # even runs and interior backslashes stay plain literals
     out = translate(r"SELECT 'a\b' AS v")
     assert "chr(92)" not in out, out
+
+
+def test_advice_r5_compound_integral_cast_rounds():
+    """ADVICE r5 (medium): a compound expression that merely ENDS with an
+    integral cast is NOT statically integral — the outer integral cast
+    must keep the HALF_UP rounding pivot (Presto rounds 2.6 -> 3)."""
+    out = translate(
+        "SELECT CAST(CAST(x AS DOUBLE) + CAST(y AS INTEGER) AS BIGINT) FROM t"
+    )
+    # the OUTER cast routes through the DECIMAL(38,0) pivot
+    assert out.count("DECIMAL(38,0)") >= 2, out
+    # a genuine single integral-to-integral cast stays plain
+    out = translate("SELECT CAST(CAST(x AS BIGINT) AS INTEGER) FROM t")
+    assert out.count("DECIMAL(38,0)") == 1, out  # only the inner bare column
+
+
+def test_advice_r5_comma_join_derived_table_not_collapsed():
+    """ADVICE r5 (medium): a comma-join derived table is a relation, not
+    a scalar subquery — must survive untouched."""
+    out = translate("SELECT x FROM a, (SELECT 1 AS x) b")
+    assert "(SELECT 1 AS x)" in out, out
+
+
+def test_advice_r5_values_multiarg_row_decomposes():
+    """ADVICE r5 (low): StatementAnalyzer.visitValues decomposes ANY
+    row-typed row expression into field types — (ROW(a, b)) is two
+    columns, not one struct."""
+    out = translate("SELECT * FROM (VALUES (ROW(1, 2))) t(a, b)")
+    assert "ROW" not in out.upper() or "named_struct" not in out, out
+    assert "(VALUES (1, 2))" in out, out
+
+
+def test_advice_r5_grouping_sets_constant_kept_in_grand_total():
+    """ADVICE r5 (low): constants in the select list keep their value in
+    the UNION ALL grand-total branch (Presto emits 1, not NULL)."""
+    out = translate("SELECT 1, count(*) FROM t GROUP BY GROUPING SETS ((a), ())")
+    head, _, tail = out.partition("UNION ALL")
+    assert tail.strip().startswith("SELECT 1,"), out
+    # column references still NULL out, preserving any alias
+    out = translate(
+        "SELECT a AS k, count(*) FROM t GROUP BY GROUPING SETS ((a), ())"
+    )
+    assert "NULL AS k" in out.split("UNION ALL")[1], out

@@ -151,3 +151,47 @@ def test_topk_ngrams_shape(spark):
     for lang, pairs in by_lang.items():
         assert len(pairs) <= 5
         assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))
+
+
+def test_stratified_threshold_proportional_on_skew(spark):
+    """sample_stratified_threshold: the windowless md5-prefix filter stays
+    proportional per source on deliberately skewed data (one source = 90%
+    of rows), is deterministic, and never shuffles before the filter."""
+    from prestodb_presto_spark.queries.textops import (
+        _STRAT_RATE_HEX,
+        sample_stratified_threshold,
+    )
+
+    # skewed synthetic corpus: 'giant' has 9000 rows, 'small' has 1000
+    docs = spark.range(10_000).selectExpr(
+        "CAST(id AS STRING) AS doc_id",
+        "CASE WHEN id % 10 < 9 THEN 'giant' ELSE 'small' END AS source",
+    )
+    picked = (
+        docs.filter(
+            F.substring(F.md5(F.col("doc_id")), 1, 15) < F.lit(_STRAT_RATE_HEX)
+        )
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    rates = {r.source: r["count"] for r in picked}
+    # binomial(9000, 0.1) -> mean 900, sd ~28.5; 5 sd tolerance.
+    assert abs(rates.get("giant", 0) - 900) < 150, rates
+    assert abs(rates.get("small", 0) - 100) < 50, rates
+
+    # the catalog entry runs, is deterministic, and picks ~10% overall
+    sf = "/root/testdata/sf0.001"
+    a = [tuple(r) for r in sample_stratified_threshold(spark, sf).collect()]
+    b = [tuple(r) for r in sample_stratified_threshold(spark, sf).collect()]
+    assert a == b and a
+
+    # plan hygiene: no Exchange before the Filter (the sample is a pure
+    # per-row predicate; the only allowed shuffle is the final ORDER BY)
+    plan = sample_stratified_threshold(spark, sf)._jdf.queryExecution().executedPlan().toString()
+    filter_at = plan.find("Filter")
+    exchange_at = plan.find("Exchange")
+    assert filter_at != -1
+    # executed-plan string is top-down: the sort exchange appears ABOVE
+    # (before) the filter; nothing below the filter shuffles
+    assert exchange_at == -1 or exchange_at < filter_at, plan
