@@ -1142,6 +1142,27 @@ def _collect_correlated_subqueries(text: str, alias: str) -> list[str]:
         pos = end
 
 
+def _per_query_level(sql: str, fn) -> str:
+    """Apply a per-SELECT rewrite at every query nesting level: recurse
+    into each parenthesized SELECT body (innermost first), then apply
+    *fn* to this level.  Lets top-level-anchored rewrites fire inside
+    derived tables and subqueries too."""
+    out = sql
+    pos = 0
+    while True:
+        m = _PSELECT.search(out, pos)
+        if not m:
+            break
+        end, _ = _scan_balanced(out, m.start())
+        body = out[m.start() + 1 : end - 1]
+        new_body = _per_query_level(body, fn)
+        if new_body != body:
+            out = out[: m.start() + 1] + new_body + out[end - 1 :]
+            end = m.start() + 2 + len(new_body)
+        pos = end
+    return fn(out)
+
+
 def _group_by_scalar_subquery_hoist(sql: str) -> str:
     """Correlated scalar subqueries as GROUP BY items, or in the select
     list of a grouped query (the reference decorrelates them via
@@ -1975,6 +1996,68 @@ _GB_DISTINCT = re.compile(
 )
 
 
+def _grouping_product_distinct(body: str) -> str:
+    """Expand a composite GROUP BY item list (plain exprs mixed with
+    ROLLUP/CUBE/GROUPING SETS) into its cross product of grouping sets,
+    dedupe as column sets, and render a GROUPING SETS list."""
+    from itertools import combinations, product
+
+    # top-level comma split of the item list
+    items, buf, depth = [], [], 0
+    for ch in body:
+        if ch == "," and depth == 0:
+            items.append("".join(buf))
+            buf = []
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        buf.append(ch)
+    items.append("".join(buf))
+
+    def factors(item: str) -> list[list[str]]:
+        im = re.match(r"(?i)\s*(ROLLUP|CUBE|GROUPING\s+SETS)\s*\(", item)
+        if not im:
+            return [[item.strip()]]
+        _end, args = _scan_balanced(item, item.index("(", im.end() - 1))
+        kind = im.group(1).upper()
+        cols = [a.strip() for a in args]
+        if kind == "ROLLUP":
+            return [cols[:r] for r in range(len(cols), -1, -1)]
+        if kind == "CUBE":
+            return [
+                list(c)
+                for r in range(len(cols), -1, -1)
+                for c in combinations(cols, r)
+            ]
+        sets: list[list[str]] = []
+        for a in cols:
+            if a.startswith("("):
+                _e, inner = _scan_balanced(a, 0)
+                sets.append([x.strip() for x in inner if x.strip()])
+            elif a:
+                sets.append([a])
+            else:
+                sets.append([])
+        return sets
+
+    seen: set[frozenset[str]] = set()
+    rendered: list[str] = []
+    for combo in product(*(factors(it) for it in items)):
+        cols: list[str] = []
+        for part in combo:
+            for c in part:
+                if c not in cols:
+                    cols.append(c)
+        key = frozenset(" ".join(c.split()) for c in cols)
+        if key in seen:
+            continue
+        seen.add(key)
+        rendered.append("(" + ", ".join(cols) + ")")
+    return ", ".join(rendered)
+
+
 def _group_by_distinct_compat(sql: str) -> str:
     """GROUP BY DISTINCT [GROUPING SETS (...)] — the reference dedupes
     grouping sets before expansion (SqlBase.g4 setQuantifier on
@@ -1986,9 +2069,28 @@ def _group_by_distinct_compat(sql: str) -> str:
         if not m:
             return out
         if not m.group(1):
-            # plain GROUP BY DISTINCT a, b — grouping keys are a set
-            # already; just drop DISTINCT
-            out = out[: m.start()] + "GROUP BY " + out[m.end() :]
+            # GROUP BY DISTINCT a, b[, ROLLUP(..), CUBE(..), ...] — the
+            # reference computes the CROSS PRODUCT of the composite
+            # grouping elements, then dedupes the resulting sets
+            # (StatementAnalyzer analyzeGroupBy + setQuantifier).  With
+            # ROLLUP/CUBE present the product must be expanded statically
+            # to deduped GROUPING SETS; plain keys just drop DISTINCT.
+            endm = _depth0_find(
+                out[m.end() :],
+                re.compile(r"(?i)\b(HAVING|ORDER|LIMIT|UNION|INTERSECT"
+                           r"|EXCEPT|WINDOW|OFFSET|FETCH)\b"),
+            )
+            body_end = m.end() + (endm[0] if endm else len(out) - m.end())
+            body = out[m.end() : body_end]
+            if not re.search(r"(?i)\b(ROLLUP|CUBE|GROUPING\s+SETS)\s*\(", body):
+                out = out[: m.start()] + "GROUP BY " + out[m.end() :]
+                continue
+            sets_sql = _grouping_product_distinct(body)
+            out = (
+                out[: m.start()]
+                + f"GROUP BY GROUPING SETS ({sets_sql}) "
+                + out[body_end:]
+            )
             continue
         open_idx = out.index("(", m.end() - 1)
         end, sets = _scan_balanced(out, open_idx)
@@ -5156,8 +5258,47 @@ _BOUND_SYMBOLS = {
 }
 
 
+def _strip_comments(sql: str) -> str:
+    """Replace ``--``/``/* */`` comments (outside string literals) with a
+    space.  Comments are whitespace to the grammar (SqlBase.g4
+    SIMPLE_COMMENT / BRACKETED_COMMENT), but every depth/keyword scanner
+    below would otherwise read keywords inside them."""
+    parts: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            parts.append(sql[i : j + 1])
+            i = j + 1
+            continue
+        if ch == "-" and sql[i : i + 2] == "--":
+            j = sql.find("\n", i)
+            parts.append(" ")
+            i = n if j == -1 else j  # keep the newline itself
+            continue
+        if ch == "/" and sql[i : i + 2] == "/*":
+            j = sql.find("*/", i + 2)
+            parts.append(" ")
+            i = n if j == -1 else j + 2
+            continue
+        parts.append(ch)
+        i += 1
+    return "".join(parts)
+
+
 def translate(sql: str) -> str:
     """Presto-dialect SQL → Spark SQL."""
+    # Comments are whitespace; strip them first so no scanner below can
+    # read keywords inside them
+    sql = _strip_comments(sql)
     # Mask string literals so owned names inside quotes are never
     # rewritten ('... strpos(' stays text).  The datetime-pattern rules
     # (_DATE_ADD/_DATE_FORMAT/_DECIMAL_LIT) intentionally run with
@@ -5253,8 +5394,8 @@ def translate(sql: str) -> str:
     # admits it; Spark requires the explicit star)
     out = re.sub(r"(?i)\bcount\s*\(\s*\)", "count(*)", out)
     out = _derived_scalar_wrapper_flatten(out)
-    out = _join_on_subquery_compat(out)
-    out = _group_by_scalar_subquery_hoist(out)
+    out = _per_query_level(out, _join_on_subquery_compat)
+    out = _per_query_level(out, _group_by_scalar_subquery_hoist)
     out = _exists_no_from_compat(out)
     out = _trivial_scalar_subquery_collapse(out)
     out = _order_by_subquery_hoist(out)

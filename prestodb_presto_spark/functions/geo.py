@@ -716,17 +716,46 @@ def st_buffer(g, dist, n_sides: int = 32) -> Column:
 @register("st_buffer_geom")
 def st_buffer_geom(g, dist: float, n_sides: int = 32) -> Column:
     """ST_Buffer for line/polygon kinds (GeoFunctions.stBuffer:182):
-    Minkowski sum with a disc = convex hull of per-vertex circle samples
-    — exact rounded offset for CONVEX inputs; concave pockets fill to
-    the hull (documented).  Pandas-UDF tier like ST_ConvexHull, hence
-    the sibling name: the UDF-backed column cannot nest inside
-    higher-order-function lambdas, so the POINT fast path keeps the
-    fully-native st_buffer spelling."""
+    Minkowski sum with a disc = convex hull of per-vertex circle
+    samples.  That identity holds EXACTLY for convex polygons and
+    straight (collinear) linestrings; a concave input's buffer has
+    pockets the hull would silently fill, so those inputs are REFUSED
+    with NotImplementedError rather than approximated.  Pandas-UDF tier
+    like ST_ConvexHull, hence the sibling name: the UDF-backed column
+    cannot nest inside higher-order-function lambdas, so the POINT fast
+    path keeps the fully-native st_buffer spelling."""
     if float(dist) < 0:
         raise ValueError("buffer distance is negative")  # GeoFunctions.stBuffer check
 
     def _buffer_hull(kind, pts, d, n):
         import math as _m2
+
+        def _cross(o, p, q):
+            return (p[0] - o[0]) * (q[1] - o[1]) - (p[1] - o[1]) * (q[0] - o[0])
+
+        if kind == "linestring" and len(pts) > 2:
+            if any(abs(_cross(pts[0], pts[1], p)) > 1e-12 for p in pts[2:]):
+                raise NotImplementedError(
+                    "ST_Buffer of a bent linestring is non-convex (the "
+                    "bend's inner side); only collinear linestrings are "
+                    "supported exactly"
+                )
+        if kind == "polygon":
+            ring = [p for p in pts]
+            if len(ring) > 1 and ring[0] == ring[-1]:
+                ring = ring[:-1]
+            m = len(ring)
+            signs = set()
+            for i in range(m):
+                cr = _cross(ring[i], ring[(i + 1) % m], ring[(i + 2) % m])
+                if abs(cr) > 1e-12:
+                    signs.add(cr > 0)
+            if len(signs) > 1:
+                raise NotImplementedError(
+                    "ST_Buffer of a concave polygon has pockets the "
+                    "convex-hull offset would fill; only convex polygons "
+                    "are supported exactly"
+                )
 
         samples = []
         for (x, y) in pts:
@@ -1329,14 +1358,23 @@ def st_distance_geom(g1, g2) -> Column:
 @register("st_relate")
 def st_relate(g1, g2, pattern: str) -> Column:
     """ST_Relate(a, b, 'T*F**F***') (GeoFunctions.stRelate) — restricted
-    DE-9IM: pattern positions are honored for T/F/* where each matrix
-    cell is derived as a boolean from the engine's interior/boundary
-    primitives; dimension digits (0/1/2) are treated as T (documented
-    deviation — exact intersection dimensions need a geometry library)."""
+    DE-9IM: T/F/* pattern positions are honored, with each matrix cell
+    derived as a boolean from the engine's interior/boundary primitives.
+    Dimension digits (0/1/2) require exact intersection dimensions —
+    unsupported here, and REFUSED rather than approximated: a pattern
+    containing them raises NotImplementedError.  (Every ST_Relate
+    pattern in the reference's own tests — TestGeoFunctions.java:689 —
+    is T/F/* only.)"""
     a, b = c(g1), c(g2)
     pat = pattern.upper()
     if len(pat) != 9:
         raise ValueError("DE-9IM pattern must have 9 characters")
+    if any(ch in "012" for ch in pat):
+        raise NotImplementedError(
+            "ST_Relate dimension digits (0/1/2) need exact intersection "
+            "dimensions; only T/F/* patterns are supported — rewrite the "
+            "pattern or use ST_Crosses/ST_Touches/ST_Overlaps"
+        )
     bb = F.exists(_all_segs(a), lambda s1: F.exists(_all_segs(b), lambda s2: _seg_intersects(s1, s2)))
     out_a = F.exists(F.flatten(a.getField("rings")), lambda p: _strictly_outside(b, p))
     out_b = F.exists(F.flatten(b.getField("rings")), lambda p: _strictly_outside(a, p))

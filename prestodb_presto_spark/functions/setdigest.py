@@ -48,7 +48,14 @@ def make_set_digest(col) -> Column:
 
 @register("merge_set_digest")
 def merge_set_digest(digest) -> Column:
-    """Aggregate: merge partial SetDigests (HLL union + slot-wise MIN)."""
+    """Aggregate: merge partial SetDigests (HLL union + slot-wise MIN).
+
+    Presto spells this ``merge(setdigest)`` — an overload resolved by
+    argument type (SetDigestFunctions.java).  This registry is
+    name-keyed, so the SetDigest overloads use qualified names:
+    ``merge_set_digest`` here, ``set_digest_cardinality`` for
+    ``cardinality(setdigest)``.  The unqualified ``merge`` /
+    ``cardinality`` keep their HLL / array meanings."""
     d = c(digest)
     sig = F.array(
         *[F.min(F.element_at(d.getField("sig"), i + 1)) for i in range(N_SLOTS)]

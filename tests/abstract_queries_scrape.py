@@ -220,8 +220,73 @@ _DATEADD = re.compile(
 )
 
 
+# Hand translations (round-6) for the handful of statements whose
+# H2-lax SQL DuckDB rejects outright — each keyed by the
+# whitespace-normalized original, each a semantically identical
+# DuckDB-runnable equivalent (reviewed case by case):
+#   - `key` / TIME / TIMESTAMP / DATE / INTERVAL as identifiers → quoted
+#   - uncorrelated IN-subquery in GROUP BY / scalar subquery in LEFT
+#     JOIN ON → precomputed in a derived-table projection
+#   - H2's ungrouped-but-single-row-group partkey → added to GROUP BY
+#     ((orderkey, linenumber) is the lineitem PK, so the group grain is
+#     one row and the added key changes nothing)
+#   - H2 row-rendered arrays in VALUES → DuckDB list literals
+_HAND_TRANSLATIONS = {
+    " ".join(k.split()): v
+    for k, v in {
+        "SELECT key + 5, status FROM (SELECT orderkey key, orderstatus"
+        " status FROM orders UNION ALL SELECT orderkey key, linestatus"
+        " status FROM lineitem)":
+            'SELECT "key" + 5, status FROM (SELECT orderkey AS "key",'
+            " orderstatus AS status FROM orders UNION ALL SELECT orderkey,"
+            " linestatus FROM lineitem) t",
+        "SELECT linenumber, min(orderkey), 6 IN (SELECT orderkey FROM"
+        " orders WHERE orderkey < 7)FROM lineitem GROUP BY linenumber, 6 IN"
+        " (SELECT orderkey FROM orders WHERE orderkey < 7)HAVING 6 IN"
+        " (SELECT orderkey FROM orders WHERE orderkey < 7)":
+            "SELECT linenumber, min(orderkey), __c FROM lineitem CROSS JOIN"
+            " (SELECT count(*) > 0 AS __c FROM orders WHERE orderkey = 6"
+            " AND orderkey < 7) x GROUP BY linenumber, __c HAVING __c",
+        "SELECT o1.orderkey, COUNT(*) FROM (SELECT * FROM orders ORDER BY"
+        " orderkey LIMIT 5) o1 LEFT JOIN (SELECT * FROM orders ORDER BY"
+        " orderkey LIMIT 10) o2 ON o1.orderkey BETWEEN (SELECT"
+        " avg(orderkey) FROM orders) - 10 AND (SELECT avg(orderkey) FROM"
+        " orders) + 10 GROUP BY o1.orderkey":
+            "SELECT o1.orderkey, COUNT(*) FROM (SELECT o.*, (SELECT"
+            " avg(orderkey) FROM orders) AS __av FROM (SELECT * FROM orders"
+            " ORDER BY orderkey LIMIT 5) o) o1 LEFT JOIN (SELECT * FROM"
+            " orders ORDER BY orderkey LIMIT 10) o2 ON o1.orderkey BETWEEN"
+            " o1.__av - 10 AND o1.__av + 10 GROUP BY o1.orderkey",
+        "SELECT TIME, TIMESTAMP, DATE, INTERVAL FROM (SELECT 1 TIME, 2"
+        " TIMESTAMP, 3 DATE, 4 INTERVAL)":
+            'SELECT "TIME", "TIMESTAMP", "DATE", "INTERVAL" FROM (SELECT'
+            ' 1 AS "TIME", 2 AS "TIMESTAMP", 3 AS "DATE", 4 AS "INTERVAL") t',
+        "VALUES (NULL, NULL , ('F', 'O', 'O')),('5-LOW', NULL , ('F',"
+        " 'O')),('1-URGENT', NULL , ('O')),('5-LOW', 370 , NULL),('5-LOW',"
+        " 1234, ('F')),('5-LOW', 1369, ('O')),('5-LOW', 445 ,"
+        " NULL),('1-URGENT', 781 , ('O'))":
+            "SELECT * FROM (VALUES (NULL, NULL, ['F','O','O']), ('5-LOW',"
+            " NULL, ['F','O']), ('1-URGENT', NULL, ['O']), ('5-LOW', 370,"
+            " NULL), ('5-LOW', 1234, ['F']), ('5-LOW', 1369, ['O']),"
+            " ('5-LOW', 445, NULL), ('1-URGENT', 781, ['O'])) t(a, b, c)",
+    }.items()
+}
+
+
 def oracle_compat(osql: str) -> str:
     """Translate the reference's H2-dialect expected SQL to DuckDB."""
+    hand = _HAND_TRANSLATIONS.get(" ".join(osql.split()))
+    if hand is not None:
+        return hand
+    # the GroupingCombinations H2 goldens select partkey ungrouped in
+    # their first UNION branch; (orderkey, linenumber) is the lineitem
+    # PK, so adding partkey to that GROUP BY is value-identical
+    if "GROUP BY orderkey, suppkey, linenumber UNION ALL" in osql:
+        osql = osql.replace(
+            "GROUP BY orderkey, suppkey, linenumber UNION ALL",
+            "GROUP BY orderkey, partkey, suppkey, linenumber UNION ALL",
+            1,
+        )
     s = _wrap_values_rows(osql)
     # H2 rand() is DuckDB random(); values are only compared through
     # always-true/false predicates in the suite

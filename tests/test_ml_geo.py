@@ -497,3 +497,38 @@ def test_ml_registry_names(spark):
         P.evaluate_classifier_predictions(F.col("label"), F.lit(1)).alias("a")
     ).collect()[0].a
     assert ev == "Accuracy: 2/3 (66.67%)"
+
+
+def test_geo_mechanical_contracts(spark):
+    """Round-6: st_relate / st_buffer_geom REFUSE the input classes they
+    cannot answer exactly, instead of silently approximating."""
+    import pytest as _pt
+
+    df = spark.range(1)
+    g = lambda w: P.st_geom_from_text(F.lit(w))  # noqa: E731
+    A = g("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    B = g("POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))")
+    # dimension digits refused loudly
+    with _pt.raises(NotImplementedError):
+        P.st_relate(A, B, "1*T***T**")
+    # T/F/* patterns still answered
+    assert df.select(P.st_relate(A, B, "T*T***T**").alias("v")).collect()[0].v
+    # concave polygon buffer refused (L-shape), convex still exact
+    L_poly = g("POLYGON ((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))")
+    with _pt.raises(Exception) as ei:
+        df.select(P.st_buffer_geom(L_poly, 1.0).alias("b")).collect()
+    assert "concave" in str(ei.value)
+    # bent linestring refused; straight one buffers (capsule)
+    bent = g("LINESTRING (0 0, 2 0, 2 2)")
+    with _pt.raises(Exception) as ei2:
+        df.select(P.st_buffer_geom(bent, 1.0).alias("b")).collect()
+    assert "linestring" in str(ei2.value)
+    straight = g("LINESTRING (0 0, 4 0)")
+    area = (
+        df.select(P.st_buffer_geom(straight, 1.0).alias("b"))
+        .select(P.st_area("b").alias("a"))
+        .collect()[0]
+        .a
+    )
+    import math as _m
+    assert abs(area - (8 + _m.pi)) < 0.1  # 4x2 rectangle + unit circle caps

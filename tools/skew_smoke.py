@@ -1,0 +1,129 @@
+#!/usr/bin/env python3
+"""Skew smoke (round-5 verdict item 7) — deliberately skewed data,
+measuring the scale-path variants against their naive forms:
+
+  1. stratified sampling: one source holds 90% of rows.  The exact
+     row_number() form serializes that source's window partition; the
+     md5-threshold form (sample_stratified_threshold) is a pure filter.
+  2. salted join: one key holds 90% of the big side.  salted_join
+     spreads the hot key across SALT_N shuffle partitions.
+  3. MinHash-LSH hot-bucket cap: a boilerplate shingle shared by most
+     docs creates a quadratic candidate bucket; the cap bounds it.
+
+Usage: SPARK_GRAFT_CPUS=32 python tools/skew_smoke.py [n_docs]
+Prints one JSON line with per-variant wall seconds; the scale-path
+variant should win (or at minimum not lose) on every pair.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def timed(fn) -> tuple[float, int]:
+    t0 = time.time()
+    n = fn()
+    return round(time.time() - t0, 3), n
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+
+    from prestodb_presto_spark.session import get_spark
+
+    spark = get_spark("skew-smoke")
+    out: dict[str, float] = {}
+
+    # --- 1. stratified sample on 90/10 source skew ----------------------
+    docs = spark.range(n_docs).selectExpr(
+        "CAST(id AS STRING) AS doc_id",
+        "CASE WHEN id % 10 < 9 THEN 'giant' ELSE concat('s', id % 97) END AS source",
+    ).cache()
+    docs.count()
+
+    def exact_sample():
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("source")
+        w_rank = w.orderBy(F.md5(F.col("doc_id")), "doc_id")
+        return (
+            docs.withColumn("__n", F.count("*").over(w))
+            .withColumn("__rn", F.row_number().over(w_rank))
+            .filter(F.col("__rn") <= F.ceil(F.col("__n") * F.lit(0.1)))
+            .count()
+        )
+
+    def threshold_sample():
+        from prestodb_presto_spark.queries.textops import _STRAT_RATE_HEX
+
+        return docs.filter(
+            F.substring(F.md5(F.col("doc_id")), 1, 15) < F.lit(_STRAT_RATE_HEX)
+        ).count()
+
+    out["sample_window_exact_s"], n1 = timed(exact_sample)
+    out["sample_md5_threshold_s"], n2 = timed(threshold_sample)
+    print(f"# sample: window {out['sample_window_exact_s']}s ({n1}) vs "
+          f"threshold {out['sample_md5_threshold_s']}s ({n2})", flush=True)
+
+    # --- 2. salted join on a 90%-hot key --------------------------------
+    big = spark.range(n_docs).selectExpr(
+        "CASE WHEN id % 10 < 9 THEN 0 ELSE id % 1000 END AS k", "id AS payload"
+    ).cache()
+    small = spark.range(1000).selectExpr("id AS k", "id * 2 AS dim").cache()
+    big.count(), small.count()
+    # force the shuffle path: disable broadcast + AQE skew handling so the
+    # naive form exhibits the single-hot-partition behavior AQE would mask
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        from prestodb_presto_spark.operators.skew import salted_join
+
+        out["join_naive_s"], j1 = timed(
+            lambda: big.join(small, "k", "inner").count()
+        )
+        out["join_salted_s"], j2 = timed(
+            lambda: salted_join(big, small, "k", salt=16).count()
+        )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert j1 == j2, (j1, j2)
+    print(f"# join: naive {out['join_naive_s']}s vs salted "
+          f"{out['join_salted_s']}s ({j1} rows)", flush=True)
+
+    # --- 3. LSH hot bucket: a 5%-of-corpus identical-boilerplate cluster.
+    # Those docs share all 32 band buckets; uncapped, the self-join
+    # produces O(cluster^2) candidate pairs (~12.5M at 100k docs) — the
+    # quadratic blow-up the cap exists to bound.
+    corpus = spark.range(min(n_docs, 100_000)).selectExpr(
+        "CAST(id AS STRING) AS doc_id",
+        "CASE WHEN id % 20 = 0 THEN 'terms of service apply to this"
+        " account and all contents herein without exception'"
+        " ELSE concat('document body ', CAST(id AS STRING), ' text ',"
+        " CAST(id * 7 % 1000 AS STRING), ' tail ', CAST(id * 13 % 977 AS"
+        " STRING)) END AS text",
+    ).cache()
+    corpus.count()
+    from prestodb_presto_spark.text.minhash import lsh_candidate_pairs
+
+    out["lsh_capped_s"], c1 = timed(
+        lambda: lsh_candidate_pairs(corpus, bucket_cap=200).count()
+    )
+    out["lsh_uncapped_s"], c2 = timed(
+        lambda: lsh_candidate_pairs(corpus, bucket_cap=None).count()
+    )
+    print(f"# lsh: capped {out['lsh_capped_s']}s ({c1} pairs) vs uncapped "
+          f"{out['lsh_uncapped_s']}s ({c2} pairs)", flush=True)
+
+    print(json.dumps({"n_docs": n_docs, **out}))
+
+
+if __name__ == "__main__":
+    main()
