@@ -915,6 +915,67 @@ def _quantified_compat(sql: str) -> str:
 _IN_VALUES = re.compile(r"\b(IN)\s*\(\s*VALUES\b", re.IGNORECASE)
 
 
+def _map_in_compat(sql: str) -> str:
+    """``MAP(..) IN (VALUES MAP(..), ..)`` / ``MAP(..) IN (MAP(..), ..)``
+    — Spark MAP values are not comparable (INVALID_ORDERING_TYPE);
+    Presto compares maps by content (MapType / MapOperators.equals).
+    Compare canonical entry lists instead — sort_array(map_entries(m))
+    on both sides — statically detectable when the operand and every
+    list item are MAP constructors."""
+    out = sql
+    pos = 0
+    while True:
+        m = re.search(r"(?i)\bMAP\s*\(", out[pos:])
+        if not m:
+            return out
+        start = pos + m.start()
+        open_idx = pos + m.end() - 1
+        end, _ = _scan_balanced(out, open_idx)
+        im = re.match(r"\s*(NOT\s+)?IN\s*\(", out[end:], re.IGNORECASE)
+        if not im:
+            pos = open_idx + 1  # still scan nested MAP( occurrences
+            continue
+        lstart = end + im.end() - 1
+        lend, litems = _scan_balanced(out, lstart)
+        inner = out[lstart + 1 : lend - 1].strip()
+        vm = re.match(r"(?i)VALUES\b", inner)
+        if vm:
+            body = inner[vm.end() :]
+            items, buf, depth = [], [], 0
+            for ch in body:
+                if ch == "," and depth == 0:
+                    items.append("".join(buf))
+                    buf = []
+                    continue
+                if ch in "([":
+                    depth += 1
+                elif ch in ")]":
+                    depth -= 1
+                buf.append(ch)
+            items.append("".join(buf))
+        else:
+            items = litems
+        stripped = [
+            it.strip()[1:-1].strip()
+            if it.strip().startswith("(") and it.strip().endswith(")")
+            and not _top_level_comma(it.strip()[1:-1])
+            else it.strip()
+            for it in items
+        ]
+        if not all(re.match(r"(?i)MAP\s*\(", s) for s in stripped):
+            pos = end
+            continue
+        wrapped = [f"sort_array(map_entries({s}))" for s in stripped]
+        lhs = f"sort_array(map_entries({out[start:end]}))"
+        neg = im.group(1) or ""
+        if vm:
+            repl = f"{lhs} {neg}IN (VALUES {', '.join(f'({w})' for w in wrapped)})"
+        else:
+            repl = f"{lhs} {neg}IN ({', '.join(wrapped)})"
+        out = out[:start] + repl + out[lend:]
+        pos = start + len(repl)
+
+
 def _in_values_compat(sql: str) -> str:
     """``x IN (VALUES 1, 2)`` — Presto's grammar allows a VALUES body as
     the IN subquery; Spark needs an explicit SELECT wrapper."""
@@ -1416,6 +1477,88 @@ def _order_by_alias_subst(sql: str) -> str:
     return sql[:ob] + tail
 
 
+def _order_by_mixed_scope_compat(sql: str) -> str:
+    """A sort item mixing OUTPUT scope (bare ``a`` = the projected alias)
+    and INPUT scope (``t.a`` = the relation column) in one expression —
+    Presto resolves both (StatementAnalyzer ORDER BY scoping); Spark
+    sees only one scope.  Rewrite: project the needed input columns
+    alongside the output aliases in a derived table (``t.a`` →
+    ``__sc_a``), leaving a single-scope ORDER BY the subquery/window
+    hoist can then process.  Narrow shape: single aliased relation, all
+    select items named, no grouping."""
+    ob_m = _depth0_find(sql, re.compile(r"(?i)\bORDER\s+BY\b"))
+    head = re.match(r"(?i)\s*SELECT\s+", sql)
+    f0 = _depth0_find(sql, re.compile(r"(?i)\bFROM\b"))
+    if ob_m is None or head is None or f0 is None or f0[0] < head.end():
+        return sql
+    middle = sql[f0[0] : ob_m[0]]
+    if re.search(r"(?i)\b(GROUP|HAVING|DISTINCT|JOIN|UNION|LIMIT)\b", middle):
+        return sql
+    # FROM relation + alias: `name alias` or `( .. ) alias[(cols)]`
+    rel_m = re.match(
+        r"(?i)FROM\s+(?:([A-Za-z_]\w*)|(\())", sql[f0[0] :]
+    )
+    if not rel_m:
+        return sql
+    if rel_m.group(2):
+        rend, _ = _scan_balanced(sql, f0[0] + rel_m.start(2))
+        am = re.match(r"\s*(?:AS\s+)?([A-Za-z_]\w*)", sql[rend:], re.IGNORECASE)
+    else:
+        rend = f0[0] + rel_m.end(1)
+        am = re.match(r"\s*(?:AS\s+)?([A-Za-z_]\w*)", sql[rend:], re.IGNORECASE)
+    if not am or am.group(1).upper() in ("WHERE", "ORDER"):
+        return sql
+    alias = am.group(1)
+    # select list: every item must be named
+    sel = sql[head.end() : f0[0]]
+    items, buf, depth = [], [], 0
+    for ch in sel:
+        if ch == "," and depth == 0:
+            items.append("".join(buf))
+            buf = []
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        buf.append(ch)
+    items.append("".join(buf))
+    names = []
+    for part in items:
+        am2 = re.search(r"(?i)\s+AS\s+([A-Za-z_]\w*)\s*$", part)
+        if am2:
+            names.append((am2.group(1), part[: am2.start()].strip()))
+        elif re.fullmatch(r"\s*[A-Za-z_][\w.]*\s*", part):
+            names.append((part.strip().split(".")[-1], part.strip()))
+        else:
+            return sql
+    out_names = {n for n, _ in names}
+    # qualified input refs in the ORDER BY tail whose bare name is a
+    # SHADOWED output alias (projected expression differs from the col)
+    tail = sql[ob_m[0] :]
+    needed = []
+    for qm in re.finditer(rf"\b{re.escape(alias)}\s*\.\s*([A-Za-z_]\w*)", tail):
+        col = qm.group(1)
+        if col in out_names and not any(
+            n == col and e in (col, f"{alias}.{col}") for n, e in names
+        ):
+            if col not in needed:
+                needed.append(col)
+    if not needed:
+        return sql
+    inner_extra = ", ".join(f"{alias}.{col} AS __sc_{col}" for col in needed)
+    inner = f"SELECT {sel.strip()}, {inner_extra} {sql[f0[0]:ob_m[0]].strip()}"
+    new_tail = tail
+    for col in needed:
+        new_tail = re.sub(
+            rf"\b{re.escape(alias)}\s*\.\s*{re.escape(col)}\b",
+            f"__sc_{col}",
+            new_tail,
+        )
+    out_list = ", ".join(n for n, _ in names)
+    return f"SELECT {out_list} FROM ({inner}) __sc {new_tail}"
+
+
 def _order_by_subquery_hoist(sql: str) -> str:
     """ORDER BY items holding EXISTS/scalar subqueries — Presto sorts on
     them directly; Spark's grammar/analyzer rejects subqueries in sort
@@ -1464,7 +1607,7 @@ def _order_by_subquery_hoist(sql: str) -> str:
         buf.append(ch)
     items.append("".join(buf))
     if not any(
-        re.search(r"(?i)EXISTS\s*\(|\(\s*SELECT\b|\bOVER\s*\(", it)
+        re.search(r"(?i)EXISTS\s*\(|\(\s*SELECT\b|\bOVER\s*\(|\bgrouping\s*\(", it)
         for it in items
     ):
         return sql
@@ -1497,8 +1640,12 @@ def _order_by_subquery_hoist(sql: str) -> str:
         )
     )
     middle = sql[from_m:ob]
-    if re.search(r"(?i)\b(GROUP\s+BY|HAVING|DISTINCT)\b", middle):
+    if re.search(r"(?i)\bDISTINCT\b", middle):
         return sql
+    # a grouped query can still hoist ORDER BY grouping(..) items — they
+    # are legal in the grouped projection; anything else (subquery/OVER)
+    # would reference input scope and must not be hoisted past GROUP BY
+    grouped = bool(re.search(r"(?i)\b(GROUP\s+BY|HAVING)\b", middle))
     names = []
     mixed = False  # an unnamed expression item (incl. a *) in the list
     if not star:
@@ -1535,16 +1682,25 @@ def _order_by_subquery_hoist(sql: str) -> str:
             re.DOTALL,
         )
         expr, suffix = sm.group(1), core[len(sm.group(1)) :]
-        if re.search(r"(?i)EXISTS\s*\(|\(\s*SELECT\b|\bOVER\s*\(", expr):
+        trigger = re.search(r"(?i)EXISTS\s*\(|\(\s*SELECT\b|\bOVER\s*\(", expr)
+        grouping_item = grouped and re.fullmatch(
+            r"(?i)\s*grouping\s*\([\w\s,.]*\)\s*", expr
+        )
+        if grouped and trigger:
+            return sql  # input-scope expression can't cross GROUP BY
+        if trigger or grouping_item:
             alias = f"__ord{len(hoisted) + 1}"
             hoisted.append(f"{expr} AS {alias}")
             new_items.append(alias + suffix)
         else:
             new_items.append(core)
-    if star or mixed:
-        # SELECT * (or a list with unnamed expression items) — hoist
-        # alongside, drop the helper columns outside; auto-generated
-        # names for unnamed items survive the nesting unchanged
+    if not hoisted:
+        return sql
+    if star or mixed or grouped:
+        # SELECT * (or a list with unnamed expression items, or a grouped
+        # query whose hoisted items live in the grouped projection) —
+        # hoist alongside, drop the helper columns outside;
+        # auto-generated names for unnamed items survive the nesting
         base = "*" if star else sel
         inner = f"SELECT {base}, {', '.join(hoisted)} {middle}"
         drops = ", ".join(
@@ -5398,11 +5554,13 @@ def translate(sql: str) -> str:
     out = _per_query_level(out, _group_by_scalar_subquery_hoist)
     out = _exists_no_from_compat(out)
     out = _trivial_scalar_subquery_collapse(out)
+    out = _order_by_mixed_scope_compat(out)
     out = _order_by_subquery_hoist(out)
     out = _order_by_alias_subst(out)
     out = _real_decimal_cmp_compat(out)
     out = _values_lambda_compat(out)
     out = _quantified_compat(out)
+    out = _map_in_compat(out)
     out = _in_values_compat(out)
     out = _in_subquery_3vl_compat(out)
     out = _empty_grouping_sets_compat(out)

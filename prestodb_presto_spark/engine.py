@@ -166,6 +166,19 @@ class Engine:
                     self.information_schema(view).createOrReplaceTempView(
                         f"__information_schema_{view}"
                     )
+            if "sys.example" in text.lower():
+                # the example system table (reference
+                # presto-tests/.../tpch/ExampleSystemTable.java:33 — one
+                # VARCHAR row 'test'); temp views can't be
+                # schema-qualified, so route to a plain name
+                import re as _re2
+
+                self.spark.sql("SELECT 'test' AS name").createOrReplaceTempView(
+                    "__sys_example"
+                )
+                text = _re2.sub(
+                    r"(?i)(?<![\w.])sys\.example\b", "__sys_example", text
+                )
             text = translate(text)
             with self._presto_literals():
                 # spark.sql parses/analyzes eagerly, so the raw-literal

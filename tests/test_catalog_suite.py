@@ -126,3 +126,11 @@ def test_information_schema_rewrite_respects_literals_and_catalogs(engine):
     # the first call registers the __information_schema_tables temp view,
     # which itself appears in the second listing — allow for it
     assert row.n <= df2.collect()[0].n <= row.n + 1
+
+
+def test_sys_example_system_table(engine):
+    """AbstractTestIndexedQueries.testExampleSystemTable: the example
+    connector's demo system table (ExampleSystemTable.java:33) — one
+    VARCHAR row 'test', routable through the presto dialect path."""
+    rows = engine.sql("SELECT name FROM sys.example", dialect="presto").collect()
+    assert [r.name for r in rows] == ["test"]

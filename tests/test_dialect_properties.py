@@ -225,3 +225,39 @@ def test_advice_r5_grouping_sets_constant_kept_in_grand_total():
         "SELECT a AS k, count(*) FROM t GROUP BY GROUPING SETS ((a), ())"
     )
     assert "NULL AS k" in out.split("UNION ALL")[1], out
+
+
+def test_grouping_order_by_hoist_and_map_in():
+    """Round-6: grouping() in ORDER BY over a grouped query hoists into
+    the grouped projection; MAP constructor IN-lists compare canonical
+    sorted entry arrays (Spark maps are not comparable)."""
+    out = translate(
+        "SELECT a, sum(c) FROM t GROUP BY GROUPING SETS ((a), (b)) "
+        "ORDER BY grouping(b) ASC"
+    )
+    assert "__ord1" in out and "EXCEPT" in out, out
+    out = translate(
+        "SELECT x FROM (VALUES 2) t(x) WHERE MAP(ARRAY[1], ARRAY[x]) IN "
+        "(VALUES MAP(ARRAY[1],ARRAY[2]))"
+    )
+    assert out.count("sort_array(map_entries(") == 2, out
+    # a MAP deeper in an expression, or vs a subquery list, is untouched
+    out = translate("SELECT MAP(ARRAY[1], ARRAY[2]) AS m FROM t")
+    assert "sort_array" not in out, out
+
+
+def test_order_by_mixed_scope():
+    """Round-6: a sort item mixing output scope (bare alias) and input
+    scope (qualified column) — input columns get projected alongside the
+    output aliases so Spark sees one scope."""
+    out = translate(
+        "SELECT -a AS a FROM (VALUES 1, 2) t(a) "
+        "ORDER BY first_value(a+t.a*2) OVER (ORDER BY a ROWS 0 PRECEDING)"
+    )
+    # the input column is projected once (t.a AS __sc_a) and the final
+    # ORDER BY references only single-scope names
+    assert "t.a AS __sc_a" in out, out
+    assert "t.a" not in out.rsplit("ORDER BY", 1)[1], out
+    # single-scope sorts stay untouched
+    out = translate("SELECT -a AS b FROM t ORDER BY t.a")
+    assert "__sc_" not in out, out

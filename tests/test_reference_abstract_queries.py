@@ -12,14 +12,18 @@ dbgen sf0.01 data — which IS tpch.tiny — comparing to DuckDB running
 the same SQL (1-arg form) or the reference's own expected SQL (2-arg
 form), exactly the reference's H2 differential pattern.
 
-Current state: **1282 of the 1318 scrapeable cases pass** the full
+Current state: **1286 of the 1318 scrapeable cases pass** the full
 differential (AbstractTestIndexedQueries 39/40 and
 AbstractTestIntegrationSmokeTest 14/14 included — index joins are a
 physical strategy; the SQL must hold on any engine).  Every case now
 has a runnable oracle (the last 7 H2-lax statements got hand-written
-DuckDB equivalents in oracle_compat — see _HAND_TRANSLATIONS) and 35
+DuckDB equivalents in oracle_compat — see _HAND_TRANSLATIONS) and 32
 are frozen as known deviations below, each with its cause — dominated
-by the engine-specific approx_distinct sketch values.
+by the engine-specific approx_distinct sketch values.  Also closed in
+round 6: grouping() in ORDER BY (hoisted through the grouped
+projection), MAP IN-lists (canonical sorted entry arrays), and the
+sys.example system table (synthesized in Engine.sql), and the
+mixed output/input-scope ORDER BY item (_order_by_mixed_scope_compat).
 Round 6 closed the entire Catalyst-decorrelation family (12 cases):
 derived-table scalar wrapper flattening, correlated scalar subqueries
 hoisted out of GROUP BY / grouped select lists, INNER JOIN ON
@@ -44,7 +48,7 @@ import pytest
 from prestodb_presto_spark.testing import _tolerant_cell as _tc0
 from tests.abstract_queries_scrape import oracle_compat, scrape
 
-PASS_FLOOR = 1282
+PASS_FLOOR = 1286
 ORACLE_UNRUNNABLE_MAX = 3
 
 # method → (max allowed non-passing cases, recorded cause).  A failure
@@ -68,18 +72,15 @@ ALLOWED = {
     # scalar/IN subqueries inside JOIN ON — is closed by round 6's
     # _derived_scalar_wrapper_flatten, _group_by_scalar_subquery_hoist,
     # _join_on_subquery_compat, and the mixed-projection ORDER BY hoist)
-    "testInUncorrelatedSubquery": (
-        1, "MAP values are not comparable in Spark (IN over map column)"),
+    # (testInUncorrelatedSubquery's MAP IN closed by _map_in_compat;
+    # testGrouping's ORDER BY grouping() closed by the grouped-projection
+    # hoist; testExampleSystemTable closed by Engine.sql sys.example)
     # (the 3VL IN-subquery-in-projection family — testSemiJoin*NullHandling,
     # testNullOnLhsOfInPredicateAllowed, testCorrelatedInPredicateSubqueries —
     # is fully closed by dialect._in_subquery_3vl_compat)
-    # ORDER BY output-column scoping
-    "testOrderByWithOutputColumnReference": (
-        1, "a sort item mixing OUTPUT scope (a) and INPUT scope (t.a) in "
-           "one expression — unexpressible by re-projection"),
-    # grouping() scope rules
-    "testGrouping": (
-        1, "grouping() in ORDER BY over a mixed grouping-set query"),
+    # (testOrderByWithOutputColumnReference's mixed-scope sort item is
+    # closed by _order_by_mixed_scope_compat: input columns projected
+    # alongside the output aliases, then the window hoist applies)
     # (testGroupingInTableSubquery closed by the scope-aware
     # _grouping_plain_scope_fold)
     # (the grouping-sets-over-empty-input family is closed by
@@ -93,9 +94,6 @@ ALLOWED = {
     # (TRY(MAP null key) / TRY over OR / VALUES-lambda rows all closed
     # by shim + dialect rewrites)
     # misc
-    "testExampleSystemTable": (
-        1, "sys.example is the example-connector's demo system table; "
-           "no tpch analog"),
     "testAggregationWithSomeArgumentCasts": (
         1, "approx_percentile with a column percentage (Spark requires "
            "a foldable fraction)"),
