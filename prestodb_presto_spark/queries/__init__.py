@@ -117,6 +117,7 @@ def load_all() -> dict[str, QuerySpec]:
         functions_q,
         joins,
         multimodal_q,
+        packing,
         relational,
         setops,
         similarity_q,

@@ -258,8 +258,8 @@ def tpch_q06(spark, sf_dir):
                     JOIN customer ON c_custkey = o_custkey
                     JOIN nation n1 ON s_nationkey = n1.n_nationkey
                     JOIN nation n2 ON c_nationkey = n2.n_nationkey
-      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      WHERE ((n1.n_nationkey = 1 AND n2.n_nationkey = 2)
+          OR (n1.n_nationkey = 2 AND n2.n_nationkey = 1))
         AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
                            AND TIMESTAMP '1998-12-31 00:00:00'
     ) shipping
@@ -291,8 +291,8 @@ def tpch_q07(spark, sf_dir):
         .join(n1, F.col("s_nationkey") == F.col("n1_key"))
         .join(n2, F.col("c_nationkey") == F.col("n2_key"))
         .filter(
-            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
-            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+            ((F.col("n1_key") == 1) & (F.col("n2_key") == 2))
+            | ((F.col("n1_key") == 2) & (F.col("n2_key") == 1))
         )
         .select(
             "supp_nation",
@@ -312,12 +312,12 @@ def tpch_q07(spark, sf_dir):
     "tpch_q08",
     oracle=f"""
     SELECT o_year,
-           CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+           CAST(SUM(CASE WHEN nation_key = 3 THEN volume ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
              / CAST(SUM(volume) AS DOUBLE) AS mkt_share
     FROM (
       SELECT EXTRACT(year FROM o_orderdate) AS o_year,
              {REV_SQL} AS volume,
-             n2.n_name AS nation
+             n2.n_nationkey AS nation_key
       FROM part JOIN lineitem ON p_partkey = l_partkey
                 JOIN supplier ON s_suppkey = l_suppkey
                 JOIN orders   ON l_orderkey = o_orderkey
@@ -325,7 +325,7 @@ def tpch_q07(spark, sf_dir):
                 JOIN nation n1 ON c_nationkey = n1.n_nationkey
                 JOIN region   ON n1.n_regionkey = r_regionkey
                 JOIN nation n2 ON s_nationkey = n2.n_nationkey
-      WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+      WHERE r_name = 'AMERICA' AND p_type LIKE 'PROMO%'
         AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
                             AND TIMESTAMP '1997-12-31 00:00:00'
     ) all_nations
@@ -336,7 +336,7 @@ def tpch_q07(spark, sf_dir):
 )
 def tpch_q08(spark, sf_dir):
     """National market share: 8-way join + conditional aggregation ratio."""
-    part = t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    part = t(spark, sf_dir, "part").filter(F.col("p_type").like("PROMO%"))
     li = t(spark, sf_dir, "lineitem")
     supp = t(spark, sf_dir, "supplier")
     orders = t(spark, sf_dir, "orders").filter(
@@ -349,7 +349,7 @@ def tpch_q08(spark, sf_dir):
         F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
     ))
     n2 = F.broadcast(t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+        F.col("n_nationkey").alias("n2_key"), F.col("n_nationkey").alias("nation_key")
     ))
     region = F.broadcast(t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA"))
     df = (
@@ -363,7 +363,7 @@ def tpch_q08(spark, sf_dir):
         .select(
             F.year("o_orderdate").cast("long").alias("o_year"),
             _rev().alias("volume"),
-            "nation",
+            "nation_key",
         )
     )
     zero = F.lit(0).cast("decimal(18,2)")
@@ -371,7 +371,7 @@ def tpch_q08(spark, sf_dir):
         df.groupBy("o_year")
         .agg(
             (
-                F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(zero))
+                F.sum(F.when(F.col("nation_key") == 3, F.col("volume")).otherwise(zero))
                 .cast("double")
                 / F.sum("volume").cast("double")
             ).alias("mkt_share")
@@ -392,7 +392,7 @@ def tpch_q08(spark, sf_dir):
                 JOIN supplier ON s_suppkey = l_suppkey
                 JOIN orders   ON o_orderkey = l_orderkey
                 JOIN nation   ON s_nationkey = n_nationkey
-      WHERE p_name LIKE '%widget%'
+      WHERE p_name LIKE '%red%'
     ) profit
     GROUP BY nation, o_year
     ORDER BY nation, o_year DESC
@@ -401,7 +401,7 @@ def tpch_q08(spark, sf_dir):
 )
 def tpch_q09(spark, sf_dir):
     """Product-type profit (adapted: p_retailprice stands in for ps_supplycost)."""
-    part = t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    part = t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
     li = t(spark, sf_dir, "lineitem")
     supp = t(spark, sf_dir, "supplier")
     orders = t(spark, sf_dir, "orders")
@@ -534,7 +534,7 @@ def tpch_q13(spark, sf_dir):
 @query(
     "tpch_q14",
     oracle=f"""
-    SELECT CAST(100.00 * SUM(CASE WHEN p_type = 'PROMO' THEN {REV_SQL}
+    SELECT CAST(100.00 * SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {REV_SQL}
                                   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
            / CAST(SUM({REV_SQL}) AS DOUBLE) AS promo_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -556,7 +556,7 @@ def tpch_q14(spark, sf_dir):
         .agg(
             (
                 (F.lit(100.0) * F.sum(
-                    F.when(F.col("p_type") == "PROMO", _rev()).otherwise(zero)
+                    F.when(F.col("p_type").like("PROMO%"), _rev()).otherwise(zero)
                 ).cast("double"))
                 / F.sum(_rev()).cast("double")
             ).alias("promo_revenue")
@@ -865,14 +865,14 @@ def tpch_q02(spark, sf_dir):
     FROM lineitem
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN nation ON s_nationkey = n_nationkey
-    WHERE n_name = 'NATION_7'
+    WHERE n_nationkey = 7
     GROUP BY l_partkey
     HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > (
-      SELECT 0.01 * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      SELECT 0.0001 * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
       FROM lineitem
       JOIN supplier ON l_suppkey = s_suppkey
       JOIN nation ON s_nationkey = n_nationkey
-      WHERE n_name = 'NATION_7')
+      WHERE n_nationkey = 7)
     ORDER BY value DESC, l_partkey
     """,
     tags=("tpch", "subquery", "aggregation"),
@@ -888,7 +888,7 @@ def tpch_q11(spark, sf_dir):
     join is left to AQE (size-based, like the reference's
     DetermineJoinDistributionType.java:55-69) rather than force-broadcast.
     """
-    nat = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    nat = t(spark, sf_dir, "nation").filter(F.col("n_nationkey") == 7)
     supp = t(spark, sf_dir, "supplier").join(
         F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
     )
@@ -896,7 +896,7 @@ def tpch_q11(spark, sf_dir):
     value = dec("l_extendedprice") * dec("l_quantity")
     base = li.join(supp.select("s_suppkey"), li.l_suppkey == F.col("s_suppkey"))
     per_part = base.groupBy("l_partkey").agg(F.sum(value).cast("double").alias("value"))
-    total = base.agg((F.lit(0.01) * F.sum(value).cast("double")).alias("threshold"))
+    total = base.agg((F.lit(0.0001) * F.sum(value).cast("double")).alias("threshold"))
     return (
         per_part.join(F.broadcast(total))
         .filter(F.col("value") > F.col("threshold"))
@@ -911,10 +911,10 @@ def tpch_q11(spark, sf_dir):
     SELECT s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
     FROM supplier
     JOIN nation ON s_nationkey = n_nationkey
-    WHERE n_name IN ('NATION_3', 'NATION_8', 'NATION_13')
+    WHERE n_nationkey IN (3, 8, 13)
       AND s_suppkey IN (
         SELECT l_suppkey FROM lineitem
-        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
         GROUP BY l_suppkey
         HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 50)
     ORDER BY s_name
@@ -930,7 +930,7 @@ def tpch_q20(spark, sf_dir):
     SF-scaled, so broadcast-vs-shuffle is AQE's size-based call at runtime
     (reference parity: DetermineJoinDistributionType.java:55-69).
     """
-    parts = t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    parts = t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
     li = t(spark, sf_dir, "lineitem")
     heavy_suppliers = (
         li.join(parts.select("p_partkey"), li.l_partkey == F.col("p_partkey"), "left_semi")
@@ -940,7 +940,7 @@ def tpch_q20(spark, sf_dir):
         .select("l_suppkey")
     )
     nat = t(spark, sf_dir, "nation").filter(
-        F.col("n_name").isin("NATION_3", "NATION_8", "NATION_13")
+        F.col("n_nationkey").isin(3, 8, 13)
     )
     return (
         t(spark, sf_dir, "supplier")
@@ -965,7 +965,7 @@ def tpch_q20(spark, sf_dir):
     JOIN nation ON s_nationkey = n_nationkey
     WHERE o_orderstatus = 'F'
       AND l1.l_returnflag = 'R'
-      AND n_name IN ('NATION_2', 'NATION_12', 'NATION_22')
+      AND n_nationkey IN (2, 12, 22)
       AND EXISTS (SELECT 1 FROM lineitem l2
                   WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
       AND NOT EXISTS (SELECT 1 FROM lineitem l3
@@ -992,7 +992,7 @@ def tpch_q21(spark, sf_dir):
     l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
     l3 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey").alias("l3")
     nat = t(spark, sf_dir, "nation").filter(
-        F.col("n_name").isin("NATION_2", "NATION_12", "NATION_22")
+        F.col("n_nationkey").isin(2, 12, 22)
     )
     supp = t(spark, sf_dir, "supplier").join(
         F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")

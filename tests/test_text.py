@@ -195,3 +195,63 @@ def test_stratified_threshold_proportional_on_skew(spark):
     # executed-plan string is top-down: the sort exchange appears ABOVE
     # (before) the filter; nothing below the filter shuffles
     assert exchange_at == -1 or exchange_at < filter_at, plan
+
+
+def test_pack_sequences_two_phase_equals_global_window(spark):
+    """packed_assignments' distributed two-phase prefix sum must equal
+    the naive single-partition global-window form exactly, and respect
+    the budget invariants."""
+    from pyspark.sql import Window
+    from prestodb_presto_spark.queries.packing import SEQ_BUDGET, packed_assignments
+
+    docs = spark.range(3_000).selectExpr(
+        "CAST(id AS STRING) AS doc_id",
+        "repeat('w ', CAST(id % 97 + 1 AS INT)) AS text",
+    )
+    got = {
+        r.doc_id: (r.seq_id, r.seq_offset)
+        for r in packed_assignments(docs, partitions=7).collect()
+    }
+    w = Window.orderBy(F.md5("doc_id"), "doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    naive = (
+        docs.select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .withColumn("start", F.coalesce(F.sum("n").over(w), F.lit(0)))
+        .selectExpr(
+            "doc_id",
+            f"CAST(start / {SEQ_BUDGET} AS BIGINT) AS seq_id",
+            f"CAST(start % {SEQ_BUDGET} AS BIGINT) AS seq_offset",
+        )
+    )
+    want = {r.doc_id: (r.seq_id, r.seq_offset) for r in naive.collect()}
+    assert got == want
+    assert all(0 <= off < SEQ_BUDGET for _sid, off in got.values())
+
+
+def test_doc_chunking_covers_all_tokens(spark):
+    """Every token index is covered by at least one chunk and chunk
+    heads line up with the stride."""
+    from prestodb_presto_spark.queries.packing import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        doc_chunking,
+    )
+
+    rows = doc_chunking(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc, chunks in list(by_doc.items())[:50]:
+        chunks.sort(key=lambda r: r.chunk_idx)
+        # contiguous indices from 0; all-but-last chunk is full-size
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        for c in chunks[:-1]:
+            assert c.n_chunk_tokens == CHUNK_SIZE
+        # coverage: last chunk reaches the end of the token array
+        last = chunks[-1]
+        total = last.chunk_idx * CHUNK_STRIDE + last.n_chunk_tokens
+        first = chunks[0]
+        assert first.chunk_idx == 0
+        assert total >= last.chunk_idx * CHUNK_STRIDE  # sanity
