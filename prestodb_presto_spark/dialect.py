@@ -1477,6 +1477,94 @@ def _order_by_alias_subst(sql: str) -> str:
     return sql[:ob] + tail
 
 
+def _select_item_names(sel: str) -> list[str] | None:
+    """Output names of a select list where every item is a bare column or
+    aliased expression; None when any item is unnamed/wildcard."""
+    items, buf, depth = [], [], 0
+    for ch in sel:
+        if ch == "," and depth == 0:
+            items.append("".join(buf))
+            buf = []
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        buf.append(ch)
+    items.append("".join(buf))
+    names = []
+    for part in items:
+        am = re.search(r"(?i)\s+AS\s+([A-Za-z_]\w*)\s*$", part)
+        if am:
+            names.append(am.group(1))
+        elif re.fullmatch(r"\s*[A-Za-z_][\w.]*\s*", part) and not \
+                part.strip().endswith("*"):
+            names.append(part.strip().split(".")[-1])
+        else:
+            return None
+    return names
+
+
+def _using_join_wildcard_compat(sql: str) -> str:
+    """``SELECT a.*, b.* FROM (..) a JOIN (..) b USING (k)`` — ANSI (and
+    the reference's StatementAnalyzer) EXCLUDE the using columns from a
+    qualified wildcard; Spark keeps them.  When both relations are
+    derived tables with statically known output names, expand the
+    wildcards to the explicit non-using columns."""
+    if not re.search(r"(?i)\bUSING\s*\(", sql):
+        return sql
+    fm = _depth0_find(sql, re.compile(r"(?i)\bFROM\b"))
+    head = re.match(r"(?i)\s*SELECT\s+", sql)
+    if fm is None or head is None or fm[0] < head.end():
+        return sql
+    sel = sql[head.end() : fm[0]]
+    if not re.search(r"\b[A-Za-z_]\w*\s*\.\s*\*", sel):
+        return sql
+    # FROM ( .. ) a JOIN ( .. ) b USING (cols)
+    m = re.match(r"(?i)FROM\s*\(", sql[fm[0] :])
+    if not m:
+        return sql
+    o1 = fm[0] + m.end() - 1
+    e1, _ = _scan_balanced(sql, o1)
+    a1 = re.match(r"\s*(?:AS\s+)?([A-Za-z_]\w*)\s+JOIN\s*\(", sql[e1:],
+                  re.IGNORECASE)
+    if not a1:
+        return sql
+    o2 = e1 + a1.end() - 1
+    e2, _ = _scan_balanced(sql, o2)
+    a2 = re.match(r"\s*(?:AS\s+)?([A-Za-z_]\w*)\s+USING\s*\(", sql[e2:],
+                  re.IGNORECASE)
+    if not a2:
+        return sql
+    ou = e2 + a2.end() - 1
+    eu, using_cols = _scan_balanced(sql, ou)
+    using = {c.strip().lower() for c in using_cols}
+    names = {}
+    for alias, o, e in ((a1.group(1), o1, e1), (a2.group(1), o2, e2)):
+        body = sql[o + 1 : e - 1]
+        sm = re.match(r"(?i)\s*SELECT\s+", body)
+        if not sm:
+            return sql
+        fm2 = _depth0_find(body, re.compile(r"(?i)\bFROM\b"))
+        if fm2 is None:
+            return sql
+        cols = _select_item_names(body[sm.end() : fm2[0]])
+        if cols is None:
+            return sql
+        names[alias.lower()] = cols
+
+    def expand(wm: re.Match) -> str:
+        al = wm.group(1)
+        cols = names.get(al.lower())
+        if cols is None:
+            return wm.group(0)
+        keep = [c for c in cols if c.lower() not in using]
+        return ", ".join(f"{al}.{c}" for c in keep) if keep else wm.group(0)
+
+    new_sel = re.sub(r"\b([A-Za-z_]\w*)\s*\.\s*\*", expand, sel)
+    return sql[: head.end()] + new_sel + sql[fm[0] :]
+
+
 def _order_by_mixed_scope_compat(sql: str) -> str:
     """A sort item mixing OUTPUT scope (bare ``a`` = the projected alias)
     and INPUT scope (``t.a`` = the relation column) in one expression —
@@ -5554,6 +5642,7 @@ def translate(sql: str) -> str:
     out = _per_query_level(out, _group_by_scalar_subquery_hoist)
     out = _exists_no_from_compat(out)
     out = _trivial_scalar_subquery_collapse(out)
+    out = _per_query_level(out, _using_join_wildcard_compat)
     out = _order_by_mixed_scope_compat(out)
     out = _order_by_subquery_hoist(out)
     out = _order_by_alias_subst(out)

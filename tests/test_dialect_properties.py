@@ -261,3 +261,17 @@ def test_order_by_mixed_scope():
     # single-scope sorts stay untouched
     out = translate("SELECT -a AS b FROM t ORDER BY t.a")
     assert "__sc_" not in out, out
+
+
+def test_using_join_qualified_wildcard_excludes_join_columns():
+    """Round-6: a qualified wildcard over a USING join excludes the using
+    columns (ANSI / StatementAnalyzer), expanded statically when the
+    derived tables' output names are known."""
+    out = translate(
+        "SELECT a.*, b.* FROM (SELECT orderkey, partkey FROM lineitem) a "
+        "JOIN (SELECT orderkey, custkey FROM orders) b USING (orderkey)"
+    )
+    assert "a.partkey, b.custkey FROM" in out, out
+    # unknown column sets (plain tables) stay untouched
+    out = translate("SELECT a.* FROM lineitem a JOIN orders b USING (orderkey)")
+    assert "a.*" in out, out

@@ -12,12 +12,12 @@ dbgen sf0.01 data — which IS tpch.tiny — comparing to DuckDB running
 the same SQL (1-arg form) or the reference's own expected SQL (2-arg
 form), exactly the reference's H2 differential pattern.
 
-Current state: **1286 of the 1318 scrapeable cases pass** the full
+Current state: **1287 of the 1318 scrapeable cases pass** the full
 differential (AbstractTestIndexedQueries 39/40 and
 AbstractTestIntegrationSmokeTest 14/14 included — index joins are a
 physical strategy; the SQL must hold on any engine).  Every case now
 has a runnable oracle (the last 7 H2-lax statements got hand-written
-DuckDB equivalents in oracle_compat — see _HAND_TRANSLATIONS) and 32
+DuckDB equivalents in oracle_compat — see _HAND_TRANSLATIONS) and 31
 are frozen as known deviations below, each with its cause — dominated
 by the engine-specific approx_distinct sketch values.  Also closed in
 round 6: grouping() in ORDER BY (hoisted through the grouped
@@ -48,7 +48,7 @@ import pytest
 from prestodb_presto_spark.testing import _tolerant_cell as _tc0
 from tests.abstract_queries_scrape import oracle_compat, scrape
 
-PASS_FLOOR = 1286
+PASS_FLOOR = 1287
 ORACLE_UNRUNNABLE_MAX = 3
 
 # method → (max allowed non-passing cases, recorded cause).  A failure
@@ -87,10 +87,9 @@ ALLOWED = {
     # dialect._empty_grouping_sets_compat: () sets split off as global
     # aggregations, which always emit their row)
     # (REAL = DECIMAL coercion closed by _real_decimal_cmp_compat)
-    # wildcard scoping
-    "testQualifiedWildcardFromJoin": (
-        1, "qualified wildcard over USING join: Spark keeps the join "
-           "columns, ANSI/Presto exclude them"),
+    # (testQualifiedWildcardFromJoin closed by
+    # _using_join_wildcard_compat: statically-known derived-table column
+    # lists let the wildcard expand minus the using columns)
     # (TRY(MAP null key) / TRY over OR / VALUES-lambda rows all closed
     # by shim + dialect rewrites)
     # misc
