@@ -58,7 +58,8 @@ def packed_assignments(
     n_parts = partitions or spark.sparkContext.defaultParallelism
     base = docs.select(
         "doc_id",
-        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        # bigint on both engines (DuckDB len() is BIGINT; Spark size() INT)
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
         F.md5(F.col("doc_id").cast("string")).alias("__k"),
     )
     # deterministic hash-range bucket: the md5 key is uniform, so equal
@@ -108,7 +109,7 @@ def packed_assignments(
 @query(
     "pack_sequences",
     oracle=f"""
-    SELECT doc_id, n_tokens,
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
            CAST(FLOOR(start_tok / {SEQ_BUDGET}) AS BIGINT) AS seq_id,
            CAST(start_tok % {SEQ_BUDGET} AS BIGINT) AS seq_offset
     FROM (
