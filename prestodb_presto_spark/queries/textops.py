@@ -450,3 +450,55 @@ def text_topk_ngrams(spark, sf_dir):
         .select("lang", "ngram", "cnt")
         .orderBy("lang", F.desc("cnt"), "ngram")
     )
+
+
+@query(
+    "decontaminate_ngram",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id, source,
+             unnest(list_distinct([array_to_string(l[i:i+4], ' ')
+                                   for i in range(1, len(l) - 3)])) AS g
+      FROM (SELECT doc_id, source, string_split(text, ' ') AS l
+            FROM documents) s
+    ),
+    eval_grams AS (SELECT DISTINCT g FROM grams WHERE source = 'src0')
+    SELECT doc_id, CAST(COUNT(DISTINCT g) AS BIGINT) AS n_hits
+    FROM grams
+    WHERE source <> 'src0' AND g IN (SELECT g FROM eval_grams)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("pipeline", "decontamination"),
+)
+def decontaminate_ngram(spark, sf_dir):
+    """Benchmark decontamination: flag corpus documents sharing any
+    5-gram with the held-out eval set (here: source 'src0' stands in for
+    the benchmark suite) and report how many distinct eval 5-grams each
+    document collides with.
+
+    Scale posture: the eval side is benchmarks — tiny versus a 100 TB
+    corpus — so its distinct-gram set BROADCASTS and the corpus-side
+    explode feeds a broadcast semi-style join + per-doc count: ONE
+    shuffle (the per-doc aggregation), no corpus self-join.  Grams are
+    per-row array expressions (no premature explode); duplicate grams
+    are dropped per doc before exploding.
+    """
+    docs = t(spark, sf_dir, "documents")
+    grams = F.expr(
+        "transform(sequence(1, greatest(0, size(split(text, ' ')) - 4)),"
+        " i -> concat_ws(' ', slice(split(text, ' '), i, 5)))"
+    )
+    with_grams = docs.select(
+        "doc_id", "source", F.explode(F.array_distinct(grams)).alias("g")
+    )
+    eval_grams = (
+        with_grams.filter(F.col("source") == "src0").select("g").distinct()
+    )
+    corpus = with_grams.filter(F.col("source") != "src0")
+    return (
+        corpus.join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").cast("bigint").alias("n_hits"))
+        .orderBy("doc_id")
+    )
