@@ -106,12 +106,11 @@ def main() -> None:
 
     load_after = os.getloadavg()[0] if hasattr(os, "getloadavg") else None
     ncpu = os.cpu_count() or 1
-    # external load flag: the bench itself saturates its own local[N]
-    # threads, so compare against the configured parallelism + headroom
     bench_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    loaded = bool(
-        load_before is not None and load_before > max(4.0, 0.25 * ncpu)
-    )
+    # external load flag: load_before is measured BEFORE any timed work,
+    # so anything beyond a small fixed headroom is another process
+    # competing for the bench's cores
+    loaded = bool(load_before is not None and load_before > 4.0)
 
     total = round(sum(timings.values()), 3)
     print(

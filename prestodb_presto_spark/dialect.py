@@ -940,19 +940,7 @@ def _map_in_compat(sql: str) -> str:
         inner = out[lstart + 1 : lend - 1].strip()
         vm = re.match(r"(?i)VALUES\b", inner)
         if vm:
-            body = inner[vm.end() :]
-            items, buf, depth = [], [], 0
-            for ch in body:
-                if ch == "," and depth == 0:
-                    items.append("".join(buf))
-                    buf = []
-                    continue
-                if ch in "([":
-                    depth += 1
-                elif ch in ")]":
-                    depth -= 1
-                buf.append(ch)
-            items.append("".join(buf))
+            items = _split_top_level(inner[vm.end() :])
         else:
             items = litems
         stripped = [
@@ -1141,6 +1129,24 @@ def _top_level_comma(expr: str) -> bool:
             return True
         i += 1
     return False
+
+
+def _split_top_level(text: str) -> list[str]:
+    """Split on depth-0 commas (paren/bracket aware, quote-naive callers
+    must pre-mask literals or accept comma-free literal content)."""
+    items, buf, depth = [], [], 0
+    for ch in text:
+        if ch == "," and depth == 0:
+            items.append("".join(buf))
+            buf = []
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        buf.append(ch)
+    items.append("".join(buf))
+    return items
 
 
 def _derived_scalar_wrapper_flatten(sql: str) -> str:
@@ -1340,6 +1346,16 @@ def _join_on_subquery_compat(sql: str) -> str:
     subquery decorrelation DOES work in filters — rewrite accordingly.
     Top-level INNER joins only; outer joins are left untouched (the
     equivalence doesn't hold)."""
+    # a depth-0 set operation means several SELECT branches share this
+    # level: the WHERE insertion below could land in the wrong branch —
+    # leave such levels untouched (subquery levels still rewrite via
+    # _per_query_level)
+    if _depth0_find(sql, re.compile(r"(?i)\b(UNION|INTERSECT|EXCEPT)\b")):
+        return sql
+    # ON→WHERE is only sound when no LATER outer join can NULL-extend
+    # the columns the hoisted predicate reads
+    if _depth0_find(sql, re.compile(r"(?i)\b(RIGHT|FULL)\b")):
+        return sql
     out = sql
     jm_pos = 0
     pending: list[str] = []
@@ -1480,18 +1496,7 @@ def _order_by_alias_subst(sql: str) -> str:
 def _select_item_names(sel: str) -> list[str] | None:
     """Output names of a select list where every item is a bare column or
     aliased expression; None when any item is unnamed/wildcard."""
-    items, buf, depth = [], [], 0
-    for ch in sel:
-        if ch == "," and depth == 0:
-            items.append("".join(buf))
-            buf = []
-            continue
-        if ch in "([":
-            depth += 1
-        elif ch in ")]":
-            depth -= 1
-        buf.append(ch)
-    items.append("".join(buf))
+    items = _split_top_level(sel)
     names = []
     for part in items:
         am = re.search(r"(?i)\s+AS\s+([A-Za-z_]\w*)\s*$", part)
@@ -1599,18 +1604,7 @@ def _order_by_mixed_scope_compat(sql: str) -> str:
     alias = am.group(1)
     # select list: every item must be named
     sel = sql[head.end() : f0[0]]
-    items, buf, depth = [], [], 0
-    for ch in sel:
-        if ch == "," and depth == 0:
-            items.append("".join(buf))
-            buf = []
-            continue
-        if ch in "([":
-            depth += 1
-        elif ch in ")]":
-            depth -= 1
-        buf.append(ch)
-    items.append("".join(buf))
+    items = _split_top_level(sel)
     names = []
     for part in items:
         am2 = re.search(r"(?i)\s+AS\s+([A-Za-z_]\w*)\s*$", part)
@@ -1784,6 +1778,26 @@ def _order_by_subquery_hoist(sql: str) -> str:
             new_items.append(core)
     if not hoisted:
         return sql
+    if mixed and not grouped:
+        # the outer * EXCEPT projection only exposes the inner select
+        # items — plain sort items (input-scope columns/expressions)
+        # must be hoisted alongside or they no longer resolve outside
+        fixed = []
+        for it in new_items:
+            core = it.strip()
+            if re.match(r"__ord\d+\b", core):
+                fixed.append(core)
+                continue
+            sm2 = re.match(
+                r"(?i)^(.*?)\s*(ASC|DESC)?\s*(NULLS\s+(?:FIRST|LAST))?\s*$",
+                core,
+                re.DOTALL,
+            )
+            expr2, suffix2 = sm2.group(1), core[len(sm2.group(1)) :]
+            alias2 = f"__ord{len(hoisted) + 1}"
+            hoisted.append(f"{expr2} AS {alias2}")
+            fixed.append(alias2 + suffix2)
+        new_items = fixed
     if star or mixed or grouped:
         # SELECT * (or a list with unnamed expression items, or a grouped
         # query whose hoisted items live in the grouped projection) —
@@ -2030,6 +2044,11 @@ def _const_select_item(item: str) -> bool:
     placeholders, numbers, quoted strings, and literal/type keywords; no
     column references."""
     core = re.sub(r"(?is)\s+AS\s+[A-Za-z_]\w*\s*$", "", item.strip())
+    # a BARE identifier is a column reference even when it spells a type
+    # keyword (`SELECT date FROM t` — 'date' is a column, not a literal);
+    # only the literal keywords are constants on their own
+    if re.fullmatch(r"[A-Za-z_]\w*", core.strip()):
+        return core.strip().upper() in ("TRUE", "FALSE", "NULL")
     scrubbed = re.sub(r"\x00\d+\x00|'(?:[^']|'')*'", " ", core)
     toks = re.findall(r"[A-Za-z_]\w*", scrubbed)
     return all(t.upper() in _CONST_ITEM_KEYWORDS for t in toks)
@@ -2246,19 +2265,7 @@ def _grouping_product_distinct(body: str) -> str:
     dedupe as column sets, and render a GROUPING SETS list."""
     from itertools import combinations, product
 
-    # top-level comma split of the item list
-    items, buf, depth = [], [], 0
-    for ch in body:
-        if ch == "," and depth == 0:
-            items.append("".join(buf))
-            buf = []
-            continue
-        if ch in "([":
-            depth += 1
-        elif ch in ")]":
-            depth -= 1
-        buf.append(ch)
-    items.append("".join(buf))
+    items = _split_top_level(body)
 
     def factors(item: str) -> list[list[str]]:
         im = re.match(r"(?i)\s*(ROLLUP|CUBE|GROUPING\s+SETS)\s*\(", item)
@@ -5632,7 +5639,9 @@ def translate(sql: str) -> str:
     )
     # GROUP BY () is the empty grouping set == global aggregation
     out = re.sub(r"\bGROUP\s+BY\s+\(\s*\)", "", out, flags=re.IGNORECASE)
-    out = _group_by_distinct_compat(out)
+    # per query level: the GROUP BY item scan must never read past the
+    # enclosing subquery's closing paren
+    out = _per_query_level(out, _group_by_distinct_compat)
     out = _harness_lambda_compat(out, literals)
     # zero-arg count() counts rows, like count(*) (the reference parser
     # admits it; Spark requires the explicit star)

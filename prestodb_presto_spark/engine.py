@@ -170,14 +170,25 @@ class Engine:
                 # the example system table (reference
                 # presto-tests/.../tpch/ExampleSystemTable.java:33 — one
                 # VARCHAR row 'test'); temp views can't be
-                # schema-qualified, so route to a plain name
+                # schema-qualified, so route to a plain name.  String
+                # literals are split out first — the rewrite must never
+                # touch quoted data values.
                 import re as _re2
 
                 self.spark.sql("SELECT 'test' AS name").createOrReplaceTempView(
                     "__sys_example"
                 )
-                text = _re2.sub(
-                    r"(?i)(?<![\w.])sys\.example\b", "__sys_example", text
+                lit2 = _re2.compile(r"'(?:[^']|'')*'")
+                pat2 = _re2.compile(r"(?i)(?<![\w.])sys\.example\b")
+                pieces2, last2 = [], 0
+                for lm in lit2.finditer(text):
+                    pieces2.append((text[last2 : lm.start()], True))
+                    pieces2.append((lm.group(0), False))
+                    last2 = lm.end()
+                pieces2.append((text[last2:], True))
+                text = "".join(
+                    pat2.sub("__sys_example", seg) if rw else seg
+                    for seg, rw in pieces2
                 )
             text = translate(text)
             with self._presto_literals():

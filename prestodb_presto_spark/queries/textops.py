@@ -485,9 +485,13 @@ def decontaminate_ngram(spark, sf_dir):
     are dropped per doc before exploding.
     """
     docs = t(spark, sf_dir, "documents")
+    # sequence(1, 0) is DESCENDING [1, 0] in Spark (step defaults to -1),
+    # so a <=4-token doc must yield an empty array, not slice(toks, 0, 5)
     grams = F.expr(
-        "transform(sequence(1, greatest(0, size(split(text, ' ')) - 4)),"
+        "CASE WHEN size(split(text, ' ')) >= 5 THEN"
+        " transform(sequence(1, size(split(text, ' ')) - 4),"
         " i -> concat_ws(' ', slice(split(text, ' '), i, 5)))"
+        " ELSE array() END"
     )
     with_grams = docs.select(
         "doc_id", "source", F.explode(F.array_distinct(grams)).alias("g")
