@@ -1164,6 +1164,15 @@ def _derived_scalar_wrapper_flatten(sql: str) -> str:
         m = pat.search(out, pos)
         if not m:
             return out
+        # in FROM position the group is a derived TABLE, not a scalar
+        # subquery — flattening it would orphan its alias
+        before = out[: m.start()].rstrip()
+        w = re.search(r"([A-Za-z_]\w*)$", before)
+        if (w and w.group(1).upper() in _COLLAPSE_SKIP_BEFORE) or (
+            before.endswith(",") and _clause_at(out, m.start()) == "from"
+        ):
+            pos = m.end()
+            continue
         outer_open = m.start()
         inner_open = out.rindex("(", outer_open + 1, m.end())
         inner_end, _ = _scan_balanced(out, inner_open)
@@ -1204,7 +1213,7 @@ def _collect_correlated_subqueries(text: str, alias: str) -> list[str]:
             pos = end
             continue
         span = text[m.start() : end]
-        if re.search(rf"\b{re.escape(alias)}\s*\.", span):
+        if re.search(rf"(?i)\b{re.escape(alias)}\s*\.", span):
             spans.append(span)
         pos = end
 
@@ -1480,7 +1489,8 @@ def _order_by_alias_subst(sql: str) -> str:
             bm = re.fullmatch(r"\s*([A-Za-z_]\w*)\s*", item)
             if bm:
                 outputs.add(bm.group(1))
-    subst = {k: v for k, v in aliases.items() if k not in outputs}
+    out_lower = {o.lower() for o in outputs}
+    subst = {k: v for k, v in aliases.items() if k.lower() not in out_lower}
     tail = sql[ob:]
     if not subst or "'" in tail or re.search(
         r"(?i)\(\s*SELECT\b|\bgrouping(_id)?\s*\(", tail
@@ -1489,7 +1499,7 @@ def _order_by_alias_subst(sql: str) -> str:
         # the grouping columns): leave resolution alone
         return sql
     for k, v in subst.items():
-        tail = re.sub(rf"(?<![\w.]){k}(?![\w.(])", v, tail)
+        tail = re.sub(rf"(?i)(?<![\w.]){k}(?![\w.(])", v, tail)
     return sql[:ob] + tail
 
 
@@ -1614,27 +1624,33 @@ def _order_by_mixed_scope_compat(sql: str) -> str:
             names.append((part.strip().split(".")[-1], part.strip()))
         else:
             return sql
-    out_names = {n for n, _ in names}
+    out_names = {n.lower() for n, _ in names}
     # qualified input refs in the ORDER BY tail whose bare name is a
     # SHADOWED output alias (projected expression differs from the col)
     tail = sql[ob_m[0] :]
     needed = []
-    for qm in re.finditer(rf"\b{re.escape(alias)}\s*\.\s*([A-Za-z_]\w*)", tail):
+    for qm in re.finditer(
+        rf"(?i)\b{re.escape(alias)}\s*\.\s*([A-Za-z_]\w*)", tail
+    ):
         col = qm.group(1)
-        if col in out_names and not any(
-            n == col and e in (col, f"{alias}.{col}") for n, e in names
+        if col.lower() in out_names and not any(
+            n.lower() == col.lower()
+            and e.lower() in (col.lower(), f"{alias}.{col}".lower())
+            for n, e in names
         ):
-            if col not in needed:
+            if col.lower() not in [c.lower() for c in needed]:
                 needed.append(col)
     if not needed:
         return sql
-    inner_extra = ", ".join(f"{alias}.{col} AS __sc_{col}" for col in needed)
+    inner_extra = ", ".join(
+        f"{alias}.{col} AS __sc_{col.lower()}" for col in needed
+    )
     inner = f"SELECT {sel.strip()}, {inner_extra} {sql[f0[0]:ob_m[0]].strip()}"
     new_tail = tail
     for col in needed:
         new_tail = re.sub(
-            rf"\b{re.escape(alias)}\s*\.\s*{re.escape(col)}\b",
-            f"__sc_{col}",
+            rf"(?i)\b{re.escape(alias)}\s*\.\s*{re.escape(col)}\b",
+            f"__sc_{col.lower()}",
             new_tail,
         )
     out_list = ", ".join(n for n, _ in names)

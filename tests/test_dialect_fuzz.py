@@ -184,7 +184,7 @@ def test_fuzz_differential_sample(aq_env, corpus):
     engine, fresh_con = aq_env
     con = fresh_con()
     rng0 = random.Random(20260814)
-    sample = rng0.sample(range(len(corpus)), 60)
+    sample = rng0.sample(range(len(corpus)), 100)
     checked = 0
     bad = []
     for ci in sample:
