@@ -84,7 +84,36 @@ def main() -> None:
     # snapshot is self-identifying, run 3 timed iterations per query, and
     # report the min (the standard low-noise wall-time estimator, also
     # the most load-robust) alongside the per-query median.
+    #
+    # Round-6 finding: this box is a VM on an OVERSUBSCRIBED host —
+    # /proc/stat shows hypervisor STEAL even at loadavg ~1, and the steal
+    # share varies over hours, uniformly inflating every query.  Loadavg
+    # cannot see it, so the steal-tick delta across the timed run is
+    # recorded too: steal_pct is the definitive contamination metric
+    # (≈0% → trustworthy numbers; >5% → rerun before comparing).
+    def _steal_ticks():
+        try:
+            with open("/proc/stat") as f:
+                parts = f.readline().split()
+            return int(parts[8]) if len(parts) > 8 else None
+        except (OSError, ValueError):
+            return None
+
     load_before = os.getloadavg()[0] if hasattr(os, "getloadavg") else None
+    steal_before = _steal_ticks()
+    # fixed CPU-bound calibration probe: a deterministic single-thread
+    # loop whose wall time anchors this machine-hour's effective speed.
+    # Compare calib_sec across snapshots before comparing query seconds —
+    # if both inflate together, the machine slowed, not the plans.
+    def _calibrate() -> float:
+        t0 = time.time()
+        acc = 0
+        for i in range(10_000_000):
+            acc += i * i
+        return round(time.time() - t0, 3)
+
+    calib_sec = _calibrate()
+    wall_start = time.time()
 
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
@@ -106,6 +135,15 @@ def main() -> None:
 
     load_after = os.getloadavg()[0] if hasattr(os, "getloadavg") else None
     ncpu = os.cpu_count() or 1
+    calib_after = _calibrate()
+    steal_after = _steal_ticks()
+    steal_pct = None
+    if steal_before is not None and steal_after is not None:
+        wall = max(time.time() - wall_start, 1e-9)
+        # /proc/stat ticks are USER_HZ (100/s) summed across all CPUs
+        steal_pct = round(
+            100.0 * (steal_after - steal_before) / (wall * ncpu * 100.0), 2
+        )
     bench_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     # external load flag: load_before is measured BEFORE any timed work,
     # so anything beyond a small fixed headroom is another process
@@ -124,6 +162,9 @@ def main() -> None:
                 "sf": sf,
                 "load_avg_before": load_before,
                 "load_avg_after": load_after,
+                "steal_pct": steal_pct,
+                "calib_sec": calib_sec,
+                "calib_sec_after": calib_after,
                 "cpus": ncpu,
                 "bench_cpus": bench_cpus,
                 "machine_loaded_at_start": loaded,
