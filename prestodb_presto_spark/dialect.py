@@ -1049,6 +1049,31 @@ _COLLAPSE_SKIP_BEFORE = {
 }
 
 
+# an aggregate call inside a no-FROM select item means the group is a
+# real one-row aggregation query, not a foldable expression — collapsing
+# or flattening it would re-scope the aggregate to the OUTER query
+# (count() silently flips from per-row 0/1 to a global count)
+_SCALAR_AGG_RE = re.compile(
+    r"(?i)\b(count|sum|avg|min|max|array_agg|bool_and|bool_or"
+    r"|every|arbitrary|any_value|stddev\w*|var\w*)\s*\("
+)
+
+
+def _item_has_own_agg(item: str) -> bool:
+    """True when *item* contains an aggregate call that belongs to ITS
+    query level — aggregates inside a nested ``(SELECT ..)`` span are
+    that subquery's, and must not trigger the one-row-aggregation guard
+    (e.g. the item ``(SELECT count(*) WHERE o.orderkey = 0)`` is a plain
+    scalar-subquery expression, freely movable)."""
+    masked = item
+    while True:
+        m = _PSELECT.search(masked)
+        if not m:
+            return bool(_SCALAR_AGG_RE.search(masked))
+        end, _ = _scan_balanced(masked, m.start())
+        masked = masked[: m.start()] + " " * (end - m.start()) + masked[end:]
+
+
 def _trivial_scalar_subquery_collapse(sql: str) -> str:
     """``(SELECT expr)`` / ``(SELECT expr WHERE c)`` with no FROM — the
     reference's correlated shapes like ORDER BY (SELECT 2 * n.nationkey)
@@ -1094,11 +1119,7 @@ def _trivial_scalar_subquery_collapse(sql: str) -> str:
             or _top_level_comma(item)
             # an aggregate makes it a real one-row aggregation query
             # (SELECT count(*) WHERE c) — leave it to Spark's subquery
-            or re.search(
-                r"(?i)\b(count|sum|avg|min|max|array_agg|bool_and|bool_or"
-                r"|every|arbitrary|any_value|stddev\w*|var\w*)\s*\(",
-                item,
-            )
+            or _SCALAR_AGG_RE.search(item)
         ):
             pos = end
             continue
@@ -1192,7 +1213,14 @@ def _derived_scalar_wrapper_flatten(sql: str) -> str:
         if not item or item == "*" or re.match(r"(?i)DISTINCT\b", item):
             pos = m.end()
             continue
-        out = out[:outer_open] + f"({item})" + out[outer_end:]
+        # an aggregate item is a real one-row aggregation (SELECT max(o.c));
+        # drop only the wrapper level, keeping the scalar-subquery boundary,
+        # so the guarded collapse pass (not this one) decides its fate
+        repl = f"(SELECT {item})" if _item_has_own_agg(item) else f"({item})"
+        if repl == out[outer_open:outer_end]:
+            pos = outer_end
+            continue
+        out = out[:outer_open] + repl + out[outer_end:]
         # same position: the exposed item may itself start a foldable form
 
 
@@ -1629,10 +1657,13 @@ def _order_by_mixed_scope_compat(sql: str) -> str:
     # SHADOWED output alias (projected expression differs from the col)
     tail = sql[ob_m[0] :]
     needed = []
+    qualified_all = []
     for qm in re.finditer(
         rf"(?i)\b{re.escape(alias)}\s*\.\s*([A-Za-z_]\w*)", tail
     ):
         col = qm.group(1)
+        if col.lower() not in [c.lower() for c in qualified_all]:
+            qualified_all.append(col)
         if col.lower() in out_names and not any(
             n.lower() == col.lower()
             and e.lower() in (col.lower(), f"{alias}.{col}".lower())
@@ -1642,6 +1673,12 @@ def _order_by_mixed_scope_compat(sql: str) -> str:
                 needed.append(col)
     if not needed:
         return sql
+    # the derived table removes `alias` from scope for the whole tail —
+    # EVERY qualified ref must become a projected __sc_ column, not just
+    # the shadowed ones, or `t.b` in another sort item fails analysis
+    for col in qualified_all:
+        if col.lower() not in [c.lower() for c in needed]:
+            needed.append(col)
     inner_extra = ", ".join(
         f"{alias}.{col} AS __sc_{col.lower()}" for col in needed
     )
@@ -5539,6 +5576,20 @@ def _strip_comments(sql: str) -> str:
             while j < n:
                 if sql[j] == "'":
                     if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            parts.append(sql[i : j + 1])
+            i = j + 1
+            continue
+        if ch == '"':
+            # a quoted identifier span ("a--b") — its content is not a
+            # comment; doubled "" escapes a quote inside, like literals
+            j = i + 1
+            while j < n:
+                if sql[j] == '"':
+                    if j + 1 < n and sql[j + 1] == '"':
                         j += 2
                         continue
                     break

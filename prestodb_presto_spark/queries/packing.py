@@ -36,6 +36,7 @@ partition boundaries respect the total order.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.storagelevel import StorageLevel
 
 from prestodb_presto_spark.queries import query
 from prestodb_presto_spark.queries.util import t
@@ -53,6 +54,10 @@ def packed_assignments(
     every ``budget`` tokens; a document knows the sequence id and intra-
     sequence offset of its first token.  Distributed two-phase prefix
     sum; see the module docstring for the 100 TB posture.
+
+    The (doc_id, n_tokens, __k, __pid) projection is persisted across
+    the two phases (single source scan); callers running many packings
+    in one session may ``spark.catalog.clearCache()`` afterwards.
     """
     spark = docs.sparkSession
     n_parts = partitions or spark.sparkContext.defaultParallelism
@@ -72,7 +77,16 @@ def packed_assignments(
         * n_parts
         / F.lit(65536)
     ).cast("int")
-    ranged = base.withColumn("__pid", bucket)
+    # persist the 3-column projection between the two phases: the totals
+    # job (phase 1) and the assignment job (phase 2) otherwise each
+    # re-read the source and recompute the tokenization — at 100 TB that
+    # second scan is a full extra pass.  MEMORY_AND_DISK: the projection
+    # is ~24 B/doc, spills rather than recomputes under pressure.  The
+    # md5 bucket stays a pure function of the key either way (the
+    # repartitionByRange per-job-sampling trap does not apply).
+    ranged = base.withColumn("__pid", bucket).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     # phase 1: per-partition totals -> prefix offsets (driver-side tiny)
     totals = {
         r["__pid"]: r["total"]

@@ -93,6 +93,88 @@ def text_quality_score(spark, sf_dir):
 
 
 @query(
+    "text_quality_rules",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS l,
+             len(string_split(text, ' ')) AS n,
+             length(replace(text, ' ', '')) AS chars
+      FROM documents),
+    f AS (
+      SELECT doc_id, n,
+             (n BETWEEN 20 AND 10000) AS flag_word_count,
+             (chars >= 3 * n AND chars <= 10 * n) AS flag_mean_word_len,
+             (len(list_intersect(list_distinct(l),
+                                 ['the', 'a', 'of', 'and', 'to'])) >= 2)
+               AS flag_stopword,
+             (5 * len(list_filter(l, w -> regexp_matches(w, '[A-Za-z]')))
+               >= 4 * n) AS flag_alpha_words,
+             (n < 2 OR 2 * len(list_distinct(
+                 [l[i] || ' ' || l[i+1] for i in range(1, len(l))]))
+               >= n - 1) AS flag_repetition
+      FROM base)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           flag_word_count, flag_mean_word_len, flag_stopword,
+           flag_alpha_words, flag_repetition,
+           (flag_word_count AND flag_mean_word_len AND flag_stopword
+            AND flag_alpha_words AND flag_repetition) AS keep
+    FROM f ORDER BY doc_id
+    """,
+    tags=("text", "pipeline", "quality"),
+)
+def text_quality_rules(spark, sf_dir):
+    """C4/Gopher-class heuristic quality-filter rule pack: per-doc rule
+    flags plus a keep/drop verdict, every rule a NATIVE expression over
+    the token array (zero Python, zero shuffles before the final sort).
+
+    Rules (Gopher's repetition/format family, thresholds integer-exact so
+    both engines agree bit-for-bit — no float ratios cross the boundary):
+      word_count      20 <= n_tokens <= 10_000
+      mean_word_len   3 <= non-space chars / n_tokens <= 10
+      stopword        >= 2 distinct common stopwords present
+      alpha_words     >= 80% of tokens contain an alphabetic char
+      repetition      duplicate-bigram fraction <= 50%
+
+    Scale posture: a pure per-row map — at 100 TB this is a single scan
+    with predicate flags computed inside whole-stage codegen; the keep
+    verdict is the filter a pipeline would push straight onto the scan.
+    """
+    docs = t(spark, sf_dir, "documents")
+    tok = tokens()
+    n = F.size(tok)
+    chars = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(tok),
+            F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to")]),
+        )
+    )
+    alpha = F.size(F.filter(tok, lambda w: w.rlike("[A-Za-z]")))
+    # sequence(1, 0) descends in Spark — guard n < 2 explicitly
+    distinct_bigrams = F.expr(
+        "size(array_distinct(transform(sequence(1, size(split(text,' ')) - 1),"
+        " i -> concat_ws(' ', slice(split(text,' '), i, 2)))))"
+    )
+    flags = {
+        "flag_word_count": n.between(20, 10000),
+        "flag_mean_word_len": (chars >= 3 * n) & (chars <= 10 * n),
+        "flag_stopword": stop_hits >= 2,
+        "flag_alpha_words": 5 * alpha >= 4 * n,
+        "flag_repetition": (n < 2) | (2 * distinct_bigrams >= n - 1),
+    }
+    out = docs.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        *[c.alias(name) for name, c in flags.items()],
+    )
+    keep = F.lit(True)
+    for name in flags:
+        keep = keep & F.col(name)
+    return out.withColumn("keep", keep).orderBy("doc_id")
+
+
+@query(
     "text_langid_heuristic",
     oracle="""
     SELECT pred_lang, COUNT(*) AS n FROM (
@@ -311,6 +393,53 @@ def dedup_simhash(spark, sf_dir):
 
 
 @query(
+    "dedup_simhash_pairs",
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+                  FROM documents),
+         h AS (SELECT doc_id,
+                      CAST(('0x' || substr(md5(tok), 1, 15)) AS UBIGINT) AS hv
+               FROM toks),
+         bits AS (SELECT doc_id, b,
+                         SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+                  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) bs
+                  GROUP BY doc_id, b),
+         fp AS (SELECT doc_id,
+                       CAST(SUM(CASE WHEN acc > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                            AS BIGINT) AS simhash
+                FROM bits GROUP BY doc_id),
+         bands AS (SELECT doc_id, simhash, b, (simhash >> (b * 15)) & 32767 AS bv
+                   FROM fp CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bs),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                         a.simhash AS ha, b.simhash AS hb
+                  FROM bands a JOIN bands b
+                    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+    ORDER BY id_a, id_b
+    """,
+    tags=("text", "dedup", "approximate"),
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash Hamming-near pair SEARCH (<=3 bits apart on the 60-bit
+    fingerprint) — the retrieval step that turns dedup_simhash's
+    fingerprints into actual duplicate pairs at scale.
+
+    Bit-band LSH (text/simhash.py): 4 bands x 15 bits; pigeonhole makes
+    banding EXACT for Hamming <= 3 (at least one band survives intact),
+    so the verified pair set is complete and the DuckDB oracle matches
+    it row-for-row — no probabilistic recall caveat, unlike MinHash.
+    Shuffles: fingerprint agg + band-bucket self-join + final sort; the
+    hot-bucket cap (gate data is far below it) bounds candidates at
+    O(cap * n) on boilerplate clusters.
+    """
+    from prestodb_presto_spark.text.simhash import simhash_near_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs).orderBy("id_a", "id_b")
+
+
+@query(
     "sample_stratified",
     oracle="""
     SELECT doc_id, source FROM (
@@ -452,6 +581,39 @@ def text_topk_ngrams(spark, sf_dir):
     )
 
 
+# eval-gram broadcast cap: ~2M distinct 5-grams (~50 B each ≈ 100 MB
+# serialized) is the most a driver/executor should hold per-task; a
+# benchmark suite is orders of magnitude below this, but nothing about
+# the input ENFORCES that, so the plan must degrade instead of OOM
+MAX_BROADCAST_EVAL_GRAMS = 2_000_000
+
+
+def decontaminate_join(corpus: DataFrame, eval_grams: DataFrame) -> DataFrame:
+    """Join exploded corpus grams against the eval-gram set and count
+    distinct hits per doc.
+
+    Scale guard: the fast path BROADCASTS the eval grams (benchmarks are
+    tiny vs a 100 TB corpus — one shuffle total, the per-doc agg).  But
+    the broadcast is only safe if the eval side really is small, so probe
+    it with a bounded action first — ``limit(cap+1).count()`` early-exits
+    at cap+1 rows, it never counts an unbounded set — and above the cap
+    fall back to a plain shuffle hash join (two shuffles, no memory
+    cliff).  Mirrors the MAX_PROBE_QUERIES guard in similarity/ivf.py.
+    """
+    n_eval = eval_grams.limit(MAX_BROADCAST_EVAL_GRAMS + 1).count()
+    rhs = (
+        F.broadcast(eval_grams)
+        if n_eval <= MAX_BROADCAST_EVAL_GRAMS
+        else eval_grams.hint("shuffle_hash")
+    )
+    return (
+        corpus.join(rhs, "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").cast("bigint").alias("n_hits"))
+        .orderBy("doc_id")
+    )
+
+
 @query(
     "decontaminate_ngram",
     oracle="""
@@ -480,9 +642,12 @@ def decontaminate_ngram(spark, sf_dir):
     Scale posture: the eval side is benchmarks — tiny versus a 100 TB
     corpus — so its distinct-gram set BROADCASTS and the corpus-side
     explode feeds a broadcast semi-style join + per-doc count: ONE
-    shuffle (the per-doc aggregation), no corpus self-join.  Grams are
-    per-row array expressions (no premature explode); duplicate grams
-    are dropped per doc before exploding.
+    shuffle (the per-doc aggregation), no corpus self-join.  The
+    broadcast is GUARDED (decontaminate_join): a bounded probe counts the
+    eval grams and an oversized set degrades to a shuffle hash join
+    instead of OOMing the driver.  Grams are per-row array expressions
+    (no premature explode); duplicate grams are dropped per doc before
+    exploding.
     """
     docs = t(spark, sf_dir, "documents")
     # sequence(1, 0) is DESCENDING [1, 0] in Spark (step defaults to -1),
@@ -500,9 +665,4 @@ def decontaminate_ngram(spark, sf_dir):
         with_grams.filter(F.col("source") == "src0").select("g").distinct()
     )
     corpus = with_grams.filter(F.col("source") != "src0")
-    return (
-        corpus.join(F.broadcast(eval_grams), "g")
-        .groupBy("doc_id")
-        .agg(F.count_distinct("g").cast("bigint").alias("n_hits"))
-        .orderBy("doc_id")
-    )
+    return decontaminate_join(corpus, eval_grams)

@@ -275,3 +275,43 @@ def test_using_join_qualified_wildcard_excludes_join_columns():
     # unknown column sets (plain tables) stay untouched
     out = translate("SELECT a.* FROM lineitem a JOIN orders b USING (orderkey)")
     assert "a.*" in out, out
+
+
+def test_advice_r6_wrapper_flatten_aggregate_guard():
+    """ADVICE r6 (medium): a derived-table scalar wrapper whose item is an
+    AGGREGATE is a one-row aggregation query — flattening it to a bare
+    expression would re-scope the aggregate to the OUTER query.  The
+    wrapper level drops but the scalar-subquery boundary stays."""
+    out = translate(
+        "SELECT o.orderkey, (SELECT * FROM (SELECT max(o.custkey))) FROM orders o"
+    )
+    assert "(SELECT max(o.custkey))" in out, out
+    assert "orderkey, (max(o.custkey))" not in out, out
+    # non-aggregate items still flatten fully
+    out = translate(
+        "SELECT o.orderkey, (SELECT * FROM (SELECT o.custkey + 1)) FROM orders o"
+    )
+    assert "(o.custkey + 1)" in out and "SELECT * FROM" not in out, out
+
+
+def test_advice_r6_strip_comments_quoted_identifier():
+    """ADVICE r6 (low): '--' inside a double-quoted identifier is part of
+    the name, not a comment."""
+    out = translate('SELECT "a--b" FROM t')
+    assert '"a--b"' in out or "`a--b`" in out, out
+    # doubled-quote escape inside the identifier also survives
+    out = translate('SELECT "a""--x" FROM t')
+    assert '--x' in out, out
+    # real comments still strip
+    out = translate("SELECT a -- trailing\nFROM t")
+    assert "trailing" not in out, out
+
+
+def test_advice_r6_order_by_mixed_scope_other_qualified_refs():
+    """ADVICE r6 (low): when the mixed-scope rewrite fires, EVERY
+    qualified ref in the ORDER BY tail must be covered by a __sc_
+    projection — the relation alias is out of scope in the outer query."""
+    out = translate("SELECT -a AS a, b FROM x t ORDER BY t.a + a, t.b")
+    tail = out.rsplit("ORDER BY", 1)[1]
+    assert "t.a" not in tail and "t.b" not in tail, out
+    assert "__sc_a" in tail and "__sc_b" in tail, out

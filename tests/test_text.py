@@ -255,3 +255,73 @@ def test_doc_chunking_covers_all_tokens(spark):
         first = chunks[0]
         assert first.chunk_idx == 0
         assert total >= last.chunk_idx * CHUNK_STRIDE  # sanity
+
+
+def test_decontaminate_broadcast_guard(spark, monkeypatch):
+    """decontaminate_join: an eval-gram set above the broadcast cap must
+    degrade to a shuffle join (no broadcast hint in the plan); a small
+    set keeps the broadcast fast path.  Results are identical."""
+    from prestodb_presto_spark.queries import textops
+
+    corpus = spark.range(200).selectExpr(
+        "CAST(id % 20 AS STRING) AS doc_id",
+        "concat('g', CAST(id % 50 AS STRING)) AS g",
+    )
+    eval_grams = spark.range(30).selectExpr(
+        "concat('g', CAST(id AS STRING)) AS g"
+    )
+
+    fast = textops.decontaminate_join(corpus, eval_grams)
+    fast_plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in fast_plan, fast_plan
+    fast_rows = {(r.doc_id, r.n_hits) for r in fast.collect()}
+
+    # force the fallback: cap below the eval-gram count
+    monkeypatch.setattr(textops, "MAX_BROADCAST_EVAL_GRAMS", 10)
+    slow = textops.decontaminate_join(corpus, eval_grams)
+    slow_plan = slow._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in slow_plan, slow_plan
+    assert {(r.doc_id, r.n_hits) for r in slow.collect()} == fast_rows
+
+
+def test_simhash_near_pairs_exact_vs_bruteforce(spark):
+    """Pigeonhole exactness: banded retrieval finds EXACTLY the pairs a
+    brute-force Hamming scan finds (no recall loss, no extras), and the
+    hot-bucket cap drops pairs confined to over-cap buckets."""
+    from prestodb_presto_spark.text.analysis import token_array, with_simhash64
+    from prestodb_presto_spark.text.simhash import simhash_near_pairs
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(120)
+    )
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_pairs(docs, bucket_cap=None).collect()
+    }
+    fp = with_simhash64(docs, F.array_distinct(token_array("text"))).select(
+        "doc_id", "simhash"
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    brute = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert got == brute and got, (len(got), len(brute))
+
+    # a tiny cap can only REMOVE pairs, never add or change one
+    capped = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_pairs(docs, bucket_cap=3).collect()
+    }
+    assert capped <= got
