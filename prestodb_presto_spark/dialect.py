@@ -17,13 +17,15 @@ is the first-class surface.
 
 from __future__ import annotations
 
+import math
 import re
 
 from prestodb_presto_spark.functions.datetime_fns import _mysql_to_java
 
 # Presto name -> Spark name, signature-compatible 1:1 renames.
+# (approx_distinct routes through _approx_distinct_rewrite below — the
+# default-error form hits the bit-exact airlift-parity UDAF)
 _RENAMES = {
-    "approx_distinct": "approx_count_distinct",
     "json_extract_scalar": "get_json_object",
     "json_extract": "get_json_object",
     "strpos": "instr",
@@ -349,6 +351,72 @@ def _try_rewrite(args: list[str], literals: list[str] | None = None) -> str:
     )
 
 
+def _approx_distinct_rewrite(args: list[str]) -> str | None:
+    """approx_distinct(x[, err]) — the default-bucket form (2048 buckets;
+    err omitted or mapping to 2048 via the reference's
+    standardErrorToBuckets: log2ceil(ceil(1.0816/err²)),
+    ApproximateCountDistinctAggregation.java:121) routes to the
+    bit-exact airlift-parity UDAF (functions/hll.py).  Other bucket
+    counts (rare; the reference suite never uses one) keep Spark's
+    native estimator with the rsd passthrough."""
+    if len(args) == 1:
+        return f"presto_approx_distinct({args[0]})"
+    if len(args) == 2:
+        m = re.fullmatch(r"\s*([0-9]*\.?[0-9]+(?:[eE][+-]?\d+)?)\s*", args[1])
+        if m:
+            err = float(m.group(1))
+            if 0.0040625 <= err <= 0.26:
+                buckets = 1 << (math.ceil(1.0816 / (err * err)) - 1).bit_length()
+                if buckets == 2048:
+                    return f"presto_approx_distinct({args[0]})"
+            return f"approx_count_distinct({args[0]}, {args[1]})"
+        return f"approx_count_distinct({', '.join(args)})"
+    return None
+
+
+def _approx_distinct_compat(sql: str) -> str:
+    """Route approx_distinct to the airlift-parity UDAF ONLY when the
+    query level has no other aggregate call and no windowed form: Spark
+    cannot mix a pandas GROUPED_AGG with JVM aggregates in one Aggregate
+    (INVALID_PANDAS_UDF_PLACEMENT).  Mixed-aggregate queries keep
+    Spark's native approx_count_distinct (tolerance-class estimate) —
+    the documented residual deviation."""
+    spans: list[tuple[int, int]] = []
+    windowed_or_mixed = False
+    pos = 0
+    while True:
+        m = re.compile(r"(?i)\bapprox_distinct\s*\(").search(sql, pos)
+        if not m:
+            break
+        open_idx = sql.index("(", m.start())
+        end, _ = _scan_balanced(sql, open_idx)
+        if re.match(r"\s*OVER\b", sql[end:], re.IGNORECASE):
+            windowed_or_mixed = True  # windowed form: keep native
+        spans.append((m.start(), end))
+        pos = end
+    if not spans:
+        return sql
+    masked = sql
+    for s, e in spans:
+        masked = masked[:s] + " " * (e - s) + masked[e:]
+    if _AGG_CALL.search(masked):
+        windowed_or_mixed = True  # other aggregates here: keep native
+    out = []
+    last = 0
+    for s, e in spans:
+        out.append(sql[last:s])
+        open_idx = sql.index("(", s)
+        args = [a.strip() for a in _split_top_level(sql[open_idx + 1 : e - 1])]
+        if windowed_or_mixed:
+            out.append(f"approx_count_distinct({', '.join(args)})")
+        else:
+            repl = _approx_distinct_rewrite(args)
+            out.append(repl if repl is not None else sql[s:e])
+        last = e
+    out.append(sql[last:])
+    return "".join(out)
+
+
 def _approx_percentile_rewrite(args: list[str]) -> str | None:
     """approx_percentile(x, p), the weighted (x, w, p) spelling, and
     the accuracy variant (x, w, p, accuracy)
@@ -384,7 +452,9 @@ _SIMPLE_TYPES = {
 
 def _translate_type(t: str) -> str:
     t = t.strip()
-    low = t.lower()
+    # multi-word type spellings may carry arbitrary interior whitespace
+    # (TIMESTAMP \n WITH TIME ZONE) — normalize before the lookup
+    low = re.sub(r"\s+", " ", t.lower())
     if low in _SIMPLE_TYPES:
         return _SIMPLE_TYPES[low]
     m = re.match(r"(array|map|row)\s*\((.*)\)\s*$", t, re.IGNORECASE | re.DOTALL)
@@ -561,6 +631,21 @@ def _cast_rewrite(args: list[str], try_: bool = False) -> str | None:
         # canonical textual form via the session-registered UDF
         # (IpAddressOperators.java; sql_support.ensure_sql_support)
         return f"__presto_ipaddress({expr})"
+    # timestamp -> TIME takes the time-of-day (TimestampOperators
+    # castToTime); Spark has no timestamp->TIME cast, so lower through
+    # date_format.  Statically decidable only when the operand is a
+    # known timestamp producer (head-anchored); Presto TIME is
+    # millisecond precision.  TIME WITH TIME ZONE maps onto the same
+    # session-zone time-of-day (engine convention: zones don't ride on
+    # values; the session zone is the single zone).
+    if re.fullmatch(
+        r"time(\s+with\s+time\s+zone)?", typs, re.IGNORECASE
+    ) and re.match(
+        r"(?i)\s*(from_unixtime|timestamp_seconds|now|current_timestamp"
+        r"|localtimestamp)\b",
+        expr,
+    ):
+        return f"CAST(date_format({expr}, 'HH:mm:ss.SSS') AS TIME)"
     translated = _translate_type(typ)
     if translated == typs:
         return None  # nothing Presto-specific; leave untouched
@@ -5727,11 +5812,18 @@ def translate(sql: str) -> str:
     out = _quantified_compat(out)
     out = _map_in_compat(out)
     out = _in_values_compat(out)
-    out = _in_subquery_3vl_compat(out)
+    # per query level: the duplicate-projection guard must count within
+    # ONE query body — a set-op of two identical halves (or any repeated
+    # derived table) would otherwise suppress the rewrite in BOTH halves
+    # (round-7 fuzz finding, setop mutator)
+    out = _per_query_level(out, _in_subquery_3vl_compat)
     out = _empty_grouping_sets_compat(out)
     out = _grouping_plain_scope_fold(out)
     out = _grouping_compat(out)
     out = _rewrite_calls(out, "approx_percentile", _approx_percentile_rewrite)
+    # per query level: the no-other-aggregate guard must look only at
+    # ITS query's select/having text, not the whole statement
+    out = _per_query_level(out, _approx_distinct_compat)
     out = _rewrite_calls(out, "TRY", lambda a: _try_rewrite(a, literals))
     # fixpoint: a rewritten outer TRY_CAST may embed an unprocessed
     # nested try_cast (the call scanner skips replacement text)

@@ -113,3 +113,8 @@ def ensure_sql_support(spark) -> None:
         return pd.Series([one(v) for v in s])
 
     spark.udf.register("__presto_ipaddress_key", __presto_ipaddress_key)
+
+    # bit-exact approx_distinct (airlift-HLL parity; functions/hll.py)
+    from prestodb_presto_spark.functions.hll import register_approx_distinct
+
+    register_approx_distinct(spark)

@@ -107,10 +107,50 @@ def mutate_wrap(sql: str, rng: random.Random) -> str:
     return f"SELECT * FROM (\n{sql}\n) __fz_wrap"
 
 
+def mutate_wrap2(sql: str, rng: random.Random) -> str:
+    """Depth-2 derived-table wrap — scanners anchored on 'the first
+    SELECT' or a single nesting level misfire here (round-7 class)."""
+    return (
+        "SELECT * FROM (SELECT * FROM (\n" + sql + "\n) __fz_in) __fz_out"
+    )
+
+
+def mutate_shadow_alias(sql: str, rng: random.Random) -> str:
+    """Wrap with the MOST COMMON inner aliases (t, a, o) — an
+    alias-matching scanner that resolves by name alone crosses scopes
+    (round-7 class: identifier shadowing)."""
+    alias = rng.choice(["t", "a", "o"])
+    return f"SELECT * FROM (\n{sql}\n) {alias}"
+
+
+def mutate_keyword_literal(sql: str, rng: random.Random) -> str:
+    """Append a WHERE predicate over a wrapped query whose string literal
+    is packed with SQL keywords, parens, a line comment and a doubled
+    quote — any scanner that reads keywords/depth inside literals breaks
+    (round-7 class).  Always-true predicate: row-set preserving."""
+    lit = "(SELECT x FROM t) UNION ALL -- it''s GROUP BY"
+    return f"SELECT * FROM (\n{sql}\n) __fz_kw WHERE '{lit}' <> ''"
+
+
+def mutate_setop(sql: str, rng: random.Random) -> str:
+    """UNION ALL the query with itself (both sides wrapped) — set-op
+    scoping over full statements (round-7 class).  Doubles every row, so
+    the differential uses the identically-mutated oracle."""
+    return (
+        f"SELECT * FROM (\n{sql}\n) __fza"
+        f" UNION ALL SELECT * FROM (\n{sql}\n) __fzb"
+    )
+
+
 MUTATORS = [
     ("whitespace", mutate_whitespace),
     ("comments", mutate_comments),
     ("case", mutate_case),
+    # round-7 classes — structural invariants over the full corpus
+    ("wrap2", mutate_wrap2),
+    ("shadow_alias", mutate_shadow_alias),
+    ("keyword_literal", mutate_keyword_literal),
+    ("setop", mutate_setop),
 ]
 
 # ------------------------------------------------------------- invariants
@@ -184,9 +224,12 @@ def test_fuzz_differential_sample(aq_env, corpus):
     engine, fresh_con = aq_env
     con = fresh_con()
     rng0 = random.Random(20260814)
-    sample = rng0.sample(range(len(corpus)), 100)
+    sample = rng0.sample(range(len(corpus)), 140)
     checked = 0
     bad = []
+    # row-set-preserving mutators always apply; the wrap family reorders
+    # rows so it only applies to unordered comparisons; setop doubles the
+    # rows, so its oracle is the identically-mutated DuckDB statement
     for ci in sample:
         method, k, kind, actual, expected = corpus[ci]
         if kind == "empty":
@@ -202,20 +245,36 @@ def test_fuzz_differential_sample(aq_env, corpus):
                 continue  # frozen deviation — not fuzz's business
         except Exception:
             continue
-        muts = list(MUTATORS)
+        muts: list[tuple[str, object, object]] = [
+            ("whitespace", mutate_whitespace, None),
+            ("comments", mutate_comments, None),
+            ("case", mutate_case, None),
+        ]
         if kind != "ordered":
-            muts.append(("wrap", mutate_wrap))
-        for mi, (mname, mut) in enumerate(muts):
+            muts += [
+                ("wrap", mutate_wrap, None),
+                ("wrap2", mutate_wrap2, None),
+                ("shadow_alias", mutate_shadow_alias, None),
+                ("keyword_literal", mutate_keyword_literal, None),
+                ("setop", mutate_setop, mutate_setop),
+            ]
+        for mi, (mname, mut, omut) in enumerate(muts):
             mutated = mut(actual, random.Random(777 * mi + ci))
+            o = omut(osql, random.Random(777 * mi + ci)) if omut else osql
+            if omut is not None:
+                try:
+                    con.execute(o).fetchall()
+                except duckdb.Error:
+                    continue  # oracle can't run the mutated form
             try:
                 sdf = engine.sql(mutated, dialect="presto")
-                err = _compare(sdf, con, osql, ordered=(kind == "ordered"))
+                err = _compare(sdf, con, o, ordered=(kind == "ordered"))
             except Exception as exc:  # noqa: BLE001
                 err = f"raise {type(exc).__name__}: {str(exc)[:90]}"
             checked += 1
             if err:
                 bad.append(f"{mname}:{method}[{k}]: {err[:140]}")
-    assert checked >= 100, f"sample too small: {checked}"
+    assert checked >= 140, f"sample too small: {checked}"
     assert not bad, f"{len(bad)} differential fuzz failures: {bad[:6]}"
 
 

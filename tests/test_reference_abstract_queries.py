@@ -12,14 +12,17 @@ dbgen sf0.01 data — which IS tpch.tiny — comparing to DuckDB running
 the same SQL (1-arg form) or the reference's own expected SQL (2-arg
 form), exactly the reference's H2 differential pattern.
 
-Current state: **1287 of the 1318 scrapeable cases pass** the full
+Current state: **1316 of the 1318 scrapeable cases pass** the full
 differential (AbstractTestIndexedQueries 39/40 and
 AbstractTestIntegrationSmokeTest 14/14 included — index joins are a
 physical strategy; the SQL must hold on any engine).  Every case now
 has a runnable oracle (the last 7 H2-lax statements got hand-written
-DuckDB equivalents in oracle_compat — see _HAND_TRANSLATIONS) and 31
-are frozen as known deviations below, each with its cause — dominated
-by the engine-specific approx_distinct sketch values.  Also closed in
+DuckDB equivalents in oracle_compat — see _HAND_TRANSLATIONS) and only
+2 are frozen as known deviations below (checksum's engine-defined
+value; approx_percentile with a non-foldable fraction).  Round 7
+closed the last big family: all 29 testApproximateCountDistinct cases
+via the clean-room airlift-HLL-parity approx_distinct
+(prestodb_presto_spark/functions/hll.py, tests/test_hll_parity.py).  Also closed in
 round 6: grouping() in ORDER BY (hoisted through the grouped
 projection), MAP IN-lists (canonical sorted entry arrays), and the
 sys.example system table (synthesized in Engine.sql), and the
@@ -48,7 +51,7 @@ import pytest
 from prestodb_presto_spark.testing import _tolerant_cell as _tc0
 from tests.abstract_queries_scrape import oracle_compat, scrape
 
-PASS_FLOOR = 1287
+PASS_FLOOR = 1316
 ORACLE_UNRUNNABLE_MAX = 3
 
 # method → (max allowed non-passing cases, recorded cause).  A failure
@@ -56,12 +59,11 @@ ORACLE_UNRUNNABLE_MAX = 3
 ALLOWED = {
     # engine-defined values (documented deviations, tolerance-gated
     # elsewhere)
-    "testApproximateCountDistinct": (
-        29,
-        "approx_distinct returns Spark HLL++ estimates; the reference "
-        "asserts its airlift-HLL exact estimates (engine-defined values; "
-        "the driver gate checks tolerance instead)",
-    ),
+    # (testApproximateCountDistinct — the whole 29-case family — closed
+    # round 7 by the clean-room airlift-HLL parity implementation:
+    # functions/hll.py + the _approx_distinct_rewrite dialect route +
+    # the timestamp->TIME cast lowering; tests/test_hll_parity.py pins
+    # every assertion value)
     "testChecksum": (
         1,
         "checksum values are engine-defined (documented md5/xor "

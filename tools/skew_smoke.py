@@ -122,6 +122,99 @@ def main() -> None:
     print(f"# lsh: capped {out['lsh_capped_s']}s ({c1} pairs) vs uncapped "
           f"{out['lsh_uncapped_s']}s ({c2} pairs)", flush=True)
 
+    # --- 4. sequence packing under doc-length skew: one source's docs
+    # are 10x longer.  The two-phase md5-bucket prefix sum spreads rows
+    # uniformly regardless of length (the bucket key is md5(doc_id), not
+    # the length); the naive global window is ONE task for everything.
+    packdocs = spark.range(min(n_docs, 1_000_000)).selectExpr(
+        "CAST(id AS STRING) AS doc_id",
+        "repeat('w ', CAST(CASE WHEN id % 10 = 0 THEN 300 ELSE 30 END AS INT))"
+        " AS text",
+    ).cache()
+    packdocs.count()
+    from prestodb_presto_spark.queries.packing import SEQ_BUDGET, packed_assignments
+
+    def pack_naive():
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.md5("doc_id"), "doc_id").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        return (
+            packdocs.select("doc_id", F.size(F.split("text", " ")).alias("n"))
+            .withColumn("start", F.coalesce(F.sum("n").over(w), F.lit(0)))
+            .selectExpr(f"CAST(start / {SEQ_BUDGET} AS BIGINT) AS seq_id")
+            .agg(F.max("seq_id"))
+            .collect()[0][0]
+        )
+
+    def pack_two_phase():
+        return (
+            packed_assignments(packdocs)
+            .agg(F.max("seq_id"))
+            .collect()[0][0]
+        )
+
+    out["pack_global_window_s"], p1 = timed(pack_naive)
+    out["pack_two_phase_s"], p2 = timed(pack_two_phase)
+    assert p1 == p2, (p1, p2)
+    spark.catalog.clearCache()
+    print(f"# pack: global-window {out['pack_global_window_s']}s vs "
+          f"two-phase {out['pack_two_phase_s']}s (max seq_id {p1})", flush=True)
+
+    # --- 5. decontamination with a BIG eval set (~1M distinct grams):
+    # the broadcast fast path vs the over-cap shuffle fallback the guard
+    # degrades to — both must agree, and the fallback must stay in the
+    # same wall-clock class (no cliff), proving the guard is safe to trip.
+    from prestodb_presto_spark.queries import textops
+
+    corpus_g = spark.range(min(n_docs, 2_000_000)).selectExpr(
+        "CAST(id % 200000 AS STRING) AS doc_id",
+        "concat('g', CAST(id % 1500000 AS STRING)) AS g",
+    ).cache()
+    eval_g = spark.range(1_000_000).selectExpr(
+        "concat('g', CAST(id AS STRING)) AS g"
+    ).cache()
+    corpus_g.count(), eval_g.count()
+
+    def decon(cap):
+        saved = textops.MAX_BROADCAST_EVAL_GRAMS
+        textops.MAX_BROADCAST_EVAL_GRAMS = cap
+        try:
+            return textops.decontaminate_join(corpus_g, eval_g).count()
+        finally:
+            textops.MAX_BROADCAST_EVAL_GRAMS = saved
+
+    out["decon_broadcast_s"], d1 = timed(lambda: decon(2_000_000))
+    out["decon_shuffle_fallback_s"], d2 = timed(lambda: decon(10_000))
+    assert d1 == d2, (d1, d2)
+    spark.catalog.clearCache()
+    print(f"# decon: broadcast {out['decon_broadcast_s']}s vs shuffle "
+          f"fallback {out['decon_shuffle_fallback_s']}s ({d1} docs)", flush=True)
+
+    # --- 6. SimHash pair search hot bucket: a 5% identical-boilerplate
+    # cluster shares ALL 4 bit-bands (identical fingerprints) — uncapped,
+    # that one bucket is O(cluster^2) candidate pairs; the cap bounds it.
+    from prestodb_presto_spark.text.simhash import simhash_near_pairs
+
+    sh_corpus = spark.range(min(n_docs, 60_000)).selectExpr(
+        "CAST(id AS STRING) AS doc_id",
+        "CASE WHEN id % 20 = 0 THEN 'terms of service apply to this"
+        " account and all contents herein without exception'"
+        " ELSE concat('document body ', CAST(id AS STRING), ' text ',"
+        " CAST(id * 7 % 1000 AS STRING), ' tail ', CAST(id * 13 % 977 AS"
+        " STRING)) END AS text",
+    ).cache()
+    sh_corpus.count()
+    out["simhash_capped_s"], s1 = timed(
+        lambda: simhash_near_pairs(sh_corpus, bucket_cap=200).count()
+    )
+    out["simhash_uncapped_s"], s2 = timed(
+        lambda: simhash_near_pairs(sh_corpus, bucket_cap=None).count()
+    )
+    print(f"# simhash: capped {out['simhash_capped_s']}s ({s1} pairs) vs "
+          f"uncapped {out['simhash_uncapped_s']}s ({s2} pairs)", flush=True)
+
     print(json.dumps({"n_docs": n_docs, **out}))
 
 
