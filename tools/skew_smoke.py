@@ -159,8 +159,16 @@ def main() -> None:
     out["pack_two_phase_s"], p2 = timed(pack_two_phase)
     assert p1 == p2, (p1, p2)
     spark.catalog.clearCache()
-    print(f"# pack: global-window {out['pack_global_window_s']}s vs "
-          f"two-phase {out['pack_two_phase_s']}s (max seq_id {p1})", flush=True)
+    # local-mode caveat: all 32 "executors" share one memory bus, so the
+    # global window's single sort task runs at the same aggregate
+    # bandwidth as 32 parallel tasks — wall times here are near parity
+    # and the receipt is the STRUCTURAL one: the naive form's sort stage
+    # is ONE task holding the whole corpus (impossible at 100 TB); the
+    # two-phase form's widest stage is numPartitions tasks
+    print(f"# pack: global-window {out['pack_global_window_s']}s"
+          f" (sort stage = 1 task) vs two-phase"
+          f" {out['pack_two_phase_s']}s (32 parallel tasks;"
+          f" max seq_id {p1}, results equal)", flush=True)
 
     # --- 5. decontamination with a BIG eval set (~1M distinct grams):
     # the broadcast fast path vs the over-cap shuffle fallback the guard
@@ -197,7 +205,7 @@ def main() -> None:
     # that one bucket is O(cluster^2) candidate pairs; the cap bounds it.
     from prestodb_presto_spark.text.simhash import simhash_near_pairs
 
-    sh_corpus = spark.range(min(n_docs, 60_000)).selectExpr(
+    sh_corpus = spark.range(min(n_docs, 200_000)).selectExpr(
         "CAST(id AS STRING) AS doc_id",
         "CASE WHEN id % 20 = 0 THEN 'terms of service apply to this"
         " account and all contents herein without exception'"
