@@ -360,7 +360,7 @@ def _approx_distinct_rewrite(args: list[str]) -> str | None:
     counts (rare; the reference suite never uses one) keep Spark's
     native estimator with the rsd passthrough."""
     if len(args) == 1:
-        return f"presto_approx_distinct({args[0]})"
+        return f"presto_approx_distinct({args[0]}, typeof({args[0]}))"
     if len(args) == 2:
         m = re.fullmatch(r"\s*([0-9]*\.?[0-9]+(?:[eE][+-]?\d+)?)\s*", args[1])
         if m:
@@ -368,46 +368,67 @@ def _approx_distinct_rewrite(args: list[str]) -> str | None:
             if 0.0040625 <= err <= 0.26:
                 buckets = 1 << (math.ceil(1.0816 / (err * err)) - 1).bit_length()
                 if buckets == 2048:
-                    return f"presto_approx_distinct({args[0]})"
+                    return (
+                        f"presto_approx_distinct({args[0]}, typeof({args[0]}))"
+                    )
             return f"approx_count_distinct({args[0]}, {args[1]})"
         return f"approx_count_distinct({', '.join(args)})"
     return None
 
 
-def _approx_distinct_compat(sql: str) -> str:
-    """Route approx_distinct to the airlift-parity UDAF ONLY when the
-    query level has no other aggregate call and no windowed form: Spark
-    cannot mix a pandas GROUPED_AGG with JVM aggregates in one Aggregate
-    (INVALID_PANDAS_UDF_PLACEMENT).  Mixed-aggregate queries keep
-    Spark's native approx_count_distinct (tolerance-class estimate) —
-    the documented residual deviation."""
-    spans: list[tuple[int, int]] = []
+def _native_checksum(args: list[str]) -> str:
+    """The engine's documented cross-engine checksum CONVENTION (XOR of
+    60-bit md5-prefix row hashes) — used where the pandas parity UDAF
+    cannot run (mixed/windowed aggregations)."""
+    return (
+        f"bit_xor(CAST(conv(substr(md5(CAST({args[0]} AS STRING)), 1, 15),"
+        " 16, 10) AS BIGINT))"
+    )
+
+
+def _parity_agg_compat(sql: str) -> str:
+    """Route approx_distinct / checksum to the reference-parity pandas
+    UDAFs (functions/hll.py) ONLY when the query level has no OTHER
+    aggregate call and no windowed form: Spark cannot mix a pandas
+    GROUPED_AGG with JVM aggregates in one Aggregate
+    (INVALID_PANDAS_UDF_PLACEMENT).  The two parity UDAFs can coexist
+    (both pandas), so their spans are mutually exempt from the guard.
+    Mixed-aggregate queries keep the native forms (Spark
+    approx_count_distinct; the md5-XOR checksum convention) — the
+    documented residual deviation."""
+    spans: list[tuple[int, int, str]] = []
     windowed_or_mixed = False
+    pat = re.compile(r"(?i)\b(approx_distinct|checksum)\s*\(")
     pos = 0
     while True:
-        m = re.compile(r"(?i)\bapprox_distinct\s*\(").search(sql, pos)
+        m = pat.search(sql, pos)
         if not m:
             break
-        open_idx = sql.index("(", m.start())
+        open_idx = sql.index("(", m.end(1))
         end, _ = _scan_balanced(sql, open_idx)
         if re.match(r"\s*OVER\b", sql[end:], re.IGNORECASE):
             windowed_or_mixed = True  # windowed form: keep native
-        spans.append((m.start(), end))
+        spans.append((m.start(), end, m.group(1).lower()))
         pos = end
     if not spans:
         return sql
     masked = sql
-    for s, e in spans:
+    for s, e, _name in spans:
         masked = masked[:s] + " " * (e - s) + masked[e:]
     if _AGG_CALL.search(masked):
         windowed_or_mixed = True  # other aggregates here: keep native
     out = []
     last = 0
-    for s, e in spans:
+    for s, e, name in spans:
         out.append(sql[last:s])
-        open_idx = sql.index("(", s)
+        open_idx = sql.index("(", s + len(name))
         args = [a.strip() for a in _split_top_level(sql[open_idx + 1 : e - 1])]
-        if windowed_or_mixed:
+        if name == "checksum":
+            if windowed_or_mixed or len(args) != 1:
+                out.append(_native_checksum(args) if len(args) == 1 else sql[s:e])
+            else:
+                out.append(f"presto_checksum({args[0]}, typeof({args[0]}))")
+        elif windowed_or_mixed:
             out.append(f"approx_count_distinct({', '.join(args)})")
         else:
             repl = _approx_distinct_rewrite(args)
@@ -4994,12 +5015,9 @@ _SQL_TEMPLATES = {
     # combine keeps the first non-null); Spark any_value defaults to
     # respecting them
     "arbitrary": "any_value({0}, true)",
-    # order-independent checksum (ChecksumAggregationFunction.java):
-    # XOR of 60-bit per-row hashes — the engine's cross-engine
-    # convention (functions/aggregates_reg.py)
-    "checksum":
-        "bit_xor(CAST(conv(substr(md5(CAST({0} AS STRING)), 1, 15),"
-        " 16, 10) AS BIGINT))",
+    # (checksum routes through _parity_agg_compat: the bit-exact
+    # ChecksumAggregationFunction parity UDAF when unmixed, else the
+    # documented md5-XOR convention — _native_checksum)
     # the reference test harness's custom scalar functions — semantics
     # from their sources (presto-main test CustomFunctions.java,
     # TestIsNullAnnotation.java): custom_add, IS NULL probes, and the
@@ -5823,7 +5841,7 @@ def translate(sql: str) -> str:
     out = _rewrite_calls(out, "approx_percentile", _approx_percentile_rewrite)
     # per query level: the no-other-aggregate guard must look only at
     # ITS query's select/having text, not the whole statement
-    out = _per_query_level(out, _approx_distinct_compat)
+    out = _per_query_level(out, _parity_agg_compat)
     out = _rewrite_calls(out, "TRY", lambda a: _try_rewrite(a, literals))
     # fixpoint: a rewritten outer TRY_CAST may embed an unprocessed
     # nested try_cast (the call scanner skips replacement text)

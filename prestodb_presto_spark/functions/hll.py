@@ -51,6 +51,7 @@ import datetime
 import json
 import math
 import os
+import re
 import struct
 from decimal import Decimal
 
@@ -224,7 +225,36 @@ def hll_cardinality(hashes: np.ndarray) -> int:
 
 # ------------------------------------------------- per-type value hashes
 
-def _hash_series(s: pd.Series) -> np.ndarray:
+def _declared_ints(s: pd.Series, decl: str | None) -> np.ndarray | None:
+    """When the DECLARED Spark type is integral but pandas upcast the
+    series to float64 (int column containing NULLs), recover the exact
+    integer values.  Exact for |v| < 2^53 (beyond that the float lost
+    the bits upstream — documented limit of the null-bearing path)."""
+    # both Spark ("int") and Presto ("integer") spellings arrive: the
+    # dialect's typeof-compat pass may have rewritten the tag
+    if decl in ("tinyint", "smallint", "int", "integer", "bigint") and np.issubdtype(
+        s.dtype, np.floating
+    ):
+        return s.to_numpy(dtype=np.float64).astype(np.int64)
+    return None
+
+
+def _decl_of(type_s: pd.Series | None) -> str | None:
+    if type_s is None or len(type_s) == 0:
+        return None
+    v = type_s.iloc[0]
+    return str(v).lower() if v is not None else None
+
+
+def _decimal_is_short(decl: str | None, unscaled: list[int]) -> bool:
+    if decl:
+        m = re.match(r"decimal\((\d+)", decl)
+        if m:
+            return int(m.group(1)) <= 18
+    return all(abs(u) < 10**18 for u in unscaled)
+
+
+def _hash_series(s: pd.Series, decl: str | None = None) -> np.ndarray:
     """Presto XX_HASH_64 of each value, per the reference type operators:
 
       int family / date(days) / timestamp(millis) / time(millis) /
@@ -242,6 +272,9 @@ def _hash_series(s: pd.Series) -> np.ndarray:
     if len(s) == 0:
         return np.empty(0, dtype=np.uint64)
     dt = s.dtype
+    ints = _declared_ints(s, decl)
+    if ints is not None:
+        return xxh64_u64(ints)
     if isinstance(dt, pd.DatetimeTZDtype) or np.issubdtype(dt, np.datetime64):
         if isinstance(dt, pd.DatetimeTZDtype):
             s = s.dt.tz_convert("UTC").dt.tz_localize(None)
@@ -289,14 +322,13 @@ def _hash_series(s: pd.Series) -> np.ndarray:
         return xxh64_u64(ms)
     if isinstance(first, Decimal):
         unscaled = [
-            int(v.scaleb(-v.as_tuple().exponent)) if v.as_tuple().exponent < 0 else int(v) * 10 ** 0
+            int(v.scaleb(-v.as_tuple().exponent)) if v.as_tuple().exponent < 0 else int(v)
             for v in s
         ]
-        # declared precision is erased in transit; Presto's short/long
-        # split is p <= 18 — recover it from the value magnitude (exact
-        # for every reference shape; ambiguous only for small values in
-        # >18-precision columns, documented boundary)
-        if all(-(2**63) <= u and u < 2**63 and abs(u) < 10**18 for u in unscaled):
+        # Presto's short/long split is declared precision <= 18; the
+        # declared type comes through the typeof() second argument —
+        # fall back to the value-magnitude heuristic without it
+        if _decimal_is_short(decl, unscaled):
             return xxh64_u64(np.asarray(unscaled, dtype=np.int64))
         return np.asarray(
             [xxh64_bytes((u & ((1 << 128) - 1)).to_bytes(16, "little")) for u in unscaled],
@@ -311,9 +343,137 @@ def _hash_series(s: pd.Series) -> np.ndarray:
     raise TypeError(f"presto_approx_distinct: unsupported value type {type(first)}")
 
 
-def presto_approx_distinct_pandas(s: pd.Series) -> int:
-    """GROUPED_AGG body: airlift-parity approx_distinct of one group."""
-    return hll_cardinality(_hash_series(s))
+def presto_approx_distinct_pandas(s: pd.Series, type_s: pd.Series = None) -> int:
+    """GROUPED_AGG body: airlift-parity approx_distinct of one group.
+    ``type_s`` carries typeof(value) — see presto_checksum_pandas."""
+    return hll_cardinality(_hash_series(s, _decl_of(type_s)))
+
+
+# ------------------------------------------------ checksum (Type.hash)
+
+_PRIME64 = 0x9E3779B185EBCA87
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """Presto Type.hash for fixed-width values — the xxhash64 MIX round
+    without the avalanche (AbstractLongType.hash / AbstractIntType.hash:
+    rotateLeft(value * P2, 31) * P1)."""
+    v = x.astype(np.uint64, copy=False) * _P2
+    v = (v << np.uint64(31)) | (v >> np.uint64(33))
+    return v * _P1
+
+
+def _type_hash_series(s: pd.Series, decl: str | None = None) -> tuple[np.ndarray, int]:
+    """(Presto Type.hash of each non-null value, null count) — the
+    per-row hash checksum() sums (ChecksumAggregationFunction.java:105):
+
+      int family / date / time / timestamp: _mix64(long value)
+      short decimal: the RAW unscaled long (ShortDecimalType.hash:89)
+      long decimal: xxh64(low) ^ xxh64(high & ~sign)
+        (LongDecimalType.hash:90, UnscaledDecimal128Arithmetic.hash:768)
+      real: _mix64(floatToIntBits) (RealType via AbstractIntType)
+      double: _mix64(doubleToLongBits) (DoubleType.hash:77)
+      boolean: 1231 / 1237 (BooleanType.hash:100)
+      varchar / varbinary: xxh64(bytes) (AbstractVariableWidthBlock:92)
+    """
+    nulls = int(s.isna().sum())
+    s = s.dropna()
+    if len(s) == 0:
+        return np.empty(0, dtype=np.uint64), nulls
+    dt = s.dtype
+    ints = _declared_ints(s, decl)
+    if ints is not None:
+        return _mix64(ints), nulls
+    if isinstance(dt, pd.DatetimeTZDtype) or np.issubdtype(dt, np.datetime64):
+        if isinstance(dt, pd.DatetimeTZDtype):
+            s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+        micros = s.to_numpy(dtype="datetime64[us]").astype(np.int64)
+        return _mix64(micros // 1000), nulls
+    if dt == bool or dt == np.bool_:
+        arr = s.to_numpy(dtype=np.bool_)
+        return np.where(arr, np.uint64(1231), np.uint64(1237)), nulls
+    if np.issubdtype(dt, np.integer):
+        return _mix64(s.to_numpy(dtype=np.int64)), nulls
+    if dt == np.float32:
+        bits = s.to_numpy(dtype=np.float32)
+        return _mix64(bits.view(np.int32).astype(np.int64)), nulls
+    if np.issubdtype(dt, np.floating):
+        arr = s.to_numpy(dtype=np.float64)
+        ints = arr.view(np.int64).copy()
+        ints[np.isnan(arr)] = 0x7FF8000000000000
+        return _mix64(ints), nulls
+    first = s.iloc[0]
+    if isinstance(first, datetime.date) and not isinstance(first, datetime.datetime):
+        epoch = datetime.date(1970, 1, 1)
+        days = np.asarray([(v - epoch).days for v in s], dtype=np.int64)
+        return _mix64(days), nulls
+    if isinstance(first, datetime.time):
+        ms = np.asarray(
+            [
+                (v.hour * 3600 + v.minute * 60 + v.second) * 1000
+                + v.microsecond // 1000
+                for v in s
+            ],
+            dtype=np.int64,
+        )
+        return _mix64(ms), nulls
+    if isinstance(first, Decimal):
+        unscaled = [
+            int(v.scaleb(-v.as_tuple().exponent))
+            if v.as_tuple().exponent < 0
+            else int(v)
+            for v in s
+        ]
+        if _decimal_is_short(decl, unscaled):
+            # short decimal Type.hash is the raw unscaled long
+            return np.asarray(unscaled, dtype=np.int64).view(np.uint64), nulls
+        out = []
+        for u in unscaled:
+            # UnscaledDecimal128 packs |value| little-endian with the
+            # sign as a FLAG bit that unpackUnsignedLong strips — the
+            # hash is sign-insensitive by construction
+            raw = abs(u)
+            low, high = raw & _M64, raw >> 64
+            out.append(
+                xxh64_bytes(low.to_bytes(8, "little"))
+                ^ xxh64_bytes(high.to_bytes(8, "little"))
+            )
+        return np.asarray(out, dtype=np.uint64), nulls
+    if isinstance(first, str):
+        return (
+            np.asarray([xxh64_bytes(v.encode("utf-8")) for v in s], dtype=np.uint64),
+            nulls,
+        )
+    if isinstance(first, (bytes, bytearray)):
+        return (
+            np.asarray([xxh64_bytes(bytes(v)) for v in s], dtype=np.uint64),
+            nulls,
+        )
+    raise TypeError(f"presto_checksum: unsupported value type {type(first)}")
+
+
+def presto_checksum_pandas(s: pd.Series, type_s: pd.Series = None):
+    """GROUPED_AGG body: ChecksumAggregationFunction parity — the
+    wrapping 64-bit sum over rows of Type.hash(value) * PRIME64 (NULL
+    contributes PRIME64), rendered as the 8 little-endian VARBINARY
+    bytes (wrappedLongArray output).  ``type_s`` carries typeof(value)
+    (constant per group) so declared-type dispatch survives pandas'
+    int-with-nulls float upcast and erased decimal precision."""
+    if len(s) == 0:
+        return None
+    hashes, nulls = _type_hash_series(s, _decl_of(type_s))
+    total = int((hashes * np.uint64(_PRIME64)).sum(dtype=np.uint64))
+    total = (total + nulls * _PRIME64) & _M64
+    return total.to_bytes(8, "little")
+
+
+def register_checksum(spark) -> None:
+    """Register ``presto_checksum(value) -> binary`` as a SQL grouped
+    aggregate."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    fn = pandas_udf(presto_checksum_pandas, "binary", PandasUDFType.GROUPED_AGG)
+    spark.udf.register("presto_checksum", fn)
 
 
 def register_approx_distinct(spark) -> None:
@@ -336,15 +496,18 @@ def approx_distinct_by_group(df, group_cols: list[str], value_col: str):
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
-    def _hash_col(s: pd.Series) -> pd.Series:
+    def _hash_col(s: pd.Series, type_s: pd.Series) -> pd.Series:
         out = np.full(len(s), np.nan, dtype=object)
         mask = s.notna()
         if mask.any():
-            hs = _hash_series(s[mask]).astype(np.int64)
+            hs = _hash_series(s[mask], _decl_of(type_s)).astype(np.int64)
             out[mask.to_numpy()] = hs
         return pd.Series(out)
 
-    hashed = df.select(*group_cols, _hash_col(F.col(value_col)).alias("__h"))
+    hashed = df.select(
+        *group_cols,
+        _hash_col(F.col(value_col), F.expr(f"typeof({value_col})")).alias("__h"),
+    )
     hashed = hashed.filter(F.col("__h").isNotNull())
     pref = F.shiftrightunsigned(F.col("__h"), 64 - SPARSE_PREFIX_BITS)
     # rho = leading zeros of (h << p | sentinel) + 1 — native bit math:

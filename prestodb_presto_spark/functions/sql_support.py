@@ -118,3 +118,8 @@ def ensure_sql_support(spark) -> None:
     from prestodb_presto_spark.functions.hll import register_approx_distinct
 
     register_approx_distinct(spark)
+
+    # bit-exact checksum (ChecksumAggregationFunction parity; hll.py)
+    from prestodb_presto_spark.functions.hll import register_checksum
+
+    register_checksum(spark)

@@ -489,6 +489,135 @@ def sample_stratified(spark, sf_dir):
 _STRAT_RATE_HEX = format(16**15 // 10, "x").rjust(15, "0")
 
 
+def _rate_hex(rate: float) -> str:
+    return format(int(rate * 16**15), "x").rjust(15, "0")
+
+
+# training-mix target rates per source domain (the gate setting): boost
+# src0, sample the rest down — the "domain reweighting" primitive
+DOMAIN_MIX_RATES = {"src0": 0.8, "src1": 0.05}
+DOMAIN_MIX_DEFAULT = 0.2
+
+
+@query(
+    "sample_domain_mix",
+    oracle=f"""
+    SELECT doc_id, source FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) <
+          CASE source
+            WHEN 'src0' THEN '{_rate_hex(0.8)}'
+            WHEN 'src1' THEN '{_rate_hex(0.05)}'
+            ELSE '{_rate_hex(0.2)}'
+          END
+    ORDER BY source, doc_id
+    """,
+    tags=("pipeline", "sampling"),
+)
+def sample_domain_mix(spark, sf_dir):
+    """Domain-mixture reweighting: each source domain is sampled at its
+    own target rate (boost src0 to 80%, squeeze src1 to 5%, default
+    20%) — the training-mix composition primitive.
+
+    Scale posture: the per-source rate is a CASE over the partition/
+    source column and the pick is the same windowless md5-prefix filter
+    as sample_stratified_threshold — a pure per-row predicate, ZERO
+    shuffles before the output sort, deterministic across reruns and
+    backfills, and skew-immune (no per-source window).  At 100 TB with
+    source-partitioned input the CASE folds per partition and the
+    filter pushes to the scan boundary.
+    """
+    docs = t(spark, sf_dir, "documents")
+    rate = F.when(F.col("source") == "src0", F.lit(_rate_hex(0.8)))
+    rate = rate.when(F.col("source") == "src1", F.lit(_rate_hex(0.05)))
+    rate = rate.otherwise(F.lit(_rate_hex(0.2)))
+    return (
+        docs.filter(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15) < rate
+        )
+        .select("doc_id", "source")
+        .orderBy("source", "doc_id")
+    )
+
+
+# conservative PII patterns sharing semantics between Java regex (Spark)
+# and RE2 (DuckDB): no backrefs, no lookaround
+_PII_RULES = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<ID>"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+]
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             raw,
+             '{_PII_RULES[0][0]}', '{_PII_RULES[0][1]}', 'g'),
+             '{_PII_RULES[1][0]}', '{_PII_RULES[1][1]}', 'g'),
+             '{_PII_RULES[2][0]}', '{_PII_RULES[2][1]}', 'g'),
+             '{_PII_RULES[3][0]}', '{_PII_RULES[3][1]}', 'g') AS clean_text,
+           regexp_matches(raw, '{_PII_RULES[0][0]}') AS had_email,
+           regexp_matches(raw, '{_PII_RULES[3][0]}') AS had_phone
+    FROM (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN
+               'contact user' || CAST(doc_id AS VARCHAR)
+               || '@example.com or 555-01' || lpad(CAST(doc_id % 10 AS VARCHAR), 1, '0')
+               || '-4567 at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1 '
+               || substr(text, 1, 40)
+             ELSE substr(text, 1, 60) END AS raw
+      FROM documents WHERE doc_id < 200) s
+    ORDER BY doc_id
+    """,
+    tags=("text", "pipeline", "privacy"),
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII scrubbing: redact emails / IPv4s / SSN-shaped ids / phone
+    numbers with typed placeholders, plus per-doc detection flags — the
+    privacy pass every training-data pipeline runs before tokenization.
+
+    The fixture corpus is synthetic word soup, so the query PLANTS
+    deterministic PII in one third of the docs (doc_id-derived email,
+    phone, ip) and the gate verifies the scrubbing semantics character-
+    for-character against DuckDB applying the same rule chain.  Rules
+    are conservative regex (no lookaround/backrefs) so Java regex and
+    RE2 agree.
+
+    Scale posture: a pure per-row regexp_replace chain — one scan, zero
+    shuffles before the output sort, whole-stage codegen (JVM regex;
+    no Python).
+    """
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    raw = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.lit("contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-01"),
+            F.lpad((F.col("doc_id") % 10).cast("string"), 1, "0"),
+            F.lit("-4567 at 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1 "),
+            F.substring("text", 1, 40),
+        ),
+    ).otherwise(F.substring("text", 1, 60))
+    clean = raw
+    for pat, repl in _PII_RULES:
+        clean = F.regexp_replace(clean, pat, repl)
+    return (
+        docs.select(
+            "doc_id",
+            clean.alias("clean_text"),
+            raw.rlike(_PII_RULES[0][0]).alias("had_email"),
+            raw.rlike(_PII_RULES[3][0]).alias("had_phone"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query(
     "sample_stratified_threshold",
     oracle=f"""

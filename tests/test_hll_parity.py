@@ -98,3 +98,60 @@ def test_hll_empty_and_nulls(spark):
         "SELECT presto_approx_distinct(x) FROM VALUES (CAST(NULL AS BIGINT)) t(x)"
     ).collect()
     assert r[0][0] == 0
+
+
+def test_checksum_parity_formula(aq_env):
+    """presto_checksum == ChecksumAggregationFunction: the wrapping
+    64-bit sum of Type.hash(value) * PRIME64 (+PRIME64 per NULL),
+    independently re-derived here per the reference sources
+    (AbstractLongType.hash:130 mix, ShortDecimalType.hash:89 raw,
+    BooleanType.hash:100, block slice xxh64), rendered LE."""
+    from prestodb_presto_spark.functions.hll import xxh64_bytes
+
+    engine, _fresh = aq_env
+    P1, P2, M = 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, (1 << 64) - 1
+
+    def mix(v):
+        t = (v * P2) & M
+        t = ((t << 31) | (t >> 33)) & M
+        return (t * P1) & M
+
+    def le(total):
+        return (total & M).to_bytes(8, "little").hex().upper()
+
+    def run(sql):
+        return engine.sql(sql, dialect="presto").collect()[0][0]
+
+    # the reference's own frozen assertion
+    assert run("SELECT to_hex(checksum(0))") == "0000000000000000"
+    # ints with NULL (+ the pandas float-upcast trap)
+    want = le(sum(mix(v) * P1 for v in (1, 2, 3)) + P1)
+    assert run("SELECT to_hex(checksum(x)) FROM (VALUES 1, 2, NULL, 3) t(x)") == want
+    # varchar
+    want = le(xxh64_bytes(b"a") * P1 + xxh64_bytes(b"bc") * P1)
+    assert run("SELECT to_hex(checksum(x)) FROM (VALUES 'a', 'bc') t(x)") == want
+    # boolean 1231/1237
+    want = le(1231 * P1 + 1237 * P1)
+    assert run("SELECT to_hex(checksum(x)) FROM (VALUES true, false) t(x)") == want
+    # short decimal hashes the RAW unscaled long
+    want = le(sum((u * P1) & M for u in (150, 250)))
+    assert (
+        run("SELECT to_hex(checksum(CAST(x AS DECIMAL(9,2)))) FROM (VALUES 1.5, 2.5) t(x)")
+        == want
+    )
+    # long decimal: xxh64(low) ^ xxh64(high), sign-stripped
+    tot = 0
+    for x in (3, 7):
+        raw = x * 10**20
+        h = xxh64_bytes((raw & M).to_bytes(8, "little")) ^ xxh64_bytes(
+            (raw >> 64).to_bytes(8, "little")
+        )
+        tot = (tot + h * P1) & M
+    assert (
+        run("SELECT to_hex(checksum(CAST(x AS DECIMAL(25,20)))) FROM (VALUES 3, 7) t(x)")
+        == le(tot)
+    )
+    # order independence over real data
+    a = run("SELECT to_hex(checksum(custkey)) FROM orders")
+    b = run("SELECT to_hex(checksum(custkey)) FROM (SELECT custkey FROM orders ORDER BY orderkey DESC) t")
+    assert a == b

@@ -12,16 +12,17 @@ dbgen sf0.01 data — which IS tpch.tiny — comparing to DuckDB running
 the same SQL (1-arg form) or the reference's own expected SQL (2-arg
 form), exactly the reference's H2 differential pattern.
 
-Current state: **1316 of the 1318 scrapeable cases pass** the full
+Current state: **1317 of the 1318 scrapeable cases pass** the full
 differential (AbstractTestIndexedQueries 39/40 and
 AbstractTestIntegrationSmokeTest 14/14 included — index joins are a
 physical strategy; the SQL must hold on any engine).  Every case now
 has a runnable oracle (the last 7 H2-lax statements got hand-written
 DuckDB equivalents in oracle_compat — see _HAND_TRANSLATIONS) and only
-2 are frozen as known deviations below (checksum's engine-defined
-value; approx_percentile with a non-foldable fraction).  Round 7
-closed the last big family: all 29 testApproximateCountDistinct cases
-via the clean-room airlift-HLL-parity approx_distinct
+ONE is frozen as a known deviation below (approx_percentile with a
+non-foldable fraction — Spark requires a constant percentage).  Round 7
+closed the last big families: all 29 testApproximateCountDistinct
+cases via the clean-room airlift-HLL-parity approx_distinct, and
+testChecksum via the Type.hash * PRIME64 checksum parity UDAF
 (prestodb_presto_spark/functions/hll.py, tests/test_hll_parity.py).  Also closed in
 round 6: grouping() in ORDER BY (hoisted through the grouped
 projection), MAP IN-lists (canonical sorted entry arrays), and the
@@ -51,7 +52,7 @@ import pytest
 from prestodb_presto_spark.testing import _tolerant_cell as _tc0
 from tests.abstract_queries_scrape import oracle_compat, scrape
 
-PASS_FLOOR = 1316
+PASS_FLOOR = 1317
 ORACLE_UNRUNNABLE_MAX = 3
 
 # method → (max allowed non-passing cases, recorded cause).  A failure
@@ -64,11 +65,9 @@ ALLOWED = {
     # functions/hll.py + the _approx_distinct_rewrite dialect route +
     # the timestamp->TIME cast lowering; tests/test_hll_parity.py pins
     # every assertion value)
-    "testChecksum": (
-        1,
-        "checksum values are engine-defined (documented md5/xor "
-        "cross-engine convention, gate agg_checksum)",
-    ),
+    # (testChecksum closed round 7: presto_checksum reproduces
+    # ChecksumAggregationFunction's Type.hash * PRIME64 wrapping sum
+    # bit-exactly — functions/hll.py, tests/test_hll_parity.py)
     # (the whole Catalyst-decorrelation family — correlated scalar agg
     # two levels deep, correlated EXISTS through a derived table,
     # scalar/IN subqueries inside JOIN ON — is closed by round 6's
