@@ -360,7 +360,10 @@ def _approx_distinct_rewrite(args: list[str]) -> str | None:
     counts (rare; the reference suite never uses one) keep Spark's
     native estimator with the rsd passthrough."""
     if len(args) == 1:
-        return f"presto_approx_distinct({args[0]}, typeof({args[0]}))"
+        return (
+            f"presto_approx_distinct({args[0]}, typeof({args[0]}),"
+            f" ({args[0]}) IS NULL)"
+        )
     if len(args) == 2:
         m = re.fullmatch(r"\s*([0-9]*\.?[0-9]+(?:[eE][+-]?\d+)?)\s*", args[1])
         if m:
@@ -369,7 +372,8 @@ def _approx_distinct_rewrite(args: list[str]) -> str | None:
                 buckets = 1 << (math.ceil(1.0816 / (err * err)) - 1).bit_length()
                 if buckets == 2048:
                     return (
-                        f"presto_approx_distinct({args[0]}, typeof({args[0]}))"
+                        f"presto_approx_distinct({args[0]},"
+                        f" typeof({args[0]}), ({args[0]}) IS NULL)"
                     )
             return f"approx_count_distinct({args[0]}, {args[1]})"
         return f"approx_count_distinct({', '.join(args)})"
@@ -379,11 +383,32 @@ def _approx_distinct_rewrite(args: list[str]) -> str | None:
 def _native_checksum(args: list[str]) -> str:
     """The engine's documented cross-engine checksum CONVENTION (XOR of
     60-bit md5-prefix row hashes) — used where the pandas parity UDAF
-    cannot run (mixed/windowed aggregations)."""
+    cannot run (mixed/windowed aggregations).  Known wart: this form is
+    BIGINT while the parity UDAF is VARBINARY, so checksum values from
+    mixed and unmixed contexts are not mutually comparable (they never
+    were value-equal either; cross-context checksum joins are out of
+    contract — documented in COVERAGE)."""
     return (
         f"bit_xor(CAST(conv(substr(md5(CAST({args[0]} AS STRING)), 1, 15),"
         " 16, 10) AS BIGINT))"
     )
+
+
+# the parity-UDAF mix guard must catch every JVM aggregate Spark could
+# plan into the same Aggregate — broader than _AGG_CALL (which misses
+# the SPARK-side names earlier rewrites emit: percentile_approx, the
+# *_agg family, max_by/min_by, collect_*).  Over-matching is SAFE (the
+# query just keeps its pre-round-7 native form); under-matching throws
+# INVALID_PANDAS_UDF_PLACEMENT at analysis.
+_PARITY_MIX_GUARD = re.compile(
+    r"(?i)\b(count\w*|sum|avg|mean|min|max|max_by|min_by|percentile\w*"
+    r"|approx_\w+|\w+_agg|collect_list|collect_set|first|last|first_value"
+    r"|last_value|any_value|arbitrary|any|some|every|bool_and|bool_or"
+    r"|stddev\w*|std|var\w*|variance|corr|covar\w*|kurtosis|skewness"
+    r"|geometric_mean|histogram|checksum|bit_or|bit_and|bit_xor"
+    r"|bitwise_\w+|grouping\w*|listagg|mode|median|regr_\w+|reduce_agg"
+    r"|multimap_agg|set_union|array_union_agg)\s*\("
+)
 
 
 def _parity_agg_compat(sql: str) -> str:
@@ -395,13 +420,26 @@ def _parity_agg_compat(sql: str) -> str:
     (both pandas), so their spans are mutually exempt from the guard.
     Mixed-aggregate queries keep the native forms (Spark
     approx_count_distinct; the md5-XOR checksum convention) — the
-    documented residual deviation."""
+    documented residual deviation.  Nested ``(SELECT ..)`` bodies are
+    masked out first: their aggregates belong to THEIR query level
+    (which the per-level recursion already processed), and parity calls
+    inside them must not be double-rewritten here.  Unparenthesized
+    set-op halves share one level, so a counting aggregate in the other
+    half conservatively keeps this half native too (safe direction)."""
+    # mask nested (SELECT ..) spans — positions preserved
+    scope = sql
+    while True:
+        m = _PSELECT.search(scope)
+        if not m:
+            break
+        end, _ = _scan_balanced(scope, m.start())
+        scope = scope[: m.start()] + " " * (end - m.start()) + scope[end:]
     spans: list[tuple[int, int, str]] = []
     windowed_or_mixed = False
     pat = re.compile(r"(?i)\b(approx_distinct|checksum)\s*\(")
     pos = 0
     while True:
-        m = pat.search(sql, pos)
+        m = pat.search(scope, pos)
         if not m:
             break
         open_idx = sql.index("(", m.end(1))
@@ -412,10 +450,11 @@ def _parity_agg_compat(sql: str) -> str:
         pos = end
     if not spans:
         return sql
-    masked = sql
+    masked = scope
     for s, e, _name in spans:
-        masked = masked[:s] + " " * (e - s) + masked[e:]
-    if _AGG_CALL.search(masked):
+        seg_end = min(e, len(masked))
+        masked = masked[:s] + " " * (seg_end - s) + masked[seg_end:]
+    if _PARITY_MIX_GUARD.search(masked):
         windowed_or_mixed = True  # other aggregates here: keep native
     out = []
     last = 0
@@ -427,7 +466,10 @@ def _parity_agg_compat(sql: str) -> str:
             if windowed_or_mixed or len(args) != 1:
                 out.append(_native_checksum(args) if len(args) == 1 else sql[s:e])
             else:
-                out.append(f"presto_checksum({args[0]}, typeof({args[0]}))")
+                out.append(
+                    f"presto_checksum({args[0]}, typeof({args[0]}),"
+                    f" ({args[0]}) IS NULL)"
+                )
         elif windowed_or_mixed:
             out.append(f"approx_count_distinct({', '.join(args)})")
         else:

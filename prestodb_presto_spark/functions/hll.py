@@ -70,9 +70,10 @@ N_BUCKETS = 1 << P_BITS
 SPARSE_PREFIX_BITS = 26       # sparse entries keep the top 26 hash bits
 SPARSE_CUTOFF = N_BUCKETS // 8  # 4 B/entry sparse > m/2 B dense beyond this
 
-_TBL = json.load(
-    open(os.path.join(os.path.dirname(__file__), "hllpp_constants.json"))
-)
+with open(
+    os.path.join(os.path.dirname(__file__), "hllpp_constants.json")
+) as _f:
+    _TBL = json.load(_f)
 _RAW = np.asarray(_TBL["raw_estimate"][P_BITS - 4])
 _BIAS = np.asarray(_TBL["bias"][P_BITS - 4])
 _THRESHOLD = _TBL["thresholds"][P_BITS - 4]
@@ -246,6 +247,22 @@ def _decl_of(type_s: pd.Series | None) -> str | None:
     return str(v).lower() if v is not None else None
 
 
+def _split_nulls(
+    s: pd.Series, isnull_s: pd.Series | None
+) -> tuple[pd.Series, int]:
+    """Split a group's values into (non-null values, null count).
+
+    With the ``x IS NULL`` indicator column the split is EXACT: float
+    columns keep genuine NaN VALUES (Presto treats NaN as a value, NULL
+    as absence) — pandas alone cannot tell them apart after Arrow
+    converts null doubles to NaN.  Without the indicator (direct calls)
+    fall back to isna(), which conflates the two (documented)."""
+    if isnull_s is not None:
+        mask = isnull_s.fillna(True).astype(bool).to_numpy()
+        return s[~mask], int(mask.sum())
+    return s.dropna(), int(s.isna().sum())
+
+
 def _decimal_is_short(decl: str | None, unscaled: list[int]) -> bool:
     if decl:
         m = re.match(r"decimal\((\d+)", decl)
@@ -254,7 +271,9 @@ def _decimal_is_short(decl: str | None, unscaled: list[int]) -> bool:
     return all(abs(u) < 10**18 for u in unscaled)
 
 
-def _hash_series(s: pd.Series, decl: str | None = None) -> np.ndarray:
+def _hash_series(
+    s: pd.Series, decl: str | None = None, null_free: bool = False
+) -> np.ndarray:
     """Presto XX_HASH_64 of each value, per the reference type operators:
 
       int family / date(days) / timestamp(millis) / time(millis) /
@@ -268,7 +287,8 @@ def _hash_series(s: pd.Series, decl: str | None = None) -> np.ndarray:
       long decimal: hash(16-byte LE unscaled slice)
         (DecimalOperators.java:675, UnscaledDecimal128Arithmetic.pack)
     """
-    s = s.dropna()
+    if not null_free:
+        s = s.dropna()
     if len(s) == 0:
         return np.empty(0, dtype=np.uint64)
     dt = s.dtype
@@ -330,8 +350,15 @@ def _hash_series(s: pd.Series, decl: str | None = None) -> np.ndarray:
         # fall back to the value-magnitude heuristic without it
         if _decimal_is_short(decl, unscaled):
             return xxh64_u64(np.asarray(unscaled, dtype=np.int64))
+        # UnscaledDecimal128Arithmetic.pack: |value| little-endian with
+        # the SIGN as a flag in bit 127 — not two's complement
         return np.asarray(
-            [xxh64_bytes((u & ((1 << 128) - 1)).to_bytes(16, "little")) for u in unscaled],
+            [
+                xxh64_bytes(
+                    (abs(u) | ((1 << 127) if u < 0 else 0)).to_bytes(16, "little")
+                )
+                for u in unscaled
+            ],
             dtype=np.uint64,
         )
     if isinstance(first, str):
@@ -343,10 +370,14 @@ def _hash_series(s: pd.Series, decl: str | None = None) -> np.ndarray:
     raise TypeError(f"presto_approx_distinct: unsupported value type {type(first)}")
 
 
-def presto_approx_distinct_pandas(s: pd.Series, type_s: pd.Series = None) -> int:
+def presto_approx_distinct_pandas(
+    s: pd.Series, type_s: pd.Series = None, isnull_s: pd.Series = None
+) -> int:
     """GROUPED_AGG body: airlift-parity approx_distinct of one group.
-    ``type_s`` carries typeof(value) — see presto_checksum_pandas."""
-    return hll_cardinality(_hash_series(s, _decl_of(type_s)))
+    ``type_s`` carries typeof(value); ``isnull_s`` carries x IS NULL so
+    NaN VALUES survive the pandas null conflation — see _split_nulls."""
+    vals, _nulls = _split_nulls(s, isnull_s)
+    return hll_cardinality(_hash_series(vals, _decl_of(type_s), null_free=isnull_s is not None))
 
 
 # ------------------------------------------------ checksum (Type.hash)
@@ -364,6 +395,11 @@ def _mix64(x: np.ndarray) -> np.ndarray:
 
 
 def _type_hash_series(s: pd.Series, decl: str | None = None) -> tuple[np.ndarray, int]:
+    vals, nulls = _split_nulls(s, None)
+    return _type_hash_series_values(vals, decl), nulls
+
+
+def _type_hash_series_values(s: pd.Series, decl: str | None = None) -> np.ndarray:
     """(Presto Type.hash of each non-null value, null count) — the
     per-row hash checksum() sums (ChecksumAggregationFunction.java:105):
 
@@ -376,37 +412,35 @@ def _type_hash_series(s: pd.Series, decl: str | None = None) -> tuple[np.ndarray
       boolean: 1231 / 1237 (BooleanType.hash:100)
       varchar / varbinary: xxh64(bytes) (AbstractVariableWidthBlock:92)
     """
-    nulls = int(s.isna().sum())
-    s = s.dropna()
     if len(s) == 0:
-        return np.empty(0, dtype=np.uint64), nulls
+        return np.empty(0, dtype=np.uint64)
     dt = s.dtype
     ints = _declared_ints(s, decl)
     if ints is not None:
-        return _mix64(ints), nulls
+        return _mix64(ints)
     if isinstance(dt, pd.DatetimeTZDtype) or np.issubdtype(dt, np.datetime64):
         if isinstance(dt, pd.DatetimeTZDtype):
             s = s.dt.tz_convert("UTC").dt.tz_localize(None)
         micros = s.to_numpy(dtype="datetime64[us]").astype(np.int64)
-        return _mix64(micros // 1000), nulls
+        return _mix64(micros // 1000)
     if dt == bool or dt == np.bool_:
         arr = s.to_numpy(dtype=np.bool_)
-        return np.where(arr, np.uint64(1231), np.uint64(1237)), nulls
+        return np.where(arr, np.uint64(1231), np.uint64(1237))
     if np.issubdtype(dt, np.integer):
-        return _mix64(s.to_numpy(dtype=np.int64)), nulls
+        return _mix64(s.to_numpy(dtype=np.int64))
     if dt == np.float32:
         bits = s.to_numpy(dtype=np.float32)
-        return _mix64(bits.view(np.int32).astype(np.int64)), nulls
+        return _mix64(bits.view(np.int32).astype(np.int64))
     if np.issubdtype(dt, np.floating):
         arr = s.to_numpy(dtype=np.float64)
         ints = arr.view(np.int64).copy()
         ints[np.isnan(arr)] = 0x7FF8000000000000
-        return _mix64(ints), nulls
+        return _mix64(ints)
     first = s.iloc[0]
     if isinstance(first, datetime.date) and not isinstance(first, datetime.datetime):
         epoch = datetime.date(1970, 1, 1)
         days = np.asarray([(v - epoch).days for v in s], dtype=np.int64)
-        return _mix64(days), nulls
+        return _mix64(days)
     if isinstance(first, datetime.time):
         ms = np.asarray(
             [
@@ -416,7 +450,7 @@ def _type_hash_series(s: pd.Series, decl: str | None = None) -> tuple[np.ndarray
             ],
             dtype=np.int64,
         )
-        return _mix64(ms), nulls
+        return _mix64(ms)
     if isinstance(first, Decimal):
         unscaled = [
             int(v.scaleb(-v.as_tuple().exponent))
@@ -426,7 +460,7 @@ def _type_hash_series(s: pd.Series, decl: str | None = None) -> tuple[np.ndarray
         ]
         if _decimal_is_short(decl, unscaled):
             # short decimal Type.hash is the raw unscaled long
-            return np.asarray(unscaled, dtype=np.int64).view(np.uint64), nulls
+            return np.asarray(unscaled, dtype=np.int64).view(np.uint64)
         out = []
         for u in unscaled:
             # UnscaledDecimal128 packs |value| little-endian with the
@@ -438,21 +472,21 @@ def _type_hash_series(s: pd.Series, decl: str | None = None) -> tuple[np.ndarray
                 xxh64_bytes(low.to_bytes(8, "little"))
                 ^ xxh64_bytes(high.to_bytes(8, "little"))
             )
-        return np.asarray(out, dtype=np.uint64), nulls
+        return np.asarray(out, dtype=np.uint64)
     if isinstance(first, str):
-        return (
-            np.asarray([xxh64_bytes(v.encode("utf-8")) for v in s], dtype=np.uint64),
-            nulls,
+        return np.asarray(
+            [xxh64_bytes(v.encode("utf-8")) for v in s], dtype=np.uint64
         )
     if isinstance(first, (bytes, bytearray)):
-        return (
-            np.asarray([xxh64_bytes(bytes(v)) for v in s], dtype=np.uint64),
-            nulls,
+        return np.asarray(
+            [xxh64_bytes(bytes(v)) for v in s], dtype=np.uint64
         )
     raise TypeError(f"presto_checksum: unsupported value type {type(first)}")
 
 
-def presto_checksum_pandas(s: pd.Series, type_s: pd.Series = None):
+def presto_checksum_pandas(
+    s: pd.Series, type_s: pd.Series = None, isnull_s: pd.Series = None
+):
     """GROUPED_AGG body: ChecksumAggregationFunction parity — the
     wrapping 64-bit sum over rows of Type.hash(value) * PRIME64 (NULL
     contributes PRIME64), rendered as the 8 little-endian VARBINARY
@@ -461,7 +495,8 @@ def presto_checksum_pandas(s: pd.Series, type_s: pd.Series = None):
     int-with-nulls float upcast and erased decimal precision."""
     if len(s) == 0:
         return None
-    hashes, nulls = _type_hash_series(s, _decl_of(type_s))
+    vals, nulls = _split_nulls(s, isnull_s)
+    hashes = _type_hash_series_values(vals, _decl_of(type_s))
     total = int((hashes * np.uint64(_PRIME64)).sum(dtype=np.uint64))
     total = (total + nulls * _PRIME64) & _M64
     return total.to_bytes(8, "little")
@@ -496,34 +531,34 @@ def approx_distinct_by_group(df, group_cols: list[str], value_col: str):
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
-    def _hash_col(s: pd.Series, type_s: pd.Series) -> pd.Series:
+    def _hash_col(
+        s: pd.Series, type_s: pd.Series, isnull_s: pd.Series
+    ) -> pd.Series:
         out = np.full(len(s), np.nan, dtype=object)
-        mask = s.notna()
+        mask = ~isnull_s.fillna(True).astype(bool).to_numpy()
         if mask.any():
-            hs = _hash_series(s[mask], _decl_of(type_s)).astype(np.int64)
-            out[mask.to_numpy()] = hs
+            hs = _hash_series(
+                s[mask], _decl_of(type_s), null_free=True
+            ).astype(np.int64)
+            out[mask] = hs
         return pd.Series(out)
 
     hashed = df.select(
         *group_cols,
-        _hash_col(F.col(value_col), F.expr(f"typeof({value_col})")).alias("__h"),
+        _hash_col(
+            F.col(value_col),
+            F.expr(f"typeof({value_col})"),
+            F.col(value_col).isNull(),
+        ).alias("__h"),
     )
     hashed = hashed.filter(F.col("__h").isNotNull())
     pref = F.shiftrightunsigned(F.col("__h"), 64 - SPARSE_PREFIX_BITS)
-    # rho = leading zeros of (h << p | sentinel) + 1 — native bit math:
-    # 64 - bit_length(v) + 1, with bit_length via floor(log2) replaced by
-    # a branchless shift cascade is overkill in SQL; use the exact
-    # identity bit_length(v) = 64 - (number of leading zeros), and Spark
-    # has no clz — but v >= 2^(p-1) > 0 so floor(log2(v)) is exact in
-    # double for v < 2^53; for v >= 2^53 the tail bits cannot affect
-    # which power-of-two bin v falls in EXCEPT at exact boundaries, so
-    # compute rho from the top 53 bits: shift v right until < 2^53.
+    # rho = leading zeros of (h << p | sentinel) + 1 = 64 - bit_length + 1.
+    # bit_length computed EXACTLY as length(conv(v, 10, 2)) — conv renders
+    # the unsigned 64-bit binary string (no float rounding; a double
+    # floor(log2) misbins 2^48-1 → verified conv(-1)→64, conv(2^48-1)→48)
     v = F.shiftleft(F.col("__h"), P_BITS).bitwiseOR(F.lit(1 << (P_BITS - 1)))
-    # top 11 shifted out; v occupies ≤64 bits; halve 16 times → ≤48 bits
-    v48 = F.shiftrightunsigned(v, 16)
-    bitlen = F.when(
-        v48 > 0, F.floor(F.log2(v48.cast("double"))).cast("int") + F.lit(17)
-    ).otherwise(F.floor(F.log2(v.cast("double"))).cast("int") + F.lit(1))
+    bitlen = F.length(F.conv(v, 10, 2)).cast("int")
     rho = (F.lit(64) - bitlen + F.lit(1)).alias("__rho")
     merged = (
         hashed.select(*group_cols, pref.alias("__p26"), rho)

@@ -436,7 +436,10 @@ def dedup_simhash_pairs(spark, sf_dir):
     from prestodb_presto_spark.text.simhash import simhash_near_pairs
 
     docs = t(spark, sf_dir, "documents")
-    return simhash_near_pairs(docs).orderBy("id_a", "id_b")
+    # GATE form: cap disabled so the result is the complete pair set the
+    # uncapped oracle computes at ANY fixture data; production callers
+    # use the default DEFAULT_BUCKET_CAP (skew receipt in COVERAGE)
+    return simhash_near_pairs(docs, bucket_cap=None).orderBy("id_a", "id_b")
 
 
 @query(

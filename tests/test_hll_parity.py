@@ -155,3 +155,66 @@ def test_checksum_parity_formula(aq_env):
     a = run("SELECT to_hex(checksum(custkey)) FROM orders")
     b = run("SELECT to_hex(checksum(custkey)) FROM (SELECT custkey FROM orders ORDER BY orderkey DESC) t")
     assert a == b
+
+
+def test_review_r7_nan_is_a_value_not_null(aq_env):
+    """Presto treats NaN as a VALUE (hash of the canonical NaN bits) and
+    NULL as absence; the IS NULL indicator column keeps them apart
+    through pandas' NaN conflation."""
+    engine, _fresh = aq_env
+    P1, M = 0x9E3779B185EBCA87, (1 << 64) - 1
+
+    def mix(v):
+        t = (v * 0xC2B2AE3D27D4EB4F) & M
+        t = ((t << 31) | (t >> 33)) & M
+        return (t * P1) & M
+
+    got = engine.sql(
+        "SELECT to_hex(checksum(x)) FROM (VALUES nan(), CAST(NULL AS DOUBLE)) t(x)",
+        dialect="presto",
+    ).collect()[0][0]
+    import struct
+
+    bits_one = 0x7FF8000000000000  # Java canonical NaN
+    want = ((mix(bits_one) * P1 + P1) & M).to_bytes(8, "little").hex().upper()
+    assert got == want, (got, want)
+    # approx_distinct: NaN counts, NULL doesn't
+    n = engine.sql(
+        "SELECT approx_distinct(x) FROM (VALUES nan(), CAST(NULL AS DOUBLE), 1.0e0) t(x)",
+        dialect="presto",
+    ).collect()[0][0]
+    assert n == 2, n
+
+
+def test_review_r7_negative_long_decimal_sign_magnitude(aq_env):
+    """XX_HASH_64 of a long decimal hashes the sign-magnitude packed
+    slice (|v| LE + sign flag bit 127), not two's complement — so -x and
+    x hash DIFFERENTLY in approx_distinct."""
+    engine, _fresh = aq_env
+    n = engine.sql(
+        "SELECT approx_distinct(CAST(x AS DECIMAL(25,20)))"
+        " FROM (VALUES 3, -3, 7) t(x)",
+        dialect="presto",
+    ).collect()[0][0]
+    assert n == 3, n
+
+
+def test_review_r7_mix_guard_spark_side_aggregates(aq_env):
+    """Aggregates only visible under their SPARK names after earlier
+    rewrites (percentile_approx from approx_percentile, max_by) must
+    still trip the parity-UDAF mix guard — the query runs instead of
+    raising INVALID_PANDAS_UDF_PLACEMENT."""
+    engine, _fresh = aq_env
+    row = engine.sql(
+        "SELECT approx_distinct(custkey), approx_percentile(totalprice, 0.5),"
+        " max_by(orderkey, totalprice) FROM orders",
+        dialect="presto",
+    ).collect()[0]
+    assert row[0] > 0 and row[1] is not None
+    # derived-table aggregates do NOT trip the guard (inner scope)
+    n = engine.sql(
+        "SELECT approx_distinct(x) FROM"
+        " (SELECT sum(custkey) AS x FROM orders GROUP BY orderstatus) t",
+        dialect="presto",
+    ).collect()[0][0]
+    assert n == 3, n
