@@ -380,6 +380,36 @@ def _approx_distinct_rewrite(args: list[str]) -> str | None:
     return None
 
 
+def _typeof_spelling_compat(sql: str) -> str:
+    """TypeOfFunction.java: Presto type-name spellings (integer/varchar/
+    unknown, parenthesized containers) from Spark's typeof.  Context-
+    aware so translate() stays idempotent: a typeof immediately inside
+    ``translate(`` is this pass's OWN prior expansion (or an equivalent
+    user form) and is left alone."""
+    out = sql
+    pos = 0
+    pat = re.compile(r"(?i)\btypeof\s*\(")
+    while True:
+        m = pat.search(out, pos)
+        if not m:
+            return out
+        before = out[: m.start()].rstrip()
+        if before.lower().endswith("translate("):
+            pos = m.end()
+            continue
+        open_idx = out.index("(", m.start())
+        end, _ = _scan_balanced(out, open_idx)
+        arg = out[open_idx + 1 : end - 1]
+        repl = (
+            "regexp_replace(regexp_replace(regexp_replace("
+            f"translate(typeof({arg}), '<>', '()'),"
+            " '\\bint\\b', 'integer'), '\\bstring\\b', 'varchar'),"
+            " '\\bvoid\\b', 'unknown')"
+        )
+        out = out[: m.start()] + repl + out[end:]
+        pos = m.start() + len(repl)
+
+
 def _native_checksum(args: list[str]) -> str:
     """The engine's documented cross-engine checksum CONVENTION (XOR of
     60-bit md5-prefix row hashes) — used where the pandas parity UDAF
@@ -456,28 +486,89 @@ def _parity_agg_compat(sql: str) -> str:
         masked = masked[:s] + " " * (seg_end - s) + masked[seg_end:]
     if _PARITY_MIX_GUARD.search(masked):
         windowed_or_mixed = True  # other aggregates here: keep native
-    out = []
-    last = 0
-    for s, e, name in spans:
-        out.append(sql[last:s])
+    def parity_call(s: int, e: int, name: str) -> str:
         open_idx = sql.index("(", s + len(name))
         args = [a.strip() for a in _split_top_level(sql[open_idx + 1 : e - 1])]
         if name == "checksum":
             if windowed_or_mixed or len(args) != 1:
-                out.append(_native_checksum(args) if len(args) == 1 else sql[s:e])
-            else:
-                out.append(
-                    f"presto_checksum({args[0]}, typeof({args[0]}),"
-                    f" ({args[0]}) IS NULL)"
-                )
-        elif windowed_or_mixed:
-            out.append(f"approx_count_distinct({', '.join(args)})")
-        else:
-            repl = _approx_distinct_rewrite(args)
-            out.append(repl if repl is not None else sql[s:e])
+                return _native_checksum(args) if len(args) == 1 else sql[s:e]
+            return (
+                f"presto_checksum({args[0]}, typeof({args[0]}),"
+                f" ({args[0]}) IS NULL)"
+            )
+        if windowed_or_mixed:
+            return f"approx_count_distinct({', '.join(args)})"
+        repl = _approx_distinct_rewrite(args)
+        return repl if repl is not None else sql[s:e]
+
+    if not windowed_or_mixed:
+        wrapped = _parity_global_scalar_wrap(sql, scope, spans, parity_call)
+        if wrapped is not None:
+            return wrapped
+    out = []
+    last = 0
+    for s, e, name in spans:
+        out.append(sql[last:s])
+        out.append(parity_call(s, e, name))
         last = e
     out.append(sql[last:])
     return "".join(out)
+
+
+def _parity_global_scalar_wrap(sql, scope, spans, parity_call) -> str | None:
+    """For the simple GLOBAL shape — ``SELECT <parity calls only> FROM
+    ..`` with no GROUP BY/HAVING/ORDER/LIMIT/DISTINCT/set-op at this
+    level — rewrite each aggregation into a scalar subquery so the
+    EMPTY-input result matches Presto: a global pandas-UDAF aggregation
+    in Spark emits ZERO rows over empty input, but a scalar subquery of
+    zero rows yields NULL, which IS Presto's empty-input checksum;
+    approx_distinct coalesces that NULL to Presto's 0.  Returns None
+    when the shape doesn't match (the inline rewrite applies; the
+    empty-input quirk there is the documented residual)."""
+    head = re.match(r"(?i)\s*SELECT\s+", sql)
+    f0 = _depth0_find(scope, re.compile(r"(?i)\bFROM\b"))
+    if head is None or f0 is None or f0[0] < head.end():
+        return None
+    if re.search(
+        r"(?i)\b(GROUP|HAVING|ORDER|LIMIT|DISTINCT|UNION|INTERSECT|EXCEPT"
+        r"|WINDOW|OFFSET|FETCH)\b",
+        scope[f0[0] :],
+    ) or re.match(r"(?i)\s*SELECT\s+DISTINCT", sql):
+        return None
+    rest = sql[f0[0] :]
+    sel_spans = [sp for sp in spans if sp[0] < f0[0]]
+    if len(sel_spans) != len(spans) or not sel_spans:
+        return None  # a parity call outside the select list (e.g. WHERE)
+    items = _split_top_level(sql[head.end() : f0[0]])
+    # every select item must be exactly one parity call (+ optional alias)
+    offset = head.end()
+    rendered = []
+    si = 0
+    for item in items:
+        body = item
+        am = re.search(r"(?i)\s+AS\s+([A-Za-z_\"]\w*\"?)\s*$", item)
+        alias = ""
+        if am:
+            body = item[: am.start()]
+            alias = f" AS {am.group(1)}"
+        stripped = body.strip()
+        lead = len(body) - len(body.lstrip())
+        start_abs = offset + lead
+        if si >= len(sel_spans):
+            return None
+        s, e, name = sel_spans[si]
+        if s != start_abs or sql[s:e] != stripped:
+            return None
+        si += 1
+        call = parity_call(s, e, name)
+        sub = f"(SELECT {call} {rest.strip()})"
+        if name == "approx_distinct":
+            sub = f"coalesce({sub}, 0)"
+        rendered.append(sub + alias)
+        offset += len(item) + 1  # the comma
+    if si != len(sel_spans):
+        return None
+    return "SELECT " + ", ".join(rendered)
 
 
 def _approx_percentile_rewrite(args: list[str]) -> str | None:
@@ -5019,13 +5110,9 @@ _SQL_TEMPLATES = {
         " '&'), p -> split_part(p, '=', 1) = {1}), 1),"
         " locate('=', try_element_at(filter(split(parse_url({0}, 'QUERY'),"
         " '&'), p -> split_part(p, '=', 1) = {1}), 1)) + 1) END)",
-    # TypeOfFunction.java: Presto type-name spellings (integer/varchar/
-    # unknown, parenthesized containers) from Spark's typeof
-    "typeof":
-        "regexp_replace(regexp_replace(regexp_replace("
-        "translate(typeof({0}), '<>', '()'),"
-        " '\\bint\\b', 'integer'), '\\bstring\\b', 'varchar'),"
-        " '\\bvoid\\b', 'unknown')",
+    # (typeof handled by _typeof_spelling_compat below — a context-aware
+    # pass so its own expansion's inner typeof is not re-expanded on
+    # re-translation, keeping translate() idempotent)
     "year_of_week": "extract(YEAROFWEEK FROM {0})",
     "yow": "extract(YEAROFWEEK FROM {0})",
     "bitwise_and": "(({0}) & ({1}))",
@@ -6113,6 +6200,7 @@ def translate(sql: str) -> str:
     out = _rewrite_calls(out, "from_utf8", _from_utf8_rewrite)
     for _name, _tpl in _SQL_TEMPLATES.items():
         out = _rewrite_calls(out, _name, _template_rewrite(_tpl))
+    out = _typeof_spelling_compat(out)
     # inline the registry's at_timezone expansion (datetime_fns.at_timezone)
     # — at_timezone itself is a Column builder, not a Spark SQL function
     out = _AT_TZ_POSTFIX.sub(
