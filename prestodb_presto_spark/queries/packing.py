@@ -211,3 +211,40 @@ def doc_chunking(spark, sf_dir):
         )
     )
     return chunked.orderBy("doc_id", "chunk_idx")
+
+
+TRUNC_BUDGET = 32  # max tokens kept per document (gate setting)
+
+
+@query(
+    "doc_truncate",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(LEAST(len(toks), {TRUNC_BUDGET}) AS BIGINT) AS n_kept,
+           len(toks) > {TRUNC_BUDGET} AS truncated,
+           array_to_string(toks[1:{TRUNC_BUDGET}], ' ') AS head_text
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) s
+    ORDER BY doc_id
+    """,
+    tags=("pipeline", "packing"),
+)
+def doc_truncate(spark, sf_dir):
+    """Token-budget truncation — keep each document's first
+    {TRUNC_BUDGET} tokens and report the original/kept counts plus a
+    truncated flag: the context-window guard every tokenization step
+    applies before packing.
+
+    Scale posture: a pure per-row slice (split -> slice -> concat_ws),
+    zero shuffles before the output sort; at 100 TB this runs inside
+    whole-stage codegen on the scan."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    return docs.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        F.least(n, F.lit(TRUNC_BUDGET)).cast("bigint").alias("n_kept"),
+        (n > TRUNC_BUDGET).alias("truncated"),
+        F.concat_ws(" ", F.slice(toks, 1, TRUNC_BUDGET)).alias("head_text"),
+    ).orderBy("doc_id")
