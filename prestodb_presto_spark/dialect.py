@@ -466,17 +466,35 @@ def _parity_agg_compat(sql: str) -> str:
         scope = scope[: m.start()] + " " * (end - m.start()) + scope[end:]
     spans: list[tuple[int, int, str]] = []
     windowed_or_mixed = False
-    pat = re.compile(r"(?i)\b(approx_distinct|checksum)\s*\(")
+    # cardinality(approx_set(x)) is definitionally approx_distinct at
+    # p=12 (ApproximateSetAggregation feeds airlift HLL via its internal
+    # Murmur3) — route the composite to the p=12 parity UDAF
+    pat = re.compile(
+        r"(?i)\b(cardinality\s*\(\s*approx_set|approx_distinct|checksum)\s*\("
+    )
     pos = 0
     while True:
         m = pat.search(scope, pos)
         if not m:
             break
-        open_idx = sql.index("(", m.end(1))
-        end, _ = _scan_balanced(sql, open_idx)
+        name = re.sub(r"\s+", "", m.group(1).lower())
+        if name.startswith("cardinality"):
+            # balanced span of the OUTER cardinality(...)
+            outer_open = sql.index("(", m.start())
+            end, _ = _scan_balanced(sql, outer_open)
+            # the approx_set call must close the cardinality group
+            inner_open = sql.index("(", m.end() - 1)
+            inner_end, _ = _scan_balanced(sql, inner_open)
+            if sql[inner_end : end - 1].strip():
+                pos = m.end()
+                continue  # extra expression around approx_set: leave it
+            name = "approx_set_card"
+        else:
+            open_idx = sql.index("(", m.end(1))
+            end, _ = _scan_balanced(sql, open_idx)
         if re.match(r"\s*OVER\b", sql[end:], re.IGNORECASE):
             windowed_or_mixed = True  # windowed form: keep native
-        spans.append((m.start(), end, m.group(1).lower()))
+        spans.append((m.start(), end, name))
         pos = end
     if not spans:
         return sql
@@ -487,6 +505,21 @@ def _parity_agg_compat(sql: str) -> str:
     if _PARITY_MIX_GUARD.search(masked):
         windowed_or_mixed = True  # other aggregates here: keep native
     def parity_call(s: int, e: int, name: str) -> str:
+        if name == "approx_set_card":
+            if windowed_or_mixed:
+                return sql[s:e]  # the sketch path handles it natively
+            inner_open = sql.index("(", sql.index("(", s) + 1)
+            inner_end, _ = _scan_balanced(sql, inner_open)
+            args = [
+                a.strip()
+                for a in _split_top_level(sql[inner_open + 1 : inner_end - 1])
+            ]
+            if len(args) != 1:
+                return sql[s:e]
+            return (
+                f"presto_approx_set_cardinality({args[0]},"
+                f" typeof({args[0]}), ({args[0]}) IS NULL)"
+            )
         open_idx = sql.index("(", s + len(name))
         args = [a.strip() for a in _split_top_level(sql[open_idx + 1 : e - 1])]
         if name == "checksum":

@@ -43,6 +43,14 @@ runs per group over those rows via applyInPandas.  The GROUPED_AGG UDF
 (``register_approx_distinct``) is the SQL-callable convenience form for
 dialect-translated queries; it materializes each group's values, so the
 by-group form is the 100 TB path.
+
+The same estimator generalizes across precisions: checksum parity
+(ChecksumAggregationFunction's Type.hash * PRIME64 wrapping sum) and
+cardinality(approx_set(x)) parity at p=12 (ApproximateSetAggregation's
+4096 buckets, fed by airlift's INTERNAL Murmur3Hash128.hash64 rather
+than the XX_HASH_64 operator — murmur3_64_* below) live here too; all
+reference assertion values for all three families are pinned in
+tests/test_hll_parity.py.
 """
 
 from __future__ import annotations
@@ -166,61 +174,64 @@ def _bit_length_u64(v: np.ndarray) -> np.ndarray:
     return out + 1  # v reduced to 1
 
 
-def rho_of(hashes: np.ndarray) -> np.ndarray:
+def rho_of(hashes: np.ndarray, p: int = P_BITS) -> np.ndarray:
     """Leading zeros of (hash << p | sentinel) + 1; the sentinel bounds
     rho at 64 - p + 1 when the suffix is all zeros."""
-    v = (hashes.astype(np.uint64) << np.uint64(P_BITS)) | np.uint64(
-        1 << (P_BITS - 1)
-    )
+    v = (hashes.astype(np.uint64) << np.uint64(p)) | np.uint64(1 << (p - 1))
     return (np.int64(64) - _bit_length_u64(v)) + 1
 
 
-def _estimate_bias(raw: float) -> float:
-    i = int(np.searchsorted(_RAW, raw, side="left"))
-    sel = slice(max(0, i - 5), min(len(_RAW), i + 4))
-    d = np.abs(_RAW[sel] - raw)
+def _estimate_bias(raw: float, p: int = P_BITS) -> float:
+    raw_tbl = np.asarray(_TBL["raw_estimate"][p - 4])
+    bias_tbl = np.asarray(_TBL["bias"][p - 4])
+    i = int(np.searchsorted(raw_tbl, raw, side="left"))
+    sel = slice(max(0, i - 5), min(len(raw_tbl), i + 4))
+    d = np.abs(raw_tbl[sel] - raw)
     w = 1.0 / np.maximum(d, 1e-9)
-    return float(np.sum(_BIAS[sel] * w) / np.sum(w))
+    return float(np.sum(bias_tbl[sel] * w) / np.sum(w))
 
 
 def cardinality_from_prefix_maxes(
-    prefixes: np.ndarray, rhos: np.ndarray
+    prefixes: np.ndarray, rhos: np.ndarray, p: int = P_BITS
 ) -> int:
     """Estimate from (26-bit prefix, max rho within prefix) pairs — the
     merged sparse representation, losslessly convertible to the dense
-    register file (bucket = prefix >> 15)."""
+    register file (bucket = prefix >> (26 - p)); rho must have been
+    computed with the SAME p (it counts from below the index bits)."""
     n = len(prefixes)
     if n == 0:
         return 0
-    if n <= SPARSE_CUTOFF:
+    m = 1 << p
+    if n <= m // 8:
         m26 = 1 << SPARSE_PREFIX_BITS
         return int(math.floor(m26 * math.log(m26 / (m26 - n)) + 0.5))
-    regs = np.zeros(N_BUCKETS, dtype=np.int64)
-    buckets = (prefixes.astype(np.uint64) >> np.uint64(SPARSE_PREFIX_BITS - P_BITS)).astype(np.int64)
+    regs = np.zeros(m, dtype=np.int64)
+    buckets = (prefixes.astype(np.uint64) >> np.uint64(SPARSE_PREFIX_BITS - p)).astype(np.int64)
     np.maximum.at(regs, buckets, rhos)
     s = float(np.sum(np.exp2(-regs.astype(np.float64))))
     zeros = int(np.count_nonzero(regs == 0))
-    alpha = 0.7213 / (1 + 1.079 / N_BUCKETS)
-    raw = alpha * N_BUCKETS * N_BUCKETS / s
-    corrected = raw - _estimate_bias(raw) if raw <= 5 * N_BUCKETS else raw
+    alpha = 0.7213 / (1 + 1.079 / m)
+    raw = alpha * m * m / s
+    corrected = raw - _estimate_bias(raw, p) if raw <= 5 * m else raw
     if zeros > 0:
-        h = N_BUCKETS * math.log(N_BUCKETS / zeros)
+        h = m * math.log(m / zeros)
     else:
         h = corrected
-    return int(math.floor((h if h <= _THRESHOLD else corrected) + 0.5))
+    threshold = _TBL["thresholds"][p - 4]
+    return int(math.floor((h if h <= threshold else corrected) + 0.5))
 
 
-def hll_cardinality(hashes: np.ndarray) -> int:
+def hll_cardinality(hashes: np.ndarray, p: int = P_BITS) -> int:
     """airlift-parity cardinality of a raw 64-bit hash array."""
     if len(hashes) == 0:
         return 0
     hashes = hashes.astype(np.uint64, copy=False)
     prefixes = hashes >> np.uint64(64 - SPARSE_PREFIX_BITS)
-    rhos = rho_of(hashes)
+    rhos = rho_of(hashes, p)
     df = pd.DataFrame({"p": prefixes, "r": rhos})
     merged = df.groupby("p", sort=False)["r"].max()
     return cardinality_from_prefix_maxes(
-        merged.index.to_numpy(dtype=np.uint64), merged.to_numpy()
+        merged.index.to_numpy(dtype=np.uint64), merged.to_numpy(), p
     )
 
 
@@ -509,6 +520,143 @@ def register_checksum(spark) -> None:
 
     fn = pandas_udf(presto_checksum_pandas, "binary", PandasUDFType.GROUPED_AGG)
     spark.udf.register("presto_checksum", fn)
+
+
+# ------------------------------------------ Murmur3 x64 128 (approx_set)
+
+_MC1 = np.uint64(0x87C37B91114253D5)
+_MC2 = np.uint64(0x4CF5AD432745937F)
+
+
+def _mm_fmix(k: np.ndarray) -> np.ndarray:
+    k ^= k >> np.uint64(33)
+    k *= np.uint64(0xFF51AFD7ED558CCD)
+    k ^= k >> np.uint64(33)
+    k *= np.uint64(0xC4CEB9FE1A85EC53)
+    k ^= k >> np.uint64(33)
+    return k
+
+
+def murmur3_64_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized Murmur3 x64 128 hash64 (seed 0) of each element's 8
+    little-endian bytes — airlift Murmur3Hash128.hash64's long path (the
+    internal hash airlift HyperLogLog.add() applies, used by approx_set;
+    public algorithm, Austin Appleby)."""
+    k1 = x.astype(np.uint64, copy=False) * _MC1
+    k1 = (k1 << np.uint64(31)) | (k1 >> np.uint64(33))
+    k1 = k1 * _MC2
+    h1 = k1.copy()  # seed 0: h1 = 0 ^ k1
+    h2 = np.zeros_like(h1)
+    n = np.uint64(8)
+    h1 ^= n
+    h2 ^= n
+    h1 += h2
+    h2 += h1
+    h1 = _mm_fmix(h1)
+    h2 = _mm_fmix(h2)
+    return h1 + h2
+
+
+def murmur3_64_bytes(data: bytes, seed: int = 0) -> int:
+    """Murmur3 x64 128 hash64 (seed 0) of arbitrary bytes (public spec;
+    airlift Murmur3Hash128.hash64 slice path) for varchar values."""
+    c1, c2 = int(_MC1), int(_MC2)
+
+    def rotl(v: int, r: int) -> int:
+        return ((v << r) | (v >> (64 - r))) & _M64
+
+    def fmix(k: int) -> int:
+        k ^= k >> 33
+        k = (k * 0xFF51AFD7ED558CCD) & _M64
+        k ^= k >> 33
+        k = (k * 0xC4CEB9FE1A85EC53) & _M64
+        k ^= k >> 33
+        return k
+
+    n = len(data)
+    h1 = h2 = seed & _M64
+    i = 0
+    while i + 16 <= n:
+        k1 = int.from_bytes(data[i : i + 8], "little")
+        k2 = int.from_bytes(data[i + 8 : i + 16], "little")
+        k1 = (rotl((k1 * c1) & _M64, 31) * c2) & _M64
+        h1 ^= k1
+        h1 = (rotl(h1, 27) + h2) & _M64
+        h1 = (h1 * 5 + 0x52DCE729) & _M64
+        k2 = (rotl((k2 * c2) & _M64, 33) * c1) & _M64
+        h2 ^= k2
+        h2 = (rotl(h2, 31) + h1) & _M64
+        h2 = (h2 * 5 + 0x38495AB5) & _M64
+        i += 16
+    tail = data[i:]
+    if len(tail) > 8:
+        k2 = int.from_bytes(tail[8:].ljust(8, b"\0"), "little")
+        h2 ^= (rotl((k2 * c2) & _M64, 33) * c1) & _M64
+    if len(tail) > 0:
+        k1 = int.from_bytes(tail[:8].ljust(8, b"\0"), "little")
+        h1 ^= (rotl((k1 * c1) & _M64, 31) * c2) & _M64
+    h1 ^= n
+    h2 ^= n
+    h1 = (h1 + h2) & _M64
+    h2 = (h2 + h1) & _M64
+    h1 = fmix(h1)
+    h2 = fmix(h2)
+    return (h1 + h2) & _M64
+
+
+APPROX_SET_P = 12  # ApproximateSetAggregation.NUMBER_OF_BUCKETS = 4096
+
+
+def _approx_set_hashes(s: pd.Series, decl: str | None) -> np.ndarray:
+    """Value encodings per ApproximateSetAggregation's three input
+    overloads (bigint / double via doubleToLongBits / varchar utf8),
+    each through airlift's internal Murmur3."""
+    if len(s) == 0:
+        return np.empty(0, dtype=np.uint64)
+    dt = s.dtype
+    ints = _declared_ints(s, decl)
+    if ints is not None:
+        return murmur3_64_u64(ints)
+    if np.issubdtype(dt, np.integer):
+        return murmur3_64_u64(s.to_numpy(dtype=np.int64))
+    if np.issubdtype(dt, np.floating):
+        arr = s.to_numpy(dtype=np.float64)
+        bits = arr.view(np.int64).copy()
+        bits[np.isnan(arr)] = 0x7FF8000000000000
+        return murmur3_64_u64(bits)
+    first = s.iloc[0]
+    if isinstance(first, str):
+        return np.asarray(
+            [murmur3_64_bytes(v.encode("utf-8")) for v in s], dtype=np.uint64
+        )
+    raise TypeError(
+        f"presto_approx_set_cardinality: approx_set accepts bigint/double/"
+        f"varchar, got {type(first)}"
+    )
+
+
+def presto_approx_set_cardinality_pandas(
+    s: pd.Series, type_s: pd.Series = None, isnull_s: pd.Series = None
+):
+    """GROUPED_AGG body for cardinality(approx_set(x)) — airlift parity
+    at p=12.  An all-NULL group yields NULL (approx_set skips NULLs and
+    an untouched state serializes as the NULL sketch), unlike
+    approx_distinct's 0."""
+    vals, _nulls = _split_nulls(s, isnull_s)
+    if len(vals) == 0:
+        return None
+    return hll_cardinality(
+        _approx_set_hashes(vals, _decl_of(type_s)), APPROX_SET_P
+    )
+
+
+def register_approx_set_cardinality(spark) -> None:
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    fn = pandas_udf(
+        presto_approx_set_cardinality_pandas, "bigint", PandasUDFType.GROUPED_AGG
+    )
+    spark.udf.register("presto_approx_set_cardinality", fn)
 
 
 def register_approx_distinct(spark) -> None:

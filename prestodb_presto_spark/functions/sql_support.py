@@ -123,3 +123,8 @@ def ensure_sql_support(spark) -> None:
     from prestodb_presto_spark.functions.hll import register_checksum
 
     register_checksum(spark)
+
+    # bit-exact cardinality(approx_set(x)) (p=12 airlift parity; hll.py)
+    from prestodb_presto_spark.functions.hll import register_approx_set_cardinality
+
+    register_approx_set_cardinality(spark)

@@ -218,3 +218,55 @@ def test_review_r7_mix_guard_spark_side_aggregates(aq_env):
         dialect="presto",
     ).collect()[0][0]
     assert n == 3, n
+
+
+def test_approx_set_cardinality_reference_values(aq_env):
+    """testApproxSet* (AbstractTestQueries.java:6970-7090, computeActual
+    style so not scrape-gated): cardinality(approx_set(x)) reproduces
+    airlift's p=12 Murmur3-fed HLL values exactly."""
+    engine, _fresh = aq_env
+
+    def run(sql):
+        return engine.sql(sql, dialect="presto").collect()
+
+    assert run("SELECT cardinality(approx_set(custkey)) FROM orders")[0][0] == 1002
+    assert (
+        run("SELECT cardinality(approx_set(CAST(custkey AS VARCHAR))) FROM orders")[0][0]
+        == 1024
+    )
+    assert (
+        run("SELECT cardinality(approx_set(CAST(custkey AS DOUBLE))) FROM orders")[0][0]
+        == 1014
+    )
+    got = {
+        r[0]: r[1]
+        for r in run(
+            "SELECT orderstatus, cardinality(approx_set(custkey))"
+            " FROM orders GROUP BY orderstatus"
+        )
+    }
+    assert got == {"O": 1001, "F": 998, "P": 304}, got
+    got = {
+        r[0]: r[1]
+        for r in run(
+            "SELECT orderstatus, cardinality(approx_set(CAST(custkey AS VARCHAR)))"
+            " FROM orders GROUP BY orderstatus"
+        )
+    }
+    assert got == {"O": 1021, "F": 1019, "P": 304}, got
+    got = {
+        r[0]: r[1]
+        for r in run(
+            "SELECT orderstatus, cardinality(approx_set(CAST(custkey AS DOUBLE)))"
+            " FROM orders GROUP BY orderstatus"
+        )
+    }
+    assert got == {"O": 1011, "F": 1011, "P": 304}, got
+    # NULLs are skipped; an all-NULL input yields NULL (not 0)
+    assert (
+        run(
+            "SELECT cardinality(approx_set(IF(orderstatus = 'O', custkey))) FROM orders"
+        )[0][0]
+        == 1001
+    )
+    assert run("SELECT cardinality(approx_set(null)) FROM orders")[0][0] is None
