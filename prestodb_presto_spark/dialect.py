@@ -138,6 +138,27 @@ def _rewrite_calls(sql: str, name: str, fn) -> str:
         pos = m.start() + len(repl)
 
 
+def _rewrite_calls_window_aware(sql: str, name: str, fn, windowed_fn) -> str:
+    """Like _rewrite_calls, but a call followed by an OVER clause routes
+    to ``windowed_fn`` (forms that collect into arrays cannot take a
+    window frame; the interpolating natives can)."""
+    pat = re.compile(rf"\b{name}\s*\(", re.IGNORECASE)
+    out = sql
+    pos = 0
+    while True:
+        m = pat.search(out, pos)
+        if not m:
+            return out
+        end, args = _scan_balanced(out, m.end() - 1)
+        windowed = re.match(r"\s*OVER\b", out[end:], re.IGNORECASE)
+        repl = (windowed_fn if windowed else fn)(args)
+        if repl is None:  # leave this call untouched
+            pos = m.end()
+            continue
+        out = out[: m.start()] + repl + out[end:]
+        pos = m.start() + len(repl)
+
+
 _TOP_OPS = ("/", "*", "+", "-")
 
 
@@ -356,14 +377,11 @@ def _approx_distinct_rewrite(args: list[str]) -> str | None:
     err omitted or mapping to 2048 via the reference's
     standardErrorToBuckets: log2ceil(ceil(1.0816/err²)),
     ApproximateCountDistinctAggregation.java:121) routes to the
-    bit-exact airlift-parity UDAF (functions/hll.py).  Other bucket
-    counts (rare; the reference suite never uses one) keep Spark's
-    native estimator with the rsd passthrough."""
+    bit-exact airlift-parity NATIVE plan (_approx_distinct_native).
+    Other bucket counts (rare; the reference suite never uses one) keep
+    Spark's native estimator with the rsd passthrough."""
     if len(args) == 1:
-        return (
-            f"presto_approx_distinct({args[0]}, typeof({args[0]}),"
-            f" ({args[0]}) IS NULL)"
-        )
+        return _approx_distinct_native(args[0])
     if len(args) == 2:
         m = re.fullmatch(r"\s*([0-9]*\.?[0-9]+(?:[eE][+-]?\d+)?)\s*", args[1])
         if m:
@@ -371,10 +389,7 @@ def _approx_distinct_rewrite(args: list[str]) -> str | None:
             if 0.0040625 <= err <= 0.26:
                 buckets = 1 << (math.ceil(1.0816 / (err * err)) - 1).bit_length()
                 if buckets == 2048:
-                    return (
-                        f"presto_approx_distinct({args[0]},"
-                        f" typeof({args[0]}), ({args[0]}) IS NULL)"
-                    )
+                    return _approx_distinct_native(args[0])
             return f"approx_count_distinct({args[0]}, {args[1]})"
         return f"approx_count_distinct({', '.join(args)})"
     return None
@@ -424,38 +439,93 @@ def _native_checksum(args: list[str]) -> str:
     )
 
 
-# the parity-UDAF mix guard must catch every JVM aggregate Spark could
-# plan into the same Aggregate — broader than _AGG_CALL (which misses
-# the SPARK-side names earlier rewrites emit: percentile_approx, the
-# *_agg family, max_by/min_by, collect_*).  Over-matching is SAFE (the
-# query just keeps its pre-round-7 native form); under-matching throws
-# INVALID_PANDAS_UDF_PLACEMENT at analysis.
-_PARITY_MIX_GUARD = re.compile(
-    r"(?i)\b(count\w*|sum|avg|mean|min|max|max_by|min_by|percentile\w*"
-    r"|approx_\w+|\w+_agg|collect_list|collect_set|first|last|first_value"
-    r"|last_value|any_value|arbitrary|any|some|every|bool_and|bool_or"
-    r"|stddev\w*|std|var\w*|variance|corr|covar\w*|kurtosis|skewness"
-    r"|geometric_mean|histogram|checksum|bit_or|bit_and|bit_xor"
-    r"|bitwise_\w+|grouping\w*|listagg|mode|median|regr_\w+|reduce_agg"
-    r"|multimap_agg|set_union|array_union_agg)\s*\("
-)
+# ---- native-plan parity lowering (round 8) ---------------------------
+# approx_distinct / checksum / cardinality(approx_set(x)) lower onto
+# NATIVE Spark aggregates over one Arrow-vectorized hash column
+# (functions/hll.py register_native_parity_support), so the physical
+# plan is the 100 TB shape: map-side partial aggregation, one shuffle,
+# per-group state bounded at 2^p (bucket, rho) pairs — never a
+# GROUPED_AGG pandas UDAF materializing a group's raw values in one
+# Python worker.  Because every aggregate is a JVM aggregate the forms
+# mix freely with count/sum/etc. (the round-7 mixed-query deviation is
+# gone) and global aggregation over EMPTY input emits Presto's one row.
+
+_HLL_SPARSE_PREFIX_BITS = 26  # functions/hll.py SPARSE_PREFIX_BITS
+
+
+def _hll_native_pieces(arg: str, p: int, hash_fn: str) -> tuple[str, str]:
+    """(count-distinct-prefix expr, collect_set-of-registers expr) for
+    one parity aggregation over ``arg``.  The three references to the
+    hash call are CSE'd by Catalyst into a single ArrowEvalPython."""
+    h = f"{hash_fn}({arg}, typeof({arg}), ({arg}) IS NULL)"
+    p26 = f"shiftrightunsigned({h}, {64 - _HLL_SPARSE_PREFIX_BITS})"
+    bkt = f"CAST(shiftrightunsigned({h}, {64 - p}) AS INT)"
+    # rho = leading zeros of (h << p | sentinel) + 1; bit_length computed
+    # EXACTLY as length(conv(v, 10, 2)) — conv renders the unsigned
+    # 64-bit binary string with no float rounding (same device as
+    # hll.approx_distinct_by_group)
+    rho = (
+        f"CAST(64 - length(conv(shiftleft({h}, {p}) |"
+        f" {1 << (p - 1)}, 10, 2)) + 1 AS INT)"
+    )
+    return (
+        f"count(DISTINCT {p26})",
+        f"collect_set(named_struct('b', {bkt}, 'r', {rho}))",
+    )
+
+
+def _approx_distinct_native(arg: str, p: int = 11) -> str:
+    n, st = _hll_native_pieces(arg, p, "presto_hll_hash")
+    # Presto's approx_distinct over empty / all-NULL input is 0
+    return f"coalesce(presto_hll_estimate({p}, {n}, {st}), 0)"
+
+
+def _approx_set_card_native(arg: str) -> str:
+    # p=12: ApproximateSetAggregation's 4096 buckets, fed by airlift's
+    # internal Murmur3; empty / all-NULL input yields NULL (the NULL
+    # sketch), hence no coalesce
+    n, st = _hll_native_pieces(arg, 12, "presto_hll_hash_m3")
+    return f"presto_hll_estimate(12, {n}, {st})"
+
+
+def _checksum_native_parity(arg: str, over: str = "") -> str:
+    """ChecksumAggregationFunction parity as native sums: the per-row
+    contribution m = Type.hash(x) * PRIME64 (PRIME64 for NULL, one
+    scalar pandas UDF) splits into 32-bit halves summed as
+    DECIMAL(38,0) — exact at any row count — and the finish UDF folds
+    the wrapping 64-bit total to the 8 LE VARBINARY bytes.  ``over``
+    carries a window clause (" OVER (..)"), applied to each sum, so
+    windowed checksum is parity too."""
+    m = f"presto_checksum_row({arg}, typeof({arg}), ({arg}) IS NULL)"
+    lo = f"sum(CAST(({m} & 4294967295) AS DECIMAL(38,0))){over}"
+    hi = f"sum(CAST(shiftrightunsigned({m}, 32) AS DECIMAL(38,0))){over}"
+    return f"presto_checksum_finish({lo}, {hi})"
+
+
+def _over_clause(sql: str, end: int) -> tuple[str | None, int]:
+    """The window clause following a call span, if any: returns
+    (" OVER (..)" / " OVER name" text, end index past it)."""
+    m = re.match(r"\s*OVER\s*", sql[end:], re.IGNORECASE)
+    if not m:
+        return None, end
+    i = end + m.end()
+    if i < len(sql) and sql[i] == "(":
+        oend, _ = _scan_balanced(sql, i)
+        return sql[end:oend], oend
+    mm = re.match(r"[A-Za-z_]\w*", sql[i:])
+    if mm:
+        return sql[end : i + mm.end()], i + mm.end()
+    return None, end
 
 
 def _parity_agg_compat(sql: str) -> str:
-    """Route approx_distinct / checksum to the reference-parity pandas
-    UDAFs (functions/hll.py) ONLY when the query level has no OTHER
-    aggregate call and no windowed form: Spark cannot mix a pandas
-    GROUPED_AGG with JVM aggregates in one Aggregate
-    (INVALID_PANDAS_UDF_PLACEMENT).  The two parity UDAFs can coexist
-    (both pandas), so their spans are mutually exempt from the guard.
-    Mixed-aggregate queries keep the native forms (Spark
-    approx_count_distinct; the md5-XOR checksum convention) — the
-    documented residual deviation.  Nested ``(SELECT ..)`` bodies are
-    masked out first: their aggregates belong to THEIR query level
-    (which the per-level recursion already processed), and parity calls
-    inside them must not be double-rewritten here.  Unparenthesized
-    set-op halves share one level, so a counting aggregate in the other
-    half conservatively keeps this half native too (safe direction)."""
+    """Lower approx_distinct / checksum / cardinality(approx_set(x)) to
+    the native-plan parity forms above.  Nested ``(SELECT ..)`` bodies
+    are masked out first: their calls belong to THEIR query level (the
+    per-level recursion already processed them).  Windowed
+    approx_distinct keeps Spark's native estimator (count(DISTINCT ..)
+    cannot run in a window frame); windowed checksum IS parity (the two
+    sums each take the window clause)."""
     # mask nested (SELECT ..) spans — positions preserved
     scope = sql
     while True:
@@ -464,14 +534,13 @@ def _parity_agg_compat(sql: str) -> str:
             break
         end, _ = _scan_balanced(scope, m.start())
         scope = scope[: m.start()] + " " * (end - m.start()) + scope[end:]
-    spans: list[tuple[int, int, str]] = []
-    windowed_or_mixed = False
     # cardinality(approx_set(x)) is definitionally approx_distinct at
     # p=12 (ApproximateSetAggregation feeds airlift HLL via its internal
-    # Murmur3) — route the composite to the p=12 parity UDAF
+    # Murmur3) — route the composite to the p=12 parity form
     pat = re.compile(
         r"(?i)\b(cardinality\s*\(\s*approx_set|approx_distinct|checksum)\s*\("
     )
+    spans: list[tuple[int, int, str, str | None]] = []
     pos = 0
     while True:
         m = pat.search(scope, pos)
@@ -492,21 +561,15 @@ def _parity_agg_compat(sql: str) -> str:
         else:
             open_idx = sql.index("(", m.end(1))
             end, _ = _scan_balanced(sql, open_idx)
-        if re.match(r"\s*OVER\b", sql[end:], re.IGNORECASE):
-            windowed_or_mixed = True  # windowed form: keep native
-        spans.append((m.start(), end, name))
-        pos = end
+        over, oend = _over_clause(sql, end)
+        spans.append((m.start(), end, name, over))
+        pos = oend if over else end
     if not spans:
         return sql
-    masked = scope
-    for s, e, _name in spans:
-        seg_end = min(e, len(masked))
-        masked = masked[:s] + " " * (seg_end - s) + masked[seg_end:]
-    if _PARITY_MIX_GUARD.search(masked):
-        windowed_or_mixed = True  # other aggregates here: keep native
-    def parity_call(s: int, e: int, name: str) -> str:
+
+    def parity_call(s: int, e: int, name: str, over: str | None) -> str:
         if name == "approx_set_card":
-            if windowed_or_mixed:
+            if over is not None:
                 return sql[s:e]  # the sketch path handles it natively
             inner_open = sql.index("(", sql.index("(", s) + 1)
             inner_end, _ = _scan_balanced(sql, inner_open)
@@ -516,99 +579,80 @@ def _parity_agg_compat(sql: str) -> str:
             ]
             if len(args) != 1:
                 return sql[s:e]
-            return (
-                f"presto_approx_set_cardinality({args[0]},"
-                f" typeof({args[0]}), ({args[0]}) IS NULL)"
-            )
+            return _approx_set_card_native(args[0])
         open_idx = sql.index("(", s + len(name))
         args = [a.strip() for a in _split_top_level(sql[open_idx + 1 : e - 1])]
         if name == "checksum":
-            if windowed_or_mixed or len(args) != 1:
-                return _native_checksum(args) if len(args) == 1 else sql[s:e]
-            return (
-                f"presto_checksum({args[0]}, typeof({args[0]}),"
-                f" ({args[0]}) IS NULL)"
-            )
-        if windowed_or_mixed:
+            if len(args) != 1:
+                return sql[s:e]
+            return _checksum_native_parity(args[0], over or "")
+        if over is not None:
             return f"approx_count_distinct({', '.join(args)})"
         repl = _approx_distinct_rewrite(args)
         return repl if repl is not None else sql[s:e]
 
-    if not windowed_or_mixed:
-        wrapped = _parity_global_scalar_wrap(sql, scope, spans, parity_call)
-        if wrapped is not None:
-            return wrapped
     out = []
     last = 0
-    for s, e, name in spans:
+    for s, e, name, over in spans:
         out.append(sql[last:s])
-        out.append(parity_call(s, e, name))
+        out.append(parity_call(s, e, name, over))
+        # windowed checksum consumes its OVER clause (each sum carries
+        # it); every other form leaves the tail in place
         last = e
+        if name == "checksum" and over is not None and len(
+            [a for a in _split_top_level(sql[sql.index("(", s + len(name)) + 1 : e - 1])]
+        ) == 1:
+            last = e + len(over)
     out.append(sql[last:])
     return "".join(out)
 
 
-def _parity_global_scalar_wrap(sql, scope, spans, parity_call) -> str | None:
-    """For the simple GLOBAL shape — ``SELECT <parity calls only> FROM
-    ..`` with no GROUP BY/HAVING/ORDER/LIMIT/DISTINCT/set-op at this
-    level — rewrite each aggregation into a scalar subquery so the
-    EMPTY-input result matches Presto: a global pandas-UDAF aggregation
-    in Spark emits ZERO rows over empty input, but a scalar subquery of
-    zero rows yields NULL, which IS Presto's empty-input checksum;
-    approx_distinct coalesces that NULL to Presto's 0.  Returns None
-    when the shape doesn't match (the inline rewrite applies; the
-    empty-input quirk there is the documented residual)."""
-    head = re.match(r"(?i)\s*SELECT\s+", sql)
-    f0 = _depth0_find(scope, re.compile(r"(?i)\bFROM\b"))
-    if head is None or f0 is None or f0[0] < head.end():
-        return None
-    if re.search(
-        r"(?i)\b(GROUP|HAVING|ORDER|LIMIT|DISTINCT|UNION|INTERSECT|EXCEPT"
-        r"|WINDOW|OFFSET|FETCH)\b",
-        scope[f0[0] :],
-    ) or re.match(r"(?i)\s*SELECT\s+DISTINCT", sql):
-        return None
-    rest = sql[f0[0] :]
-    sel_spans = [sp for sp in spans if sp[0] < f0[0]]
-    if len(sel_spans) != len(spans) or not sel_spans:
-        return None  # a parity call outside the select list (e.g. WHERE)
-    items = _split_top_level(sql[head.end() : f0[0]])
-    # every select item must be exactly one parity call (+ optional alias)
-    offset = head.end()
-    rendered = []
-    si = 0
-    for item in items:
-        body = item
-        am = re.search(r"(?i)\s+AS\s+([A-Za-z_\"]\w*\"?)\s*$", item)
-        alias = ""
-        if am:
-            body = item[: am.start()]
-            alias = f" AS {am.group(1)}"
-        stripped = body.strip()
-        lead = len(body) - len(body.lstrip())
-        start_abs = offset + lead
-        if si >= len(sel_spans):
-            return None
-        s, e, name = sel_spans[si]
-        if s != start_abs or sql[s:e] != stripped:
-            return None
-        si += 1
-        call = parity_call(s, e, name)
-        sub = f"(SELECT {call} {rest.strip()})"
-        if name == "approx_distinct":
-            sub = f"coalesce({sub}, 0)"
-        rendered.append(sub + alias)
-        offset += len(item) + 1  # the comma
-    if si != len(sel_spans):
-        return None
-    return "SELECT " + ", ".join(rendered)
+def _qdigest_pick_unweighted(x: str, q: str) -> str:
+    """airlift QuantileDigest selection over unit weights: the smallest
+    element whose 1-based rank strictly exceeds q * N, clamped to
+    [min, max] (QuantileDigest.getQuantiles: the first traversal node
+    where the running sum EXCEEDS quantile * weightedCount; upper bound
+    capped at the observed max).  All-native: collect + sort + index."""
+    arr = f"sort_array(collect_list({x}))"
+    n = f"size({arr})"
+    k = (
+        f"greatest(least(CAST(floor(({q}) * {n}) + 1 AS INT), {n}), 1)"
+    )
+    return f"try_element_at({arr}, {k})"
 
 
-def _approx_percentile_rewrite(args: list[str]) -> str | None:
-    """approx_percentile(x, p), the weighted (x, w, p) spelling, and
-    the accuracy variant (x, w, p, accuracy)
-    (ApproximateLongPercentileAggregations.java overloads).  The
-    accuracy parameter drops: the engine's weighted path is exact."""
+def _qdigest_pick_weighted(x: str, w: str, q: str) -> str:
+    """airlift QuantileDigest selection with weights: the smallest value
+    whose cumulative weight strictly exceeds q * totalWeight —
+    reproduced exactly (integer weights are exact in doubles) by a
+    sort + fold.  The threshold rides in the fold's zero value so no
+    aggregate is captured inside a lambda body; the whole expression is
+    JVM-native, so it mixes freely with other aggregates."""
+    pair = (
+        f"IF(({x}) IS NULL, NULL,"
+        f" named_struct('v', {x}, 'w', CAST({w} AS DOUBLE)))"
+    )
+    arr = f"sort_array(collect_list({pair}))"
+    total = f"aggregate({arr}, CAST(0 AS DOUBLE), (__qa, __qe) -> __qa + __qe.w)"
+    fold = (
+        f"aggregate({arr},"
+        f" named_struct('cum', CAST(0 AS DOUBLE), 'i', 0, 'k', 0,"
+        f" 't', ({q}) * {total}),"
+        f" (__qa, __qe) -> IF(__qa.k > 0, __qa,"
+        f" IF(__qa.cum + __qe.w > __qa.t,"
+        f" named_struct('cum', __qa.cum + __qe.w, 'i', __qa.i + 1,"
+        f" 'k', __qa.i + 1, 't', __qa.t),"
+        f" named_struct('cum', __qa.cum + __qe.w, 'i', __qa.i + 1,"
+        f" 'k', 0, 't', __qa.t))),"
+        f" __qa -> IF(__qa.k > 0, __qa.k, __qa.i))"
+    )
+    return f"try_element_at({arr}, greatest({fold}, 1)).v"
+
+
+def _approx_percentile_interp(args: list[str]) -> str | None:
+    """The pre-round-8 interpolating forms — kept for windowed calls
+    (the collected-fold form cannot take an OVER clause) and ARRAY
+    percentile arguments."""
     if len(args) == 4:
         x, w, p, _acc = args
         return f"percentile({x}, {p}, CAST({w} AS BIGINT))"
@@ -617,6 +661,33 @@ def _approx_percentile_rewrite(args: list[str]) -> str | None:
         return f"percentile({x}, {p}, CAST({w} AS BIGINT))"
     if len(args) == 2:
         return f"percentile_approx({args[0]}, {args[1]}, 10000)"
+    return None
+
+
+def _approx_percentile_rewrite(args: list[str]) -> str | None:
+    """approx_percentile(x, p), the weighted (x, w, p) spelling, and
+    the accuracy variant (x, w, p, accuracy)
+    (ApproximateLongPercentileAggregations.java overloads).
+
+    Weighted scalar-percentile forms use the qdigest selection rule
+    (member-element picks — matches the reference's asserted values,
+    e.g. 9900 not 9899.01 for the 0.99/10000-sequence case); a
+    non-foldable 2-arg fraction (a bare column — Spark's native
+    percentile functions demand a constant) uses the unweighted rule
+    with any_value(fraction).  ARRAY percentiles and foldable 2-arg
+    fractions keep the native interpolating/approx forms."""
+    if len(args) in (3, 4):
+        x, w, p = args[0], args[1], args[2]
+        if re.match(r"(?i)\s*array", p):
+            return _approx_percentile_interp(args)
+        return _qdigest_pick_weighted(x, w, p)
+    if len(args) == 2:
+        x, p = args
+        if re.fullmatch(r"[A-Za-z_][\w.]*", p.strip()) and not re.match(
+            r"(?i)\s*(true|false|null)\b", p
+        ):
+            return _qdigest_pick_unweighted(x, f"any_value({p})")
+        return f"percentile_approx({x}, {p}, 10000)"
     return None
 
 
@@ -6000,7 +6071,9 @@ def translate(sql: str) -> str:
     out = _empty_grouping_sets_compat(out)
     out = _grouping_plain_scope_fold(out)
     out = _grouping_compat(out)
-    out = _rewrite_calls(out, "approx_percentile", _approx_percentile_rewrite)
+    out = _rewrite_calls_window_aware(
+        out, "approx_percentile", _approx_percentile_rewrite, _approx_percentile_interp
+    )
     # per query level: the no-other-aggregate guard must look only at
     # ITS query's select/having text, not the whole statement
     out = _per_query_level(out, _parity_agg_compat)

@@ -191,6 +191,30 @@ def _estimate_bias(raw: float, p: int = P_BITS) -> float:
     return float(np.sum(bias_tbl[sel] * w) / np.sum(w))
 
 
+def _linear_count_26(n: int) -> int:
+    """Sparse-mode linear counting over the 2^26 prefix space (airlift
+    SparseHll.cardinality)."""
+    m26 = 1 << SPARSE_PREFIX_BITS
+    return int(math.floor(m26 * math.log(m26 / (m26 - n)) + 0.5))
+
+
+def _estimate_dense(regs: np.ndarray, p: int) -> int:
+    """HLL++ dense estimate over a full 2^p register file — bias
+    correction + small-range linear counting, airlift DenseHll parity."""
+    m = 1 << p
+    s = float(np.sum(np.exp2(-regs.astype(np.float64))))
+    zeros = int(np.count_nonzero(regs == 0))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    raw = alpha * m * m / s
+    corrected = raw - _estimate_bias(raw, p) if raw <= 5 * m else raw
+    if zeros > 0:
+        h = m * math.log(m / zeros)
+    else:
+        h = corrected
+    threshold = _TBL["thresholds"][p - 4]
+    return int(math.floor((h if h <= threshold else corrected) + 0.5))
+
+
 def cardinality_from_prefix_maxes(
     prefixes: np.ndarray, rhos: np.ndarray, p: int = P_BITS
 ) -> int:
@@ -203,22 +227,11 @@ def cardinality_from_prefix_maxes(
         return 0
     m = 1 << p
     if n <= m // 8:
-        m26 = 1 << SPARSE_PREFIX_BITS
-        return int(math.floor(m26 * math.log(m26 / (m26 - n)) + 0.5))
+        return _linear_count_26(n)
     regs = np.zeros(m, dtype=np.int64)
     buckets = (prefixes.astype(np.uint64) >> np.uint64(SPARSE_PREFIX_BITS - p)).astype(np.int64)
     np.maximum.at(regs, buckets, rhos)
-    s = float(np.sum(np.exp2(-regs.astype(np.float64))))
-    zeros = int(np.count_nonzero(regs == 0))
-    alpha = 0.7213 / (1 + 1.079 / m)
-    raw = alpha * m * m / s
-    corrected = raw - _estimate_bias(raw, p) if raw <= 5 * m else raw
-    if zeros > 0:
-        h = m * math.log(m / zeros)
-    else:
-        h = corrected
-    threshold = _TBL["thresholds"][p - 4]
-    return int(math.floor((h if h <= threshold else corrected) + 0.5))
+    return _estimate_dense(regs, p)
 
 
 def hll_cardinality(hashes: np.ndarray, p: int = P_BITS) -> int:
@@ -734,3 +747,134 @@ def approx_distinct_by_group(df, group_cols: list[str], value_col: str):
 
     out = merged.groupBy(*group_cols).applyInPandas(_finish, out_schema)
     return out.drop("__g") if drop_global else out
+
+
+# ------------------------------------------- native-plan SQL parity (r8)
+#
+# The SQL dialect path lowers approx_distinct / checksum /
+# cardinality(approx_set(x)) onto NATIVE Spark aggregates so the plan is
+# the 100 TB shape (map-side partial aggregation, one shuffle, bounded
+# state) instead of a GROUPED_AGG pandas UDAF that materializes each
+# group's raw values in one Python worker:
+#
+#   approx_distinct(x)  ->  presto_hll_estimate(p,
+#       count(DISTINCT prefix26(h)),
+#       collect_set(struct(bucket(h), rho(h))))
+#   with h = presto_hll_hash(x, typeof(x), x IS NULL) — ONE Arrow-
+#   vectorized scalar UDF column (Catalyst CSEs the three references
+#   into a single ArrowEvalPython evaluation); prefix/bucket/rho are
+#   native bit expressions; count(DISTINCT prefix26) plans as the
+#   partial-agg expand; collect_set is bounded at 2^p (bucket, rho)
+#   pairs ≈ 16 KB per group.  The estimator UDF touches only the final
+#   one-row-per-group aggregates.  Because every aggregate is a JVM
+#   aggregate, the form MIXES freely with count/sum/etc. (closing the
+#   round-7 mixed-query deviation) and a global aggregation over EMPTY
+#   input emits the one row Presto emits (closing the empty-input
+#   quirk).
+#
+#   checksum(x) -> presto_checksum_finish(sum(lo32), sum(hi32)) over
+#   per-row contributions m = Type.hash(x) * PRIME64 (PRIME64 for NULL),
+#   split into 32-bit halves summed as DECIMAL(38,0) so the wrapping
+#   64-bit total is exact at any row count without overflow.
+
+
+def _entries_estimate(p: int, n, entries) -> int | None:
+    """Estimator body shared by the SQL scalar UDF: ``n`` = distinct
+    26-bit prefixes, ``entries`` = collected (bucket, max-or-any rho)
+    structs (duplicates per bucket fine — maximum.at folds them).
+    Returns None on empty input (caller picks the 0-vs-NULL spelling)."""
+    if n is None or int(n) == 0:
+        return None
+    n = int(n)
+    m = 1 << p
+    if n <= m // 8:
+        return _linear_count_26(n)
+    regs = np.zeros(m, dtype=np.int64)
+    bkts, rhos = [], []
+    for e in entries:
+        b = e["b"] if isinstance(e, dict) else e[0]
+        if b is not None:
+            bkts.append(b)
+            rhos.append(e["r"] if isinstance(e, dict) else e[1])
+    np.maximum.at(
+        regs,
+        np.asarray(bkts, dtype=np.int64),
+        np.asarray(rhos, dtype=np.int64),
+    )
+    return _estimate_dense(regs, p)
+
+
+def register_native_parity_support(spark) -> None:
+    """Register the scalar UDFs the native-plan SQL parity rewrites
+    emit (dialect._parity_agg_compat).  All are row-parallel Arrow
+    pandas UDFs — no grouped value materialization anywhere."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def presto_hll_hash(
+        s: pd.Series, type_s: pd.Series, isnull_s: pd.Series
+    ) -> pd.Series:
+        out = np.full(len(s), np.nan, dtype=object)
+        mask = ~isnull_s.fillna(True).astype(bool).to_numpy()
+        if mask.any():
+            hs = _hash_series(
+                s[mask], _decl_of(type_s), null_free=True
+            ).astype(np.int64)
+            out[mask] = hs
+        return pd.Series(out)
+
+    spark.udf.register("presto_hll_hash", presto_hll_hash)
+
+    @pandas_udf("long")
+    def presto_hll_hash_m3(
+        s: pd.Series, type_s: pd.Series, isnull_s: pd.Series
+    ) -> pd.Series:
+        out = np.full(len(s), np.nan, dtype=object)
+        mask = ~isnull_s.fillna(True).astype(bool).to_numpy()
+        if mask.any():
+            hs = _approx_set_hashes(s[mask], _decl_of(type_s)).astype(np.int64)
+            out[mask] = hs
+        return pd.Series(out)
+
+    spark.udf.register("presto_hll_hash_m3", presto_hll_hash_m3)
+
+    @pandas_udf("long")
+    def presto_hll_estimate(
+        p_s: pd.Series, n_s: pd.Series, entries_s: pd.Series
+    ) -> pd.Series:
+        return pd.Series(
+            [
+                _entries_estimate(int(p), n, entries)
+                for p, n, entries in zip(p_s, n_s, entries_s)
+            ],
+            dtype="object",
+        )
+
+    spark.udf.register("presto_hll_estimate", presto_hll_estimate)
+
+    @pandas_udf("long")
+    def presto_checksum_row(
+        s: pd.Series, type_s: pd.Series, isnull_s: pd.Series
+    ) -> pd.Series:
+        out = np.full(len(s), _PRIME64 - (1 << 64), dtype=np.int64)
+        mask = ~isnull_s.fillna(True).astype(bool).to_numpy()
+        if mask.any():
+            hs = _type_hash_series_values(s[mask], _decl_of(type_s))
+            out[mask] = (hs * np.uint64(_PRIME64)).view(np.int64)
+        return pd.Series(out)
+
+    spark.udf.register("presto_checksum_row", presto_checksum_row)
+
+    @pandas_udf("binary")
+    def presto_checksum_finish(lo_s: pd.Series, hi_s: pd.Series) -> pd.Series:
+        out = []
+        for lo, hi in zip(lo_s, hi_s):
+            if lo is None or hi is None:
+                out.append(None)
+            else:
+                out.append(
+                    ((int(lo) + (int(hi) << 32)) & _M64).to_bytes(8, "little")
+                )
+        return pd.Series(out)
+
+    spark.udf.register("presto_checksum_finish", presto_checksum_finish)

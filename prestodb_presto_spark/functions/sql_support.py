@@ -114,17 +114,24 @@ def ensure_sql_support(spark) -> None:
 
     spark.udf.register("__presto_ipaddress_key", __presto_ipaddress_key)
 
-    # bit-exact approx_distinct (airlift-HLL parity; functions/hll.py)
-    from prestodb_presto_spark.functions.hll import register_approx_distinct
+    # bit-exact approx_distinct / checksum / cardinality(approx_set(x))
+    # — the native-plan parity forms the dialect emits (hash + estimate
+    # + checksum-row scalar UDFs; all aggregation is JVM-native with
+    # map-side partials — functions/hll.py round-8 section)
+    from prestodb_presto_spark.functions.hll import register_native_parity_support
+
+    register_native_parity_support(spark)
+
+    # the GROUPED_AGG convenience UDAFs remain registered for direct
+    # SQL callers (presto_approx_distinct / presto_checksum /
+    # presto_approx_set_cardinality); the dialect no longer routes
+    # through them
+    from prestodb_presto_spark.functions.hll import (
+        register_approx_distinct,
+        register_approx_set_cardinality,
+        register_checksum,
+    )
 
     register_approx_distinct(spark)
-
-    # bit-exact checksum (ChecksumAggregationFunction parity; hll.py)
-    from prestodb_presto_spark.functions.hll import register_checksum
-
     register_checksum(spark)
-
-    # bit-exact cardinality(approx_set(x)) (p=12 airlift parity; hll.py)
-    from prestodb_presto_spark.functions.hll import register_approx_set_cardinality
-
     register_approx_set_cardinality(spark)

@@ -220,6 +220,106 @@ def test_review_r7_mix_guard_spark_side_aggregates(aq_env):
     assert n == 3, n
 
 
+def _physical_plan(df) -> str:
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+
+
+def test_r8_native_plan_shape(aq_env):
+    """The dialect path of ``SELECT k, approx_distinct(x) .. GROUP BY k``
+    must be the native two-phase plan: JVM partial aggregation (partial
+    collect_set of (bucket, rho) + count(DISTINCT prefix26)) over ONE
+    Arrow-vectorized hash column — never an AggregateInPandas that
+    materializes a group's raw values in one Python worker (the round-7
+    scale hazard, closed round 8)."""
+    engine, _fresh = aq_env
+    df = engine.sql(
+        "SELECT orderstatus, approx_distinct(custkey) FROM orders"
+        " GROUP BY orderstatus",
+        dialect="presto",
+    )
+    plan = _physical_plan(df)
+    assert "AggregateInPandas" not in plan, plan
+    assert "FlatMapGroupsInPandas" not in plan, plan
+    assert "partial_collect_set" in plan, plan
+    assert "distinct" in plan.lower(), plan
+    # Python appears exactly twice: the row hash and the per-group-row
+    # estimator — both scalar ArrowEvalPython, no grouped Python
+    assert plan.count("ArrowEvalPython") == 2, plan
+    # checksum likewise: native decimal sums, one row-hash UDF, a
+    # finish UDF over the two per-group sums
+    plan = _physical_plan(
+        engine.sql(
+            "SELECT orderstatus, checksum(orderkey) FROM orders"
+            " GROUP BY orderstatus",
+            dialect="presto",
+        )
+    )
+    assert "AggregateInPandas" not in plan, plan
+    assert "partial_sum" in plan, plan
+    assert plan.count("ArrowEvalPython") == 2, plan
+
+
+def test_r8_parity_in_mixed_aggregations(aq_env):
+    """approx_distinct / checksum mixed with JVM aggregates in one query
+    level now keep PARITY values (the round-7 documented deviation —
+    'mixed keeps Spark's native estimator' — is closed: the native
+    forms ARE JVM aggregates and plan into the same Aggregate)."""
+    engine, _fresh = aq_env
+    rows = {
+        r[0]: (r[1], r[2])
+        for r in engine.sql(
+            "SELECT orderstatus, approx_distinct(custkey), count(*)"
+            " FROM orders GROUP BY orderstatus",
+            dialect="presto",
+        ).collect()
+    }
+    assert {k: v[0] for k, v in rows.items()} == {"O": 990, "F": 990, "P": 303}
+    solo = engine.sql(
+        "SELECT to_hex(checksum(custkey)) FROM orders", dialect="presto"
+    ).collect()[0][0]
+    mixed = engine.sql(
+        "SELECT to_hex(checksum(custkey)), sum(totalprice), count(*)"
+        " FROM orders",
+        dialect="presto",
+    ).collect()[0]
+    assert mixed[0] == solo and mixed[2] > 0
+    # cardinality(approx_set(..)) mixed keeps its p=12 parity value too
+    row = engine.sql(
+        "SELECT cardinality(approx_set(custkey)), count(*) FROM orders",
+        dialect="presto",
+    ).collect()[0]
+    assert row[0] == 1002, row
+
+
+def test_r8_windowed_checksum_parity(aq_env):
+    """checksum(x) OVER (..) is parity VARBINARY now (each 32-bit
+    half-sum carries the window clause) — the round-7 BIGINT md5-XOR
+    wart for windowed checksum is gone; per-partition values equal the
+    GROUP BY parity values."""
+    engine, _fresh = aq_env
+    windowed = {
+        r[0]: r[1]
+        for r in engine.sql(
+            "SELECT DISTINCT orderstatus,"
+            " to_hex(checksum(custkey) OVER (PARTITION BY orderstatus))"
+            " FROM orders",
+            dialect="presto",
+        ).collect()
+    }
+    grouped = {
+        r[0]: r[1]
+        for r in engine.sql(
+            "SELECT orderstatus, to_hex(checksum(custkey)) FROM orders"
+            " GROUP BY orderstatus",
+            dialect="presto",
+        ).collect()
+    }
+    assert windowed == grouped, (windowed, grouped)
+
+
 def test_approx_set_cardinality_reference_values(aq_env):
     """testApproxSet* (AbstractTestQueries.java:6970-7090, computeActual
     style so not scrape-gated): cardinality(approx_set(x)) reproduces

@@ -241,17 +241,19 @@ def _matches(got, exp) -> bool:
     return str(got) == str(exp)
 
 
-# exact-pass floors per reference aggregation test file.  The two
-# misses are the big weighted approx_percentile cases: the engine's
-# weighted path is EXACT interpolating percentile (9899.01), where
-# Presto's qdigest picks a member element (9900) — a documented
-# approximation-direction difference, not a wrong answer.
+# exact-pass floors per reference aggregation test file.  ALL 32
+# scrapeable cases pass since round 8: the weighted approx_percentile
+# path uses the qdigest selection rule (smallest value whose cumulative
+# weight strictly exceeds q * totalWeight — QuantileDigest.getQuantiles'
+# member-element pick, e.g. 9900 where interpolation gives 9899.01),
+# expressed natively as a sort_array(collect_list) + aggregate() fold
+# (dialect._qdigest_pick_weighted).
 PASS_FLOORS = {
-    "TestApproximatePercentileAggregation.java": 20,
+    "TestApproximatePercentileAggregation.java": 22,
     "TestArbitraryAggregation.java": 9,
     "TestChecksumAggregation.java": 1,
 }
-OVERALL_FLOOR = 30  # of 32 scrapeable
+OVERALL_FLOOR = 32  # of 32 scrapeable
 
 
 def test_reference_aggregations(engine):
