@@ -798,3 +798,237 @@ def decontaminate_ngram(spark, sf_dir):
     )
     corpus = with_grams.filter(F.col("source") != "src0")
     return decontaminate_join(corpus, eval_grams)
+
+
+# --- cross-doc structural (line-level) dedup --------------------------------
+
+
+def dedup_lines(lines: DataFrame) -> DataFrame:
+    """Corpus-wide keep-first line dedup (the C4 move): a line unit
+    survives only at its FIRST occurrence — minimal (doc_id, pos) —
+    across the whole corpus; later occurrences are dropped and each doc
+    is reassembled from its surviving lines in original order.
+
+    Input: (doc_id, pos, line) — one row per line unit.
+    Output: (doc_id, text_dedup, n_lines_kept) for docs that kept >= 1
+    line; callers left-join back to the corpus for per-doc totals.
+
+    Scale posture (100 TB): ONE shuffle on the line content to pick the
+    winner — groupBy(line).min(struct(doc_id, pos)) is an algebraic
+    aggregate, so the map side combines and a boilerplate line present
+    in half the corpus still reduces to one row per input partition
+    before the exchange (skew-immune, receipt in COVERAGE.md); then one
+    doc-level shuffle to reassemble.  No window function ever sees the
+    corpus, and document bodies are never shuffled twice: the winner
+    rows alone (<= distinct lines) reach the reassembly.
+    """
+    firsts = lines.groupBy("line").agg(
+        F.min(F.struct("doc_id", "pos")).alias("w")
+    )
+    kept = firsts.select(
+        F.col("w.doc_id").alias("doc_id"),
+        F.col("w.pos").alias("pos"),
+        "line",
+    )
+    return kept.groupBy("doc_id").agg(
+        F.expr(
+            "concat_ws('\\n', transform(array_sort(collect_list("
+            "named_struct('pos', pos, 'line', line))), s -> s.line))"
+        ).alias("text_dedup"),
+        F.count("*").cast("bigint").alias("n_lines_kept"),
+    )
+
+
+# the gate's line unit: 4-token chunks of the token array (the synthetic
+# corpus has no newlines; chunking makes cross-doc repetition real while
+# keeping the unit definition deterministic in both engines)
+_LINE_CHUNK = 4
+_CHUNKS_SPARK = (
+    f"CASE WHEN size(split(text, ' ')) < 1 THEN array() ELSE"
+    f" transform(sequence(0, cast(ceil(size(split(text, ' ')) / {_LINE_CHUNK}.0) as int) - 1),"
+    f" i -> concat_ws(' ', slice(split(text, ' '), i * {_LINE_CHUNK} + 1, {_LINE_CHUNK})))"
+    f" END"
+)
+_DUCK_TOKS = "string_split(text, ' ')"
+_CHUNKS_DUCK = (
+    f"[array_to_string({_DUCK_TOKS}[(i - 1) * {_LINE_CHUNK} + 1 : i * {_LINE_CHUNK}], ' ')"
+    f" for i in range(1, cast(ceil(len({_DUCK_TOKS}) / {_LINE_CHUNK}.0) as int) + 1)]"
+)
+
+
+@query(
+    "dedup_lines_cross_doc",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_CHUNKS_DUCK} AS chunks
+      FROM documents),
+    lines AS (
+      SELECT doc_id, s.pos AS pos, s.line AS line FROM (
+        SELECT doc_id,
+               unnest([{{'pos': i, 'line': chunks[i]}} for i in range(1, len(chunks) + 1)]) AS s
+        FROM base)),
+    ranked AS (
+      SELECT doc_id, pos, line,
+             row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+      FROM lines),
+    kept AS (
+      SELECT doc_id,
+             string_agg(line, chr(10) ORDER BY pos) AS text_dedup,
+             COUNT(*) AS n_lines_kept
+      FROM ranked WHERE rn = 1 GROUP BY doc_id)
+    SELECT b.doc_id,
+           coalesce(k.text_dedup, '') AS text_dedup,
+           CAST(coalesce(k.n_lines_kept, 0) AS BIGINT) AS n_lines_kept,
+           CAST(len(b.chunks) - coalesce(k.n_lines_kept, 0) AS BIGINT)
+             AS n_lines_dropped
+    FROM base b LEFT JOIN kept k ON b.doc_id = k.doc_id
+    ORDER BY b.doc_id
+    """,
+    tags=("text", "dedup", "pipeline"),
+)
+def dedup_lines_cross_doc(spark, sf_dir):
+    """Cross-document line-level exact dedup, keep-first deterministic
+    (C4-style: a line unit occurring in multiple docs survives only at
+    its first (doc_id, pos) occurrence; docs reassemble from surviving
+    lines).  Line unit here = 4-token chunk (the corpus has no
+    newlines); `dedup_lines` takes any (doc_id, pos, line) relation.
+
+    Hash-exact vs the DuckDB oracle including fully-deduped docs (empty
+    text_dedup) and per-doc kept/dropped counts.
+    """
+    docs = t(spark, sf_dir, "documents")
+    chunks = F.expr(_CHUNKS_SPARK)
+    base = docs.select("doc_id", chunks.alias("chunks"))
+    lines = base.select(
+        "doc_id", F.posexplode("chunks").alias("pos0", "line")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "line")
+    dd = dedup_lines(lines)
+    totals = base.select("doc_id", F.size("chunks").alias("n_total"))
+    return (
+        totals.join(dd, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+            F.coalesce("n_lines_kept", F.lit(0)).cast("bigint").alias("n_lines_kept"),
+            (F.col("n_total") - F.coalesce("n_lines_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_lines_dropped"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- composite pipeline verdict ---------------------------------------------
+
+
+_PIPE_KEEP_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id, text, string_split(text, ' ') AS l,
+             md5(lower(trim(text))) AS h
+      FROM documents),
+    q AS (
+      SELECT doc_id, h,
+        (len(l) BETWEEN 20 AND 10000
+         AND length(replace(text, ' ', '')) >= 3 * len(l)
+         AND length(replace(text, ' ', '')) <= 10 * len(l)
+         AND len(list_intersect(list_distinct(l),
+                 ['the', 'a', 'of', 'and', 'to'])) >= 2
+         AND 5 * len(list_filter(l, w -> regexp_matches(w, '[A-Za-z]')))
+             >= 4 * len(l)
+         AND (len(l) < 2 OR 2 * len(list_distinct(
+               [l[i] || ' ' || l[i+1] for i in range(1, len(l))]))
+             >= len(l) - 1)) AS flag_quality,
+        (len(list_filter(l, w -> w IN ('the', 'a', 'of'))) >=
+         len(list_filter(l, w -> w IN ('scan', 'merge', 'hash'))))
+          AS flag_lang,
+        NOT (regexp_matches(text, '{_PII_RULES[0][0]}')
+          OR regexp_matches(text, '{_PII_RULES[1][0]}')
+          OR regexp_matches(text, '{_PII_RULES[2][0]}')
+          OR regexp_matches(text, '{_PII_RULES[3][0]}')) AS flag_no_pii
+      FROM base),
+    firsts AS (SELECT h, min(doc_id) AS first_doc FROM base GROUP BY h)
+    SELECT q.doc_id, flag_quality, flag_lang, flag_no_pii,
+           (q.doc_id = f.first_doc) AS flag_first_copy,
+           (flag_quality AND flag_lang AND flag_no_pii
+            AND q.doc_id = f.first_doc) AS keep
+    FROM q JOIN firsts f ON q.h = f.h
+    ORDER BY q.doc_id
+"""
+
+
+@query(
+    "pipeline_keep",
+    oracle=_PIPE_KEEP_ORACLE,
+    tags=("text", "pipeline", "quality"),
+)
+def pipeline_keep(spark, sf_dir):
+    """Composite per-doc keep/drop verdict — the gate a real training
+    pipeline applies before packing: C4/Gopher quality rules AND
+    language-ID AND no-PII AND exact-dedup first-copy membership, all
+    composed over ONE shared token/hash projection (the flags derive
+    from a single `toks`/`h` select; split(text) is not recomputed per
+    rule — Spark keeps the projection separate because the array is
+    referenced many times, and codegen CSEs any residual repeats).
+
+    Scale posture: the rule flags are per-row expressions on the scan;
+    the only shuffle is the exact-dedup winner aggregation
+    (groupBy(content-hash).min(doc_id), algebraic, map-side combined)
+    plus its join back — no window over the corpus, no Python anywhere.
+    """
+    docs = t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "text",
+        tokens().alias("toks"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("h"),
+    )
+    tok = F.col("toks")
+    n = F.size(tok)
+    chars = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(tok),
+            F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to")]),
+        )
+    )
+    alpha = F.size(F.filter(tok, lambda w: w.rlike("[A-Za-z]")))
+    distinct_bigrams = F.expr(
+        "size(array_distinct(transform(sequence(1, size(toks) - 1),"
+        " i -> concat_ws(' ', slice(toks, i, 2)))))"
+    )
+    flag_quality = (
+        n.between(20, 10000)
+        & (chars >= 3 * n)
+        & (chars <= 10 * n)
+        & (stop_hits >= 2)
+        & (5 * alpha >= 4 * n)
+        & ((n < 2) | (2 * distinct_bigrams >= n - 1))
+    )
+    en = F.size(F.filter(tok, lambda w: w.isin("the", "a", "of")))
+    tech = F.size(F.filter(tok, lambda w: w.isin("scan", "merge", "hash")))
+    pii_any = F.lit(False)
+    for pat, _repl in _PII_RULES:
+        pii_any = pii_any | F.col("text").rlike(pat)
+    feats = base.select(
+        "doc_id",
+        "h",
+        flag_quality.alias("flag_quality"),
+        (en >= tech).alias("flag_lang"),
+        (~pii_any).alias("flag_no_pii"),
+    )
+    firsts = base.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    joined = feats.join(firsts, "h")
+    first_copy = F.col("doc_id") == F.col("first_doc")
+    return joined.select(
+        "doc_id",
+        "flag_quality",
+        "flag_lang",
+        "flag_no_pii",
+        first_copy.alias("flag_first_copy"),
+        (
+            F.col("flag_quality")
+            & F.col("flag_lang")
+            & F.col("flag_no_pii")
+            & first_copy
+        ).alias("keep"),
+    ).orderBy("doc_id")
