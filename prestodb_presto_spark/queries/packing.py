@@ -43,6 +43,22 @@ from prestodb_presto_spark.queries.util import t
 
 SEQ_BUDGET = 512  # tokens per packed training sequence (gate setting)
 
+# cache hygiene: the phase-1 projection each packed_assignments call
+# persists is tracked here; the NEXT call (or an explicit
+# release_packing_cache()) unpersists it, so repeated packings in one
+# session hold at most ONE ~24 B/doc projection in cache — never an
+# accumulating set — and callers needn't clearCache() (which would drop
+# unrelated caches too).
+_LIVE_PACKING_CACHE: list[DataFrame] = []
+
+
+def release_packing_cache() -> None:
+    """Unpersist every phase-1 projection still cached by
+    packed_assignments (safe to call while a returned DataFrame is
+    still un-materialized: Spark just recomputes the projection)."""
+    while _LIVE_PACKING_CACHE:
+        _LIVE_PACKING_CACHE.pop().unpersist()
+
 
 def packed_assignments(
     docs: DataFrame, budget: int = SEQ_BUDGET, partitions: int | None = None
@@ -56,9 +72,11 @@ def packed_assignments(
     sum; see the module docstring for the 100 TB posture.
 
     The (doc_id, n_tokens, __k, __pid) projection is persisted across
-    the two phases (single source scan); callers running many packings
-    in one session may ``spark.catalog.clearCache()`` afterwards.
+    the two phases (single source scan); the next packed_assignments
+    call unpersists it automatically (at most one projection lingers),
+    and release_packing_cache() drops it eagerly.
     """
+    release_packing_cache()
     spark = docs.sparkSession
     n_parts = partitions or spark.sparkContext.defaultParallelism
     base = docs.select(
@@ -87,6 +105,7 @@ def packed_assignments(
     ranged = base.withColumn("__pid", bucket).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    _LIVE_PACKING_CACHE.append(ranged)
     # phase 1: per-partition totals -> prefix offsets (driver-side tiny)
     totals = {
         r["__pid"]: r["total"]

@@ -229,6 +229,33 @@ def test_pack_sequences_two_phase_equals_global_window(spark):
     assert all(0 <= off < SEQ_BUDGET for _sid, off in got.values())
 
 
+def test_pack_sequences_cache_hygiene(spark):
+    """Repeated packed_assignments calls must not accumulate cached
+    phase-1 projections: each call unpersists the previous one (at most
+    ONE lingers, for its own phase 2), and release_packing_cache()
+    drops the last — zero cached RDDs afterwards (ADVICE round 7:
+    repeated packings leaked cache; clearCache() was too blunt)."""
+    from prestodb_presto_spark.queries.packing import (
+        packed_assignments,
+        release_packing_cache,
+    )
+
+    release_packing_cache()
+    jsc = spark.sparkContext._jsc.sc()
+    base = jsc.getPersistentRDDs().size()
+    docs = spark.range(500).selectExpr(
+        "CAST(id AS STRING) AS doc_id",
+        "repeat('w ', CAST(id % 31 + 1 AS INT)) AS text",
+    )
+    for _ in range(3):
+        packed_assignments(docs, partitions=4).count()
+        # after each full materialization at most the CURRENT call's
+        # projection is cached — prior ones were unpersisted
+        assert jsc.getPersistentRDDs().size() - base <= 1
+    release_packing_cache()
+    assert jsc.getPersistentRDDs().size() == base
+
+
 def test_doc_chunking_covers_all_tokens(spark):
     """Every token index is covered by at least one chunk and chunk
     heads line up with the stride."""
