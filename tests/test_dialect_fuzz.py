@@ -278,6 +278,120 @@ def test_fuzz_differential_sample(aq_env, corpus):
     assert not bad, f"{len(bad)} differential fuzz failures: {bad[:6]}"
 
 
+# ------------------------------------------- round-8 parity-rewrite fuzz
+
+# statements exercising _parity_agg_compat's string surgery (the newest
+# rewrite pass): approx_distinct / checksum / cardinality(approx_set)
+# under window frames, inside set-op halves, nested in derived tables,
+# mixed with each other and with JVM aggregates across query levels.
+# Invariant: a semantics-preserving TEXT mutation must not change the
+# result — the parity values themselves are pinned by test_hll_parity.
+_PARITY_SHAPES: list[tuple[str, bool]] = [
+    # (statement, ordered)
+    ("SELECT approx_distinct(custkey) FROM orders", False),
+    ("SELECT to_hex(checksum(orderkey)) FROM orders", False),
+    ("SELECT cardinality(approx_set(custkey)) FROM orders", False),
+    # mixed with each other and with count(*)/sum in ONE level
+    (
+        "SELECT approx_distinct(custkey), to_hex(checksum(orderkey)),"
+        " count(*), sum(totalprice) FROM orders",
+        False,
+    ),
+    # two parity calls over different columns, grouped
+    (
+        "SELECT orderstatus, approx_distinct(custkey),"
+        " approx_distinct(orderpriority) FROM orders GROUP BY orderstatus",
+        False,
+    ),
+    # across levels: outer JVM aggregate over an inner parity group-by
+    (
+        "SELECT count(*), max(ad) FROM (SELECT orderstatus,"
+        " approx_distinct(custkey) AS ad FROM orders"
+        " GROUP BY orderstatus) t",
+        False,
+    ),
+    # parity in HAVING
+    (
+        "SELECT orderstatus FROM orders GROUP BY orderstatus"
+        " HAVING approx_distinct(custkey) > 100",
+        False,
+    ),
+    # parity in a scalar subquery next to an outer parity call
+    (
+        "SELECT approx_distinct(orderstatus),"
+        " (SELECT approx_distinct(custkey) FROM orders) FROM orders",
+        False,
+    ),
+    # set-op halves: each half rewrites independently
+    (
+        "SELECT approx_distinct(custkey) FROM orders UNION ALL"
+        " SELECT approx_distinct(custkey) FROM orders",
+        False,
+    ),
+    (
+        "SELECT to_hex(checksum(orderkey)) FROM orders WHERE orderkey < 100"
+        " UNION SELECT to_hex(checksum(orderkey)) FROM orders"
+        " WHERE orderkey < 100",
+        False,
+    ),
+    # window frames: approx_distinct degrades to the native estimator,
+    # checksum stays parity — both must be mutation-stable
+    (
+        "SELECT DISTINCT orderstatus, approx_distinct(custkey)"
+        " OVER (PARTITION BY orderstatus) FROM orders",
+        False,
+    ),
+    (
+        "SELECT DISTINCT orderstatus, to_hex(checksum(custkey)"
+        " OVER (PARTITION BY orderstatus)) FROM orders",
+        False,
+    ),
+    # empty input: Presto semantics (0 / NULL) through the rewrite
+    (
+        "SELECT approx_distinct(custkey), to_hex(checksum(orderkey)),"
+        " count(*) FROM orders WHERE orderkey < 0",
+        False,
+    ),
+]
+
+
+def test_fuzz_parity_rewrite_shapes(aq_env):
+    """Round-8 ratchet over _parity_agg_compat: every parity shape x
+    every semantics-preserving mutator must return EXACTLY the
+    unmutated result (rows as multisets; parity values are pinned
+    elsewhere).  A mismatch means the rewrite's span scanning read
+    keywords out of comments, crossed a set-op half, double-consumed an
+    OVER clause, or mis-masked a nested (SELECT ..)."""
+    engine, _fresh = aq_env
+
+    def rows_of(sql: str):
+        return sorted(
+            tuple(str(c) for c in r)
+            for r in engine.sql(sql, dialect="presto").collect()
+        )
+
+    bad = []
+    for si, (stmt, _ordered) in enumerate(_PARITY_SHAPES):
+        base = rows_of(stmt)
+        for mi, (mname, mut) in enumerate(MUTATORS):
+            if mname == "setop":
+                continue  # changes the row multiset; covered by shapes
+            mutated = mut(stmt, random.Random(9_000 * mi + si))
+            try:
+                got = rows_of(mutated)
+            except Exception as exc:  # noqa: BLE001 — collecting evidence
+                bad.append(
+                    f"{mname}[shape {si}]: raise {type(exc).__name__}:"
+                    f" {str(exc)[:100]}"
+                )
+                continue
+            if got != base:
+                bad.append(
+                    f"{mname}[shape {si}]: {got[:2]} != {base[:2]}"
+                )
+    assert not bad, f"{len(bad)} parity fuzz failures: {bad[:4]}"
+
+
 def test_fuzz_idempotence_ratchet(corpus):
     """translate() runs once in production, but non-idempotence marks a
     pass that would double-rewrite its own output — a latent hazard.
