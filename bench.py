@@ -49,9 +49,24 @@ BENCH_QUERIES = [
 ]
 
 
+def _calibrate() -> float:
+    """Fixed CPU-bound probe: a deterministic single-thread loop whose
+    wall time anchors this machine-hour's effective speed.  Runs on a
+    QUIET process — before the Spark JVM starts and again after it
+    stops (a live 32-core JVM's GC/background threads inflate the
+    probe, which would shrink the normalized total — round-7 advice)."""
+    t0 = time.time()
+    acc = 0
+    for i in range(10_000_000):
+        acc += i * i
+    assert acc >= 0
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    calib_sec = _calibrate()  # before the JVM exists
     spark = get_spark("bench")
     specs = load_all()
 
@@ -101,18 +116,9 @@ def main() -> None:
 
     load_before = os.getloadavg()[0] if hasattr(os, "getloadavg") else None
     steal_before = _steal_ticks()
-    # fixed CPU-bound calibration probe: a deterministic single-thread
-    # loop whose wall time anchors this machine-hour's effective speed.
-    # Compare calib_sec across snapshots before comparing query seconds —
-    # if both inflate together, the machine slowed, not the plans.
-    def _calibrate() -> float:
-        t0 = time.time()
-        acc = 0
-        for i in range(10_000_000):
-            acc += i * i
-        return round(time.time() - t0, 3)
-
-    calib_sec = _calibrate()
+    # calib_sec was measured at process start (quiet, pre-JVM); compare
+    # it across snapshots before comparing query seconds — if both
+    # inflate together, the machine slowed, not the plans.
     wall_start = time.time()
 
     timings: dict[str, float] = {}
@@ -135,8 +141,13 @@ def main() -> None:
 
     load_after = os.getloadavg()[0] if hasattr(os, "getloadavg") else None
     ncpu = os.cpu_count() or 1
-    calib_after = _calibrate()
     steal_after = _steal_ticks()
+    # the after-probe must run on a QUIET process: with the 32-core Spark
+    # JVM still alive, GC/background threads inflate the probe, which
+    # would SHRINK the normalized total (round-7 advice).  All timed work
+    # is done — stop Spark first, then calibrate.
+    spark.stop()
+    calib_after = _calibrate()
     steal_pct = None
     if steal_before is not None and steal_after is not None:
         wall = max(time.time() - wall_start, 1e-9)
@@ -148,12 +159,27 @@ def main() -> None:
     # calibration-normalized total: the host's effective CPU speed varies
     # ~2x at minute granularity (oversubscribed hypervisor), so totals
     # from different machine-hours are not directly comparable.  Scale by
-    # the single-thread probe against the committed reference constant —
-    # the fastest clean-snapshot probe on record (BENCH_r06's idle
-    # after-probe, steal 0.02%).  value stays the raw wall time; judges
-    # compare value_calib_normalized across rounds.
-    REF_CALIB_SEC = 0.557
+    # the single-thread probe against the committed reference constant.
+    # value stays the raw wall time; judges compare
+    # value_calib_normalized across rounds.
+    #
+    # Probe methodology changed in round 8 (quiet-process probes: before
+    # JVM start / after JVM stop — the old probes ran with the 32-core
+    # JVM alive, inflating them ~15-20% and biasing the normalized total
+    # DOWN).  REF_CALIB_SEC is re-pinned to the fastest clean
+    # quiet-process probe on record (round-8 idle sample, steal ~0%,
+    # min of 8 = 0.464); pre-r8 normalized values used 0.557 under the
+    # old method and are not directly comparable.
+    REF_CALIB_SEC = 0.464
     calib_mean = (calib_sec + calib_after) / 2.0
+    # both probes now run on a quiet process (before Spark start / after
+    # Spark stop).  If they still diverge sharply the machine's speed
+    # CHANGED during the run — the snapshot is contaminated, not
+    # normalizable: publish both probes and no normalized value.
+    calib_divergent = (
+        abs(calib_sec - calib_after) / max(min(calib_sec, calib_after), 1e-9)
+        > 0.25
+    )
     # external load flag: load_before is measured BEFORE any timed work,
     # so anything beyond a small fixed headroom is another process
     # competing for the bench's cores
@@ -167,7 +193,8 @@ def main() -> None:
                 "value": total,
                 "value_calib_normalized": round(
                     total * REF_CALIB_SEC / calib_mean, 3
-                ) if calib_mean > 0 else None,
+                ) if calib_mean > 0 and not calib_divergent else None,
+                "calib_divergent": calib_divergent,
                 "ref_calib_sec": REF_CALIB_SEC,
                 "unit": "sec",
                 "queries": timings,

@@ -229,6 +229,28 @@ def test_pack_sequences_two_phase_equals_global_window(spark):
     assert all(0 <= off < SEQ_BUDGET for _sid, off in got.values())
 
 
+def test_pipeline_keep_plan_shape(spark):
+    """pipeline_keep's physical plan: the token projection is computed
+    ONCE (a single split() in the whole plan — every rule flag derives
+    from the shared toks column), the dedup winner aggregation has a
+    map-side partial_min, the firsts side joins by broadcast, and no
+    Python evaluation or cartesian product appears anywhere."""
+    from prestodb_presto_spark.queries.textops import pipeline_keep
+
+    df = pipeline_keep(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert plan.count("split(") == 1, plan
+    assert "partial_min" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "CartesianProduct",
+                "FlatMapGroupsInPandas", "AggregateInPandas"):
+        assert bad not in plan, plan
+
+
 def test_pack_sequences_cache_hygiene(spark):
     """Repeated packed_assignments calls must not accumulate cached
     phase-1 projections: each call unpersists the previous one (at most

@@ -264,6 +264,48 @@ def main() -> None:
           f" vs by-group native-shuffle {out['approx_distinct_by_group_s']}s"
           f" (identical estimates)", flush=True)
 
+    # --- 8. cross-doc line dedup, boilerplate line in 50% of docs -------
+    # the naive keep-first form is row_number() OVER (PARTITION BY line):
+    # the boilerplate line's partition holds half of every line row in
+    # the corpus — ONE task sorts it.  dedup_lines' winner aggregation is
+    # algebraic min(struct(doc_id, pos)): map-side combine collapses the
+    # hot line to one row per input partition before the exchange.
+    from prestodb_presto_spark.queries.textops import dedup_lines
+
+    n_lines = min(n_docs, 2_000_000)
+    lines = spark.range(n_lines).selectExpr(
+        "CAST(CAST(id / 4 AS BIGINT) AS STRING) AS doc_id",
+        "CAST(id % 4 + 1 AS INT) AS pos",
+        # pos 1 of every even doc = the same boilerplate line (~12.5% of
+        # rows x4 lines/doc => the hot line appears in 50% of docs)
+        "CASE WHEN id % 8 = 0 THEN 'subscribe to our newsletter now'"
+        " ELSE concat('line ', id) END AS line",
+    ).cache()
+    lines.count()
+
+    def lines_naive():
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("line").orderBy("doc_id", "pos")
+        kept = (
+            lines.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+        )
+        return kept.groupBy("doc_id").count().count()
+
+    def lines_scale():
+        return dedup_lines(lines).count()
+
+    (out["dedup_lines_window_s"], k1) = timed(lines_naive)
+    (out["dedup_lines_agg_s"], k2) = timed(lines_scale)
+    assert k1 == k2, (k1, k2)
+    print(
+        f"# dedup_lines: window keep-first {out['dedup_lines_window_s']}s"
+        f" vs algebraic min-winner {out['dedup_lines_agg_s']}s"
+        f" ({k1} docs kept, identical)",
+        flush=True,
+    )
+
     print(json.dumps({"n_docs": n_docs, **out}))
 
 
