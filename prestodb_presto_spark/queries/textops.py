@@ -1032,3 +1032,201 @@ def pipeline_keep(spark, sf_dir):
             & first_copy
         ).alias("keep"),
     ).orderBy("doc_id")
+
+
+# --- intra-doc repetition removal -------------------------------------------
+
+
+@query(
+    "text_dedup_intradoc",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_CHUNKS_DUCK} AS chunks
+      FROM documents),
+    lines AS (
+      SELECT doc_id, s.pos AS pos, s.line AS line FROM (
+        SELECT doc_id,
+               unnest([{{'pos': i, 'line': chunks[i]}} for i in range(1, len(chunks) + 1)]) AS s
+        FROM base)),
+    kept AS (
+      SELECT doc_id, pos, line,
+             row_number() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn
+      FROM lines)
+    SELECT b.doc_id,
+           coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS text_intradoc,
+           CAST(COUNT(k.pos) AS BIGINT) AS n_lines_kept,
+           CAST(len(b.chunks) - COUNT(k.pos) AS BIGINT) AS n_lines_dropped
+    FROM base b LEFT JOIN kept k ON b.doc_id = k.doc_id AND k.rn = 1
+    GROUP BY b.doc_id, len(b.chunks)
+    ORDER BY b.doc_id
+    """,
+    tags=("text", "dedup", "pipeline"),
+)
+def text_dedup_intradoc(spark, sf_dir):
+    """WITHIN-document repetition removal (the other half of the C4
+    move — `dedup_lines_cross_doc` handles cross-doc): each line unit
+    (4-token chunk) survives only at its first occurrence INSIDE its
+    own document; the doc reassembles from surviving lines in order.
+
+    Scale posture (100 TB): a pure per-row array fold — the keep-first
+    filter runs inside one expression over the chunk array (no explode,
+    no shuffle, nothing leaves the row).  Duplicate detection within a
+    doc is O(lines²) in the fold's array_contains but lines-per-doc is
+    bounded by the doc length, not the corpus; the operator pushes onto
+    the scan and composes with the cross-doc pass (intra first shrinks
+    the line stream the corpus-wide shuffle sees).
+    """
+    docs = t(spark, sf_dir, "documents")
+    chunks = F.expr(_CHUNKS_SPARK)
+    kept = F.expr(
+        "aggregate(__chunks, CAST(array() AS ARRAY<STRING>),"
+        " (acc, x) -> IF(array_contains(acc, x), acc, concat(acc, array(x))))"
+    )
+    return (
+        docs.select("doc_id", chunks.alias("__chunks"))
+        .select("doc_id", F.size("__chunks").alias("__n"), kept.alias("__kept"))
+        .select(
+            "doc_id",
+            F.concat_ws("\n", F.col("__kept")).alias("text_intradoc"),
+            F.size("__kept").cast("bigint").alias("n_lines_kept"),
+            (F.col("__n") - F.size("__kept")).cast("bigint").alias("n_lines_dropped"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- corpus unigram-LM rarity scoring ----------------------------------------
+
+_VOCAB_TOP = 1000  # known-vocabulary size for the rarity model
+
+
+@query(
+    "text_unigram_rarity",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    counts AS (
+      SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+    vocab AS (
+      SELECT token, row_number() OVER (ORDER BY c DESC, token) AS rank
+      FROM counts ORDER BY c DESC, token LIMIT {_VOCAB_TOP}),
+    scored AS (
+      SELECT t.doc_id,
+             coalesce(v.rank, {_VOCAB_TOP + 1}) AS r,
+             CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+      FROM tok t LEFT JOIN vocab v ON t.token = v.token)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(oov) AS BIGINT) AS n_oov,
+           ROUND(SUM(r) * 1.0 / COUNT(*), 6) AS mean_rank
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("text", "quality", "pipeline"),
+)
+def text_unigram_rarity(spark, sf_dir):
+    """Corpus-unigram rarity scoring — the integer-exact stand-in for
+    CCNet-style LM perplexity filtering: build a frequency-ranked
+    top-{_VOCAB_TOP} vocabulary over the corpus, then score each doc by
+    its mean token rank (out-of-vocabulary tokens take rank V+1) and
+    its OOV count.  High mean rank = rare/garbled vocabulary — the
+    docs a perplexity filter would drop.  Rank arithmetic stays in
+    integers (single final division), so the gate is hash-exact where a
+    cross-engine ln() would drift.
+
+    Scale posture (100 TB): vocabulary = one map-side-combined count
+    shuffle over tokens + TakeOrdered(V) (parallel top-k, never a
+    global window over the vocabulary); the V-row vocab BROADCASTS to
+    the scoring join; per-doc aggregation is the only other shuffle,
+    keyed on doc_id with map-side combine.
+    """
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens()).alias("token"))
+    counts = tok.groupBy("token").agg(F.count("*").alias("c"))
+    top = counts.orderBy(F.col("c").desc(), "token").limit(_VOCAB_TOP)
+    from pyspark.sql import Window
+
+    vocab = top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("c").desc(), "token")),
+    ).select("token", "rank")
+    scored = tok.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id",
+        F.coalesce("rank", F.lit(_VOCAB_TOP + 1)).alias("r"),
+        F.when(F.col("rank").isNull(), 1).otherwise(0).alias("oov"),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("oov").cast("bigint").alias("n_oov"),
+            F.round(F.sum("r") * 1.0 / F.count("*"), 6).alias("mean_rank"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- per-doc keyword extraction (tf-df ratio top-k) ---------------------------
+
+_TFIDF_K = 3
+
+
+@query(
+    "text_tfdf_keywords",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+    df AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+    ranked AS (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             ROUND(tf.tf * 1.0 / df.df, 6) AS score,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf * 1.0 / df.df DESC, tf.token) AS rn
+      FROM tf JOIN df ON tf.token = df.token)
+    SELECT doc_id, CAST(rn AS INT) AS rn, token,
+           CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+    FROM ranked WHERE rn <= {_TFIDF_K}
+    ORDER BY doc_id, rn
+    """,
+    tags=("text", "pipeline"),
+)
+def text_tfdf_keywords(spark, sf_dir):
+    """Per-document keyword extraction: top-{_TFIDF_K} tokens by
+    tf/df — term frequency over document frequency, the
+    monotone-in-idf rational form of tf-idf that stays hash-exact
+    across engines (a single exactly-rounded division; no ln()).
+    Deterministic tie-break on token.
+
+    Scale posture (100 TB): tf = one (doc, token) count shuffle
+    (map-side combined); df = one token-keyed distinct-doc count (the
+    (doc,token) stream is ALREADY distinct after tf, so df reuses it
+    with a plain count — no count-distinct expansion); the tf⋈df join
+    shuffles on token (a vocabulary-sized side — too big to broadcast
+    at corpus scale, so a shuffle hash join is the right call); the
+    top-k is a per-doc WindowGroupLimit (rank pushdown prunes to
+    {_TFIDF_K} rows per doc before the final sort).
+    """
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens()).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    from pyspark.sql import Window
+
+    score = F.col("tf") * 1.0 / F.col("df")
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), "token")
+    return (
+        tf.join(df_, "token")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TFIDF_K)
+        .select(
+            "doc_id",
+            F.col("rn").cast("int").alias("rn"),
+            "token",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.round(score, 6).alias("score"),
+        )
+        .orderBy("doc_id", "rn")
+    )
