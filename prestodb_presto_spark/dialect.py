@@ -615,8 +615,12 @@ def _qdigest_pick_unweighted(x: str, q: str) -> str:
     capped at the observed max).  All-native: collect + sort + index."""
     arr = f"sort_array(collect_list({x}))"
     n = f"size({arr})"
+    # clamp spelled as CASE (not greatest/least: the NULL-propagation
+    # wrap pass for those is not idempotent over emitted text)
+    kr = f"CAST(floor(({q}) * {n}) + 1 AS INT)"
     k = (
-        f"greatest(least(CAST(floor(({q}) * {n}) + 1 AS INT), {n}), 1)"
+        f"(CASE WHEN {kr} > {n} THEN {n}"
+        f" WHEN {kr} < 1 THEN 1 ELSE {kr} END)"
     )
     return f"try_element_at({arr}, {k})"
 
@@ -646,7 +650,13 @@ def _qdigest_pick_weighted(x: str, w: str, q: str) -> str:
         f" 'k', 0, 't', __qa.t))),"
         f" __qa -> IF(__qa.k > 0, __qa.k, __qa.i))"
     )
-    return f"try_element_at({arr}, greatest({fold}, 1)).v"
+    # floor-at-1 spelled as CASE (greatest's NULL wrap is not
+    # idempotent over emitted text); an empty group gives index 0 ->
+    # try_element_at NULL either way
+    return (
+        f"try_element_at({arr}, (CASE WHEN ({fold}) < 1 THEN 1"
+        f" ELSE ({fold}) END)).v"
+    )
 
 
 def _approx_percentile_interp(args: list[str]) -> str | None:
