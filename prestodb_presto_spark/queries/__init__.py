@@ -116,6 +116,7 @@ def load_all() -> dict[str, QuerySpec]:
         aggregates,
         functions_q,
         joins,
+        mixing,
         multimodal_q,
         packing,
         relational,

@@ -1,0 +1,182 @@
+"""Training-mix composition operators over the `documents` corpus.
+
+Round-8 widening of the LLM-data-pipeline surface (north star): the
+data-driven complement to the fixed-rate primitives in textops.py
+(`sample_domain_mix` hardcodes target rates; `sample_stratified_threshold`
+samples uniformly per source).  Here the rates are COMPUTED from corpus
+statistics — temperature flattening of the domain mix, and deciled
+length binning for curriculum / packing planning.
+
+Determinism contract for the differential oracle (both engines must
+agree bit-for-bit):
+  - the per-doc uniform is a 13-hex-digit md5 prefix = an exact 52-bit
+    integer (< 2^53, exact in double), scaled by the exact power of two
+    16^13 — no rounding anywhere in the uniform;
+  - the temperature rate uses alpha = 0.5 so it is sqrt(min_c / c):
+    one IEEE division and one IEEE sqrt, BOTH correctly-rounded
+    operations by the 754 standard — bit-identical on any conforming
+    engine (general pow() is NOT correctly rounded and is avoided).
+
+Reference provenance: the reference engine has no training-mix surface;
+these extend it.  TABLESAMPLE semantics it does have are covered by
+`sample_bernoulli` (presto-main SampleNode,
+sql/planner/plan/SampleNode.java) — these operators are the
+deterministic, reproducible form a 100 TB pipeline actually wants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prestodb_presto_spark.queries import query
+from prestodb_presto_spark.queries.util import t
+
+# 13 hex digits = 52 bits: exact in BIGINT and in DOUBLE
+_HEX_DIGITS = 13
+_HEX_SCALE = float(16**_HEX_DIGITS)
+
+
+def _uniform(col="doc_id"):
+    """Deterministic per-row uniform in [0,1): md5-prefix / 16^13.
+
+    conv() yields a decimal string of a 52-bit integer; the
+    string->double cast is exact (< 2^53) and the division by a power
+    of two is exact, so the uniform is IDENTICAL across engines.
+    """
+    prefix = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, _HEX_DIGITS), 16, 10)
+    return prefix.cast("double") / F.lit(_HEX_SCALE)
+
+
+_UNIFORM_SQL = (
+    "CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) AS DOUBLE)"
+    f" / {16**_HEX_DIGITS}.0"
+)
+
+
+@query(
+    "sample_temperature_mix",
+    oracle=f"""
+    WITH c AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+    r AS (SELECT lang, sqrt((SELECT MIN(c) FROM c) * 1.0 / c) AS rate FROM c)
+    SELECT d.doc_id, d.lang, ROUND(r.rate, 6) AS rate
+    FROM documents d JOIN r ON d.lang = r.lang
+    WHERE {_UNIFORM_SQL} < r.rate
+    ORDER BY d.lang, d.doc_id
+    """,
+    tags=("pipeline", "sampling"),
+)
+def sample_temperature_mix(spark, sf_dir):
+    """Temperature-flattened language mix (alpha = 0.5): each language
+    is downsampled at rate sqrt(min_count / count), so the rarest
+    language keeps every row and dominant languages shrink toward the
+    alpha-0.5 frequency mix — the multilingual rebalancing move, with
+    rates COMPUTED from the corpus instead of hand-set (the corpus is
+    genuinely lang-skewed: en is ~3x any other language, so the filter
+    path is exercised; `source` is balanced and would be a no-op).
+
+    Scale posture (100 TB): pass 1 is one map-side-combined count by
+    lang (output = #languages rows, trivially small); the rate table is
+    broadcast, so pass 2 is a scan + per-row md5-prefix predicate —
+    ZERO shuffles of the corpus, deterministic across reruns/backfills
+    (the uniform is a pure function of doc_id), skew-immune (no
+    per-lang window).  alpha = 0.5 is hardwired because sqrt is the
+    one power IEEE 754 makes correctly-rounded — the rate is therefore
+    bit-identical on every conforming engine.
+    """
+    docs = t(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("c"))
+    min_c = counts.agg(F.min("c").alias("mc"))
+    rates = counts.crossJoin(F.broadcast(min_c)).select(
+        "lang", F.sqrt(F.col("mc") / F.col("c")).alias("rate")
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(_uniform() < F.col("rate"))
+        .select("doc_id", "lang", F.round("rate", 6).alias("rate"))
+        .orderBy("lang", "doc_id")
+    )
+
+
+_NBINS = 10
+
+
+@query(
+    "corpus_length_bins",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, n_chars,
+             ntile({_NBINS}) OVER (ORDER BY n_chars, doc_id) AS bin
+      FROM documents)
+    SELECT CAST(bin AS INT) AS bin, COUNT(*) AS n,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM b GROUP BY bin ORDER BY bin
+    """,
+    tags=("pipeline", "sampling"),
+)
+def corpus_length_bins(spark, sf_dir):
+    """Length-decile binning of the corpus (curriculum / packing
+    planning): rank every document by n_chars, cut into {_NBINS}
+    equal-count bins, report per-bin count and char-range.
+
+    Correctness form: ntile over a total order (n_chars, doc_id) —
+    deterministic and identical across engines.  The global window is
+    ONE task, so this exact form is small-scale-only; the 100 TB twin
+    is `quality_bins_scale` below (exact-cutoff two-pass binning,
+    distributed), proven rank-consistent in tests/test_mixing.py.
+    """
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    w = Window.orderBy("n_chars", "doc_id")
+    return (
+        docs.select("doc_id", "n_chars", F.ntile(_NBINS).over(w).alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .select(F.col("bin").cast("int").alias("bin"), "n", "min_chars", "max_chars", "sum_chars")
+        .orderBy("bin")
+    )
+
+
+def quality_bins_scale(df, col: str, nbins: int = _NBINS, accuracy: int = 10000):
+    """100 TB twin of `corpus_length_bins`: two-pass value-cutoff binning.
+
+    Pass 1 computes (nbins-1) interior cutoffs with approx_percentile
+    (a mergeable sketch — one map-side-combined aggregation, output =
+    nbins doubles); pass 2 bins each row by comparing against the
+    broadcast cutoff array with a binary-search expression — a pure
+    per-row map, ZERO shuffles of the corpus before the per-bin
+    aggregate.  Unlike the ntile form there is no global sort and no
+    single-task window; ties around a cutoff all land in the same bin
+    (value-consistent rather than exactly-equal-count — the documented
+    trade for distributivity).
+
+    Returns (bin-stats DataFrame with the same schema as
+    corpus_length_bins, cutoffs list).
+    """
+    fracs = [i / nbins for i in range(1, nbins)]
+    cuts = df.agg(
+        F.percentile_approx(F.col(col), F.array(*[F.lit(f) for f in fracs]), accuracy).alias("c")
+    ).head()[0]
+    # bin = 1 + #cutoffs strictly below the value (array literal folds;
+    # filter+size is a codegen'd expression, no UDF, no shuffle)
+    cut_arr = F.array(*[F.lit(float(c)) for c in cuts])
+    bin_expr = F.size(F.filter(cut_arr, lambda c: c < F.col(col).cast("double"))) + 1
+    stats = (
+        df.select(F.col(col), bin_expr.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.min(col).alias(f"min_{col}"),
+            F.max(col).alias(f"max_{col}"),
+            F.sum(col).cast("bigint").alias(f"sum_{col}"),
+        )
+        .withColumn("bin", F.col("bin").cast("int"))
+        .orderBy("bin")
+    )
+    return stats, list(cuts)

@@ -377,3 +377,95 @@ def dedup_components(spark, sf_dir):
         connected_components(edges)
         .orderBy("node")
     )
+
+
+_KMEANS_K = 8
+_SEMDEDUP_TAU = 0.4
+
+
+@query(
+    "similarity_kmeans_semdedup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {QUANT_SQL} q FROM embeddings),
+    n AS (SELECT vec_id, q, list_dot_product(q::DOUBLE[], q::DOUBLE[]) AS nrm FROM e),
+    c AS (SELECT vec_id AS cid, q AS cq, nrm AS cn FROM n WHERE vec_id < {_KMEANS_K}),
+    asg AS (
+      SELECT n.vec_id,
+             max_by(c.cid,
+                    CAST(round(list_dot_product(n.q::DOUBLE[], c.cq::DOUBLE[])
+                               / sqrt(n.nrm) / sqrt(c.cn) * 1e12) AS BIGINT) * 100 - c.cid)
+               AS cluster
+      FROM n CROSS JOIN c GROUP BY n.vec_id),
+    pairs AS (
+      SELECT a.cluster, b.vec_id AS ib
+      FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      JOIN n na ON na.vec_id = a.vec_id
+      JOIN n nb ON nb.vec_id = b.vec_id
+      WHERE list_dot_product(na.q::DOUBLE[], nb.q::DOUBLE[])
+            / sqrt(na.nrm) / sqrt(nb.nrm) >= {_SEMDEDUP_TAU})
+    SELECT m.cluster AS cluster_id, m.n AS n_members,
+           COALESCE(p.np, 0) AS n_dup_pairs, COALESCE(p.nd, 0) AS n_dropped
+    FROM (SELECT cluster, COUNT(*) AS n FROM asg GROUP BY cluster) m
+    LEFT JOIN (SELECT cluster, COUNT(*) AS np, COUNT(DISTINCT ib) AS nd
+               FROM pairs GROUP BY cluster) p ON m.cluster = p.cluster
+    ORDER BY cluster_id
+    """,
+    tags=("similarity", "dedup", "pipeline"),
+)
+def similarity_kmeans_semdedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup: cluster the corpus around
+    {_KMEANS_K} fixed seed centroids (deterministic: the lowest vec_ids)
+    by max-cosine assignment, then mark near-duplicates ONLY within each
+    cluster (cosine >= {_SEMDEDUP_TAU}; higher id drops).  Output:
+    per-cluster member / duplicate-pair / dropped counts.
+
+    This is the published SemDeDup recipe (Abbas et al. 2023): k-means
+    bounds the quadratic pair scan to within-cluster blocks, turning
+    all-pairs O(n^2) into k * O((n/k)^2).
+
+    Scale posture (100 TB): the centroid table is k rows — broadcast;
+    assignment is a map-only pass (no shuffle of vectors); the pair
+    phase shuffles once on cluster id and its cost is bounded by the
+    largest cluster (at real scale k grows with the corpus to keep
+    clusters ~fixed-size, and a hot-cluster cap like the LSH
+    bucket_cap applies — here gate-scale inputs keep clusters small).
+    Everything is JVM array expressions; no Python in the plan.
+    """
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", quantized().alias("q"))
+    emb = emb.withColumn("nrm", dot(F.col("q"), F.col("q")).cast("double"))
+    cents = emb.filter(F.col("vec_id") < _KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("cq"), F.col("nrm").alias("cn")
+    )
+    cos_c = dot(F.col("q"), F.col("cq")).cast("double") / F.sqrt("nrm") / F.sqrt("cn")
+    key = F.round(cos_c * 1e12).cast("bigint") * 100 - F.col("cid")
+    asg = (
+        emb.crossJoin(F.broadcast(cents))
+        .groupBy("vec_id")
+        .agg(F.max_by("cid", key).alias("cluster"))
+    )
+    a = asg.select(F.col("cluster"), F.col("vec_id").alias("ia"))
+    b = asg.select(F.col("cluster").alias("cluster_b"), F.col("vec_id").alias("ib"))
+    na = emb.select(F.col("vec_id").alias("ia"), F.col("q").alias("qa"), F.col("nrm").alias("na"))
+    nb = emb.select(F.col("vec_id").alias("ib"), F.col("q").alias("qb"), F.col("nrm").alias("nb"))
+    cos_p = dot(F.col("qa"), F.col("qb")).cast("double") / F.sqrt("na") / F.sqrt("nb")
+    pairs = (
+        a.join(b, (F.col("cluster") == F.col("cluster_b")) & (F.col("ia") < F.col("ib")))
+        .join(na, "ia")
+        .join(nb, "ib")
+        .filter(cos_p >= _SEMDEDUP_TAU)
+        .select("cluster", "ib")
+    )
+    members = asg.groupBy("cluster").agg(F.count("*").alias("n_members"))
+    dups = pairs.groupBy("cluster").agg(
+        F.count("*").alias("np"), F.countDistinct("ib").alias("nd")
+    )
+    return (
+        members.join(dups, "cluster", "left")
+        .select(
+            F.col("cluster").alias("cluster_id"),
+            "n_members",
+            F.coalesce("np", F.lit(0)).cast("bigint").alias("n_dup_pairs"),
+            F.coalesce("nd", F.lit(0)).cast("bigint").alias("n_dropped"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -1230,3 +1230,49 @@ def text_tfdf_keywords(spark, sf_dir):
         )
         .orderBy("doc_id", "rn")
     )
+
+
+_BPE_TOPK = 20
+
+
+@query(
+    "text_bpe_pair_counts",
+    oracle=f"""
+    WITH tk AS (SELECT string_split(lower(text), ' ') AS l FROM documents),
+    p AS (
+      SELECT unnest(CASE WHEN len(l) < 2 THEN []::VARCHAR[]
+                    ELSE [l[i] || ' ' || l[i+1] for i in generate_series(1, len(l) - 1)]
+                    END) AS pair
+      FROM tk)
+    SELECT pair, COUNT(*) AS cnt FROM p
+    GROUP BY pair ORDER BY cnt DESC, pair LIMIT {_BPE_TOPK}
+    """,
+    tags=("text", "pipeline"),
+)
+def text_bpe_pair_counts(spark, sf_dir):
+    """Corpus-wide adjacent-token-pair frequencies, top-{_BPE_TOPK}:
+    the counting step of one BPE merge round (the highest-count pair is
+    the merge a BPE trainer would pick), and the bigram statistic
+    quality filters build on.  Deterministic tie-break on the pair.
+
+    Scale posture (100 TB): the pair list is ONE array expression per
+    doc (no per-token self-join — the adjacency is resolved inside the
+    row), one explode, then a map-side-combined count and a
+    TakeOrderedAndProject({_BPE_TOPK}) — a single shuffle of (pair,
+    partial count) rows, no global sort.
+    """
+    docs = t(spark, sf_dir, "documents")
+    pairs = F.expr(
+        "CASE WHEN size(split(lower(text), ' ')) < 2 THEN array()"
+        " ELSE transform(array(split(lower(text), ' ')),"
+        "   t -> transform(sequence(1, size(t) - 1),"
+        "        i -> concat(element_at(t, i), ' ', element_at(t, i + 1))))[0]"
+        " END"
+    )
+    return (
+        docs.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(_BPE_TOPK)
+    )
