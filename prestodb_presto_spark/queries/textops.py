@@ -1276,3 +1276,51 @@ def text_bpe_pair_counts(spark, sf_dir):
         .orderBy(F.col("cnt").desc(), "pair")
         .limit(_BPE_TOPK)
     )
+
+
+@query(
+    "decontaminate_exact_passage",
+    oracle="""
+    WITH p AS (
+      SELECT DISTINCT substr(text, 11, 12) AS passage
+      FROM documents WHERE doc_id % 37 = 0 AND length(text) >= 50),
+    hits AS (
+      SELECT d.doc_id, COUNT(*) AS n_hits
+      FROM documents d JOIN p ON d.doc_id % 37 <> 0
+                              AND position(p.passage IN d.text) > 0
+      GROUP BY d.doc_id)
+    SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits
+    FROM hits ORDER BY doc_id
+    """,
+    tags=("pipeline", "decontamination"),
+)
+def decontaminate_exact_passage(spark, sf_dir):
+    """Exact-passage decontamination: flag corpus documents containing
+    any held-out eval passage VERBATIM as a substring (the exact-match
+    complement of decontaminate_ngram's 5-gram collision test — the
+    GPT-3-style 'remove documents with an exact overlap' rule).  Eval
+    passages here are deterministic 12-char spans drawn from the
+    doc_id%37 subset; every other document is scanned for containment.
+
+    Scale posture (100 TB): the passage set is benchmark-sized — tiny —
+    so it BROADCASTS and the containment scan is a map-only
+    BroadcastNestedLoopJoin over the corpus (instr() in whole-stage
+    codegen, no Python); the only shuffle is the per-doc hit count.
+    For very large passage sets the same guard/degrade pattern as
+    decontaminate_join applies (Aho-Corasick via a token-anchored
+    shuffle join is the documented fallback); at gate scale the
+    broadcast is always in-bounds.
+    """
+    docs = t(spark, sf_dir, "documents")
+    passages = (
+        docs.filter((F.col("doc_id") % 37 == 0) & (F.length("text") >= 50))
+        .select(F.substring("text", 11, 12).alias("passage"))
+        .distinct()
+    )
+    corpus = docs.filter(F.col("doc_id") % 37 != 0)
+    return (
+        corpus.join(F.broadcast(passages), F.instr(F.col("text"), F.col("passage")) > 0)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_hits"))
+        .orderBy("doc_id")
+    )
