@@ -983,14 +983,31 @@ def tpch_q21(spark, sf_dir):
     Adapted (no commitdate/receiptdate): l_returnflag='R' marks the late
     line.  Reference: TransformExistsApplyToLateralNode +
     LookupJoinOperators probeOuter (operator/LookupJoinOperators.java:45-63).
-    Spark-first: both EXISTS branches become hash semi/anti joins keyed on
-    l_orderkey (equi component) with the <> residual as a join condition —
-    no cartesian fallback; lineitem shuffles once per branch on l_orderkey.
+
+    Spark-first: both correlated quantifiers fold into ONE algebraic
+    per-order aggregate instead of semi/anti self-joins —
+      EXISTS(other supplier in the order)    ⟺ min(supp) ≠ max(supp)
+      NOT EXISTS(other R-supplier)           ⟺ min(R supp) = max(R supp)
+    (the probe row is itself R, so 'the only R supplier' is the probe's).
+    lineitem therefore shuffles ONCE as (orderkey, 4 min/max columns)
+    with full map-side combine — no hash-build over raw lineitem rows,
+    no skew from many-line orders — then the R rows join the per-order
+    verdict on l_orderkey.  The round-7 form ran three lineitem
+    shuffles (semi + anti + probe); this is the plan that survives a
+    100 TB fact table.
     """
     li = t(spark, sf_dir, "lineitem")
-    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
-    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
-    l3 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey").alias("l3")
+    is_r = F.col("l_returnflag") == "R"
+    per_order = li.groupBy("l_orderkey").agg(
+        F.min("l_suppkey").alias("min_s"),
+        F.max("l_suppkey").alias("max_s"),
+        F.min(F.when(is_r, F.col("l_suppkey"))).alias("min_r"),
+        F.max(F.when(is_r, F.col("l_suppkey"))).alias("max_r"),
+    )
+    verdict = per_order.filter(
+        (F.col("min_s") != F.col("max_s")) & (F.col("min_r") == F.col("max_r"))
+    ).select("l_orderkey")
+    l1 = li.filter(is_r).select("l_orderkey", "l_suppkey")
     nat = t(spark, sf_dir, "nation").filter(
         F.col("n_nationkey").isin(2, 12, 22)
     )
@@ -998,23 +1015,11 @@ def tpch_q21(spark, sf_dir):
         F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
     )
     orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    waiting = (
-        l1.join(
-            l2,
-            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
-            "left_semi",
-        )
-        .join(
-            l3,
-            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
-            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
-            "left_anti",
-        )
-        .join(orders.select("o_orderkey"), F.col("l1.l_orderkey") == F.col("o_orderkey"), "left_semi")
+    waiting = l1.join(verdict, "l_orderkey", "left_semi").join(
+        orders.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"
     )
     return (
-        waiting.join(supp, F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        waiting.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
