@@ -693,12 +693,33 @@ def _approx_percentile_rewrite(args: list[str]) -> str | None:
         return _qdigest_pick_weighted(x, w, p)
     if len(args) == 2:
         x, p = args
-        if re.fullmatch(r"[A-Za-z_][\w.]*", p.strip()) and not re.match(
-            r"(?i)\s*(true|false|null)\b", p
-        ):
+        if _fraction_is_nonfoldable(p):
             return _qdigest_pick_unweighted(x, f"any_value({p})")
         return f"percentile_approx({x}, {p}, 10000)"
     return None
+
+
+# identifier tokens that can appear inside a FOLDABLE fraction spelling
+# (CAST(0.5 AS DOUBLE), typed literals, scientific notation) — anything
+# else referencing a name makes the fraction column-dependent, which
+# Spark's native percentile functions reject (NON_FOLDABLE_INPUT)
+_FOLDABLE_FRACTION_TOKENS = {
+    "cast", "try_cast", "as", "double", "real", "decimal", "float",
+    "integer", "int", "bigint", "smallint", "tinyint", "e", "null",
+}
+
+
+def _fraction_is_nonfoldable(p: str) -> bool:
+    """True when the percentile fraction references any column-like
+    identifier (bare column, arithmetic over a column, function of a
+    column) — those must route to the qdigest selection rule with
+    any_value(fraction); pure literals (with or without arithmetic /
+    CAST decoration, which Catalyst constant-folds) stay on the native
+    percentile path."""
+    if re.match(r"(?i)\s*(true|false)\b", p):
+        return False
+    idents = {tok.lower() for tok in re.findall(r"[A-Za-z_]\w*", p)}
+    return bool(idents - _FOLDABLE_FRACTION_TOKENS)
 
 
 # --- Presto type spellings inside CAST(... AS <type>) -----------------------

@@ -682,27 +682,34 @@ def tpch_q18(spark, sf_dir):
 
     The IN-subquery of stock q18 is folded into the HAVING (same plan
     after Catalyst's decorrelation); threshold adapted to fixture scale.
+
+    Spark-first: the quantity sum is grouped by o_orderkey ALONE before
+    any join — the other group keys (c_name, c_custkey, o_orderdate,
+    o_totalprice) are functionally dependent on the order, so the
+    per-order sum is identical, but the aggregation runs over a single
+    bigint key with full map-side combine instead of over the wide
+    customer⋈orders⋈lineitem rows.  The HAVING then prunes to the rare
+    heavy orders BEFORE the joins; AQE sees the runtime size and
+    broadcasts the qualifying set (no static hint — if a lax threshold
+    ever makes it large, AQE falls back to a shuffle join instead of
+    OOMing).  A/B at sf0.1: 1.09s vs 1.61s min-of-7.
     """
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
-    return (
-        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
-        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy(
-            "c_name",
-            "c_custkey",
-            "o_orderkey",
-            F.to_date("o_orderdate").alias("o_orderdate"),
-            "o_totalprice",
-        )
+    big = (
+        li.groupBy("l_orderkey")
         .agg(F.sum(dec("l_quantity")).alias("sq"))
         .filter(F.col("sq") > 250)
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .select(
             "c_name",
             "c_custkey",
             "o_orderkey",
-            "o_orderdate",
+            F.to_date("o_orderdate").alias("o_orderdate"),
             "o_totalprice",
             F.col("sq").cast("double").alias("sum_qty"),
         )
@@ -1018,8 +1025,10 @@ def tpch_q21(spark, sf_dir):
     waiting = l1.join(verdict, "l_orderkey", "left_semi").join(
         orders.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"
     )
+    # supplier is SF-scaled: no static broadcast hint — AQE sees the
+    # 3-nation filtered size at runtime and broadcasts when it fits
     return (
-        waiting.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        waiting.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")

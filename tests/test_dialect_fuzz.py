@@ -352,6 +352,29 @@ _PARITY_SHAPES: list[tuple[str, bool]] = [
         " count(*) FROM orders WHERE orderkey < 0",
         False,
     ),
+    # round-8 qdigest selection rule: plain / grouped / weighted /
+    # non-foldable fraction / mixed with other aggregates
+    ("SELECT approx_percentile(totalprice, 0.5) FROM orders", False),
+    (
+        "SELECT orderstatus, approx_percentile(totalprice, 0.5)"
+        " FROM orders GROUP BY orderstatus",
+        False,
+    ),
+    (
+        "SELECT approx_percentile(totalprice, 2, 0.5), count(*),"
+        " sum(totalprice) FROM orders",
+        False,
+    ),
+    (
+        "SELECT approx_percentile(totalprice, orderkey * 0 + 0.5)"
+        " FROM orders",
+        False,
+    ),
+    (
+        "SELECT orderstatus, approx_percentile(totalprice, 0.25),"
+        " approx_distinct(custkey) FROM orders GROUP BY orderstatus",
+        False,
+    ),
 ]
 
 
