@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from prestodb_presto_spark.queries import query
-from prestodb_presto_spark.queries.util import guard_rows, t
+from prestodb_presto_spark.queries.util import guard_rows, jarr, t
 from prestodb_presto_spark.text.analysis import shingles3, token_array as tokens
 
 SHINGLES3_SQL = (
@@ -1322,5 +1322,73 @@ def decontaminate_exact_passage(spark, sf_dir):
         corpus.join(F.broadcast(passages), F.instr(F.col("text"), F.col("passage")) > 0)
         .groupBy("doc_id")
         .agg(F.count("*").cast("bigint").alias("n_hits"))
+        .orderBy("doc_id")
+    )
+
+
+_VOCAB_V = 500
+
+
+@query(
+    "text_vocab_encode",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents),
+    cnt AS (SELECT tok, COUNT(*) AS c
+            FROM (SELECT unnest(l) AS tok FROM tk) GROUP BY tok),
+    v AS (SELECT tok, row_number() OVER (ORDER BY c DESC, tok) AS id
+          FROM cnt ORDER BY c DESC, tok LIMIT {_VOCAB_V}),
+    pos AS (SELECT tk.doc_id, u.i, tk.l[u.i] AS tok
+            FROM tk, LATERAL (SELECT unnest(generate_series(1, len(tk.l))) AS i) u),
+    j AS (SELECT p.doc_id, p.i, COALESCE(v.id, 0) AS id
+          FROM pos p LEFT JOIN v ON p.tok = v.tok)
+    SELECT doc_id,
+           array_to_string(list(id ORDER BY i), '|') AS ids,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+    FROM j GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("text", "pipeline"),
+)
+def text_vocab_encode(spark, sf_dir):
+    """Tokenizer ENCODE: induce a frequency-ranked {_VOCAB_V}-entry
+    vocabulary over the corpus (id = rank, deterministic tie-break on
+    token; 0 = OOV) and map every document to its id sequence — the
+    step between text cleaning and sequence packing in a training
+    pipeline.  Emits the id array plus per-doc token/OOV counts.
+
+    Scale posture (100 TB): the vocab candidates come from ONE
+    map-side-combined token count; the top-V pick is a
+    TakeOrderedAndProject (parallel, no global sort of the vocabulary)
+    and the rank window runs over V rows only.  The encode pass
+    broadcasts the vocabulary (tokenizer vocabs are ~10^4-10^5 rows) so
+    the per-token id lookup is map-side; the id sequence reassembles
+    with ONE per-doc aggregation (sort_array(collect_list(struct(pos,
+    id)))) — the same single-shuffle reassembly as dedup_lines.
+    """
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    cnt = (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    top = cnt.orderBy(F.desc("c"), "tok").limit(_VOCAB_V)
+    vocab = top.withColumn(
+        "id", F.row_number().over(Window.orderBy(F.desc("c"), "tok"))
+    ).select("tok", "id")
+    pos = docs.select("doc_id", F.posexplode(toks).alias("i", "tok"))
+    enc = pos.join(F.broadcast(vocab), "tok", "left").select(
+        "doc_id", "i", F.coalesce("id", F.lit(0)).alias("id")
+    )
+    pairs = F.sort_array(F.collect_list(F.struct("i", "id")))
+    return (
+        enc.groupBy("doc_id")
+        .agg(
+            jarr(F.transform(pairs, lambda p: p["id"])).alias("ids"),
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("id") == 0, 1).otherwise(0)).cast("bigint").alias("n_oov"),
+        )
         .orderBy("doc_id")
     )
