@@ -536,43 +536,56 @@ def _parity_agg_compat(sql: str) -> str:
         scope = scope[: m.start()] + " " * (end - m.start()) + scope[end:]
     # cardinality(approx_set(x)) is definitionally approx_distinct at
     # p=12 (ApproximateSetAggregation feeds airlift HLL via its internal
-    # Murmur3) — route the composite to the p=12 parity form
+    # Murmur3) — route the composite to the p=12 parity form.  The
+    # single-level merge idiom cardinality(merge(approx_set(x))) is the
+    # SAME aggregate (merging the per-row singleton sketches of a group
+    # = the group's sketch), so it lowers identically; merge over a
+    # sketch COLUMN from another query level stays unsupported
+    # (fail-loud UNRESOLVED_ROUTINE — a genuine two-level sketch
+    # pipeline needs sketch-serialization parity).
     pat = re.compile(
-        r"(?i)\b(cardinality\s*\(\s*approx_set|approx_distinct|checksum)\s*\("
+        r"(?i)\b(cardinality\s*\(\s*(?:merge\s*\(\s*)?approx_set"
+        r"|approx_distinct|checksum)\s*\("
     )
-    spans: list[tuple[int, int, str, str | None]] = []
+    spans: list[tuple[int, int, str, str | None, tuple[int, int] | None]] = []
     pos = 0
     while True:
         m = pat.search(scope, pos)
         if not m:
             break
         name = re.sub(r"\s+", "", m.group(1).lower())
+        inner: tuple[int, int] | None = None
         if name.startswith("cardinality"):
+            has_merge = "merge" in name
             # balanced span of the OUTER cardinality(...)
             outer_open = sql.index("(", m.start())
             end, _ = _scan_balanced(sql, outer_open)
-            # the approx_set call must close the cardinality group
+            # the approx_set call (and the merge wrapper, if present)
+            # must close the cardinality group with nothing else inside
             inner_open = sql.index("(", m.end() - 1)
             inner_end, _ = _scan_balanced(sql, inner_open)
-            if sql[inner_end : end - 1].strip():
+            tail = sql[inner_end : end - 1].strip()
+            if tail != (")" if has_merge else ""):
                 pos = m.end()
-                continue  # extra expression around approx_set: leave it
+                continue  # extra expression around the sketch: leave it
             name = "approx_set_card"
+            inner = (inner_open, inner_end)
         else:
             open_idx = sql.index("(", m.end(1))
             end, _ = _scan_balanced(sql, open_idx)
         over, oend = _over_clause(sql, end)
-        spans.append((m.start(), end, name, over))
+        spans.append((m.start(), end, name, over, inner))
         pos = oend if over else end
     if not spans:
         return sql
 
-    def parity_call(s: int, e: int, name: str, over: str | None) -> str:
+    def parity_call(
+        s: int, e: int, name: str, over: str | None, inner: tuple[int, int] | None
+    ) -> str:
         if name == "approx_set_card":
             if over is not None:
                 return sql[s:e]  # the sketch path handles it natively
-            inner_open = sql.index("(", sql.index("(", s) + 1)
-            inner_end, _ = _scan_balanced(sql, inner_open)
+            inner_open, inner_end = inner
             args = [
                 a.strip()
                 for a in _split_top_level(sql[inner_open + 1 : inner_end - 1])
@@ -593,9 +606,9 @@ def _parity_agg_compat(sql: str) -> str:
 
     out = []
     last = 0
-    for s, e, name, over in spans:
+    for s, e, name, over, inner in spans:
         out.append(sql[last:s])
-        out.append(parity_call(s, e, name, over))
+        out.append(parity_call(s, e, name, over, inner))
         # windowed checksum consumes its OVER clause (each sum carries
         # it); every other form leaves the tail in place
         last = e

@@ -352,6 +352,20 @@ _PARITY_SHAPES: list[tuple[str, bool]] = [
         " count(*) FROM orders WHERE orderkey < 0",
         False,
     ),
+    # round-8 single-level merge idiom: merging the per-row singleton
+    # sketches of a group IS the group's sketch, so it lowers to the
+    # same p=12 parity form — grouped, mixed, and empty-input
+    (
+        "SELECT orderstatus, cardinality(merge(approx_set(custkey))),"
+        " approx_distinct(orderpriority), count(*) FROM orders"
+        " GROUP BY orderstatus",
+        False,
+    ),
+    (
+        "SELECT cardinality(merge(approx_set(custkey))), count(*)"
+        " FROM orders WHERE orderkey < 0",
+        False,
+    ),
     # round-8 qdigest selection rule: plain / grouped / weighted /
     # non-foldable fraction / mixed with other aggregates
     ("SELECT approx_percentile(totalprice, 0.5) FROM orders", False),
