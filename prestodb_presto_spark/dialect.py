@@ -706,7 +706,9 @@ def _approx_percentile_rewrite(args: list[str]) -> str | None:
         return _qdigest_pick_weighted(x, w, p)
     if len(args) == 2:
         x, p = args
-        if _fraction_is_nonfoldable(p):
+        # ARRAY fractions always stay native (the qdigest pick is a
+        # scalar selection; percentile_approx accepts array percentages)
+        if not re.match(r"(?i)\s*array", p) and _fraction_is_nonfoldable(p):
             return _qdigest_pick_unweighted(x, f"any_value({p})")
         return f"percentile_approx({x}, {p}, 10000)"
     return None
