@@ -103,3 +103,28 @@ def test_kmeans_semdedup_assignment_is_broadcast(spark):
     plan = _plan(similarity_kmeans_semdedup(spark, SF_TINY))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_quality_bins_scale_under_zipf_skew(spark):
+    """The two-pass cutoff binning must stay usable on a heavily skewed
+    length distribution (zipf-ish): counts preserved, bins ordered, and
+    no bin grabs the whole corpus unless the VALUE distribution forces
+    it (ties land in one bin by design)."""
+    from pyspark.sql import functions as F
+
+    from prestodb_presto_spark.queries.mixing import quality_bins_scale
+
+    n = 20_000
+    df = spark.range(n).select(
+        (F.floor(F.lit(1000.0) / (F.col("id") % 997 + 1))).cast("bigint").alias("n_chars")
+    )
+    stats, cuts = quality_bins_scale(df, "n_chars")
+    rows = sorted(stats.collect(), key=lambda r: r["bin"])
+    assert sum(r["n"] for r in rows) == n
+    assert cuts == sorted(cuts)
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo["max_n_chars"] <= hi["min_n_chars"]
+    # the dominant tie value (floor(1000/k) == 1 for k >= 501, ~half the
+    # corpus) must land in exactly ONE bin — value-consistency
+    one_bins = [r for r in rows if r["min_n_chars"] <= 1 <= r["max_n_chars"]]
+    assert len(one_bins) == 1
