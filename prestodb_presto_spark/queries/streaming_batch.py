@@ -303,3 +303,81 @@ def events_enrich_dim(spark, sf_dir):
         .agg(F.count("*").alias("n"), dsum("value", 3).alias("total_value"))
         .orderBy("n_name", "event_type")
     )
+
+
+@query(
+    "events_funnel_steps",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, MIN(ts) AS ts1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    t2 AS (
+      SELECT e.user_id, MIN(e.ts) AS ts2
+      FROM events e JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'click' AND e.ts > t1.ts1 GROUP BY e.user_id),
+    t3 AS (
+      SELECT e.user_id, MIN(e.ts) AS ts3
+      FROM events e JOIN t2 ON e.user_id = t2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > t2.ts2 GROUP BY e.user_id)
+    SELECT s.step, s.event_type,
+           CASE s.step WHEN 1 THEN (SELECT COUNT(*) FROM t1)
+                       WHEN 2 THEN (SELECT COUNT(*) FROM t2)
+                       ELSE (SELECT COUNT(*) FROM t3) END AS n_users
+    FROM (VALUES (1, 'view'), (2, 'click'), (3, 'purchase')) s(step, event_type)
+    ORDER BY s.step
+    """,
+    tags=("streaming", "funnel"),
+)
+def events_funnel_steps(spark, sf_dir):
+    """Ordered funnel analysis: how many users did view -> click ->
+    purchase IN THAT TIME ORDER (each step strictly after the previous
+    one) — the conversion-funnel operator of product analytics.
+
+    Spark-first: ONE groupBy(user) collects the user's events
+    time-sorted, and a single aggregate() fold walks them with a
+    (step, t) state machine — greedy earliest-match, which decides
+    subsequence existence exactly like the conditional-min chain the
+    oracle spells out.  One shuffle total (events by user_id), no
+    self-joins of the event stream (the oracle's 3-join form touches
+    the fact table three times — at 100 TB the fold form wins on
+    structure: per-user state is O(1), partial collect_list combines
+    map-side, and skewed power-users cost one task's sort, not three
+    join probes).
+    """
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    evs = F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type")))
+    step = F.expr(
+        "aggregate(evs,"
+        " named_struct('step', 0, 't', CAST(NULL AS TIMESTAMP)),"
+        " (acc, e) -> CASE"
+        "   WHEN acc.step = 0 AND e.event_type = 'view'"
+        "     THEN named_struct('step', 1, 't', e.ts)"
+        "   WHEN acc.step = 1 AND e.event_type = 'click' AND e.ts > acc.t"
+        "     THEN named_struct('step', 2, 't', e.ts)"
+        "   WHEN acc.step = 2 AND e.event_type = 'purchase' AND e.ts > acc.t"
+        "     THEN named_struct('step', 3, 't', e.ts)"
+        "   ELSE acc END,"
+        " acc -> acc.step)"
+    )
+    per_user = ev.groupBy("user_id").agg(evs.alias("evs")).select(step.alias("reached"))
+    steps = spark.createDataFrame(
+        [(1, "view"), (2, "click"), (3, "purchase")], "step INT, event_type STRING"
+    )
+    counts = per_user.select(
+        F.sum(F.when(F.col("reached") >= 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("reached") >= 2, 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(F.col("reached") >= 3, 1).otherwise(0)).alias("n3"),
+    )
+    return (
+        steps.crossJoin(F.broadcast(counts))
+        .select(
+            "step",
+            "event_type",
+            F.when(F.col("step") == 1, F.col("n1"))
+            .when(F.col("step") == 2, F.col("n2"))
+            .otherwise(F.col("n3"))
+            .cast("bigint")
+            .alias("n_users"),
+        )
+        .orderBy("step")
+    )

@@ -252,3 +252,37 @@ def test_stream_static_enrichment(spark, tmp_path):
         .collect()
     }
     assert got == exp
+
+
+def test_funnel_steps_monotone_and_exact(spark):
+    """Funnel counts must be monotone non-increasing and match an
+    independent per-user python recompute of the greedy subsequence."""
+    from tests.conftest import SF_TINY
+
+    from prestodb_presto_spark.queries.streaming_batch import events_funnel_steps
+    from prestodb_presto_spark.queries.util import t
+
+    rows = {r["step"]: r["n_users"] for r in events_funnel_steps(spark, SF_TINY).collect()}
+    assert rows[1] >= rows[2] >= rows[3] >= 0
+
+    ev = sorted(
+        t(spark, SF_TINY, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    reached = {}
+    state = {}
+    for r in ev:
+        u = r["user_id"]
+        step, tprev = state.get(u, (0, None))
+        if step == 0 and r["event_type"] == "view":
+            state[u] = (1, r["ts"])
+        elif step == 1 and r["event_type"] == "click" and r["ts"] > tprev:
+            state[u] = (2, r["ts"])
+        elif step == 2 and r["event_type"] == "purchase" and r["ts"] > tprev:
+            state[u] = (3, r["ts"])
+    for u, (s, _) in state.items():
+        reached[u] = s
+    for k in (1, 2, 3):
+        assert rows[k] == sum(1 for s in reached.values() if s >= k)
