@@ -381,3 +381,45 @@ def events_funnel_steps(spark, sf_dir):
         )
         .orderBy("step")
     )
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events),
+    cohort AS (SELECT user_id, MIN(wk) AS cw FROM uw GROUP BY user_id)
+    SELECT c.cw AS cohort_week,
+           CAST(date_diff('day', c.cw, u.wk) / 7 AS INT) AS week_offset,
+           COUNT(*) AS n_users
+    FROM uw u JOIN cohort c ON u.user_id = c.user_id
+    GROUP BY c.cw, date_diff('day', c.cw, u.wk) / 7
+    ORDER BY cohort_week, week_offset
+    """,
+    tags=("streaming", "retention"),
+)
+def events_cohort_retention(spark, sf_dir):
+    """Cohort retention: bucket each user by first-active ISO week, then
+    count how many of each cohort are active k weeks later — the
+    product-analytics retention triangle.
+
+    Scale posture (100 TB): the raw stream collapses FIRST to distinct
+    (user, week) rows — one map-side-combined shuffle that reduces the
+    fact table to at most users x weeks rows; the cohort min and the
+    offset count then operate on that tiny distinct set (their shuffles
+    carry per-user rows, not events).  No windows, no self-joins of the
+    event stream.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    )
+    uw = ev.distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("wk").alias("cw"))
+    return (
+        uw.join(cohort, "user_id")
+        .select("cw", (F.datediff(F.col("wk"), F.col("cw")) / 7).cast("int").alias("week_offset"))
+        .groupBy(F.col("cw").alias("cohort_week"), "week_offset")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )

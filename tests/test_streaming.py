@@ -286,3 +286,21 @@ def test_funnel_steps_monotone_and_exact(spark):
         reached[u] = s
     for k in (1, 2, 3):
         assert rows[k] == sum(1 for s in reached.values() if s >= k)
+
+
+def test_cohort_retention_invariants(spark):
+    """Week-0 cell of each cohort equals the cohort size (every user is
+    active in their own first week) and offsets are non-negative."""
+    from tests.conftest import SF_TINY
+
+    from prestodb_presto_spark.queries.streaming_batch import events_cohort_retention
+    from prestodb_presto_spark.queries.util import t
+
+    rows = events_cohort_retention(spark, SF_TINY).collect()
+    assert all(r["week_offset"] >= 0 for r in rows)
+    week0 = {r["cohort_week"]: r["n_users"] for r in rows if r["week_offset"] == 0}
+    total_users = t(spark, SF_TINY, "events").select("user_id").distinct().count()
+    assert sum(week0.values()) == total_users
+    # no retention cell can exceed its cohort's size
+    for r in rows:
+        assert r["n_users"] <= week0[r["cohort_week"]]
