@@ -469,3 +469,72 @@ def similarity_kmeans_semdedup(spark, sf_dir):
         )
         .orderBy("cluster_id")
     )
+
+
+_OUTLIER_TOPK = 3
+
+
+@query(
+    "similarity_outlier_detect",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, {QUANT_SQL} q FROM embeddings),
+    comp AS (
+      SELECT e.vec_id, e.label, u.i, e.q[u.i] AS v
+      FROM e, LATERAL (SELECT unnest(generate_series(1, len(e.q))) AS i) u),
+    cent AS (
+      SELECT label, i, SUM(v) AS s, COUNT(*) AS n
+      FROM comp GROUP BY label, i),
+    d AS (
+      SELECT c.vec_id, c.label,
+             SUM((c.v * ct.n - ct.s) * (c.v * ct.n - ct.s)) AS d2n
+      FROM comp c JOIN cent ct ON c.label = ct.label AND c.i = ct.i
+      GROUP BY c.vec_id, c.label),
+    r AS (
+      SELECT vec_id, label, d2n,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY d2n DESC, vec_id) AS rn
+      FROM d)
+    SELECT label, CAST(rn AS INT) AS rn, vec_id, CAST(d2n AS BIGINT) AS d2n
+    FROM r WHERE rn <= {_OUTLIER_TOPK}
+    ORDER BY label, rn
+    """,
+    tags=("similarity", "pipeline"),
+)
+def similarity_outlier_detect(spark, sf_dir):
+    """Embedding outlier detection: the top-{_OUTLIER_TOPK} vectors
+    farthest from their label's centroid — the data-cleaning pass that
+    surfaces mislabeled / corrupted embeddings before training.
+
+    Exactness: with quantized integer components, squared distance to
+    the mean scales by n² into the ALL-INTEGER statistic
+    d2n = Σ_i (v_i·n − s_i)² (s = per-label component sum) — no
+    division, no floats, hash-exact across engines, and bounded well
+    inside BIGINT (|v|≤~5e3, n≤corpus, 64 dims).
+
+    Scale posture (100 TB): components explode to (label, i, v) rows —
+    the centroid pass is ONE map-side-combined aggregation producing
+    labels × dims rows (tiny — broadcast-joinable back onto the
+    component stream), the distance pass is a per-vector aggregation
+    (shuffles on vec_id, the same width as the input), and the top-k
+    is a per-label WindowGroupLimit.  No all-pairs anything.
+    """
+    from pyspark.sql import Window
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "label", quantized().alias("q"))
+    comp = emb.select("vec_id", "label", F.posexplode("q").alias("i", "v"))
+    cent = comp.groupBy("label", "i").agg(
+        F.sum("v").alias("s"), F.count("*").alias("n")
+    )
+    diff = F.col("v") * F.col("n") - F.col("s")
+    d = (
+        comp.join(F.broadcast(cent), ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum(diff * diff).alias("d2n"))
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("d2n"), "vec_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _OUTLIER_TOPK)
+        .select("label", F.col("rn").cast("int").alias("rn"), "vec_id", F.col("d2n").cast("bigint").alias("d2n"))
+        .orderBy("label", "rn")
+    )
