@@ -538,3 +538,125 @@ def similarity_outlier_detect(spark, sf_dir):
         .select("label", F.col("rn").cast("int").alias("rn"), "vec_id", F.col("d2n").cast("bigint").alias("d2n"))
         .orderBy("label", "rn")
     )
+
+
+_PQ_M = 8       # subspaces (64-dim vectors -> 8 x 8-dim subvectors)
+_PQ_K = 16      # centroids per subspace (codes fit 4 bits)
+_PQ_NQ = 5      # query vectors
+_PQ_TOPK = 3
+
+
+@query(
+    "similarity_pq_adc",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {QUANT_SQL} q FROM embeddings),
+    sub AS (
+      SELECT vec_id, m.m, e.q[m.m * 8 + 1 : m.m * 8 + 8] AS sv
+      FROM e, LATERAL (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m) m),
+    cent AS (
+      SELECT vec_id AS cid, m, sv AS cv FROM sub WHERE vec_id < {_PQ_K}),
+    codes AS (
+      SELECT s.vec_id, s.m,
+             min_by(c.cid,
+                    (list_dot_product(s.sv::DOUBLE[], s.sv::DOUBLE[])
+                     + list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[])
+                     - 2 * list_dot_product(s.sv::DOUBLE[], c.cv::DOUBLE[]))
+                    * 100 + c.cid) AS code
+      FROM sub s JOIN cent c ON s.m = c.m
+      GROUP BY s.vec_id, s.m),
+    qd AS (
+      SELECT s.vec_id AS query_id, s.m, c.cid,
+             CAST(list_dot_product(s.sv::DOUBLE[], s.sv::DOUBLE[])
+                  + list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[])
+                  - 2 * list_dot_product(s.sv::DOUBLE[], c.cv::DOUBLE[]) AS BIGINT) AS d2
+      FROM sub s JOIN cent c ON s.m = c.m
+      WHERE s.vec_id < {_PQ_NQ}),
+    adc AS (
+      SELECT q.query_id, k.vec_id AS neighbor_id, SUM(q.d2) AS adc_d2
+      FROM codes k JOIN qd q ON q.m = k.m AND q.cid = k.code
+      WHERE k.vec_id <> q.query_id
+      GROUP BY q.query_id, k.vec_id),
+    r AS (
+      SELECT query_id, neighbor_id, adc_d2,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_d2, neighbor_id) AS rn
+      FROM adc)
+    SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id,
+           CAST(adc_d2 AS BIGINT) AS adc_d2
+    FROM r WHERE rn <= {_PQ_TOPK}
+    ORDER BY query_id, rn
+    """,
+    tags=("similarity", "pipeline"),
+)
+def similarity_pq_adc(spark, sf_dir):
+    """Product-quantization ANN with asymmetric-distance (ADC) scan —
+    the vector-COMPRESSION path of the similarity family (brute force /
+    LSH / IVF are the other three): every vector collapses to
+    {_PQ_M} 4-bit codes (nearest of {_PQ_K} per-subspace centroids,
+    deterministic seed centroids = the lowest vec_ids), and each query
+    scans the corpus by summing {_PQ_M} precomputed query-to-centroid
+    distances instead of touching raw vectors (Jégou et al. 2011).
+
+    Exactness: quantized integer components make every squared
+    distance an exact integer (|v| ≤ ~5e3, 8-dim subvectors), so codes
+    (argmin with a deterministic cid tie-break) and ADC sums are
+    hash-exact across engines.
+
+    Scale posture (100 TB): the codebook is {_PQ_M}x{_PQ_K} subvectors
+    — broadcast; ENCODING is a map-only pass (each vector meets only
+    the broadcast codebook) whose output is {_PQ_M} bytes per vector —
+    a 32x compression of the corpus that is what actually makes
+    100 TB ANN tractable; the per-query distance TABLE is
+    {_PQ_M}x{_PQ_K} integers — broadcast; the ADC scan is a map-side
+    lookup-and-sum over the codes (here expressed as a join on
+    (m, code) for oracle parity) followed by one per-query top-k.
+    """
+    from pyspark.sql import Window
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", quantized().alias("q"))
+    ms = F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("m")
+    sub = emb.select("vec_id", "q", ms).withColumn(
+        "sv", F.expr("slice(q, m * 8 + 1, 8)")
+    ).drop("q")
+    cent = sub.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("cid"), F.col("m").alias("cm"), F.col("sv").alias("cv")
+    )
+    d2 = dot(F.col("sv"), F.col("sv")) + dot(F.col("cv"), F.col("cv")) - 2 * dot(
+        F.col("sv"), F.col("cv")
+    )
+    codes = (
+        sub.join(F.broadcast(cent), F.col("m") == F.col("cm"))
+        .groupBy("vec_id", "m")
+        .agg(F.min_by("cid", d2 * 100 + F.col("cid")).alias("code"))
+    )
+    qd = (
+        sub.filter(F.col("vec_id") < _PQ_NQ)
+        .join(F.broadcast(cent), F.col("m") == F.col("cm"))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("m").alias("qm"),
+            F.col("cid"),
+            d2.cast("bigint").alias("d2"),
+        )
+    )
+    adc = (
+        codes.join(
+            F.broadcast(qd),
+            (F.col("qm") == F.col("m")) & (F.col("cid") == F.col("code")),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d2").alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PQ_TOPK)
+        .select(
+            "query_id",
+            F.col("rn").cast("int").alias("rn"),
+            "neighbor_id",
+            F.col("adc_d2").cast("bigint").alias("adc_d2"),
+        )
+        .orderBy("query_id", "rn")
+    )

@@ -157,3 +157,46 @@ def test_ivf_struct_keys_handle_large_ids(spark):
     assert len(got) == 20
     for r in got:
         assert r.neighbor_id >= 10_000_000_000 and r.neighbor_id != r.query_id
+
+
+def test_pq_adc_recall_against_exact(spark):
+    """ADC distances approximate true distances: the PQ top-3 per query
+    must overlap the exact top-10 (sanity recall on the tiny fixture),
+    and codes must be valid centroid ids."""
+    from tests.conftest import SF_TINY
+
+    from pyspark.sql import functions as F
+    from prestodb_presto_spark.queries.similarity_q import (
+        dot,
+        quantized,
+        similarity_pq_adc,
+    )
+    from prestodb_presto_spark.queries.util import t
+
+    pq = similarity_pq_adc(spark, SF_TINY).collect()
+    assert all(1 <= r["rn"] <= 3 and r["adc_d2"] >= 0 for r in pq)
+
+    emb = t(spark, SF_TINY, "embeddings").select("vec_id", quantized().alias("q"))
+    a = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qa")
+    )
+    b = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qb"))
+    d2 = (
+        dot(F.col("qa"), F.col("qa"))
+        + dot(F.col("qb"), F.col("qb"))
+        - 2 * dot(F.col("qa"), F.col("qb"))
+    )
+    exact = (
+        a.join(b, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", d2.alias("d2"))
+        .collect()
+    )
+    top10 = {}
+    for r in sorted(exact, key=lambda r: (r["query_id"], r["d2"], r["neighbor_id"])):
+        top10.setdefault(r["query_id"], [])
+        if len(top10[r["query_id"]]) < 10:
+            top10[r["query_id"]].append(r["neighbor_id"])
+    hits = sum(1 for r in pq if r["neighbor_id"] in top10[r["query_id"]])
+    # compression loses precision but not the neighborhood: at least
+    # a third of the PQ picks must be in the exact top-10
+    assert hits >= len(pq) / 3, (hits, len(pq))
