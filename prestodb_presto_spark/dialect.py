@@ -488,6 +488,66 @@ def _approx_set_card_native(arg: str) -> str:
     return f"presto_hll_estimate(12, {n}, {st})"
 
 
+def _approx_set_card_native_dense(arg: str) -> str:
+    # cardinality(CAST(approx_set(x) AS P4HYPERLOGLOG)): the dense-only
+    # representation (spi/type/P4HyperLogLogType, airlift
+    # HyperLogLog.makeDense) — same hash/bucket/rho pipeline, estimator
+    # forced past the sparse linear-count branch (testP4ApproxSet* pins
+    # where its values diverge from the sparse ones)
+    n, st = _hll_native_pieces(arg, 12, "presto_hll_hash_m3")
+    return f"presto_hll_estimate_dense(12, {n}, {st})"
+
+
+# serialized empty p=12 sparse sketch (HyperLogLogFunctions.emptyApproxSet):
+# SPARSE_V2 tag, indexBitLength 12, zero entries — functions/hll_sketch.py
+_EMPTY_SKETCH_LIT = "X'020C0000'"
+
+
+def _approx_set_pack_native(arg: str) -> str:
+    """Bare ``approx_set(x)`` (a sketch VALUE, not its cardinality):
+    the same native composite as the estimate path plus the exact
+    sparse payload — count(DISTINCT prefix26) picks the representation,
+    collect_set((bucket, rho)) (<= 2^12 entries) builds the dense file,
+    collect_set(packed 32-bit airlift entry) carries the sparse set —
+    finished by the scalar presto_hll_pack into airlift SPARSE_V2 /
+    DENSE_V2 bytes (functions/hll_sketch.py).  The packed sketch merged
+    later reproduces the single-level estimate bit-exactly (same
+    cutoff, same estimator)."""
+    n, st = _hll_native_pieces(arg, 12, "presto_hll_hash_m3")
+    h = f"presto_hll_hash_m3({arg}, typeof({arg}), ({arg}) IS NULL)"
+    p26 = f"shiftrightunsigned({h}, {64 - _HLL_SPARSE_PREFIX_BITS})"
+    v26 = (
+        f"CAST(64 - length(conv(shiftleft({h}, {_HLL_SPARSE_PREFIX_BITS}) |"
+        f" {1 << (_HLL_SPARSE_PREFIX_BITS - 1)}, 10, 2)) + 1 AS BIGINT)"
+    )
+    entry = f"(shiftleft({p26}, 6) | {v26})"
+    return f"presto_hll_pack(12, {n}, {st}, collect_set({entry}))"
+
+
+def _merge_create_hll_fuse(sql: str) -> str:
+    """merge(create_hll(E)) == approx_set(E): merging per-row singleton
+    sketches IS accumulating one sketch (presto-tests CreateHll.java:28
+    builds HyperLogLog(4096).add(value) per row; testMergeHyperLogLog*
+    assert the fused values), and the fused spelling lowers to the
+    native p=12 parity plan instead of a per-row-singleton merge."""
+    pat = re.compile(r"(?i)\bmerge\s*\(\s*create_hll\s*\(")
+    pos = 0
+    while True:
+        m = pat.search(sql, pos)
+        if not m:
+            return sql
+        outer_open = sql.index("(", m.start())
+        outer_end, _ = _scan_balanced(sql, outer_open)
+        inner_open = sql.index("(", m.end() - 1)
+        inner_end, _ = _scan_balanced(sql, inner_open)
+        if sql[inner_end : outer_end - 1].strip():
+            pos = m.end()  # extra expression around create_hll: leave
+            continue
+        arg = sql[inner_open + 1 : inner_end - 1]
+        sql = sql[: m.start()] + f"approx_set({arg})" + sql[outer_end:]
+        pos = m.start()
+
+
 def _checksum_native_parity(arg: str, over: str = "") -> str:
     """ChecksumAggregationFunction parity as native sums: the per-row
     contribution m = Type.hash(x) * PRIME64 (PRIME64 for NULL, one
@@ -518,14 +578,45 @@ def _over_clause(sql: str, end: int) -> tuple[str | None, int]:
     return None, end
 
 
+_SKETCH_SCAN = re.compile(
+    r"(?i)\b(cardinality|merge|approx_set|create_hll|empty_approx_set"
+    r"|hll_cardinality|approx_distinct|checksum)\s*\("
+)
+
+
 def _parity_agg_compat(sql: str) -> str:
-    """Lower approx_distinct / checksum / cardinality(approx_set(x)) to
-    the native-plan parity forms above.  Nested ``(SELECT ..)`` bodies
-    are masked out first: their calls belong to THEIR query level (the
-    per-level recursion already processed them).  Windowed
-    approx_distinct keeps Spark's native estimator (count(DISTINCT ..)
-    cannot run in a window frame); windowed checksum IS parity (the two
-    sums each take the window clause)."""
+    """Lower the HLL/checksum parity surface onto native-plan forms.
+
+    Handled per query level (nested ``(SELECT ..)`` bodies masked out —
+    they belong to THEIR level, already processed by the recursion):
+
+      approx_distinct(x)                → native p=11 estimate composite
+      checksum(x) [OVER w]              → native DECIMAL(38,0) sums
+      cardinality(approx_set(x))        → native p=12 estimate composite
+      cardinality(cast(approx_set(x) AS P4HYPERLOGLOG))
+                                        → dense-forced estimate
+      approx_set(x)                     → airlift-format sketch BINARY
+                                          (native composite + pack UDF)
+      merge(X) / cardinality(merge(X))  → collect_list(X) + scalar merge
+                                          finisher (X = sketch column /
+                                          expression from another level)
+      create_hll(x)                     → per-row singleton sketch
+      empty_approx_set()                → serialized empty-sketch literal
+      hll_cardinality(X)                → scalar sketch cardinality
+                                          (engine spelling: SQL has no
+                                          type info to overload
+                                          cardinality on a bare column)
+      merge(create_hll(x))              → fused to approx_set(x) first
+
+    Error parity: ``merge(approx_set(x))`` in ONE level is invalid
+    upstream (AggregationAnalyzer.java:324 "Cannot nest aggregations
+    inside aggregation") and raises here instead of silently lowering —
+    the legitimate spelling builds the sketch in an inner query level.
+    Windowed approx_distinct keeps Spark's native estimator
+    (count(DISTINCT ..) cannot run in a frame); windowed checksum and
+    windowed merge ARE parity (their sums / collect_list take the
+    window clause)."""
+    sql = _merge_create_hll_fuse(sql)
     # mask nested (SELECT ..) spans — positions preserved
     scope = sql
     while True:
@@ -534,88 +625,204 @@ def _parity_agg_compat(sql: str) -> str:
             break
         end, _ = _scan_balanced(scope, m.start())
         scope = scope[: m.start()] + " " * (end - m.start()) + scope[end:]
-    # cardinality(approx_set(x)) is definitionally approx_distinct at
-    # p=12 (ApproximateSetAggregation feeds airlift HLL via its internal
-    # Murmur3) — route the composite to the p=12 parity form.  The
-    # single-level merge idiom cardinality(merge(approx_set(x))) is the
-    # SAME aggregate (merging the per-row singleton sketches of a group
-    # = the group's sketch), so it lowers identically; merge over a
-    # sketch COLUMN from another query level stays unsupported
-    # (fail-loud UNRESOLVED_ROUTINE — a genuine two-level sketch
-    # pipeline needs sketch-serialization parity).
-    pat = re.compile(
-        r"(?i)\b(cardinality\s*\(\s*(?:merge\s*\(\s*)?approx_set"
-        r"|approx_distinct|checksum)\s*\("
-    )
-    spans: list[tuple[int, int, str, str | None, tuple[int, int] | None]] = []
-    pos = 0
+
+    def head(text: str, *names: str):
+        """Anchored 'name ( name ( ..' chain at the start of the MASKED
+        text; returns the index just past the last open paren, else
+        None."""
+        i = 0
+        for nm in names:
+            m2 = re.match(rf"(?i)\s*{nm}\s*\(", text[i:])
+            if not m2:
+                return None
+            i += m2.end()
+        return i
+
+    out: list[str] = []
+    last = 0  # original-sql position emitted so far
+    pos = 0   # scan cursor
+
+    def emit(s: int, repl: str, new_last: int) -> None:
+        nonlocal last
+        out.append(sql[last:s])
+        out.append(repl)
+        last = new_last
+
     while True:
-        m = pat.search(scope, pos)
+        m = _SKETCH_SCAN.search(scope, pos)
         if not m:
             break
-        name = re.sub(r"\s+", "", m.group(1).lower())
-        inner: tuple[int, int] | None = None
-        if name.startswith("cardinality"):
-            has_merge = "merge" in name
-            # balanced span of the OUTER cardinality(...)
-            outer_open = sql.index("(", m.start())
-            end, _ = _scan_balanced(sql, outer_open)
-            # the approx_set call (and the merge wrapper, if present)
-            # must close the cardinality group with nothing else inside
-            inner_open = sql.index("(", m.end() - 1)
-            inner_end, _ = _scan_balanced(sql, inner_open)
-            tail = sql[inner_end : end - 1].strip()
-            if tail != (")" if has_merge else ""):
-                pos = m.end()
-                continue  # extra expression around the sketch: leave it
-            name = "approx_set_card"
-            inner = (inner_open, inner_end)
-        else:
-            open_idx = sql.index("(", m.end(1))
-            end, _ = _scan_balanced(sql, open_idx)
-        over, oend = _over_clause(sql, end)
-        spans.append((m.start(), end, name, over, inner))
-        pos = oend if over else end
-    if not spans:
-        return sql
+        pos = m.end()
+        s = m.start()
+        if s < last:
+            continue  # inside an already-rewritten span
+        name = m.group(1).lower()
+        open_idx = sql.index("(", m.end(1))
+        e, _ = _scan_balanced(sql, open_idx)
+        inner_sql = sql[open_idx + 1 : e - 1]
+        inner_scope = scope[open_idx + 1 : e - 1]
 
-    def parity_call(
-        s: int, e: int, name: str, over: str | None, inner: tuple[int, int] | None
-    ) -> str:
-        if name == "approx_set_card":
+        def nested_agg_error() -> None:
+            raise ValueError(
+                "Cannot nest aggregations inside aggregation 'merge': "
+                f"[{inner_sql.strip()}] — the reference rejects this "
+                "(AggregationAnalyzer.java:324); build the sketch in an "
+                "inner query level and merge() the sketch column outside"
+            )
+
+        if name == "cardinality":
+            hi = head(inner_scope, "merge", "approx_set")
+            if hi is not None:
+                a_end, _ = _scan_balanced(sql, open_idx + hi)
+                inner_sql = sql[sql.index("(", open_idx + 1) + 1 : a_end]
+                nested_agg_error()
+            hi = head(inner_scope, "approx_set")
+            if hi is not None:
+                a_open = open_idx + hi  # == (open_idx+1) + (hi-1)
+                a_end, _ = _scan_balanced(sql, a_open)
+                if not sql[a_end : e - 1].strip():
+                    args = [
+                        x.strip()
+                        for x in _split_top_level(sql[a_open + 1 : a_end - 1])
+                    ]
+                    if len(args) == 1:
+                        emit(s, _approx_set_card_native(args[0]), e)
+                continue
+            hi = head(inner_scope, "cast", "approx_set")
+            if hi is not None:
+                a_open = open_idx + hi
+                a_end, _ = _scan_balanced(sql, a_open)
+                if re.match(
+                    r"(?is)^\s*AS\s+P4HYPERLOGLOG\s*\)\s*$",
+                    sql[a_end : e - 1],
+                ):
+                    args = [
+                        x.strip()
+                        for x in _split_top_level(sql[a_open + 1 : a_end - 1])
+                    ]
+                    if len(args) == 1:
+                        emit(s, _approx_set_card_native_dense(args[0]), e)
+                continue
+            hi = head(inner_scope, "cast")
+            if hi is not None:
+                c_open = open_idx + hi
+                c_end, _ = _scan_balanced(sql, c_open)
+                body = sql[c_open + 1 : c_end - 1]
+                mm = re.match(
+                    r"(?is)^(.*)\s+AS\s+P4HYPERLOGLOG\s*$", body
+                )
+                if mm and not sql[c_end : e - 1].strip():
+                    x = _parity_agg_compat(mm.group(1))
+                    emit(
+                        s,
+                        f"presto_hll_card_scalar(presto_hll_force_dense({x}))",
+                        e,
+                    )
+                continue
+            hi = head(inner_scope, "merge")
+            if hi is not None:
+                m_open = open_idx + hi
+                m_end, _ = _scan_balanced(sql, m_open)
+                if not sql[m_end : e - 1].strip():
+                    x = _parity_agg_compat(sql[m_open + 1 : m_end - 1])
+                    emit(
+                        s,
+                        f"presto_hll_merge_card_finish(collect_list({x}))",
+                        e,
+                    )
+                continue
+            if (
+                head(inner_scope, "empty_approx_set") is not None
+                or head(inner_scope, "create_hll") is not None
+            ):
+                n_open = sql.index("(", open_idx + 1)
+                n_end, _ = _scan_balanced(sql, n_open)
+                if not sql[n_end : e - 1].strip():
+                    emit(
+                        s,
+                        "presto_hll_card_scalar("
+                        f"{_parity_agg_compat(inner_sql)})",
+                        e,
+                    )
+                continue
+            continue  # generic cardinality (arrays/maps): untouched
+
+        if name == "merge":
+            if head(inner_scope, "approx_set") is not None:
+                nested_agg_error()
+            over, oend = _over_clause(sql, e)
+            x = _parity_agg_compat(inner_sql)
             if over is not None:
-                return sql[s:e]  # the sketch path handles it natively
-            inner_open, inner_end = inner
-            args = [
-                a.strip()
-                for a in _split_top_level(sql[inner_open + 1 : inner_end - 1])
-            ]
+                emit(
+                    s,
+                    f"presto_hll_merge_finish(collect_list({x}){over})",
+                    oend,
+                )
+            else:
+                emit(s, f"presto_hll_merge_finish(collect_list({x}))", e)
+            continue
+
+        if name == "approx_set":
+            over, _oend = _over_clause(sql, e)
+            if over is not None:
+                continue  # windowed sketch build: leave (fails loud)
+            args = [x.strip() for x in _split_top_level(inner_sql)]
             if len(args) != 1:
-                return sql[s:e]
-            return _approx_set_card_native(args[0])
-        open_idx = sql.index("(", s + len(name))
-        args = [a.strip() for a in _split_top_level(sql[open_idx + 1 : e - 1])]
+                emit(s, sql[s:e], e)
+                continue
+            emit(s, _approx_set_pack_native(args[0]), e)
+            continue
+
+        if name == "create_hll":
+            args = [x.strip() for x in _split_top_level(inner_sql)]
+            if len(args) != 1:
+                emit(s, sql[s:e], e)
+                continue
+            a = args[0]
+            emit(
+                s,
+                f"presto_create_hll({a}, typeof({a}), ({a}) IS NULL)",
+                e,
+            )
+            continue
+
+        if name == "empty_approx_set":
+            if inner_sql.strip():
+                emit(s, sql[s:e], e)
+                continue
+            emit(s, _EMPTY_SKETCH_LIT, e)
+            continue
+
+        if name == "hll_cardinality":
+            emit(
+                s,
+                f"presto_hll_card_scalar({_parity_agg_compat(inner_sql)})",
+                e,
+            )
+            continue
+
+        # ---- approx_distinct / checksum (round-8 behavior preserved)
+        over, oend = _over_clause(sql, e)
+        args = [x.strip() for x in _split_top_level(inner_sql)]
         if name == "checksum":
             if len(args) != 1:
-                return sql[s:e]
-            return _checksum_native_parity(args[0], over or "")
+                emit(s, sql[s:e], e)
+                continue
+            emit(
+                s,
+                _checksum_native_parity(args[0], over or ""),
+                oend if over else e,
+            )
+            continue
         if over is not None:
-            return f"approx_count_distinct({', '.join(args)})"
+            # windowed approx_distinct: Spark's native estimator
+            # (count(DISTINCT ..) cannot run in a window frame); the
+            # OVER clause stays in place
+            emit(s, f"approx_count_distinct({', '.join(args)})", e)
+            continue
         repl = _approx_distinct_rewrite(args)
-        return repl if repl is not None else sql[s:e]
+        emit(s, repl if repl is not None else sql[s:e], e)
 
-    out = []
-    last = 0
-    for s, e, name, over, inner in spans:
-        out.append(sql[last:s])
-        out.append(parity_call(s, e, name, over, inner))
-        # windowed checksum consumes its OVER clause (each sum carries
-        # it); every other form leaves the tail in place
-        last = e
-        if name == "checksum" and over is not None and len(
-            [a for a in _split_top_level(sql[sql.index("(", s + len(name)) + 1 : e - 1])]
-        ) == 1:
-            last = e + len(over)
     out.append(sql[last:])
     return "".join(out)
 
@@ -701,27 +908,31 @@ def _approx_percentile_rewrite(args: list[str]) -> str | None:
     fractions keep the native interpolating/approx forms."""
     if len(args) in (3, 4):
         x, w, p = args[0], args[1], args[2]
-        if re.match(r"(?i)\s*array", p):
+        if _ARRAY_CTOR_HEAD.match(p):
             return _approx_percentile_interp(args)
         return _qdigest_pick_weighted(x, w, p)
     if len(args) == 2:
         x, p = args
         # ARRAY fractions always stay native (the qdigest pick is a
         # scalar selection; percentile_approx accepts array percentages)
-        if not re.match(r"(?i)\s*array", p) and _fraction_is_nonfoldable(p):
+        if not _ARRAY_CTOR_HEAD.match(p) and _fraction_is_nonfoldable(p):
             return _qdigest_pick_unweighted(x, f"any_value({p})")
         return f"percentile_approx({x}, {p}, 10000)"
     return None
 
 
-# identifier tokens that can appear inside a FOLDABLE fraction spelling
-# (CAST(0.5 AS DOUBLE), typed literals, scientific notation) — anything
-# else referencing a name makes the fraction column-dependent, which
-# Spark's native percentile functions reject (NON_FOLDABLE_INPUT)
-_FOLDABLE_FRACTION_TOKENS = {
-    "cast", "try_cast", "as", "double", "real", "decimal", "float",
-    "integer", "int", "bigint", "smallint", "tinyint", "e", "null",
-}
+# an ARRAY fraction must be an actual constructor — ARRAY[..] / ARRAY(..)
+# — not a column whose name merely starts with "array" (round-8 ADVICE:
+# a fraction column `array_pct` must route to the qdigest pick, not be
+# kept native where it fails NON_FOLDABLE_INPUT)
+_ARRAY_CTOR_HEAD = re.compile(r"(?i)\s*array\s*[\[(]")
+
+_FRACTION_CAST_HEAD = re.compile(r"(?i)\b(?:try_)?cast\s*\(")
+_FRACTION_CAST_TYPE = re.compile(
+    r"(?i)\bAS\s+(?:double(?:\s+precision)?|real|float|integer|int|bigint"
+    r"|smallint|tinyint|decimal(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)"
+)
+_FRACTION_NUM_LIT = re.compile(r"\b\d+(?:\.\d*)?(?:[eE][+-]?\d+)?|\.\d+")
 
 
 def _fraction_is_nonfoldable(p: str) -> bool:
@@ -730,11 +941,18 @@ def _fraction_is_nonfoldable(p: str) -> bool:
     column) — those must route to the qdigest selection rule with
     any_value(fraction); pure literals (with or without arithmetic /
     CAST decoration, which Catalyst constant-folds) stay on the native
-    percentile path."""
+    percentile path.  Identifiers are classified POSITIONALLY (round-8
+    ADVICE): numeric literals (incl. scientific notation) are stripped
+    first, CAST heads and ``AS <numeric type>`` tails are grammar —
+    so a COLUMN that happens to be named ``double``/``e``/``cast`` is
+    correctly column-dependent rather than mistaken for a literal."""
     if re.match(r"(?i)\s*(true|false)\b", p):
         return False
-    idents = {tok.lower() for tok in re.findall(r"[A-Za-z_]\w*", p)}
-    return bool(idents - _FOLDABLE_FRACTION_TOKENS)
+    s = _FRACTION_NUM_LIT.sub(" ", p)
+    s = _FRACTION_CAST_HEAD.sub("(", s)
+    s = _FRACTION_CAST_TYPE.sub(" ", s)
+    idents = {tok.lower() for tok in re.findall(r"[A-Za-z_]\w*", s)}
+    return bool(idents - {"null", "true", "false"})
 
 
 # --- Presto type spellings inside CAST(... AS <type>) -----------------------

@@ -26,10 +26,17 @@ the pandas-UDF tier: functions/geo_setops.py.
 
 Limits (documented, not silently wrong): MULTIPOLYGON WKT round-trips
 each ring as its own part (holes inside multipolygon parts measure
-correctly via parity but serialize as separate parts); ST_Relate
-honors T/F/* DE-9IM patterns but treats dimension digits as T;
-ST_Buffer of a concave shape fills pockets to the convex hull; exact
-general forms of those two remain a Sedona integration point.
+correctly via parity but serialize as separate parts).  ST_Relate
+carries a MECHANICAL CONTRACT (round 6): T/F/* DE-9IM patterns are
+answered, dimension-digit (0/1/2) patterns REFUSED loudly (st_relate
+raises rather than approximating) — the exact general form remains a
+Sedona integration point.  ST_Buffer (round 9) answers concave
+polygons and bent polylines EXACTLY via offset-curve construction
+(st_buffer_geom: arcs at convex vertices, miter joins at reflex ones)
+and refuses only when the distance reaches the local feature size
+(self-intersecting offset curve — needs global clipping).
+tests/test_ml_geo.py::test_geo_mechanical_contracts asserts both the
+exact values and the remaining refusals.
 """
 
 from __future__ import annotations
@@ -715,56 +722,121 @@ def st_buffer(g, dist, n_sides: int = 32) -> Column:
 
 @register("st_buffer_geom")
 def st_buffer_geom(g, dist: float, n_sides: int = 32) -> Column:
-    """ST_Buffer for line/polygon kinds (GeoFunctions.stBuffer:182):
-    Minkowski sum with a disc = convex hull of per-vertex circle
-    samples.  That identity holds EXACTLY for convex polygons and
-    straight (collinear) linestrings; a concave input's buffer has
-    pockets the hull would silently fill, so those inputs are REFUSED
-    with NotImplementedError rather than approximated.  Pandas-UDF tier
-    like ST_ConvexHull, hence the sibling name: the UDF-backed column
-    cannot nest inside higher-order-function lambdas, so the POINT fast
-    path keeps the fully-native st_buffer spelling."""
+    """ST_Buffer for line/polygon kinds (GeoFunctions.stBuffer:182) —
+    EXACT offset-curve construction, concave inputs included (round 9;
+    closes the round-6 refusal).
+
+    The Minkowski-sum boundary of a simple polygon (CCW) with a disc of
+    radius d is its offset curve: each edge shifts d along its outward
+    normal; a CONVEX vertex joins adjacent offset edges with a circular
+    arc (discretized at the same n_sides resolution everyone uses —
+    ESRI included); a REFLEX vertex joins them at the miter point
+    (the intersection of the two offset edge lines — the true boundary
+    while d stays under the local feature size).  A polyline buffers as
+    the same construction over its DOUBLED path p0..pk..p1: the 180°
+    end caps fall out as ordinary convex arcs, inner bend sides as
+    ordinary reflex miters — one code path for both kinds.
+
+    Fail-loud boundary (narrowed, not gone): when the constructed
+    offset ring self-intersects — d at or beyond the local feature
+    size, where the true boundary needs global self-intersection
+    clipping and can grow interior holes — the function still raises
+    NotImplementedError (the remaining Sedona integration point).
+    Pandas-UDF tier like ST_ConvexHull, hence the sibling name: the
+    UDF-backed column cannot nest inside higher-order-function lambdas,
+    so the POINT fast path keeps the fully-native st_buffer spelling."""
     if float(dist) < 0:
         raise ValueError("buffer distance is negative")  # GeoFunctions.stBuffer check
 
-    def _buffer_hull(kind, pts, d, n):
+    def _buffer_offset(kind, pts, d, n):
         import math as _m2
 
-        def _cross(o, p, q):
-            return (p[0] - o[0]) * (q[1] - o[1]) - (p[1] - o[1]) * (q[0] - o[0])
-
-        if kind == "linestring" and len(pts) > 2:
-            if any(abs(_cross(pts[0], pts[1], p)) > 1e-12 for p in pts[2:]):
+        eps = 1e-12
+        if kind == "linestring":
+            body = [tuple(p) for p in pts]
+            body = [p for i, p in enumerate(body) if i == 0 or p != body[i - 1]]
+            if len(body) < 2:
                 raise NotImplementedError(
-                    "ST_Buffer of a bent linestring is non-convex (the "
-                    "bend's inner side); only collinear linestrings are "
-                    "supported exactly"
+                    "ST_Buffer of a degenerate linestring; use st_buffer "
+                    "(point fast path) for single points"
                 )
-        if kind == "polygon":
-            ring = [p for p in pts]
+            ring = body + body[-2:0:-1]  # doubled path p0..pk, pk-1..p1
+        elif kind == "polygon":
+            ring = [tuple(p) for p in pts]
             if len(ring) > 1 and ring[0] == ring[-1]:
                 ring = ring[:-1]
-            m = len(ring)
-            signs = set()
-            for i in range(m):
-                cr = _cross(ring[i], ring[(i + 1) % m], ring[(i + 2) % m])
-                if abs(cr) > 1e-12:
-                    signs.add(cr > 0)
-            if len(signs) > 1:
-                raise NotImplementedError(
-                    "ST_Buffer of a concave polygon has pockets the "
-                    "convex-hull offset would fill; only convex polygons "
-                    "are supported exactly"
-                )
+            a2 = sum(
+                x1 * y2 - x2 * y1
+                for (x1, y1), (x2, y2) in zip(ring, ring[1:] + ring[:1])
+            )
+            if a2 < 0:
+                ring.reverse()  # CCW: interior on the left, outward = right
+        else:
+            raise NotImplementedError(
+                f"ST_Buffer of kind {kind!r}; point uses st_buffer"
+            )
+        m = len(ring)
+        out = []
+        for i in range(m):
+            pr, p, q = ring[(i - 1) % m], ring[i], ring[(i + 1) % m]
+            v1 = (p[0] - pr[0], p[1] - pr[1])
+            v2 = (q[0] - p[0], q[1] - p[1])
+            l1, l2 = _m2.hypot(*v1), _m2.hypot(*v2)
+            if l1 < eps or l2 < eps:
+                continue  # repeated point
+            n1 = (v1[1] / l1, -v1[0] / l1)  # outward (right-hand) normals
+            n2 = (v2[1] / l2, -v2[0] / l2)
+            cross = v1[0] * v2[1] - v1[1] * v2[0]
+            dot = v1[0] * v2[0] + v1[1] * v2[1]
+            scale = l1 * l2
+            if abs(cross) <= eps * scale and dot > 0:
+                out.append((p[0] + d * n1[0], p[1] + d * n1[1]))  # straight
+            elif cross > eps * scale or (abs(cross) <= eps * scale and dot <= 0):
+                # convex turn (or 180° cap): CCW arc from n1 to n2
+                t1 = _m2.atan2(n1[1], n1[0])
+                t2 = _m2.atan2(n2[1], n2[0])
+                sweep = (t2 - t1) % (2 * _m2.pi)
+                if abs(cross) <= eps * scale:
+                    sweep = _m2.pi  # exact U-turn cap
+                k = max(1, int(_m2.ceil(n * sweep / (2 * _m2.pi))))
+                for j in range(k + 1):
+                    t = t1 + sweep * j / k
+                    out.append((p[0] + d * _m2.cos(t), p[1] + d * _m2.sin(t)))
+            else:
+                # reflex turn: miter point = intersection of the two
+                # offset edge LINES (p+d·n1 + t·v1 == p+d·n2 + s·v2)
+                tnum = d * ((n2[0] - n1[0]) * v2[1] - (n2[1] - n1[1]) * v2[0])
+                t = tnum / cross
+                out.append((p[0] + d * n1[0] + t * v1[0],
+                            p[1] + d * n1[1] + t * v1[1]))
+        # simplicity check: the offset ring must not self-intersect —
+        # past the local feature size the true buffer needs global
+        # clipping (and can grow holes), which stays fail-loud
+        k = len(out)
 
-        samples = []
-        for (x, y) in pts:
-            for i in range(n):
-                ang = 2 * _m2.pi * i / n
-                samples.append((x + d * _m2.cos(ang), y + d * _m2.sin(ang)))
-        return _convex_hull("polygon", samples)
+        def _proper_x(a, b, cc, dd):
+            def orient(o, x, y):
+                return (x[0] - o[0]) * (y[1] - o[1]) - (x[1] - o[1]) * (y[0] - o[0])
 
-    return _geom_pandas(_buffer_hull, extra=(float(dist), int(n_sides)))(c(g))
+            d1, d2 = orient(cc, dd, a), orient(cc, dd, b)
+            d3, d4 = orient(a, b, cc), orient(a, b, dd)
+            return ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0))
+
+        for i in range(k):
+            a, b = out[i], out[(i + 1) % k]
+            for j in range(i + 2, k):
+                if i == 0 and j == k - 1:
+                    continue  # adjacent through the wraparound
+                if _proper_x(a, b, out[j], out[(j + 1) % k]):
+                    raise NotImplementedError(
+                        "ST_Buffer distance reaches the shape's local "
+                        "feature size: the offset curve self-intersects "
+                        "and the exact boundary needs global clipping "
+                        "(remaining Sedona integration point)"
+                    )
+        return "polygon", out + [out[0]]
+
+    return _geom_pandas(_buffer_offset, extra=(float(dist), int(n_sides)))(c(g))
 
 
 @register("geometry_invalid_reason")

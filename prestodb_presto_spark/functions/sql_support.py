@@ -135,3 +135,10 @@ def ensure_sql_support(spark) -> None:
     register_approx_distinct(spark)
     register_checksum(spark)
     register_approx_set_cardinality(spark)
+
+    # airlift-wire-format HLL sketches: approx_set as a BINARY column,
+    # merge()/cardinality() across query levels (the round-9 two-level
+    # pipeline — functions/hll_sketch.py)
+    from prestodb_presto_spark.functions.hll_sketch import register_sketch_support
+
+    register_sketch_support(spark)

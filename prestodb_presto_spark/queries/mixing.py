@@ -116,7 +116,7 @@ _NBINS = 10
 )
 def corpus_length_bins(spark, sf_dir):
     """Length-decile binning of the corpus (curriculum / packing
-    planning): rank every document by n_chars, cut into {_NBINS}
+    planning): rank every document by n_chars, cut into 10
     equal-count bins, report per-bin count and char-range.
 
     Correctness form: ntile over a total order (n_chars, doc_id) —

@@ -414,9 +414,9 @@ _SEMDEDUP_TAU = 0.4
 )
 def similarity_kmeans_semdedup(spark, sf_dir):
     """SemDeDup-style semantic dedup: cluster the corpus around
-    {_KMEANS_K} fixed seed centroids (deterministic: the lowest vec_ids)
+    8 fixed seed centroids (deterministic: the lowest vec_ids)
     by max-cosine assignment, then mark near-duplicates ONLY within each
-    cluster (cosine >= {_SEMDEDUP_TAU}; higher id drops).  Output:
+    cluster (cosine >= 0.4; higher id drops).  Output:
     per-cluster member / duplicate-pair / dropped counts.
 
     This is the published SemDeDup recipe (Abbas et al. 2023): k-means
@@ -482,34 +482,41 @@ _OUTLIER_TOPK = 3
       SELECT e.vec_id, e.label, u.i, e.q[u.i] AS v
       FROM e, LATERAL (SELECT unnest(generate_series(1, len(e.q))) AS i) u),
     cent AS (
-      SELECT label, i, SUM(v) AS s, COUNT(*) AS n
+      SELECT label, i,
+             CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
       FROM comp GROUP BY label, i),
     d AS (
-      SELECT c.vec_id, c.label,
-             SUM((c.v * ct.n - ct.s) * (c.v * ct.n - ct.s)) AS d2n
-      FROM comp c JOIN cent ct ON c.label = ct.label AND c.i = ct.i
-      GROUP BY c.vec_id, c.label),
+      SELECT cp.vec_id, cp.label,
+             SUM((cp.v - ct.c) * (cp.v - ct.c)) AS d2
+      FROM comp cp JOIN cent ct ON cp.label = ct.label AND cp.i = ct.i
+      GROUP BY cp.vec_id, cp.label),
     r AS (
-      SELECT vec_id, label, d2n,
+      SELECT vec_id, label, d2,
              row_number() OVER (PARTITION BY label
-                                ORDER BY d2n DESC, vec_id) AS rn
+                                ORDER BY d2 DESC, vec_id) AS rn
       FROM d)
-    SELECT label, CAST(rn AS INT) AS rn, vec_id, CAST(d2n AS BIGINT) AS d2n
+    SELECT label, CAST(rn AS INT) AS rn, vec_id, CAST(d2 AS BIGINT) AS d2
     FROM r WHERE rn <= {_OUTLIER_TOPK}
     ORDER BY label, rn
     """,
     tags=("similarity", "pipeline"),
 )
 def similarity_outlier_detect(spark, sf_dir):
-    """Embedding outlier detection: the top-{_OUTLIER_TOPK} vectors
+    """Embedding outlier detection: the top-3 (_OUTLIER_TOPK) vectors
     farthest from their label's centroid — the data-cleaning pass that
     surfaces mislabeled / corrupted embeddings before training.
 
-    Exactness: with quantized integer components, squared distance to
-    the mean scales by n² into the ALL-INTEGER statistic
-    d2n = Σ_i (v_i·n − s_i)² (s = per-label component sum) — no
-    division, no floats, hash-exact across engines, and bounded well
-    inside BIGINT (|v|≤~5e3, n≤corpus, 64 dims).
+    Exactness AND scale-safety (round-8 ADVICE fix): the statistic is
+    the all-integer squared distance to the FLOORED integer centroid,
+    d2 = Σ_i (v_i − floor(s_i/n))².  Unlike the n²-scaled exact-mean
+    form Σ(v·n − s)² — which silently wraps int64 once a label holds
+    ~3e5 rows — this is bounded by dims · (2·|v|max)² ≈ 64·4e8 ≈ 2.6e10
+    at ANY corpus size.  floor(s/n) is computed through an exact double
+    quotient (both operands < 2^53, IEEE-identical in Spark and
+    DuckDB), so the value is hash-exact across engines; centering on
+    the rounded rather than exact mean shifts each component by < 1
+    quantization step — immaterial for outlier ranking and now a
+    DEFINED, engine-stable statistic.
 
     Scale posture (100 TB): components explode to (label, i, v) rows —
     the centroid pass is ONE map-side-combined aggregation producing
@@ -523,19 +530,21 @@ def similarity_outlier_detect(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "label", quantized().alias("q"))
     comp = emb.select("vec_id", "label", F.posexplode("q").alias("i", "v"))
     cent = comp.groupBy("label", "i").agg(
-        F.sum("v").alias("s"), F.count("*").alias("n")
+        F.floor(F.sum("v").cast("double") / F.count("*"))
+        .cast("bigint")
+        .alias("c")
     )
-    diff = F.col("v") * F.col("n") - F.col("s")
+    diff = F.col("v") - F.col("c")
     d = (
         comp.join(F.broadcast(cent), ["label", "i"])
         .groupBy("vec_id", "label")
-        .agg(F.sum(diff * diff).alias("d2n"))
+        .agg(F.sum(diff * diff).alias("d2"))
     )
-    w = Window.partitionBy("label").orderBy(F.desc("d2n"), "vec_id")
+    w = Window.partitionBy("label").orderBy(F.desc("d2"), "vec_id")
     return (
         d.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _OUTLIER_TOPK)
-        .select("label", F.col("rn").cast("int").alias("rn"), "vec_id", F.col("d2n").cast("bigint").alias("d2n"))
+        .select("label", F.col("rn").cast("int").alias("rn"), "vec_id", F.col("d2").cast("bigint").alias("d2"))
         .orderBy("label", "rn")
     )
 
@@ -592,9 +601,9 @@ def similarity_pq_adc(spark, sf_dir):
     """Product-quantization ANN with asymmetric-distance (ADC) scan —
     the vector-COMPRESSION path of the similarity family (brute force /
     LSH / IVF are the other three): every vector collapses to
-    {_PQ_M} 4-bit codes (nearest of {_PQ_K} per-subspace centroids,
+    8 4-bit codes (nearest of 16 per-subspace centroids,
     deterministic seed centroids = the lowest vec_ids), and each query
-    scans the corpus by summing {_PQ_M} precomputed query-to-centroid
+    scans the corpus by summing 8 precomputed query-to-centroid
     distances instead of touching raw vectors (Jégou et al. 2011).
 
     Exactness: quantized integer components make every squared
@@ -602,12 +611,12 @@ def similarity_pq_adc(spark, sf_dir):
     (argmin with a deterministic cid tie-break) and ADC sums are
     hash-exact across engines.
 
-    Scale posture (100 TB): the codebook is {_PQ_M}x{_PQ_K} subvectors
+    Scale posture (100 TB): the codebook is 8x16 subvectors
     — broadcast; ENCODING is a map-only pass (each vector meets only
-    the broadcast codebook) whose output is {_PQ_M} bytes per vector —
+    the broadcast codebook) whose output is 8 bytes per vector —
     a 32x compression of the corpus that is what actually makes
     100 TB ANN tractable; the per-query distance TABLE is
-    {_PQ_M}x{_PQ_K} integers — broadcast; the ADC scan is a map-side
+    8x16 integers — broadcast; the ADC scan is a map-side
     lookup-and-sum over the codes (here expressed as a join on
     (m, code) for oracle parity) followed by one per-query top-k.
     """

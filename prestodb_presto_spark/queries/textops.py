@@ -1126,7 +1126,7 @@ _VOCAB_TOP = 1000  # known-vocabulary size for the rarity model
 def text_unigram_rarity(spark, sf_dir):
     """Corpus-unigram rarity scoring — the integer-exact stand-in for
     CCNet-style LM perplexity filtering: build a frequency-ranked
-    top-{_VOCAB_TOP} vocabulary over the corpus, then score each doc by
+    top-1000 vocabulary over the corpus, then score each doc by
     its mean token rank (out-of-vocabulary tokens take rank V+1) and
     its OOV count.  High mean rank = rare/garbled vocabulary — the
     docs a perplexity filter would drop.  Rank arithmetic stays in
@@ -1193,7 +1193,7 @@ _TFIDF_K = 3
     tags=("text", "pipeline"),
 )
 def text_tfdf_keywords(spark, sf_dir):
-    """Per-document keyword extraction: top-{_TFIDF_K} tokens by
+    """Per-document keyword extraction: top-3 tokens by
     tf/df — term frequency over document frequency, the
     monotone-in-idf rational form of tf-idf that stays hash-exact
     across engines (a single exactly-rounded division; no ln()).
@@ -1206,7 +1206,7 @@ def text_tfdf_keywords(spark, sf_dir):
     shuffles on token (a vocabulary-sized side — too big to broadcast
     at corpus scale, so a shuffle hash join is the right call); the
     top-k is a per-doc WindowGroupLimit (rank pushdown prunes to
-    {_TFIDF_K} rows per doc before the final sort).
+    3 rows per doc before the final sort).
     """
     docs = t(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens()).alias("token"))
@@ -1250,7 +1250,7 @@ _BPE_TOPK = 20
     tags=("text", "pipeline"),
 )
 def text_bpe_pair_counts(spark, sf_dir):
-    """Corpus-wide adjacent-token-pair frequencies, top-{_BPE_TOPK}:
+    """Corpus-wide adjacent-token-pair frequencies, top-20:
     the counting step of one BPE merge round (the highest-count pair is
     the merge a BPE trainer would pick), and the bigram statistic
     quality filters build on.  Deterministic tie-break on the pair.
@@ -1258,7 +1258,7 @@ def text_bpe_pair_counts(spark, sf_dir):
     Scale posture (100 TB): the pair list is ONE array expression per
     doc (no per-token self-join — the adjacency is resolved inside the
     row), one explode, then a map-side-combined count and a
-    TakeOrderedAndProject({_BPE_TOPK}) — a single shuffle of (pair,
+    TakeOrderedAndProject(20) — a single shuffle of (pair,
     partial count) rows, no global sort.
     """
     docs = t(spark, sf_dir, "documents")
@@ -1350,7 +1350,7 @@ _VOCAB_V = 500
     tags=("text", "pipeline"),
 )
 def text_vocab_encode(spark, sf_dir):
-    """Tokenizer ENCODE: induce a frequency-ranked {_VOCAB_V}-entry
+    """Tokenizer ENCODE: induce a frequency-ranked 500-entry
     vocabulary over the corpus (id = rank, deterministic tie-break on
     token; 0 = OOV) and map every document to its id sequence — the
     step between text cleaning and sequence packing in a training

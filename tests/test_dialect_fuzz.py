@@ -352,18 +352,40 @@ _PARITY_SHAPES: list[tuple[str, bool]] = [
         " count(*) FROM orders WHERE orderkey < 0",
         False,
     ),
-    # round-8 single-level merge idiom: merging the per-row singleton
-    # sketches of a group IS the group's sketch, so it lowers to the
-    # same p=12 parity form — grouped, mixed, and empty-input
+    # round-9 two-level sketch pipelines: approx_set builds an
+    # airlift-format BINARY sketch in the inner level, merge() consumes
+    # the sketch COLUMN outside — grouped, mixed with JVM aggregates,
+    # and empty-input (the single-level nested spelling
+    # cardinality(merge(approx_set(x))) is upstream-INVALID and raises
+    # error-parity — test_hll_parity.py::test_nested_aggregation_error)
     (
-        "SELECT orderstatus, cardinality(merge(approx_set(custkey))),"
-        " approx_distinct(orderpriority), count(*) FROM orders"
-        " GROUP BY orderstatus",
+        "SELECT orderstatus, cardinality(merge(s)),"
+        " count(*) FROM (SELECT orderstatus, custkey % 4 AS b,"
+        " approx_set(custkey) AS s FROM orders"
+        " GROUP BY orderstatus, custkey % 4) t GROUP BY orderstatus",
         False,
     ),
     (
-        "SELECT cardinality(merge(approx_set(custkey))), count(*)"
-        " FROM orders WHERE orderkey < 0",
+        "SELECT cardinality(merge(s)), count(*)"
+        " FROM (SELECT approx_set(custkey) AS s FROM orders"
+        " WHERE orderkey < 0) t",
+        False,
+    ),
+    # per-row singleton sketches through merge (the reference's own
+    # testMergeHyperLogLog shape) + the scalar sketch surface
+    (
+        "SELECT orderstatus, cardinality(merge(create_hll(custkey))),"
+        " count(*) FROM orders GROUP BY orderstatus",
+        False,
+    ),
+    (
+        "SELECT cardinality(merge(c)) FROM (SELECT create_hll(custkey) c"
+        " FROM orders UNION ALL SELECT empty_approx_set())",
+        False,
+    ),
+    (
+        "SELECT orderstatus, cardinality(cast(approx_set(custkey) AS"
+        " P4HYPERLOGLOG)) FROM orders GROUP BY orderstatus",
         False,
     ),
     # round-8 qdigest selection rule: plain / grouped / weighted /

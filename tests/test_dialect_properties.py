@@ -315,3 +315,33 @@ def test_advice_r6_order_by_mixed_scope_other_qualified_refs():
     tail = out.rsplit("ORDER BY", 1)[1]
     assert "t.a" not in tail and "t.b" not in tail, out
     assert "__sc_a" in tail and "__sc_b" in tail, out
+
+
+def test_advice_r8_fraction_classification_positional():
+    """ADVICE r8 (low): the approx_percentile fraction classifier must
+    treat identifiers positionally — a fraction COLUMN named array_pct
+    / e / double / cast routes to the qdigest any_value path (not the
+    native percentile path, which fails NON_FOLDABLE_INPUT), while
+    CAST-decorated and scientific-notation literals stay native."""
+    from prestodb_presto_spark.dialect import (
+        _ARRAY_CTOR_HEAD,
+        _fraction_is_nonfoldable,
+    )
+
+    for p in ("0.5", "CAST(0.5 AS DOUBLE)", "cast(0.5 as decimal(3,2))",
+              "1e-1", "0.5 + 0.25", "TRY_CAST(0.99 AS REAL)", ".5"):
+        assert not _fraction_is_nonfoldable(p), p
+    for p in ("pct", "array_pct", "e", "double", "cast", "x / 100.0",
+              "f(0.5)", "null_frac"):
+        assert _fraction_is_nonfoldable(p), p
+    assert _ARRAY_CTOR_HEAD.match("ARRAY[0.5, 0.9]")
+    assert _ARRAY_CTOR_HEAD.match(" array (0.5)")
+    assert not _ARRAY_CTOR_HEAD.match("array_pct")
+    # end-to-end: the rewrite emits the qdigest pick for a column-like
+    # fraction even when its name starts with "array"
+    from prestodb_presto_spark.dialect import _approx_percentile_rewrite
+
+    out = _approx_percentile_rewrite(["x", "array_pct"])
+    assert out is not None and "any_value(array_pct)" in out, out
+    out = _approx_percentile_rewrite(["x", "ARRAY[0.5]"])
+    assert "percentile_approx" in out, out

@@ -500,8 +500,13 @@ def test_ml_registry_names(spark):
 
 
 def test_geo_mechanical_contracts(spark):
-    """Round-6: st_relate / st_buffer_geom REFUSE the input classes they
-    cannot answer exactly, instead of silently approximating."""
+    """Round-6 contracts, round-9 upgrade: st_relate still REFUSES
+    dimension-digit DE-9IM patterns; st_buffer_geom now answers CONCAVE
+    polygons and BENT polylines EXACTLY (offset-curve construction:
+    arcs at convex vertices, miter joins at reflex ones) and refuses
+    only when the buffer distance reaches the local feature size (the
+    offset curve self-intersects — true boundary needs global
+    clipping)."""
     import pytest as _pt
 
     df = spark.range(1)
@@ -513,22 +518,45 @@ def test_geo_mechanical_contracts(spark):
         P.st_relate(A, B, "1*T***T**")
     # T/F/* patterns still answered
     assert df.select(P.st_relate(A, B, "T*T***T**").alias("v")).collect()[0].v
-    # concave polygon buffer refused (L-shape), convex still exact
-    L_poly = g("POLYGON ((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))")
-    with _pt.raises(Exception) as ei:
-        df.select(P.st_buffer_geom(L_poly, 1.0).alias("b")).collect()
-    assert "concave" in str(ei.value)
-    # bent linestring refused; straight one buffers (capsule)
-    bent = g("LINESTRING (0 0, 2 0, 2 2)")
-    with _pt.raises(Exception) as ei2:
-        df.select(P.st_buffer_geom(bent, 1.0).alias("b")).collect()
-    assert "linestring" in str(ei2.value)
-    straight = g("LINESTRING (0 0, 4 0)")
-    area = (
-        df.select(P.st_buffer_geom(straight, 1.0).alias("b"))
-        .select(P.st_area("b").alias("a"))
-        .collect()[0]
-        .a
-    )
+
     import math as _m
-    assert abs(area - (8 + _m.pi)) < 0.1  # 4x2 rectangle + unit circle caps
+
+    def area_of(expr):
+        return (
+            df.select(expr.alias("b"))
+            .select(P.st_area("b").alias("a"))
+            .collect()[0]
+            .a
+        )
+
+    # concave L-shape, d=1 — EXACT analytic value: A(12) + P·d(16)
+    # − reflex-corner rectangle overlap(1) + five quarter-circle caps
+    # (5π/4); the n-gon arcs land slightly UNDER the true circles
+    L_poly = g("POLYGON ((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))")
+    a = area_of(P.st_buffer_geom(L_poly, 1.0))
+    exact = 27 + 5 * _m.pi / 4
+    assert exact - 0.08 < a <= exact, a
+    # bent polyline, d=0.5 — rectangles(4) − bend overlap(0.25)
+    # + two half caps(π/8·2) + outer bend quarter(π/16)
+    bent = g("LINESTRING (0 0, 2 0, 2 2)")
+    a = area_of(P.st_buffer_geom(bent, 0.5))
+    exact = 3.75 + _m.pi / 4 + _m.pi / 16
+    assert exact - 0.03 < a <= exact, a
+    # straight capsule unchanged: 4x2 rectangle + unit circle caps
+    a = area_of(P.st_buffer_geom(g("LINESTRING (0 0, 4 0)"), 1.0))
+    assert abs(a - (8 + _m.pi)) < 0.1
+    # narrowed fail-loud: d at the local feature size (the 2-wide slot
+    # of a U-shape buffered by 3) still refuses rather than silently
+    # self-intersecting
+    U = g("POLYGON ((0 0, 10 0, 10 10, 6 10, 6 2, 4 2, 4 10, 0 10, 0 0))")
+    with _pt.raises(Exception) as ei:
+        df.select(P.st_buffer_geom(U, 3.0).alias("b")).collect()
+    assert "feature size" in str(ei.value)
+    # buffer containment: every original vertex strictly inside
+    within = (
+        df.select(P.st_buffer_geom(L_poly, 1.0).alias("b"), L_poly.alias("o"))
+        .select(P.st_contains("b", "o").alias("v"))
+        .collect()[0]
+        .v
+    )
+    assert within
