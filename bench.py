@@ -49,18 +49,28 @@ BENCH_QUERIES = [
 ]
 
 
-def _calibrate() -> float:
+def _calibrate(n_probes: int = 5) -> float:
     """Fixed CPU-bound probe: a deterministic single-thread loop whose
     wall time anchors this machine-hour's effective speed.  Runs on a
     QUIET process — before the Spark JVM starts and again after it
     stops (a live 32-core JVM's GC/background threads inflate the
-    probe, which would shrink the normalized total — round-7 advice)."""
-    t0 = time.time()
-    acc = 0
-    for i in range(10_000_000):
-        acc += i * i
-    assert acc >= 0
-    return round(time.time() - t0, 3)
+    probe, which would shrink the normalized total — round-7 advice).
+
+    Round 9: MIN of n_probes runs, not a single run — one scheduler
+    preemption spike in a lone probe read as 'the machine changed
+    speed' and flagged the whole r8 snapshot calib_divergent.  The min
+    measures clean single-thread capacity (the same statistic
+    REF_CALIB_SEC is pinned to: min of 8 on an idle sample); genuine
+    mid-run speed changes still diverge because both sides take mins."""
+    best = float("inf")
+    for _ in range(n_probes):
+        t0 = time.time()
+        acc = 0
+        for i in range(10_000_000):
+            acc += i * i
+        assert acc >= 0
+        best = min(best, time.time() - t0)
+    return round(best, 3)
 
 
 def main() -> None:

@@ -26,14 +26,13 @@ from prestodb_presto_spark.testing import norm_cell
 
 REF_DIR = "/root/reference/presto-product-tests/src/main/resources/sql-tests/testcases/tpcds"
 
-SKIP = {
-    "q90": (
-        "degenerate at dsdgen sf<=0.1: the pm denominator count is 0 (no"
-        " web_page rows with wp_char_count in 5000-5200), so Presto"
-        " itself would raise Division by zero on this data; division"
-        " semantics are covered by fn_math_ops/conditional gates"
-    ),
-}
+# round 9: the SKIP dict is empty — q90's data degeneracy (dsdgen
+# sf<=0.1 has no web_page rows with wp_char_count in 5000-5200, so the
+# pm denominator was 0 and Presto itself would raise Division by zero)
+# is closed by the fixture's deterministic wp_char_count augmentation
+# (tests/tpcds_fixture.py) — all 103 reference renderings now run
+# end-to-end differentially.
+SKIP: dict[str, str] = {}
 
 CASES = sorted(glob.glob(f"{REF_DIR}/q*.sql")) if os.path.isdir(REF_DIR) else []
 

@@ -24,14 +24,26 @@ TPCDS_TABLES = (
 
 
 def build_tpcds_dir(out_dir: str, sf: float = 0.01) -> str:
-    """Materialize dsdgen(sf) to one parquet per table; idempotent."""
+    """Materialize dsdgen(sf) to one parquet per table; idempotent.
+
+    One deterministic augmentation (round 9): dsdgen at sf<=0.1 emits a
+    SINGLE web_page row with wp_char_count=2531, so q90's predicate
+    ``wp_char_count BETWEEN 5000 AND 5200`` matched nothing and the
+    query's pm denominator was 0 — Presto itself would raise Division
+    by zero on this data, leaving q90 the only reference rendering not
+    exercised end-to-end.  Nudging that one row's wp_char_count to 5100
+    (wp_char_count appears in NO other testcase — q90.sql is its sole
+    reader) makes both halves of the ratio non-empty (am=77, pm=123 at
+    sf0.01) without touching any other query's inputs.  Both engines
+    read the same augmented parquet, so the differential stays exact."""
     os.makedirs(out_dir, exist_ok=True)
-    marker = os.path.join(out_dir, ".complete")
+    marker = os.path.join(out_dir, ".complete_v2")
     if os.path.exists(marker):
         return out_dir
     con = duckdb.connect()
     con.execute("LOAD tpcds")
     con.execute(f"CALL dsdgen(sf={sf})")
+    con.execute("UPDATE web_page SET wp_char_count = 5100")
     for name in TPCDS_TABLES:
         con.execute(
             f"COPY {name} TO '{out_dir}/{name}.parquet' (FORMAT PARQUET)"
