@@ -180,3 +180,68 @@ def quality_bins_scale(df, col: str, nbins: int = _NBINS, accuracy: int = 10000)
         .orderBy("bin")
     )
     return stats, list(cuts)
+
+
+@query(
+    "sample_epoch_repeat",
+    oracle=f"""
+    WITH f AS (
+      SELECT d.doc_id, d.source,
+             CASE d.source WHEN 'src0' THEN 2.5
+                           WHEN 'src1' THEN 1.25 ELSE 0.75 END AS factor,
+             {_UNIFORM_SQL} AS u
+      FROM documents d),
+    n AS (
+      SELECT doc_id, source,
+             CAST(floor(factor) + CASE WHEN u < factor - floor(factor)
+                                       THEN 1 ELSE 0 END AS INT) AS n_copies
+      FROM f)
+    SELECT n.doc_id, n.source, CAST(g.i AS INT) AS copy_idx
+    FROM n, LATERAL (SELECT unnest(generate_series(1, n.n_copies)) AS i) g
+    ORDER BY doc_id, copy_idx
+    """,
+    tags=("sampling", "pipeline"),
+)
+def sample_epoch_repeat(spark, sf_dir):
+    """Epoch-factor upsampling with fractional repeats — the
+    'repeat Wikipedia 3.5 epochs, downsample CommonCrawl to 0.75' knob
+    every LLM training mix turns: each document is emitted
+    floor(f) + Bernoulli(frac(f)) times for its source's factor f
+    (src0 2.5x, src1 1.25x, src2 0.75x), with a copy index for
+    downstream shuffling/packing.  Deterministic: the Bernoulli draw is
+    the corpus-standard md5-prefix uniform, so both engines emit the
+    IDENTICAL multiset and E[copies] = f exactly.
+
+    Scale posture (100 TB): map-ONLY — the factor table folds into a
+    CASE expression (broadcast by construction), the repeat explode is
+    a per-row sequence (output size = Σf_i·n_i, the size the TRAINING
+    RUN pays anyway), and there is no shuffle at all (the gate's ORDER
+    BY is presentation).  A factor table too big for a CASE becomes a
+    broadcast join on source — still shuffle-free on the corpus.
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    factor = (
+        F.when(F.col("source") == "src0", F.lit(2.5))
+        .when(F.col("source") == "src1", F.lit(1.25))
+        .otherwise(F.lit(0.75))
+    )
+    n_copies = (
+        F.floor(factor)
+        + F.when(_uniform() < factor - F.floor(factor), F.lit(1)).otherwise(
+            F.lit(0)
+        )
+    ).cast("int")
+    return (
+        d.select("doc_id", "source", n_copies.alias("n"))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.when(
+                    F.col("n") >= 1, F.sequence(F.lit(1), F.col("n"))
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("copy_idx"),
+        )
+        .select("doc_id", "source", F.col("copy_idx").cast("int").alias("copy_idx"))
+        .orderBy("doc_id", "copy_idx")
+    )

@@ -570,3 +570,132 @@ def events_cohort_retention(spark, sf_dir):
         .agg(F.count("*").alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@query(
+    "events_rate_anomaly",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, date_trunc('minute', ts) AS minute_ts,
+             COUNT(*) AS n
+      FROM events GROUP BY event_type, date_trunc('minute', ts)),
+    base AS (
+      SELECT event_type, CAST(SUM(n) AS BIGINT) AS total_n,
+             COUNT(*) AS n_minutes
+      FROM m GROUP BY event_type)
+    SELECT m.event_type, m.minute_ts, CAST(m.n AS BIGINT) AS n,
+           b.total_n, CAST(b.n_minutes AS BIGINT) AS n_minutes
+    FROM m JOIN base b ON m.event_type = b.event_type
+    WHERE m.n * b.n_minutes > 2 * b.total_n
+    ORDER BY 1, 2
+    """,
+    tags=("streaming", "anomaly"),
+)
+def events_rate_anomaly(spark, sf_dir):
+    """Event-rate spike detection: per-minute counts per event type,
+    flagging minutes that exceed 2x the type's average active-minute
+    rate — the monitoring pass that catches bot bursts / retry storms
+    in an ingest stream before they poison training data.  The
+    threshold is the integer cross-multiply n·minutes > 2·total (no
+    division, no floats), so the flagged set is hash-exact across
+    engines.
+
+    Scale posture (100 TB): ONE map-side-combined shuffle builds the
+    (type, minute) counts — cardinality bounded by types × minutes, not
+    events; the per-type baseline is a second aggregation over THAT
+    (tiny) table and broadcasts back into the flag join.  The event
+    stream itself is touched once, map-only.  The streaming twin is
+    tumbling_counts + a stateful threshold (prestodb_presto_spark/
+    streaming/ops.py); this is the batch/backfill form.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("minute", F.col("ts")).alias("minute_ts")
+    )
+    m = ev.groupBy("event_type", "minute_ts").agg(F.count("*").alias("n"))
+    base = m.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("total_n"),
+        F.count("*").cast("bigint").alias("n_minutes"),
+    )
+    return (
+        m.join(F.broadcast(base), "event_type")
+        .filter(F.col("n") * F.col("n_minutes") > 2 * F.col("total_n"))
+        .select(
+            "event_type",
+            "minute_ts",
+            F.col("n").cast("bigint").alias("n"),
+            "total_n",
+            "n_minutes",
+        )
+        .orderBy("event_type", "minute_ts")
+    )
+
+
+@query(
+    "events_attribution_lasttouch",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts AS pts, event_id AS pid FROM events
+      WHERE event_type = 'purchase'),
+    c AS (
+      SELECT user_id, ts AS cts, event_id AS cid, event_type FROM events
+      WHERE event_type IN ('view', 'click')),
+    j AS (
+      SELECT p.pid, c.event_type, c.cts, c.cid
+      FROM p LEFT JOIN c ON p.user_id = c.user_id
+        AND c.cts < p.pts AND c.cts >= p.pts - INTERVAL 1 DAY),
+    ranked AS (
+      SELECT pid, event_type,
+             ROW_NUMBER() OVER (PARTITION BY pid
+                                ORDER BY cts DESC, cid DESC) AS rn
+      FROM j)
+    SELECT coalesce(event_type, 'unattributed') AS attributed_to,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases
+    FROM ranked WHERE rn = 1
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("streaming", "attribution"),
+)
+def events_attribution_lasttouch(spark, sf_dir):
+    """Last-touch attribution: each purchase credits the user's most
+    recent view/click in the preceding 24 hours (ties broken by
+    event_id), purchases with no touch in window count as
+    'unattributed' — the marketing-analytics operator behind every
+    conversion report.
+
+    Scale posture (100 TB): both sides pre-filter to their event types
+    BEFORE the join (purchases and touches are small slices of the
+    stream), the range join is keyed on user_id — per-user candidate
+    sets, never a time-cross-product — and the last-touch pick plans as
+    WindowGroupLimit (rank-1 per purchase pushes into the shuffle, no
+    full rank materialization).  The stream is never self-joined
+    unfiltered.
+    """
+    ev = t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("event_id").alias("pid")
+    )
+    c = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("ts").alias("cts"),
+        F.col("event_id").alias("cid"),
+        "event_type",
+    )
+    j = p.join(
+        c,
+        (p["user_id"] == c["user_id"])
+        & (F.col("cts") < F.col("pts"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 DAY")),
+        "left",
+    )
+    w = Window.partitionBy("pid").orderBy(F.desc("cts"), F.desc("cid"))
+    return (
+        j.select("pid", "event_type", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .groupBy(
+            F.coalesce("event_type", F.lit("unattributed")).alias(
+                "attributed_to"
+            )
+        )
+        .agg(F.count("*").cast("bigint").alias("n_purchases"))
+        .orderBy("attributed_to")
+    )

@@ -1392,3 +1392,104 @@ def text_vocab_encode(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+_BIGRAM_TOP = 5000  # known-bigram table size for the surprise model
+
+
+@query(
+    "text_bigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    pairs AS (
+      SELECT doc_id, unnest([l[i] || ' ' || l[i+1]
+                             for i in range(1, len(l))]) AS pair
+      FROM toks WHERE len(l) >= 2),
+    counts AS (SELECT pair, COUNT(*) AS c FROM pairs GROUP BY pair),
+    known AS (SELECT pair, c FROM counts
+              ORDER BY c DESC, pair LIMIT {_BIGRAM_TOP}),
+    total AS (SELECT CAST(length(printf('%b', CAST(SUM(c) AS BIGINT))) AS INT) AS blt
+              FROM counts),
+    scored AS (
+      SELECT p.doc_id,
+             (SELECT blt FROM total)
+               - CAST(length(printf('%b', CAST(coalesce(k.c, 1) AS BIGINT))) AS INT)
+               AS surprise,
+             CASE WHEN k.pair IS NULL THEN 1 ELSE 0 END AS unk
+      FROM pairs p LEFT JOIN known k ON p.pair = k.pair)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(unk) AS BIGINT) AS n_unknown,
+           CAST(SUM(surprise) AS BIGINT) AS sum_surprise,
+           ROUND(SUM(surprise) * 1.0 / COUNT(*), 6) AS mean_surprise
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("text", "quality", "pipeline"),
+)
+def text_bigram_logprob(spark, sf_dir):
+    """Bigram language-model surprise scoring — the ASSOCIATION-aware
+    tier above text_unigram_rarity's frequency model: a doc whose words
+    are individually common but adjacently improbable ('the the of и')
+    scores high here and passes the unigram filter.  Per adjacent token
+    pair, surprise = bitlen(T) − bitlen(c(pair)) — an integer ⌈−log2
+    p⌉-style code length (T = total corpus pair occurrences; unknown
+    pairs take c=1, the maximum code length) — summed and averaged per
+    document.  This is the integer-exact stand-in for KenLM-style
+    bigram perplexity filtering: bit lengths come from exact binary
+    renderings on BOTH engines (Spark conv(c,10,2), DuckDB
+    printf('%b')), so the gate hash-matches where a cross-engine ln()
+    would drift in the last ulp.
+
+    Scale posture (100 TB): pairs are a PER-ROW transform of the token
+    array (no self-join of the token stream); the bigram count is one
+    map-side-combined shuffle; the model is the top-5000 known-bigram
+    table (TakeOrdered — a parallel top-k, never a global sort) which
+    BROADCASTS into the scoring join; the per-doc aggregation is the
+    only other shuffle, keyed on doc_id with map-side combine.  The
+    top-K cut is what makes the model broadcastable at any corpus size
+    — the full bigram table would be corpus-sized (documented cap, not
+    a silent one: unknown pairs are REPORTED per doc as n_unknown).
+    """
+    docs = t(spark, sf_dir, "documents").select("doc_id", tokens().alias("l"))
+    pairs = (
+        docs.filter(F.size("l") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(l) - 1),"
+                    " i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"
+                )
+            ).alias("pair"),
+        )
+    )
+    counts = pairs.groupBy("pair").agg(F.count("*").alias("c"))
+    known = counts.orderBy(F.col("c").desc(), "pair").limit(_BIGRAM_TOP)
+    blt = counts.agg(
+        F.length(F.conv(F.sum("c"), 10, 2)).cast("int").alias("blt")
+    )
+    scored = (
+        pairs.join(F.broadcast(known), "pair", "left")
+        .crossJoin(F.broadcast(blt))
+        .select(
+            "doc_id",
+            (
+                F.col("blt")
+                - F.length(F.conv(F.coalesce("c", F.lit(1)), 10, 2)).cast("int")
+            ).alias("surprise"),
+            F.when(F.col("c").isNull(), 1).otherwise(0).alias("unk"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum("unk").cast("bigint").alias("n_unknown"),
+            F.sum("surprise").cast("bigint").alias("sum_surprise"),
+            F.round(F.sum("surprise") * 1.0 / F.count("*"), 6).alias(
+                "mean_surprise"
+            ),
+        )
+        .orderBy("doc_id")
+    )
