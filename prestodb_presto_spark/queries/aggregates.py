@@ -767,7 +767,10 @@ def agg_hll_sketch(spark, sf_dir):
            CAST(0 AS BIGINT) AS two_minus_single
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
-    tags=("aggregation", "sketch"),
+    # pandas-tier: the ONE Arrow-vectorized column in the plan is the
+    # clean-room murmur3 parity hash (airlift's internal hash has no JVM
+    # equivalent here); all aggregation around it is native
+    tags=("aggregation", "sketch", "pandas-tier"),
 )
 def agg_sketch_rollup_twolevel(spark, sf_dir):
     """Two-level HLL sketch rollup — the canonical Presto workflow the

@@ -672,17 +672,19 @@ def events_attribution_lasttouch(spark, sf_dir):
     """
     ev = t(spark, sf_dir, "events")
     p = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("ts").alias("pts"), F.col("event_id").alias("pid")
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+        F.col("event_id").alias("pid"),
     )
     c = ev.filter(F.col("event_type").isin("view", "click")).select(
-        "user_id",
+        F.col("user_id").alias("c_user"),
         F.col("ts").alias("cts"),
         F.col("event_id").alias("cid"),
         "event_type",
     )
     j = p.join(
         c,
-        (p["user_id"] == c["user_id"])
+        (F.col("p_user") == F.col("c_user"))
         & (F.col("cts") < F.col("pts"))
         & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 DAY")),
         "left",

@@ -694,3 +694,24 @@ def test_hll_bias_regime_regression_pins(aq_env):
     # sanity: every estimate is inside the 2.3% default-error envelope
     for n, est in pins.items():
         assert abs(est - n) / n < 3 * 0.023, (n, est)
+
+
+def test_sql_merge_lowering_plan_shape(aq_env):
+    """The SQL path's merge() must lower onto collect_list (a JVM
+    aggregate — map-side combined, mixes with count/sum) + a scalar
+    pandas finisher: NO pandas GROUPED_AGG (AggregateInPandas) anywhere,
+    and the aggregation itself must be ObjectHashAggregate/SortAggregate
+    over collect_list, never a per-group Python aggregation."""
+    engine, _fresh = aq_env
+    df = engine.sql(
+        "SELECT orderstatus, cardinality(merge(s)) AS c, count(*) AS n"
+        " FROM (SELECT orderstatus, custkey % 4 AS b,"
+        " approx_set(custkey) AS s FROM orders"
+        " GROUP BY orderstatus, custkey % 4) t GROUP BY orderstatus",
+        dialect="presto",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AggregateInPandas" not in plan, plan[:800]
+    assert "collect_list" in plan
+    got = {r[0]: r[1] for r in df.collect()}
+    assert got == {"O": 1001, "F": 998, "P": 304}, got

@@ -200,3 +200,41 @@ def test_banded_lsh_partial_aggregation(spark, specs):
     plan = plan_of(spark, specs, "dedup_embedding_cosine")
     assert "partial_" in plan.lower() or "HashAggregate" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_epoch_repeat_is_map_only(spark, specs):
+    """sample_epoch_repeat claims ZERO corpus shuffles: the only
+    exchange in the plan must be the presentation ORDER BY's range
+    partitioning — no aggregation or join exchange anywhere."""
+    plan = plan_of(spark, specs, "sample_epoch_repeat")
+    assert "Join" not in plan, plan[:600]
+    assert "HashAggregate" not in plan
+    # explode + project + the final sort only
+    assert "Generate" in plan  # the per-row repeat explode
+
+
+def test_attribution_rank1_uses_group_limit(spark, specs):
+    """events_attribution_lasttouch's last-touch pick (rank-1 per
+    purchase) must plan as WindowGroupLimit, and both join inputs must
+    be type-filtered BEFORE the join (pushed scan filters)."""
+    plan = plan_of(spark, specs, "events_attribution_lasttouch")
+    assert "WindowGroupLimit" in plan
+    assert "PushedFilters" in plan
+
+
+def test_funnel_windowed_no_collect_list(spark, specs):
+    """The parameterized windowed funnel must hold O(1) per-group state:
+    no collect_list/sort_array anywhere in its plan (the conditional-min
+    chain), unlike the fold-form events_funnel_steps."""
+    plan = plan_of(spark, specs, "events_funnel_windowed")
+    assert "collect_list" not in plan
+    assert "min(" in plan
+
+
+def test_bigram_model_broadcasts(spark, specs):
+    """text_bigram_logprob's known-bigram table must BROADCAST into the
+    scoring join (the top-K cut is what makes the model broadcastable),
+    and the top-K itself must be a TakeOrdered, not a global sort."""
+    plan = plan_of(spark, specs, "text_bigram_logprob")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan

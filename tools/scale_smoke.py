@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 QUERIES = [
     "tpch_q01", "tpch_q03", "tpch_q05", "tpch_q09", "tpch_q13",
     "tpch_q18", "tpch_q21", "join_semi", "agg_multi_distinct",
-    "window_topn_per_group", "agg_checksum",
+    "window_topn_per_group", "agg_checksum", "agg_sketch_rollup_twolevel",
 ]
 
 
