@@ -723,11 +723,24 @@ def _parity_agg_compat(sql: str) -> str:
             if hi is not None:
                 m_open = open_idx + hi
                 m_end, _ = _scan_balanced(sql, m_open)
-                if not sql[m_end : e - 1].strip():
+                tail = sql[m_end : e - 1]
+                inner_over, iend = _over_clause(sql, m_end)
+                if not tail.strip():
                     x = _parity_agg_compat(sql[m_open + 1 : m_end - 1])
                     emit(
                         s,
                         f"presto_hll_merge_card_finish(collect_list({x}))",
+                        e,
+                    )
+                elif inner_over is not None and not sql[iend : e - 1].strip():
+                    # cardinality(merge(s) OVER w): the windowed merge
+                    # yields a per-row sketch; collect_list carries the
+                    # window clause, the fused finisher reads it
+                    x = _parity_agg_compat(sql[m_open + 1 : m_end - 1])
+                    emit(
+                        s,
+                        "presto_hll_merge_card_finish("
+                        f"collect_list({x}){inner_over})",
                         e,
                     )
                 continue

@@ -715,3 +715,19 @@ def test_sql_merge_lowering_plan_shape(aq_env):
     assert "collect_list" in plan
     got = {r[0]: r[1] for r in df.collect()}
     assert got == {"O": 1001, "F": 998, "P": 304}, got
+
+
+def test_windowed_merge_cardinality(aq_env):
+    """cardinality(merge(s) OVER w) — the windowed sketch merge: the
+    collect_list carries the window clause into the fused finisher,
+    and per-partition values equal the grouped form bit-exactly."""
+    engine, _fresh = aq_env
+    rows = engine.sql(
+        "SELECT DISTINCT orderstatus,"
+        " cardinality(merge(s) OVER (PARTITION BY orderstatus)) AS c"
+        " FROM (SELECT orderstatus, custkey % 4 AS b,"
+        " approx_set(custkey) AS s FROM orders"
+        " GROUP BY orderstatus, custkey % 4) t",
+        dialect="presto",
+    ).collect()
+    assert {r[0]: r[1] for r in rows} == {"O": 1001, "F": 998, "P": 304}
