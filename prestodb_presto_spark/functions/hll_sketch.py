@@ -462,14 +462,11 @@ def register_sketch_support(spark) -> None:
 
 # ------------------------------------------------- DataFrame scale twins
 
-def approx_set_by_group(df, group_cols: list[str], value_col: str):
-    """100 TB sketch builder: groupBy(keys) -> one airlift-format sketch
-    per group as BINARY.  Plan shape = hll.approx_distinct_by_group's:
-    ONE Arrow-vectorized hash column, native prefix/value bit
-    expressions, an inner groupBy(keys, prefix26).max(entry) that is
-    spillable and map-side combined (state NEVER exceeds one int per
-    distinct prefix per partition), then a per-group serialize over
-    <= 2^26 tiny rows.  No GROUPED_AGG pandas UDAF anywhere."""
+def approx_set_hash_col(value_col: str):
+    """The ONE Arrow-vectorized column of every sketch plan: the
+    airlift-internal Murmur3 value hash (NULL-safe).  Shared by the
+    batch twins below and the streaming rollup
+    (streaming/ops.streaming_sketch_rollup)."""
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
 
@@ -487,14 +484,24 @@ def approx_set_by_group(df, group_cols: list[str], value_col: str):
             ).astype(np.int64)
         return pd.Series(out)
 
+    return _hash_col(
+        F.col(value_col), F.expr(f"typeof({value_col})"), F.col(value_col).isNull()
+    )
+
+
+def approx_set_by_group(df, group_cols: list[str], value_col: str):
+    """100 TB sketch builder: groupBy(keys) -> one airlift-format sketch
+    per group as BINARY.  Plan shape = hll.approx_distinct_by_group's:
+    ONE Arrow-vectorized hash column, native prefix/value bit
+    expressions, an inner groupBy(keys, prefix26).max(entry) that is
+    spillable and map-side combined (state NEVER exceeds one int per
+    distinct prefix per partition), then a per-group serialize over
+    <= 2^26 tiny rows.  No GROUPED_AGG pandas UDAF anywhere."""
+    from pyspark.sql import functions as F
+
     p = APPROX_SET_P
     hashed = df.select(
-        *group_cols,
-        _hash_col(
-            F.col(value_col),
-            F.expr(f"typeof({value_col})"),
-            F.col(value_col).isNull(),
-        ).alias("__h"),
+        *group_cols, approx_set_hash_col(value_col).alias("__h")
     ).filter(F.col("__h").isNotNull())
     pref = F.shiftrightunsigned(F.col("__h"), 64 - SPARSE_PREFIX_BITS)
     # value = nlz(h<<26 | sentinel) + 1 via the exact conv() bit_length

@@ -183,3 +183,104 @@ def enrich_with_dim(events: DataFrame, dim: DataFrame, on, how: str = "left") ->
     from pyspark.sql import functions as F
 
     return events.join(F.broadcast(dim), on, how)
+
+
+def streaming_sketch_rollup(
+    events: DataFrame,
+    duration: str = "1 hour",
+    watermark: str = "2 hours",
+    key: str = "event_type",
+    value: str = "user_id",
+) -> DataFrame:
+    """Continuous distinct-count SKETCH rollup — the streaming twin of
+    hll_sketch.approx_set_by_group: per (window, key), maintain the
+    airlift-sketch PRE-AGGREGATE (prefix26, max value26) as an ordinary
+    streaming aggregation, so a downstream batch job (or foreachBatch)
+    can serialize each group's rows into an airlift-format sketch and
+    merge windows later — exactly the pre-aggregate-hourly /
+    roll-up-monthly pipeline, running continuously.
+
+    Runs identically in batch (watermark is a no-op), which is how
+    tests/test_streaming.py proves stream(availableNow) == batch ==
+    the batch sketch builder's estimate.
+
+    Scale posture: state per (window, key) is bounded at one int per
+    distinct 26-bit hash prefix (<= 2^26, reached only by ~10^8-ndv
+    groups) and evicts at the watermark horizon; the hash is the ONE
+    Arrow-vectorized column (clean-room murmur3 parity); prefix/value
+    are native bit expressions; the aggregation is a plain streaming
+    max — no flatMapGroupsWithState, no custom state store.
+    """
+    from prestodb_presto_spark.functions.hll import SPARSE_PREFIX_BITS
+    from prestodb_presto_spark.functions.hll_sketch import (
+        VALUE_BITS,
+        approx_set_hash_col,
+    )
+
+    h = approx_set_hash_col(value)
+    pref = F.shiftrightunsigned(h, 64 - SPARSE_PREFIX_BITS)
+    v26 = (
+        F.lit(64)
+        - F.length(
+            F.conv(
+                F.shiftleft(h, SPARSE_PREFIX_BITS).bitwiseOR(F.lit(1 << 25)),
+                10,
+                2,
+            )
+        ).cast("int")
+        + F.lit(1)
+    )
+    entry = F.shiftleft(pref, VALUE_BITS).bitwiseOR(v26.cast("bigint"))
+    hashed = (
+        events.withWatermark("ts", watermark)
+        .select(
+            "ts",
+            F.col(key).alias("key"),
+            pref.alias("p26"),
+            entry.alias("entry"),
+        )
+        .filter(F.col("entry").isNotNull())
+    )
+    return (
+        hashed.groupBy(F.window("ts", duration).alias("w"), "key", "p26")
+        .agg(F.max("entry").alias("entry"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "key",
+            "p26",
+            "entry",
+        )
+    )
+
+
+def sketch_rows_to_estimates(rollup: DataFrame) -> DataFrame:
+    """Finish streaming_sketch_rollup's pre-aggregate rows into
+    per-(window, key) cardinality estimates (batch side / foreachBatch):
+    the same estimator as the batch twins — linear counting while
+    sparse, the HLL++ dense estimate past the cutoff."""
+    from prestodb_presto_spark.functions.hll_sketch import (
+        entries_from_hashes,  # noqa: F401 — doc pointer
+    )
+    import numpy as np
+    import pandas as pd
+
+    from prestodb_presto_spark.functions.hll import APPROX_SET_P
+    from prestodb_presto_spark.functions.hll_sketch import (
+        serialize_from_entries,
+        cardinality_serialized,
+    )
+
+    def _finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        ent = np.sort(pdf["entry"].to_numpy(dtype=np.uint32))
+        sk = serialize_from_entries(ent, APPROX_SET_P)
+        return pd.DataFrame(
+            {
+                "window_start": [pdf["window_start"].iloc[0]],
+                "key": [pdf["key"].iloc[0]],
+                "n_distinct_est": [cardinality_serialized(sk)],
+            }
+        )
+
+    return rollup.groupBy("window_start", "key").applyInPandas(
+        _finish, "window_start long, key string, n_distinct_est long"
+    )

@@ -408,3 +408,43 @@ def test_funnel_hot_user_guard(spark):
     assert got[0] == (True, False)  # hot user converts to click only
     assert sum(1 for v in got.values() if v[1]) == 99
     assert len(got) == 100
+
+
+def test_streaming_sketch_rollup_equals_batch_and_exact(spark):
+    """Round-9 streaming sketch rollup: the per-(window, key) airlift
+    pre-aggregate maintained as an ordinary streaming aggregation must
+    (a) equal the batch run of the same transformation row-for-row,
+    and (b) finish into estimates equal to EXACT per-window distinct
+    counts (fixture cardinalities sit in the sparse linear-counting
+    regime, where the estimator is exact)."""
+    from prestodb_presto_spark.streaming.ops import (
+        sketch_rows_to_estimates,
+        streaming_sketch_rollup,
+    )
+
+    name = f"skroll_{uuid.uuid4().hex[:8]}"
+    stream = streaming_sketch_rollup(read_events_stream(spark, SF_TINY))
+    _run_to_memory(stream, name)
+    got = spark.sql(f"SELECT * FROM {name}").collect()
+    batch_rollup = streaming_sketch_rollup(load_table(spark, SF_TINY, "events"))
+    batch = batch_rollup.collect()
+    assert _norm(got) == _norm(batch)
+    assert len(got) > 0
+    # finish into estimates; compare against exact distinct per window
+    est = {
+        (r["window_start"], r["key"]): r["n_distinct_est"]
+        for r in sketch_rows_to_estimates(batch_rollup).collect()
+    }
+    ev = load_table(spark, SF_TINY, "events")
+    exact = {
+        (r["window_start"], r["key"]): r["d"]
+        for r in ev.groupBy(
+            F.unix_timestamp(F.window("ts", "1 hour").getField("start")).alias(
+                "window_start"
+            ),
+            F.col("event_type").alias("key"),
+        )
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    assert est == exact, (len(est), len(exact))
