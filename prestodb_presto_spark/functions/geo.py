@@ -26,17 +26,19 @@ the pandas-UDF tier: functions/geo_setops.py.
 
 Limits (documented, not silently wrong): MULTIPOLYGON WKT round-trips
 each ring as its own part (holes inside multipolygon parts measure
-correctly via parity but serialize as separate parts).  ST_Relate
-carries a MECHANICAL CONTRACT (round 6): T/F/* DE-9IM patterns are
-answered, dimension-digit (0/1/2) patterns REFUSED loudly (st_relate
-raises rather than approximating) — the exact general form remains a
-Sedona integration point.  ST_Buffer (round 9) answers concave
-polygons and bent polylines EXACTLY via offset-curve construction
-(st_buffer_geom: arcs at convex vertices, miter joins at reflex ones)
-and refuses only when the distance reaches the local feature size
-(self-intersecting offset curve — needs global clipping).
-tests/test_ml_geo.py::test_geo_mechanical_contracts asserts both the
-exact values and the remaining refusals.
+correctly via parity but serialize as separate parts).  Round 9
+narrowed BOTH round-6 mechanical contracts to thin fail-loud slivers:
+ST_Relate answers T/F/* DE-9IM patterns natively AND dimension-digit
+(0/1/2) patterns EXACTLY for simple single-ring polygons
+(geo_setops.relate_exact — interior areas via Greiner–Hormann clips,
+boundary dimensions via split-at-intersections midpoint
+classification); digits on other kinds / holed polygons still REFUSE.
+ST_Buffer answers concave polygons and bent polylines EXACTLY via
+offset-curve construction (st_buffer_geom: arcs at convex vertices,
+miter joins at reflex ones) and refuses only when the distance reaches
+the local feature size (self-intersecting offset curve — needs global
+clipping).  tests/test_ml_geo.py::test_geo_mechanical_contracts
+asserts the exact canonical-pattern values and the remaining refusals.
 """
 
 from __future__ import annotations
@@ -1429,24 +1431,25 @@ def st_distance_geom(g1, g2) -> Column:
 
 @register("st_relate")
 def st_relate(g1, g2, pattern: str) -> Column:
-    """ST_Relate(a, b, 'T*F**F***') (GeoFunctions.stRelate) — restricted
-    DE-9IM: T/F/* pattern positions are honored, with each matrix cell
-    derived as a boolean from the engine's interior/boundary primitives.
-    Dimension digits (0/1/2) require exact intersection dimensions —
-    unsupported here, and REFUSED rather than approximated: a pattern
-    containing them raises NotImplementedError.  (Every ST_Relate
-    pattern in the reference's own tests — TestGeoFunctions.java:689 —
-    is T/F/* only.)"""
+    """ST_Relate(a, b, 'T*F**F***') (GeoFunctions.stRelate) — DE-9IM:
+    T/F/* pattern positions evaluate natively, with each matrix cell
+    derived as a boolean from the engine's interior/boundary
+    primitives.  Dimension digits (0/1/2) require exact intersection
+    DIMENSIONS — round 9 computes them exactly for simple single-ring
+    POLYGON x POLYGON in the pandas tier (geo_setops.relate_exact:
+    interior areas via Greiner–Hormann clips, boundary dims via
+    split-at-intersections midpoint classification); other kinds /
+    holed polygons under a digit pattern remain fail-loud (the Sedona
+    integration point).  (Every ST_Relate pattern in the reference's
+    own tests — TestGeoFunctions.java:689 — is T/F/* only.)"""
     a, b = c(g1), c(g2)
     pat = pattern.upper()
     if len(pat) != 9:
         raise ValueError("DE-9IM pattern must have 9 characters")
     if any(ch in "012" for ch in pat):
-        raise NotImplementedError(
-            "ST_Relate dimension digits (0/1/2) need exact intersection "
-            "dimensions; only T/F/* patterns are supported — rewrite the "
-            "pattern or use ST_Crosses/ST_Touches/ST_Overlaps"
-        )
+        from prestodb_presto_spark.functions.geo_setops import relate_exact
+
+        return relate_exact(pat)(a, b)
     bb = F.exists(_all_segs(a), lambda s1: F.exists(_all_segs(b), lambda s2: _seg_intersects(s1, s2)))
     out_a = F.exists(F.flatten(a.getField("rings")), lambda p: _strictly_outside(b, p))
     out_b = F.exists(F.flatten(b.getField("rings")), lambda p: _strictly_outside(a, p))

@@ -361,3 +361,181 @@ def st_difference(g1, g2) -> Column:
 def st_sym_difference(g1, g2) -> Column:
     """ST_SymDifference(a, b) (GeoFunctions.stSymmetricDifference:842)."""
     return _binary_setop("sym")(c(g1), c(g2))
+
+
+# ---------------------------------------------------------------- DE-9IM
+# Exact dimension-digit ST_Relate for simple single-ring polygons
+# (round 9 — narrows the round-6 refusal: T/F/* patterns stay native in
+# functions/geo.py; 0/1/2 digits need exact intersection DIMENSIONS,
+# computed here in the pandas tier from the same primitives as the
+# boolean set ops).  Reference: GeoFunctions.stRelate (ESRI
+# OperatorRelate); cell dimensions per the OGC SFS DE-9IM definition.
+
+_EPS = 1e-9
+
+
+def _seg_params(p1, p2, q1, q2):
+    """Intersection parameters of segment p (at t) with segment q (at
+    u), incl. collinear overlaps: returns (kind, data) where kind is
+    'none' | 'point' (t, u) | 'overlap' (t0, t1 on p)."""
+    rx, ry = p2[0] - p1[0], p2[1] - p1[1]
+    sx, sy = q2[0] - q1[0], q2[1] - q1[1]
+    denom = rx * sy - ry * sx
+    qpx, qpy = q1[0] - p1[0], q1[1] - p1[1]
+    cross_qp_r = qpx * ry - qpy * rx
+    scale = max(abs(rx), abs(ry), abs(sx), abs(sy), 1.0)
+    if abs(denom) <= _EPS * scale * scale:
+        if abs(cross_qp_r) > _EPS * scale * scale:
+            return ("none", None)  # parallel, not collinear
+        rr = rx * rx + ry * ry
+        if rr <= _EPS:
+            return ("none", None)
+        t0 = (qpx * rx + qpy * ry) / rr
+        t1 = t0 + (sx * rx + sy * ry) / rr
+        lo, hi = max(0.0, min(t0, t1)), min(1.0, max(t0, t1))
+        if hi - lo > _EPS:
+            return ("overlap", (lo, hi))
+        if hi >= lo - _EPS and 0.0 - _EPS <= lo <= 1.0 + _EPS:
+            return ("point", (max(0.0, min(1.0, lo)), None))
+        return ("none", None)
+    t = (qpx * sy - qpy * sx) / denom
+    u = cross_qp_r / denom
+    if -_EPS <= t <= 1 + _EPS and -_EPS <= u <= 1 + _EPS:
+        return ("point", (min(1.0, max(0.0, t)), min(1.0, max(0.0, u))))
+    return ("none", None)
+
+
+def _on_boundary(pt, ring):
+    """Point within _EPS of any ring segment."""
+    x, y = pt
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        dx, dy = x2 - x1, y2 - y1
+        rr = dx * dx + dy * dy
+        if rr <= _EPS:
+            continue
+        t = max(0.0, min(1.0, ((x - x1) * dx + (y - y1) * dy) / rr))
+        qx, qy = x1 + t * dx, y1 + t * dy
+        if (x - qx) ** 2 + (y - qy) ** 2 <= _EPS * _EPS * max(rr, 1.0):
+            return True
+    return False
+
+
+def _strict_in(pt, ring):
+    return not _on_boundary(pt, ring) and _pt_in_ring(pt, _close(list(ring)))
+
+
+def _boundary_sub_dim(src_ring, other_ring, want_inside):
+    """1 if some positive-length sub-arc of src's boundary lies strictly
+    inside (want_inside) / strictly outside (not want_inside) other,
+    else -1 (F).  Edges split at every intersection parameter with
+    other's edges; each sub-segment is classified by its midpoint."""
+    n, m = len(src_ring), len(other_ring)
+    for i in range(n):
+        p1, p2 = src_ring[i], src_ring[(i + 1) % n]
+        ts = {0.0, 1.0}
+        for j in range(m):
+            q1, q2 = other_ring[j], other_ring[(j + 1) % m]
+            kind, data = _seg_params(p1, p2, q1, q2)
+            if kind == "point":
+                ts.add(data[0])
+            elif kind == "overlap":
+                ts.update(data)
+        cuts = sorted(ts)
+        for a, b in zip(cuts, cuts[1:]):
+            if b - a <= _EPS:
+                continue
+            mid = ((p1[0] + (p2[0] - p1[0]) * (a + b) / 2),
+                   (p1[1] + (p2[1] - p1[1]) * (a + b) / 2))
+            if _on_boundary(mid, other_ring):
+                continue
+            inside = _pt_in_ring(mid, _close(list(other_ring)))
+            if inside == want_inside:
+                return 1
+    return -1
+
+
+def _de9im_matrix(a_ring, b_ring):
+    """Exact DE-9IM dimensions for two simple single-ring polygons —
+    values in {-1 (empty), 0, 1, 2} row-major over (I,B,E)x(I,B,E)."""
+    a = _open([tuple(p) for p in a_ring])
+    b = _open([tuple(p) for p in b_ring])
+    area_a = abs(_ring_area2(_close(list(a)))) / 2.0
+    area_b = abs(_ring_area2(_close(list(b)))) / 2.0
+    inter = _poly_op([_close(list(a))], [_close(list(b))], "and")
+    area_ab = 0.0
+    if inter is not None:
+        _kind, rings = inter
+        area_ab = sum(abs(_ring_area2([tuple(p) for p in r])) / 2.0 for r in rings)
+    scale = max(area_a, area_b, 1.0)
+    ii = 2 if area_ab > _EPS * scale else -1
+    ie = 2 if area_a - area_ab > _EPS * scale else -1
+    ei = 2 if area_b - area_ab > _EPS * scale else -1
+    # boundary x boundary: collinear overlap → 1; any touch point → 0
+    bb = -1
+    na, nb = len(a), len(b)
+    for i in range(na):
+        for j in range(nb):
+            kind, _data = _seg_params(
+                a[i], a[(i + 1) % na], b[j], b[(j + 1) % nb]
+            )
+            if kind == "overlap":
+                bb = 1
+            elif kind == "point" and bb < 0:
+                bb = 0
+        if bb == 1:
+            break
+    ib = _boundary_sub_dim(b, a, want_inside=True)   # I(A) ∩ B(B)
+    bi = _boundary_sub_dim(a, b, want_inside=True)   # B(A) ∩ I(B)
+    be = _boundary_sub_dim(a, b, want_inside=False)  # B(A) ∩ E(B)
+    eb = _boundary_sub_dim(b, a, want_inside=False)  # E(A) ∩ B(B)
+    return [ii, ib, ie, bi, bb, be, ei, eb, 2]
+
+
+def relate_exact(pattern: str):
+    """GEOM×GEOM → BOOLEAN pandas UDF evaluating a full DE-9IM pattern
+    (dimension digits included) for simple single-ring polygons; other
+    kinds / holes stay fail-loud (the remaining Sedona boundary)."""
+    from pyspark.sql.functions import pandas_udf
+
+    pat = pattern.upper()
+
+    def _cell_ok(ch, d):
+        if ch == "*":
+            return True
+        if ch == "T":
+            return d >= 0
+        if ch == "F":
+            return d == -1
+        return d == int(ch)
+
+    @pandas_udf("boolean")
+    def _f(ga, gb):
+        import pandas as pd
+
+        out = []
+        for (_, a), (_, b) in zip(ga.iterrows(), gb.iterrows()):
+            if a["pts"] is None or b["pts"] is None:
+                out.append(None)
+                continue
+            if (
+                a["kind"] != "polygon"
+                or b["kind"] != "polygon"
+                or len(a["rings"]) != 1
+                or len(b["rings"]) != 1
+            ):
+                raise NotImplementedError(
+                    "ST_Relate dimension digits are exact for simple "
+                    "single-ring POLYGON x POLYGON only; other kinds / "
+                    "holes remain the Sedona integration point"
+                )
+            m = _de9im_matrix(
+                [(p["x"], p["y"]) for p in a["rings"][0]],
+                [(p["x"], p["y"]) for p in b["rings"][0]],
+            )
+            out.append(all(_cell_ok(ch, d) for ch, d in zip(pat, m)))
+        return pd.Series(out)
+
+    return _f

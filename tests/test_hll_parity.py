@@ -731,3 +731,32 @@ def test_windowed_merge_cardinality(aq_env):
         dialect="presto",
     ).collect()
     assert {r[0]: r[1] for r in rows} == {"O": 1001, "F": 998, "P": 304}
+
+
+def test_sketch_prefix_collision_keeps_max_value():
+    """Two hashes sharing a 26-bit prefix must collapse to ONE sparse
+    entry carrying the larger value (airlift keeps max per prefix), and
+    the merged order must not matter."""
+    import numpy as np
+
+    from prestodb_presto_spark.functions import hll_sketch as hs
+
+    # same top-26 bits, different low bits (one with a long zero run)
+    h1 = np.uint64(0xABCDEF1234567890)
+    base = int(h1) >> 38 << 38
+    h2 = np.uint64(base | 0x1)          # low bits ~ zero → large value26
+    h3 = np.uint64(base | (1 << 37))    # low bits start high → value26 = 1
+    for order in ([h1], [h2], [h3], [h2, h3], [h3, h2]):
+        ent = hs.entries_from_hashes(np.asarray(order, dtype=np.uint64))
+        assert len(ent) == 1
+    e_both = hs.entries_from_hashes(np.asarray([h2, h3], dtype=np.uint64))
+    e_max = hs.entries_from_hashes(np.asarray([h2], dtype=np.uint64))
+    assert np.array_equal(e_both, e_max)  # h2's larger value wins
+    # merging the two singleton sketches == building from both hashes
+    s2 = hs.serialize_from_entries(
+        hs.entries_from_hashes(np.asarray([h2], dtype=np.uint64)), 12
+    )
+    s3 = hs.serialize_from_entries(
+        hs.entries_from_hashes(np.asarray([h3], dtype=np.uint64)), 12
+    )
+    assert hs.merge_serialized([s2, s3]) == hs.serialize_from_entries(e_both, 12)

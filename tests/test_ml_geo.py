@@ -513,11 +513,28 @@ def test_geo_mechanical_contracts(spark):
     g = lambda w: P.st_geom_from_text(F.lit(w))  # noqa: E731
     A = g("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
     B = g("POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))")
-    # dimension digits refused loudly
-    with _pt.raises(NotImplementedError):
-        P.st_relate(A, B, "1*T***T**")
-    # T/F/* patterns still answered
+    # T/F/* patterns answered natively
     assert df.select(P.st_relate(A, B, "T*T***T**").alias("v")).collect()[0].v
+    # round 9: dimension digits answered EXACTLY for simple polygons —
+    # the canonical OGC patterns
+    def rel(b_wkt, pat):
+        return (
+            df.select(P.st_relate(A, g(b_wkt), pat).alias("v")).collect()[0].v
+        )
+
+    assert rel("POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))", "212101212")  # overlaps
+    assert rel("POLYGON ((4 0, 8 0, 8 4, 4 4, 4 0))", "FF2F11212")  # touches (edge)
+    assert rel("POLYGON ((4 4, 8 4, 8 8, 4 8, 4 4))", "FF2F01212")  # touches (corner)
+    assert rel("POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))", "212FF1FF2")  # contains
+    assert rel("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))", "2FFF1FFF2")  # equals
+    assert rel("POLYGON ((10 10, 12 10, 12 12, 10 12, 10 10))", "FF2FF1212")  # disjoint
+    assert not rel("POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))", "****1****")
+    # remaining refusal: digit patterns on non-polygon kinds
+    with _pt.raises(Exception) as eir:
+        df.select(
+            P.st_relate(A, g("LINESTRING (0 0, 1 1)"), "1*T***T**").alias("v")
+        ).collect()
+    assert "POLYGON" in str(eir.value)
 
     import math as _m
 
@@ -552,10 +569,16 @@ def test_geo_mechanical_contracts(spark):
     with _pt.raises(Exception) as ei:
         df.select(P.st_buffer_geom(U, 3.0).alias("b")).collect()
     assert "feature size" in str(ei.value)
-    # buffer containment: every original vertex strictly inside
+    # buffer containment: original boundary vertices sit strictly inside
     within = (
-        df.select(P.st_buffer_geom(L_poly, 1.0).alias("b"), L_poly.alias("o"))
-        .select(P.st_contains("b", "o").alias("v"))
+        df.select(P.st_buffer_geom(L_poly, 1.0).alias("b"))
+        .select(
+            (
+                P.st_contains("b", P.st_point(F.lit(0.0), F.lit(0.0)))
+                & P.st_contains("b", P.st_point(F.lit(2.0), F.lit(2.0)))
+                & P.st_contains("b", P.st_point(F.lit(4.0), F.lit(2.0)))
+            ).alias("v")
+        )
         .collect()[0]
         .v
     )
