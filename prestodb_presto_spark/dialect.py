@@ -837,7 +837,37 @@ def _parity_agg_compat(sql: str) -> str:
         emit(s, repl if repl is not None else sql[s:e], e)
 
     out.append(sql[last:])
-    return "".join(out)
+    return _p4_cast_post("".join(out))
+
+
+def _p4_cast_post(sql: str) -> str:
+    """Standalone CAST(X AS P4HYPERLOGLOG) — a STORED dense sketch
+    (airlift HyperLogLog.makeDense), e.g. 'CTAS dense sketches, merge
+    later'.  Runs after the main scanner (which consumed the
+    cardinality-wrapped forms), so X is already lowered; the cast
+    becomes the force-dense conversion.  Without this the generic type
+    map would render it CAST(x AS BINARY) — type-correct but silently
+    keeping the SPARSE representation, whose later cardinality diverges
+    from Presto's P4 value."""
+    pat = re.compile(r"(?i)\bcast\s*\(")
+    pos = 0
+    while True:
+        m = pat.search(sql, pos)
+        if not m:
+            return sql
+        open_idx = sql.index("(", m.start())
+        end, _ = _scan_balanced(sql, open_idx)
+        body = sql[open_idx + 1 : end - 1]
+        mm = re.match(r"(?is)^(.*)\s+AS\s+P4HYPERLOGLOG\s*$", body)
+        if not mm:
+            pos = m.end()
+            continue
+        sql = (
+            sql[: m.start()]
+            + f"presto_hll_force_dense({mm.group(1)})"
+            + sql[end:]
+        )
+        pos = m.start()
 
 
 def _qdigest_pick_unweighted(x: str, q: str) -> str:

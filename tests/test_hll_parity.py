@@ -760,3 +760,34 @@ def test_sketch_prefix_collision_keeps_max_value():
         hs.entries_from_hashes(np.asarray([h3], dtype=np.uint64)), 12
     )
     assert hs.merge_serialized([s2, s3]) == hs.serialize_from_entries(e_both, 12)
+
+
+def test_stored_dense_sketch_pipeline(aq_env):
+    """Standalone CAST(approx_set(x) AS P4HYPERLOGLOG) stores a DENSE
+    sketch (airlift makeDense); merging stored dense sketches later
+    yields the P4 values (P group 308, not the sparse 304) — dense-ness
+    survives storage and merge, as in airlift (dense + anything =
+    dense)."""
+    engine, _fresh = aq_env
+    from prestodb_presto_spark.dialect import translate
+
+    o = translate(
+        "SELECT cast(approx_set(custkey) AS P4HYPERLOGLOG) AS s FROM orders"
+    )
+    assert "presto_hll_force_dense" in o and "P4HYPER" not in o
+    assert translate(o) == o  # idempotent
+    engine.sql(
+        "SELECT orderstatus, custkey % 4 AS b,"
+        " cast(approx_set(custkey) AS P4HYPERLOGLOG) AS s FROM orders"
+        " GROUP BY orderstatus, custkey % 4",
+        dialect="presto",
+    ).createOrReplaceTempView("dense_sketches_r9")
+    got = {
+        r[0]: r[1]
+        for r in engine.sql(
+            "SELECT orderstatus, cardinality(merge(s)) FROM dense_sketches_r9"
+            " GROUP BY orderstatus",
+            dialect="presto",
+        ).collect()
+    }
+    assert got == {"O": 1001, "F": 998, "P": 308}, got
