@@ -245,3 +245,124 @@ def sample_epoch_repeat(spark, sf_dir):
         .select("doc_id", "source", F.col("copy_idx").cast("int").alias("copy_idx"))
         .orderBy("doc_id", "copy_idx")
     )
+
+
+@query(
+    "mix_budget_waterfill",
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             CAST(SUM(n_chars) AS BIGINT) AS avail,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM documents GROUP BY source),
+    tot AS (
+      SELECT CAST(SUM(avail) / 2 AS BIGINT) AS budget,
+             CAST(SUM(w) AS BIGINT) AS w_total
+      FROM s),
+    ranked AS (
+      SELECT s.*, t.budget, t.w_total,
+             COALESCE(CAST(SUM(avail) OVER (ORDER BY avail * 1.0 / w, source
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                 0) AS c_before,
+             COALESCE(CAST(SUM(w) OVER (ORDER BY avail * 1.0 / w, source
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                 0) AS w_before
+      FROM s, tot t),
+    flagged AS (
+      SELECT *,
+             CASE WHEN CAST(avail AS DECIMAL(38,0)) * (w_total - w_before)
+                       <= CAST(budget - c_before AS DECIMAL(38,0)) * w
+                  THEN 1 ELSE 0 END AS capped
+      FROM ranked),
+    pools AS (
+      SELECT CAST(SUM(CASE WHEN capped = 1 THEN avail ELSE 0 END) AS BIGINT)
+               AS c_capped,
+             CAST(SUM(CASE WHEN capped = 0 THEN w ELSE 0 END) AS BIGINT)
+               AS w_free
+      FROM flagged)
+    SELECT f.source, f.avail, f.w,
+           CASE WHEN f.capped = 1 THEN f.avail
+                ELSE CAST(CAST(f.budget - p.c_capped AS DECIMAL(38,0)) * f.w
+                          / p.w_free AS BIGINT)
+           END AS alloc
+    FROM flagged f, pools p
+    ORDER BY f.source
+    """,
+    tags=("sampling", "pipeline"),
+)
+def mix_budget_waterfill(spark, sf_dir):
+    """Token-budget water-filling across sources — 'spend B tokens,
+    proportional to source size, but no source can give more than it
+    has': alloc_i = min(avail_i, λ·w_i) with λ chosen so Σ alloc = B.
+    The mix-planning step that turns a target budget into per-source
+    sampling quotas (here B = half the corpus, w = doc counts).
+
+    Exact closed form, no iteration: sources sort by avail/weight
+    (saturation order — the exact int64 double quotient, IEEE-identical
+    across engines); a source is CAPPED iff
+    avail·W_remaining ≤ (B − C_before)·w (DECIMAL(38,0) cross-multiply,
+    overflow-safe at any corpus size), which is monotone along the
+    sort, and the uncapped pool splits the leftover budget by integer
+    division.  Every output is a BIGINT — hash-exact.
+
+    Scale posture (100 TB): the corpus is touched ONCE (one map-side-
+    combined aggregate to per-source rows); everything after operates
+    on #sources rows (window prefix sums over a broadcast-tiny
+    relation).  The classic iterative water-fill would loop over the
+    corpus; the sorted closed form never re-reads it.
+    """
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.sum("n_chars").cast("bigint").alias("avail"),
+        F.count("*").cast("bigint").alias("w"),
+    )
+    tot = s.agg(
+        (F.sum("avail") / 2).cast("bigint").alias("budget"),
+        F.sum("w").cast("bigint").alias("w_total"),
+    )
+    ratio = F.col("avail") * 1.0 / F.col("w")
+    win = Window.orderBy(ratio, "source").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = (
+        s.crossJoin(F.broadcast(tot))
+        .withColumn("c_before", F.coalesce(F.sum("avail").over(win), F.lit(0)).cast("bigint"))
+        .withColumn("w_before", F.coalesce(F.sum("w").over(win), F.lit(0)).cast("bigint"))
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    flagged = ranked.withColumn(
+        "capped",
+        F.when(
+            dec(F.col("avail")) * (F.col("w_total") - F.col("w_before"))
+            <= dec(F.col("budget") - F.col("c_before")) * F.col("w"),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    pools = flagged.agg(
+        F.sum(F.when(F.col("capped") == 1, F.col("avail")).otherwise(0))
+        .cast("bigint")
+        .alias("c_capped"),
+        F.sum(F.when(F.col("capped") == 0, F.col("w")).otherwise(0))
+        .cast("bigint")
+        .alias("w_free"),
+    )
+    return (
+        flagged.crossJoin(F.broadcast(pools))
+        .select(
+            "source",
+            "avail",
+            "w",
+            F.when(F.col("capped") == 1, F.col("avail"))
+            .otherwise(
+                F.floor(
+                    dec(F.col("budget") - F.col("c_capped"))
+                    * F.col("w")
+                    / F.col("w_free")
+                ).cast("bigint")
+            )
+            .alias("alloc"),
+        )
+        .orderBy("source")
+    )

@@ -128,3 +128,29 @@ def test_quality_bins_scale_under_zipf_skew(spark):
     # corpus) must land in exactly ONE bin — value-consistency
     one_bins = [r for r in rows if r["min_n_chars"] <= 1 <= r["max_n_chars"]]
     assert len(one_bins) == 1
+
+
+def test_waterfill_invariants(spark):
+    """mix_budget_waterfill: allocations never exceed availability, the
+    budget is met up to integer-division remainder (< #uncapped
+    sources), and capped sources are exactly those fully consumed."""
+    from tests.conftest import SF_TINY
+
+    from prestodb_presto_spark.queries.mixing import mix_budget_waterfill
+    from prestodb_presto_spark.queries.util import t
+
+    rows = mix_budget_waterfill(spark, SF_TINY).collect()
+    total_avail = sum(r["avail"] for r in rows)
+    budget = total_avail // 2
+    allocated = sum(r["alloc"] for r in rows)
+    n_uncapped = sum(1 for r in rows if r["alloc"] < r["avail"])
+    assert all(0 <= r["alloc"] <= r["avail"] for r in rows)
+    assert budget - n_uncapped < allocated <= budget, (allocated, budget)
+    # uncapped allocations are weight-proportional: alloc/w equal up to
+    # the floor (within 1 per unit weight)
+    lam = [
+        (r["alloc"], r["w"]) for r in rows if r["alloc"] < r["avail"]
+    ]
+    if len(lam) >= 2:
+        ratios = [a / w for a, w in lam]
+        assert max(ratios) - min(ratios) <= 1.0, ratios
