@@ -282,8 +282,8 @@ def sample_epoch_repeat(spark, sf_dir):
       FROM flagged)
     SELECT f.source, f.avail, f.w,
            CASE WHEN f.capped = 1 THEN f.avail
-                ELSE CAST(CAST(f.budget - p.c_capped AS DECIMAL(38,0)) * f.w
-                          / p.w_free AS BIGINT)
+                ELSE CAST(CAST(f.budget - p.c_capped AS HUGEINT) * f.w
+                          // p.w_free AS BIGINT)
            END AS alloc
     FROM flagged f, pools p
     ORDER BY f.source
@@ -356,11 +356,13 @@ def mix_budget_waterfill(spark, sf_dir):
             "w",
             F.when(F.col("capped") == 1, F.col("avail"))
             .otherwise(
-                F.floor(
-                    dec(F.col("budget") - F.col("c_capped"))
-                    * F.col("w")
-                    / F.col("w_free")
-                ).cast("bigint")
+                # exact integer floor division on BOTH engines (Spark
+                # `div`, DuckDB `//`): decimal `/` rounds its quotient
+                # differently per engine (r9 gate finding at sf0.001)
+                F.expr(
+                    "CAST((CAST(budget - c_capped AS DECIMAL(38,0)) * w)"
+                    " div w_free AS BIGINT)"
+                )
             )
             .alias("alloc"),
         )
