@@ -1493,3 +1493,212 @@ def text_bigram_logprob(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# --- Cross-doc duplicate-SPAN detection / removal (winnowing + keep-first) --
+
+_WIN_K = 8   # token n-gram width hashed per offset
+_WIN_W = 4   # winnowing window (grams per selection window)
+# Detection guarantee (Schleimer/Wilkerson/Aiken, SIGMOD'03 winnowing
+# theorem): any token run shared verbatim by two documents of length
+# >= _WIN_K + _WIN_W - 1 = 11 tokens contributes at least one identical
+# selected fingerprint to BOTH documents.
+
+_WINNOW_HS_SQL = f"""
+    toks AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
+             FROM documents),
+    hs AS (SELECT doc_id, tk,
+                  list_transform(range(1, len(tk)-{_WIN_K}+2),
+                    i -> CAST(('0x' || substr(md5(array_to_string(
+                           tk[i:i+{_WIN_K - 1}], ' ')), 1, 15)) AS BIGINT)) AS h
+           FROM toks WHERE len(tk) >= {_WIN_K}),
+    sel AS (SELECT doc_id,
+                   list_distinct(list_transform(
+                     range(1, greatest(len(h)-{_WIN_W}+1, 1)+1),
+                     j -> list_min(h[j:j+{_WIN_W - 1}]))) AS sels
+            FROM hs),
+    fp AS (SELECT doc_id, unnest(sels) AS fph FROM sel),
+    shared AS (SELECT fph FROM fp GROUP BY fph HAVING min(doc_id) <> max(doc_id))
+"""
+
+_TOKS_EXPR = "split(lower(trim(text)), ' ')"
+
+
+def _winnow_parts(spark, sf_dir):
+    """Shared plumbing: (base, fp, shared) for the winnowed-span family.
+
+    base  = (doc_id, tk, h): per-doc token array + stride-1 8-gram
+            60-bit md5-prefix hashes — ONE map-only projection, no shuffle.
+    fp    = (doc_id, fph): per-doc DISTINCT winnowed fingerprints
+            (density ~2/(W+1) of grams — the corpus-wide shuffle carries
+            ~40% of token count, in 8-byte keys, never text).
+    shared = fingerprints seen in >= 2 distinct docs, tested with the
+            algebraic min(doc_id) <> max(doc_id) (map-side combined; no
+            count-distinct state).
+    """
+    docs = t(spark, sf_dir, "documents")
+    base = docs.filter(F.expr(f"size({_TOKS_EXPR}) >= {_WIN_K}")).select(
+        "doc_id",
+        F.expr(_TOKS_EXPR).alias("tk"),
+        F.expr(
+            f"""transform(sequence(1, size({_TOKS_EXPR}) - {_WIN_K} + 1),
+              i -> cast(conv(substr(md5(concat_ws(' ',
+                     slice({_TOKS_EXPR}, i, {_WIN_K}))), 1, 15), 16, 10)
+                   AS BIGINT))"""
+        ).alias("h"),
+    )
+    fp = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"array_distinct(transform(sequence(1, greatest(size(h) - {_WIN_W} + 1, 1)),"
+                f" j -> array_min(slice(h, j, {_WIN_W}))))"
+            )
+        ).alias("fph"),
+    )
+    shared = (
+        fp.groupBy("fph")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .filter("mn <> mx")
+        .select("fph")
+    )
+    return base, fp, shared
+
+
+@query(
+    "dedup_spans_winnowed",
+    oracle=f"""
+    WITH {_WINNOW_HS_SQL}
+    SELECT f.doc_id,
+           COUNT(*) AS n_sel,
+           CAST(SUM(CASE WHEN s.fph IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared,
+           (SUM(CASE WHEN s.fph IS NOT NULL THEN 1 ELSE 0 END) > 0) AS dup_flag
+    FROM fp f LEFT JOIN shared s ON f.fph = s.fph
+    GROUP BY f.doc_id ORDER BY doc_id
+    """,
+    tags=("text", "dedup", "pipeline"),
+)
+def dedup_spans_winnowed(spark, sf_dir):
+    """Cross-document duplicate-SPAN detection via winnowing (MOSS
+    fingerprinting; Schleimer et al., SIGMOD'03) — the content-defined
+    selection that makes exact-substring dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better") tractable distributed:
+    positional stride can't align across documents, winnowing can.
+
+    Per doc: stride-1 8-token-gram 60-bit hashes (map-only array
+    expression), then one fingerprint per window of 4 consecutive
+    gram hashes — the window MIN.  Guarantee: two docs sharing a verbatim
+    run of >= 8+4-1 = 11 tokens share a selected
+    fingerprint (the shared window's min is selected in both).  Output
+    per doc: selected-fingerprint count, corpus-shared count, dup flag.
+
+    At 100 TB: the only corpus-wide shuffle carries (fingerprint, doc_id)
+    pairs at ~2/(4+1) ~ 40% token density in 8-byte keys — never
+    text; the shared test is the algebraic min<>max (map-side combined);
+    the join back is fingerprint-keyed.  No reference counterpart
+    (LLM-pipeline surface); detection guarantee property-tested with a
+    planted 11-token run in tests/test_text.py.
+    """
+    _, fp, shared = _winnow_parts(spark, sf_dir)
+    return (
+        fp.join(shared.withColumn("is_sh", F.lit(1)), "fph", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sel"),
+            F.sum(F.coalesce(F.col("is_sh"), F.lit(0))).cast("bigint").alias("n_shared"),
+        )
+        .withColumn("dup_flag", F.col("n_shared") > 0)
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "dedup_spans_strip",
+    oracle=f"""
+    WITH {_WINNOW_HS_SQL},
+    flagged AS (SELECT DISTINCT f.doc_id FROM fp f JOIN shared s ON f.fph = s.fph),
+    grams AS (SELECT h.doc_id, i AS pos, h.h[i] AS gh
+              FROM hs h JOIN flagged g ON h.doc_id = g.doc_id
+              CROSS JOIN unnest(range(1, len(h.h)+1)) AS u(i)),
+    ranked AS (SELECT doc_id, pos,
+                      row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn
+               FROM grams),
+    losing AS (SELECT doc_id, list_sort(list(pos)) AS lpos
+               FROM ranked WHERE rn > 1 GROUP BY doc_id),
+    cleaned AS (SELECT t.doc_id, t.tk, len(t.tk) AS n_tokens,
+                       list_filter(range(1, len(t.tk)+1),
+                         p -> len(list_filter(l.lpos,
+                                i -> i <= p AND p <= i+{_WIN_K}-1)) > 0) AS rmpos
+                FROM toks t JOIN losing l ON t.doc_id = l.doc_id)
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(len(rmpos) AS BIGINT) AS n_removed,
+           md5(coalesce(array_to_string(
+             list_transform(
+               list_filter(range(1, len(tk)+1), p -> NOT list_contains(rmpos, p)),
+               p -> tk[p]), ' '), '')) AS cleaned_md5
+    FROM cleaned ORDER BY doc_id
+    """,
+    tags=("text", "dedup", "pipeline"),
+)
+def dedup_spans_strip(spark, sf_dir):
+    """Cross-document duplicate-span REMOVAL, keep-first (the ExactSubstr
+    step of Lee et al.): every verbatim token run >= 8+4-1
+    = 11 tokens duplicated anywhere in the corpus is stripped from all
+    but its first occurrence (ordered by (doc_id, position) — also
+    collapses within-doc repeats).  Output per affected doc: token count,
+    removed-token count, md5 of the cleaned text.
+
+    Two-phase plan (the part that survives 100 TB): phase A winnows the
+    corpus to candidate docs (dedup_spans_winnowed's fingerprints — any
+    doc participating in a >= 11-token duplicate IS flagged, so phase B
+    loses nothing within the guarantee); phase B explodes stride-1 gram
+    hashes ONLY for flagged docs (bounded by the dup rate, not corpus
+    size), ranks occurrences per gram hash (keep-first = row_number over
+    (doc_id, pos)), folds losing positions back into a per-doc token
+    mask, and reassembles text map-side.  Shared runs SHORTER than 11
+    tokens are out of contract (winnowing may not flag them) — exactly
+    the length-threshold semantics of the published pipeline.
+    """
+    base, fp, shared = _winnow_parts(spark, sf_dir)
+    from pyspark.sql import Window
+
+    flagged = fp.join(shared, "fph").select("doc_id").distinct()
+    grams = (
+        base.join(flagged, "doc_id")
+        .select("doc_id", F.posexplode("h").alias("p0", "gh"))
+        .select("doc_id", (F.col("p0") + 1).alias("pos"), "gh")
+    )
+    w = Window.partitionBy("gh").orderBy("doc_id", "pos")
+    losing = (
+        grams.withColumn("rn", F.row_number().over(w))
+        .filter("rn > 1")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("lpos"))
+    )
+    return (
+        base.join(losing, "doc_id")
+        .withColumn(
+            "rmpos",
+            F.expr(
+                f"filter(sequence(1, size(tk)),"
+                f" p -> exists(lpos, i -> i <= p AND p <= i + {_WIN_K} - 1))"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.size("tk").cast("bigint").alias("n_tokens"),
+            F.size("rmpos").cast("bigint").alias("n_removed"),
+            F.md5(
+                F.coalesce(
+                    F.expr(
+                        "concat_ws(' ', transform(filter(sequence(1, size(tk)),"
+                        " p -> NOT array_contains(rmpos, p)), p -> element_at(tk, p)))"
+                    ),
+                    F.lit(""),
+                )
+            ).alias("cleaned_md5"),
+        )
+        .orderBy("doc_id")
+    )

@@ -374,3 +374,74 @@ def test_simhash_near_pairs_exact_vs_bruteforce(spark):
         for r in simhash_near_pairs(docs, bucket_cap=3).collect()
     }
     assert capped <= got
+
+
+def test_winnow_planted_run_detected_and_stripped(spark, tmp_path):
+    """Winnowing guarantee + keep-first strip, on a planted duplicate:
+    an 11-token run (= K+W-1) shared by two docs must flag BOTH docs
+    (dedup_spans_winnowed) and be stripped from exactly the later one
+    (dedup_spans_strip), verified against an independent Python
+    recompute of the cleaned text."""
+    from prestodb_presto_spark.queries.textops import (
+        _WIN_K,
+        _WIN_W,
+        dedup_spans_strip,
+        dedup_spans_winnowed,
+    )
+
+    run = " ".join(f"dup{i}" for i in range(_WIN_K + _WIN_W - 1))
+    docs = [
+        (1, f"alpha beta gamma {run} delta epsilon zeta eta theta", "en", "a", 0),
+        (2, f"one two three four five six {run} seven eight nine ten", "en", "b", 0),
+        (3, "totally unrelated words that never repeat anywhere at all "
+            "just filler content of reasonable length here", "en", "c", 0),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id int, text string, lang string, source string, n_chars int"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    sf = str(tmp_path)
+
+    det = {r.doc_id: r.dup_flag for r in dedup_spans_winnowed(spark, sf).collect()}
+    assert det[1] and det[2] and not det[3]
+
+    got = {r.doc_id: r for r in dedup_spans_strip(spark, sf).collect()}
+    assert set(got) == {2}  # doc 1 is the keep-first winner, untouched
+
+    # independent recompute: in doc 2, strip every token covered by a
+    # K-gram whose (doc_id, pos)-first occurrence is elsewhere
+    toks = {d[0]: d[1].lower().strip().split(" ") for d in docs}
+    first = {}
+    for did in sorted(toks):
+        tk = toks[did]
+        for i in range(len(tk) - _WIN_K + 1):
+            first.setdefault(tuple(tk[i : i + _WIN_K]), (did, i))
+    tk2 = toks[2]
+    losing = [
+        i
+        for i in range(len(tk2) - _WIN_K + 1)
+        if first[tuple(tk2[i : i + _WIN_K])] != (2, i)
+    ]
+    removed = {
+        p for i in losing for p in range(i, i + _WIN_K)
+    }
+    kept = [w for p, w in enumerate(tk2) if p not in removed]
+    import hashlib
+
+    assert got[2].n_removed == len(removed)
+    assert got[2].cleaned_md5 == hashlib.md5(" ".join(kept).encode()).hexdigest()
+
+
+def test_winnow_fingerprint_density(spark):
+    """Winnowing selects ~2/(W+1) of gram positions (SIGMOD'03 density
+    bound) — the receipt that the corpus-wide shuffle carries a
+    CONSTANT-FACTOR fraction of token count, not all grams."""
+    from prestodb_presto_spark.queries.textops import _WIN_W, _winnow_parts
+
+    base, fp, _ = _winnow_parts(spark, "/root/testdata/sf0.001")
+    n_grams = base.selectExpr("sum(size(h)) v").collect()[0].v
+    n_sel = fp.count()
+    density = n_sel / n_grams
+    # distinct-per-doc dedup pulls density below the 2/(w+1) expectation;
+    # it must stay well under 1/2 and above the 1/w floor
+    assert 1.0 / (2 * _WIN_W) <= density <= 2.5 / (_WIN_W + 1)
