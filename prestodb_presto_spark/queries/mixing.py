@@ -368,3 +368,98 @@ def mix_budget_waterfill(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+_CAP_N = 10  # per-source document cap
+
+
+@query(
+    "sample_domain_cap",
+    oracle=f"""
+    WITH u AS (SELECT doc_id, source,
+                      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                           AS BIGINT) AS hv
+               FROM documents),
+    r AS (SELECT source, doc_id,
+                 row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rk
+          FROM u)
+    SELECT source, CAST(rk AS INT) AS rk, doc_id
+    FROM r WHERE rk <= {_CAP_N} ORDER BY source, rk
+    """,
+    tags=("sampling", "pipeline"),
+)
+def sample_domain_cap(spark, sf_dir):
+    """Per-domain document cap (keep at most 10 docs per source) — the
+    anti-monoculture move of C4/RefinedWeb-class pipelines: no single
+    domain may dominate the mix, and which docs survive must be a pure
+    function of the data (the md5-prefix uniform, not rand()) so reruns
+    and backfills keep the SAME sample.
+
+    At 100 TB: ranking is row_number over (source, 52-bit md5 prefix) —
+    Spark plans the rk <= N filter as WindowGroupLimit, so each map task
+    forwards at most N candidate rows per source BEFORE the exchange;
+    the shuffle carries O(sources x N), not the corpus.  Degenerate
+    hot domains therefore cost their input scan, never a single-task
+    global sort.
+    """
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    hv = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, _HEX_DIGITS), 16, 10
+    ).cast("bigint")
+    w = Window.partitionBy("source").orderBy(hv.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _CAP_N)
+        .select("source", F.col("rk").cast("int").alias("rk"), "doc_id")
+        .orderBy("source", "rk")
+    )
+
+
+@query(
+    "sample_split_holdout",
+    oracle="""
+    WITH u AS (SELECT doc_id, source, n_chars,
+                      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                           AS BIGINT) % 100 AS bucket
+               FROM documents)
+    SELECT source,
+           CASE WHEN bucket < 96 THEN 'train'
+                WHEN bucket < 98 THEN 'valid' ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM u GROUP BY source, split ORDER BY source, split
+    """,
+    tags=("sampling", "pipeline"),
+)
+def sample_split_holdout(spark, sf_dir):
+    """Deterministic train/valid/test holdout split (96/2/2) with
+    per-source accounting — the split must be a pure function of the
+    document identity (52-bit md5 prefix mod 100, exact BIGINT
+    arithmetic on both engines) so that (a) reruns reproduce it,
+    (b) newly crawled copies of a held-out doc keep landing in the
+    holdout, never leaking into train.
+
+    At 100 TB: split assignment is a map-only expression; the only
+    shuffle is the (source, split) count/sum aggregation — map-side
+    combined to <= 3 x sources rows.
+    """
+    docs = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, _HEX_DIGITS), 16, 10
+        ).cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < 96, "train").when(bucket < 98, "valid").otherwise("test")
+    )
+    return (
+        docs.groupBy("source", split.alias("split"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .orderBy("source", "split")
+    )

@@ -238,3 +238,14 @@ def test_bigram_model_broadcasts(spark, specs):
     plan = plan_of(spark, specs, "text_bigram_logprob")
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_domain_cap_uses_group_limit_and_split_is_map_only(spark, specs):
+    """sample_domain_cap's rk<=N must plan as WindowGroupLimit (per-task
+    top-N before the exchange); sample_split_holdout must contain no
+    window/join — one partial/final aggregate over a map-only split."""
+    plan = plan_of(spark, specs, "sample_domain_cap")
+    assert "WindowGroupLimit" in plan
+    plan = plan_of(spark, specs, "sample_split_holdout")
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
