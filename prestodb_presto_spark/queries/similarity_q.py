@@ -669,3 +669,156 @@ def similarity_pq_adc(spark, sf_dir):
         )
         .orderBy("query_id", "rn")
     )
+
+
+# --- MMR diversified retrieval -------------------------------------------
+
+_MMR_NQ = 5     # query vectors
+_MMR_POOL = 20  # relevance candidate pool per query
+# greedy steps k = 3, lambda = 0.5 (score ∝ rel − max-sim-to-selected)
+
+
+@query(
+    "similarity_mmr_diversify",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {QUANT_SQL} q FROM embeddings),
+    n AS (SELECT vec_id, q, list_dot_product(q::DOUBLE[], q::DOUBLE[]) AS nrm FROM e),
+    qs AS (SELECT vec_id AS query_id, q AS qq, nrm AS qn FROM n WHERE vec_id < {_MMR_NQ}),
+    rel AS (SELECT query_id, c.vec_id, c.q, c.nrm,
+                   list_dot_product(qq::DOUBLE[], c.q::DOUBLE[]) / sqrt(qn) / sqrt(c.nrm) AS rel
+            FROM qs JOIN n c ON c.vec_id >= {_MMR_NQ}),
+    cand AS (SELECT * FROM (SELECT rel.*, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY CAST(round(rel * 1e12) AS BIGINT) DESC, vec_id) AS rk FROM rel)
+             WHERE rk <= {_MMR_POOL}),
+    s1 AS (SELECT query_id, vec_id AS s1_id, q AS s1_q, nrm AS s1_n,
+                  CAST(round(rel * 1e12) AS BIGINT) AS k1 FROM cand WHERE rk = 1),
+    st2 AS (SELECT c.query_id, c.vec_id, c.rel,
+                   c.rel - (list_dot_product(c.q::DOUBLE[], s.s1_q::DOUBLE[])
+                            / sqrt(c.nrm) / sqrt(s.s1_n)) AS sc
+            FROM cand c JOIN s1 s ON c.query_id = s.query_id AND c.vec_id <> s.s1_id),
+    s2 AS (SELECT query_id,
+                  max_by(vec_id, CAST(round(sc * 1e12) AS BIGINT) * 100000 - vec_id) AS s2_id,
+                  max(CAST(round(sc * 1e12) AS BIGINT) * 100000 - vec_id) AS kk2
+           FROM st2 GROUP BY query_id),
+    s2v AS (SELECT s2.query_id, s2.s2_id, n.q AS s2_q, n.nrm AS s2_n,
+                   (s2.kk2 + s2.s2_id) // 100000 AS k2
+            FROM s2 JOIN n ON n.vec_id = s2.s2_id),
+    st3 AS (SELECT c.query_id, c.vec_id,
+                   c.rel - greatest(
+                     list_dot_product(c.q::DOUBLE[], s1.s1_q::DOUBLE[])
+                       / sqrt(c.nrm) / sqrt(s1.s1_n),
+                     list_dot_product(c.q::DOUBLE[], s2v.s2_q::DOUBLE[])
+                       / sqrt(c.nrm) / sqrt(s2v.s2_n)) AS sc
+            FROM cand c
+            JOIN s1 ON c.query_id = s1.query_id
+            JOIN s2v ON c.query_id = s2v.query_id
+            WHERE c.vec_id <> s1.s1_id AND c.vec_id <> s2v.s2_id),
+    s3 AS (SELECT query_id,
+                  max_by(vec_id, CAST(round(sc * 1e12) AS BIGINT) * 100000 - vec_id) AS s3_id,
+                  (max(CAST(round(sc * 1e12) AS BIGINT) * 100000 - vec_id)
+                   + max_by(vec_id, CAST(round(sc * 1e12) AS BIGINT) * 100000 - vec_id))
+                  // 100000 AS k3
+           FROM st3 GROUP BY query_id)
+    SELECT query_id, 1 AS step, s1_id AS vec_id, k1 AS score_key FROM s1
+    UNION ALL SELECT query_id, 2, s2_id, k2 FROM s2v
+    UNION ALL SELECT query_id, 3, s3_id, k3 FROM s3
+    ORDER BY query_id, step
+    """,
+    tags=("similarity", "pipeline"),
+)
+def similarity_mmr_diversify(spark, sf_dir):
+    """Maximal-marginal-relevance diversified top-k retrieval (Carbonell &
+    Goldstein, SIGIR'98) — the RAG re-ranking step that stops the top-k
+    from being k copies of the same passage: greedily pick the candidate
+    maximizing lambda*rel − (1−lambda)*max-sim-to-already-selected
+    (lambda = 0.5, so the argmax key is rel − max_sim), k = 3 steps over
+    a 20-candidate relevance pool per query.
+
+    Exactness: every comparison runs on the BIGINT key
+    round(score*1e12)*1e5 − vec_id (score arithmetic is the shared
+    dot/sqrt/divide sequence both engines execute identically; the key
+    embeds the deterministic tie-break), so selections are hash-exact.
+
+    At 100 TB: the candidate pool is the part that touches the corpus —
+    here a brute-force relevance scan cut to top-20 per query by
+    WindowGroupLimit; at scale the pool comes from the bounded ANN paths
+    (similarity_ivf_ann / similarity_pq_adc) instead.  The MMR re-rank
+    itself only ever touches queries x 20 rows — each greedy step is one
+    broadcast-joined max_by aggregation, no iteration over the corpus and
+    no driver-side loop.
+    """
+    from pyspark.sql import Window
+
+    emb = t(spark, sf_dir, "embeddings")
+    n = emb.select("vec_id", quantized().alias("q")).withColumn(
+        "nrm", dot(F.col("q"), F.col("q"))
+    )
+
+    def cos(qa, na, qb, nb):
+        return (
+            dot(qa, qb).cast("double")
+            / F.sqrt(na.cast("double"))
+            / F.sqrt(nb.cast("double"))
+        )
+
+    def key(sc):
+        return F.round(sc * 1e12).cast("bigint")
+
+    qs = n.filter(F.col("vec_id") < _MMR_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("nrm").alias("qn")
+    )
+    c = n.filter(F.col("vec_id") >= _MMR_NQ)
+    rel = F.broadcast(qs).crossJoin(c).select(
+        "query_id", "vec_id", "q", "nrm",
+        cos(F.col("qq"), F.col("qn"), F.col("q"), F.col("nrm")).alias("rel"),
+    )
+    w = Window.partitionBy("query_id").orderBy(key(F.col("rel")).desc(), F.col("vec_id"))
+    cand = rel.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= _MMR_POOL)
+    s1 = cand.filter("rk = 1").select(
+        "query_id", F.col("vec_id").alias("s1_id"), F.col("q").alias("s1_q"),
+        F.col("nrm").alias("s1_n"), key(F.col("rel")).alias("k1"),
+    )
+    kk = key(F.col("sc")) * 100000 - F.col("vec_id")
+    st2 = (
+        cand.join(F.broadcast(s1), "query_id")
+        .filter("vec_id <> s1_id")
+        .withColumn("sc", F.col("rel") - cos(F.col("q"), F.col("nrm"), F.col("s1_q"), F.col("s1_n")))
+    )
+    s2 = st2.groupBy("query_id").agg(
+        F.max_by("vec_id", kk).alias("s2_id"), F.max(kk).alias("kk2")
+    )
+    s2v = (
+        s2.join(
+            n.select(F.col("vec_id").alias("s2_id"), F.col("q").alias("s2_q"), F.col("nrm").alias("s2_n")),
+            "s2_id",
+        )
+        .withColumn("k2", F.expr("(kk2 + s2_id) div 100000"))
+    )
+    st3 = (
+        cand.join(F.broadcast(s1), "query_id")
+        .join(F.broadcast(s2v.select("query_id", "s2_id", "s2_q", "s2_n")), "query_id")
+        .filter("vec_id <> s1_id AND vec_id <> s2_id")
+        .withColumn(
+            "sc",
+            F.col("rel")
+            - F.greatest(
+                cos(F.col("q"), F.col("nrm"), F.col("s1_q"), F.col("s1_n")),
+                cos(F.col("q"), F.col("nrm"), F.col("s2_q"), F.col("s2_n")),
+            ),
+        )
+    )
+    s3 = (
+        st3.groupBy("query_id")
+        .agg(F.max_by("vec_id", kk).alias("s3_id"), F.max(kk).alias("kk3"))
+        .withColumn("k3", F.expr("(kk3 + s3_id) div 100000"))
+    )
+    return (
+        s1.select(
+            "query_id", F.lit(1).alias("step"),
+            F.col("s1_id").alias("vec_id"), F.col("k1").alias("score_key"),
+        )
+        .unionAll(s2v.select("query_id", F.lit(2), "s2_id", "k2"))
+        .unionAll(s3.select("query_id", F.lit(3), "s3_id", "k3"))
+        .orderBy("query_id", "step")
+    )

@@ -200,3 +200,52 @@ def test_pq_adc_recall_against_exact(spark):
     # compression loses precision but not the neighborhood: at least
     # a third of the PQ picks must be in the exact top-10
     assert hits >= len(pq) / 3, (hits, len(pq))
+
+
+def test_mmr_matches_independent_greedy_and_diversifies(spark):
+    """similarity_mmr_diversify must equal an independent Python greedy
+    MMR over the same quantized vectors, and must diverge from plain
+    relevance top-3 on at least one query (diversity has teeth)."""
+    import math
+
+    from prestodb_presto_spark.queries.similarity_q import (
+        _MMR_NQ,
+        _MMR_POOL,
+        similarity_mmr_diversify,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {}
+    for r in similarity_mmr_diversify(spark, sf).collect():
+        got.setdefault(r.query_id, []).append(r.vec_id)
+
+    emb = {
+        r.vec_id: [round(float(x) * 1000) for x in r.embedding]
+        for r in spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(emb[a], emb[b]))
+        na = sum(x * x for x in emb[a])
+        nb = sum(x * x for x in emb[b])
+        return d / math.sqrt(na) / math.sqrt(nb)
+
+    diverged = False
+    for qid in range(_MMR_NQ):
+        cands = sorted(
+            (v for v in emb if v >= _MMR_NQ),
+            key=lambda v: (-round(cos(qid, v) * 1e12), v),
+        )[:_MMR_POOL]
+        rel_top3 = cands[:3]
+        sel = [cands[0]]
+        for _ in range(2):
+            best = max(
+                (v for v in cands if v not in sel),
+                key=lambda v: round(
+                    (cos(qid, v) - max(cos(v, s) for s in sel)) * 1e12
+                ) * 100000 - v,
+            )
+            sel.append(best)
+        assert got[qid] == sel, f"query {qid}: {got[qid]} != {sel}"
+        diverged = diverged or sel != rel_top3
+    assert diverged
