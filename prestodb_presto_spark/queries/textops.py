@@ -1655,14 +1655,15 @@ def dedup_spans_strip(spark, sf_dir):
     doc participating in a >= 11-token duplicate IS flagged, so phase B
     loses nothing within the guarantee); phase B explodes stride-1 gram
     hashes ONLY for flagged docs (bounded by the dup rate, not corpus
-    size), ranks occurrences per gram hash (keep-first = row_number over
-    (doc_id, pos)), folds losing positions back into a per-doc token
-    mask, and reassembles text map-side.  Shared runs SHORTER than 11
+    size), picks each gram hash's keep-first winner with the ALGEBRAIC
+    min(struct(doc_id, pos)) — map-side combined, so a boilerplate gram
+    in a third of the corpus never becomes a single-task window sort —
+    folds losing positions back into a per-doc token mask, and
+    reassembles text map-side.  Shared runs SHORTER than 11
     tokens are out of contract (winnowing may not flag them) — exactly
     the length-threshold semantics of the published pipeline.
     """
     base, fp, shared = _winnow_parts(spark, sf_dir)
-    from pyspark.sql import Window
 
     flagged = fp.join(shared, "fph").select("doc_id").distinct()
     grams = (
@@ -1670,10 +1671,20 @@ def dedup_spans_strip(spark, sf_dir):
         .select("doc_id", F.posexplode("h").alias("p0", "gh"))
         .select("doc_id", (F.col("p0") + 1).alias("pos"), "gh")
     )
-    w = Window.partitionBy("gh").orderBy("doc_id", "pos")
+    # Keep-first winner per gram hash = min(struct(doc_id, pos)) — an
+    # ALGEBRAIC aggregate (map-side combined), deliberately NOT
+    # row_number() over (partition by gh): a boilerplate gram present in
+    # a third of a 100 TB corpus would make one window partition of
+    # billions of rows (single-task sort), while the min-struct collapses
+    # it to one row per input partition before the exchange.  Same move
+    # as dedup_lines_cross_doc's winner; receipt in
+    # tests/test_text.py::test_spans_strip_hot_gram_skew.
+    winner = grams.groupBy("gh").agg(
+        F.min(F.struct("doc_id", "pos")).alias("w")
+    )
     losing = (
-        grams.withColumn("rn", F.row_number().over(w))
-        .filter("rn > 1")
+        grams.join(winner, "gh")
+        .filter((F.col("doc_id") != F.col("w.doc_id")) | (F.col("pos") != F.col("w.pos")))
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("pos")).alias("lpos"))
     )

@@ -445,3 +445,32 @@ def test_winnow_fingerprint_density(spark):
     # distinct-per-doc dedup pulls density below the 2/(w+1) expectation;
     # it must stay well under 1/2 and above the 1/w floor
     assert 1.0 / (2 * _WIN_W) <= density <= 2.5 / (_WIN_W + 1)
+
+
+def test_spans_strip_hot_gram_skew(spark, tmp_path):
+    """Skew receipt: a boilerplate 11-token run planted in 30% of a
+    synthetic corpus must (a) still strip correctly (all but the
+    doc_id-first copy lose it), (b) plan the winner pick as a hash
+    AGGREGATE on the gram hash, not a window sort — no Window operator
+    may appear between the gram explode and the winner join."""
+    from prestodb_presto_spark.queries.textops import dedup_spans_strip
+
+    boiler = " ".join(f"boiler{i}" for i in range(11))
+    rows = []
+    for d in range(200):
+        uniq = " ".join(f"w{d}x{i}" for i in range(12))
+        text = f"{boiler} {uniq}" if d % 3 == 0 else uniq
+        rows.append((d, text, "en", "s", 0))
+    spark.createDataFrame(
+        rows, "doc_id int, text string, lang string, source string, n_chars int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    df = dedup_spans_strip(spark, str(tmp_path))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "winner pick regressed to a window sort"
+
+    got = {r.doc_id: r.n_removed for r in df.collect()}
+    hot = [d for d in range(200) if d % 3 == 0]
+    # winner (doc 0) keeps the run; every other hot doc loses exactly it
+    assert 0 not in got
+    assert all(got[d] == 11 for d in hot[1:])
