@@ -1713,3 +1713,170 @@ def dedup_spans_strip(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_vocab_decode",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents),
+    cnt AS (SELECT tok, COUNT(*) AS c
+            FROM (SELECT unnest(l) AS tok FROM tk) GROUP BY tok),
+    v AS (SELECT tok, row_number() OVER (ORDER BY c DESC, tok) AS id
+          FROM cnt ORDER BY c DESC, tok LIMIT {_VOCAB_V}),
+    pos AS (SELECT tk.doc_id, u.i, tk.l[u.i] AS tok
+            FROM tk, LATERAL (SELECT unnest(generate_series(1, len(tk.l))) AS i) u),
+    dec AS (SELECT p.doc_id, p.i,
+                   CASE WHEN v.id IS NULL THEN '<unk>' ELSE v.tok END AS out_tok,
+                   CASE WHEN v.id IS NULL THEN 1 ELSE 0 END AS unk
+            FROM pos p LEFT JOIN v ON p.tok = v.tok)
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(unk) AS BIGINT) AS n_oov,
+           md5(array_to_string(list(out_tok ORDER BY i), ' ')) AS decoded_md5
+    FROM dec GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("text", "pipeline"),
+)
+def text_vocab_decode(spark, sf_dir):
+    """Tokenizer DECODE — the inverse of text_vocab_encode: map each
+    document's id sequence back to tokens (OOV ids render as '<unk>')
+    and emit the md5 of the reconstructed text.  Together with encode
+    this closes the tokenizer round-trip: decode(encode(x)) == x
+    wherever every token is in-vocabulary (property-tested in
+    tests/test_text.py), and degrades to '<unk>' markers exactly where
+    encode emitted id 0.
+
+    Scale posture (100 TB): identical to encode — the id->token table
+    is the SAME broadcast vocabulary (inverse lookup joins on id
+    instead of token); reconstruction is one per-doc
+    sort_array(collect_list) aggregation.  No new shuffle shape.
+    """
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    cnt = (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    top = cnt.orderBy(F.desc("c"), "tok").limit(_VOCAB_V)
+    vocab = top.withColumn(
+        "id", F.row_number().over(Window.orderBy(F.desc("c"), "tok"))
+    ).select("tok", "id")
+    pos = docs.select("doc_id", F.posexplode(toks).alias("i", "tok"))
+    dec = pos.join(F.broadcast(vocab), "tok", "left").select(
+        "doc_id",
+        "i",
+        F.when(F.col("id").isNull(), "<unk>").otherwise(F.col("tok")).alias("out_tok"),
+        F.when(F.col("id").isNull(), 1).otherwise(0).alias("unk"),
+    )
+    pairs = F.sort_array(F.collect_list(F.struct("i", "out_tok")))
+    return (
+        dec.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("unk").cast("bigint").alias("n_oov"),
+            F.md5(F.concat_ws(" ", F.transform(pairs, lambda p: p["out_tok"]))).alias(
+                "decoded_md5"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "corpus_snapshot_diff",
+    oracle="""
+    WITH v1 AS (SELECT doc_id, source, n_chars, md5(text) AS h FROM documents),
+    v2 AS (
+      SELECT doc_id, source, n_chars,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                       AS BIGINT) % 20 = 1
+                  THEN md5(text || ' [rev2]') ELSE md5(text) END AS h
+      FROM documents
+      WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                 AS BIGINT) % 20 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000000, source, n_chars, md5(text || ' [new]')
+      FROM documents
+      WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                 AS BIGINT) % 20 = 2),
+    d AS (SELECT COALESCE(v1.source, v2.source) AS source,
+                 CASE WHEN v1.doc_id IS NULL THEN 'added'
+                      WHEN v2.doc_id IS NULL THEN 'removed'
+                      WHEN v1.h <> v2.h THEN 'changed'
+                      ELSE 'unchanged' END AS status,
+                 COALESCE(v1.n_chars, 0) AS c1, COALESCE(v2.n_chars, 0) AS c2
+          FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+    SELECT source, status, COUNT(*) AS n_docs,
+           CAST(SUM(c2) - SUM(c1) AS BIGINT) AS chars_delta
+    FROM d GROUP BY source, status ORDER BY source, status
+    """,
+    tags=("pipeline",),
+)
+def corpus_snapshot_diff(spark, sf_dir):
+    """Corpus version diff — the audit every curation round needs before
+    retraining: given snapshot v1 and v2 of the corpus, classify every
+    document added / removed / changed / unchanged by content hash and
+    account the size delta per source.  (v2 here is derived
+    deterministically from the fixture — ~5% of docs removed, ~5%
+    rewritten, ~5% re-keyed as new — so both engines build the identical
+    snapshot pair.)
+
+    Scale posture (100 TB): content hashing is map-only on both sides;
+    the FULL OUTER JOIN shuffles (doc_id, 16-byte hash, source, length)
+    pairs — never document bodies; the status rollup is one
+    map-side-combined aggregate.  Two snapshots of the corpus are read
+    exactly once each.
+    """
+    docs = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
+        ).cast("bigint")
+        % 20
+    )
+    v1 = docs.select("doc_id", "source", "n_chars", F.md5("text").alias("h"))
+    v2 = (
+        docs.filter(bucket != 0)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.when(bucket == 1, F.md5(F.concat(F.col("text"), F.lit(" [rev2]"))))
+            .otherwise(F.md5("text"))
+            .alias("h"),
+        )
+        .unionAll(
+            docs.filter(bucket == 2).select(
+                (F.col("doc_id") + 1000000000).alias("doc_id"),
+                "source",
+                "n_chars",
+                F.md5(F.concat(F.col("text"), F.lit(" [new]"))).alias("h"),
+            )
+        )
+    )
+    j = v1.alias("a").join(
+        v2.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer"
+    )
+    status = (
+        F.when(F.col("a.doc_id").isNull(), "added")
+        .when(F.col("b.doc_id").isNull(), "removed")
+        .when(F.col("a.h") != F.col("b.h"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("a.source"), F.col("b.source")).alias("source"),
+            status.alias("status"),
+            F.coalesce(F.col("a.n_chars"), F.lit(0)).alias("c1"),
+            F.coalesce(F.col("b.n_chars"), F.lit(0)).alias("c2"),
+        )
+        .groupBy("source", "status")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.sum("c2") - F.sum("c1")).cast("bigint").alias("chars_delta"),
+        )
+        .orderBy("source", "status")
+    )

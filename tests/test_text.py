@@ -474,3 +474,35 @@ def test_spans_strip_hot_gram_skew(spark, tmp_path):
     # winner (doc 0) keeps the run; every other hot doc loses exactly it
     assert 0 not in got
     assert all(got[d] == 11 for d in hot[1:])
+
+
+def test_vocab_roundtrip_decode_inverts_encode(spark):
+    """decode(encode(x)) == x wherever all tokens are in-vocabulary, and
+    '<unk>' appears exactly at encode's id-0 positions."""
+    import hashlib
+
+    from prestodb_presto_spark.queries.textops import (
+        text_vocab_decode,
+        text_vocab_encode,
+    )
+    from prestodb_presto_spark.queries.util import t as load
+
+    sf = "/root/testdata/sf0.001"
+    enc = {r.doc_id: r for r in text_vocab_encode(spark, sf).collect()}
+    dec = {r.doc_id: r for r in text_vocab_decode(spark, sf).collect()}
+    docs = {r.doc_id: r.text for r in load(spark, sf, "documents").collect()}
+    assert set(enc) == set(dec)
+    checked_exact = 0
+    for did, e in enc.items():
+        d = dec[did]
+        assert (d.n_tokens, d.n_oov) == (e.n_tokens, e.n_oov)
+        toks = docs[did].lower().split(" ")
+        ids = [int(x) for x in e.ids.split("|")]
+        expect = " ".join(
+            "<unk>" if i == 0 else w for w, i in zip(toks, ids)
+        )
+        assert d.decoded_md5 == hashlib.md5(expect.encode()).hexdigest()
+        if e.n_oov == 0:
+            assert expect == " ".join(toks)
+            checked_exact += 1
+    assert checked_exact > 0  # some docs are fully in-vocabulary
