@@ -1663,13 +1663,25 @@ def dedup_spans_strip(spark, sf_dir):
     tokens are out of contract (winnowing may not flag them) — exactly
     the length-threshold semantics of the published pipeline.
     """
-    base, fp, shared = _winnow_parts(spark, sf_dir)
+    _, fp, shared = _winnow_parts(spark, sf_dir)
 
     flagged = fp.join(shared, "fph").select("doc_id").distinct()
-    grams = (
-        base.join(flagged, "doc_id")
-        .select("doc_id", F.posexplode("h").alias("p0", "gh"))
-        .select("doc_id", (F.col("p0") + 1).alias("pos"), "gh")
+    # Re-project tokens + gram hashes AFTER the flagged-docs join, so
+    # phase B's md5 work (the dominant map cost) runs only on the
+    # flagged slice — phase A already paid the one full-corpus pass.
+    docs = t(spark, sf_dir, "documents")
+    base = docs.join(flagged, "doc_id").select(
+        "doc_id",
+        F.expr(_TOKS_EXPR).alias("tk"),
+        F.expr(
+            f"""transform(sequence(1, size({_TOKS_EXPR}) - {_WIN_K} + 1),
+              i -> cast(conv(substr(md5(concat_ws(' ',
+                     slice({_TOKS_EXPR}, i, {_WIN_K}))), 1, 15), 16, 10)
+                   AS BIGINT))"""
+        ).alias("h"),
+    )
+    grams = base.select("doc_id", F.posexplode("h").alias("p0", "gh")).select(
+        "doc_id", (F.col("p0") + 1).alias("pos"), "gh"
     )
     # Keep-first winner per gram hash = min(struct(doc_id, pos)) — an
     # ALGEBRAIC aggregate (map-side combined), deliberately NOT

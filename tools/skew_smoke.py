@@ -371,6 +371,96 @@ def main() -> None:
         flush=True,
     )
 
+    # --- 10. winnowed span strip: two-phase vs all-gram single phase ----
+    # 10% of docs carry one of 40 boilerplate 12-token runs; fillers are
+    # unique.  Phase A (winnow fingerprints) must cut the gram explode to
+    # the ~10% flagged slice; the single-phase form explodes stride-1
+    # gram hashes for EVERY doc.  Both pick winners with the algebraic
+    # min(struct) and must report identical per-doc removal counts.
+    import tempfile
+
+    from prestodb_presto_spark.queries.textops import (
+        _WIN_K,
+        _winnow_parts,
+        dedup_spans_strip,
+    )
+
+    n_span_docs = min(n_docs, 100_000)
+    span_docs = spark.range(n_span_docs).selectExpr(
+        "CAST(id AS INT) AS doc_id",
+        "CASE WHEN id % 10 = 0 THEN concat("
+        "  concat_ws(' ', transform(sequence(1, 6), j -> concat('u', id, 'x', j))), ' ',"
+        "  concat_ws(' ', transform(sequence(1, 12), j -> concat('boiler', id % 40, '_', j))), ' ',"
+        "  concat_ws(' ', transform(sequence(7, 12), j -> concat('u', id, 'x', j))))"
+        " ELSE concat_ws(' ', transform(sequence(1, 24), j -> concat('u', id, 'x', j)))"
+        " END AS text",
+        "'en' AS lang", "'s' AS source", "0 AS n_chars",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        span_docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+
+        def strip_two_phase():
+            return sorted(
+                (r.doc_id, r.n_removed)
+                for r in dedup_spans_strip(spark, tmp)
+                .select("doc_id", "n_removed")
+                .collect()
+            )
+
+        def strip_all_grams():
+            base, _fp, _sh = _winnow_parts(spark, tmp)
+            grams = (
+                base.select("doc_id", F.posexplode("h").alias("p0", "gh"))
+                .select("doc_id", (F.col("p0") + 1).alias("pos"), "gh")
+            )
+            winner = grams.groupBy("gh").agg(
+                F.min(F.struct("doc_id", "pos")).alias("w")
+            )
+            losing = (
+                grams.join(winner, "gh")
+                .filter(
+                    (F.col("doc_id") != F.col("w.doc_id"))
+                    | (F.col("pos") != F.col("w.pos"))
+                )
+                .groupBy("doc_id")
+                .agg(F.sort_array(F.collect_list("pos")).alias("lpos"))
+            )
+            rm = F.expr(
+                f"size(filter(sequence(1, size(tk)),"
+                f" p -> exists(lpos, i -> i <= p AND p <= i + {_WIN_K} - 1)))"
+            )
+            return sorted(
+                (r.doc_id, r.n_removed)
+                for r in base.join(losing, "doc_id")
+                .select("doc_id", rm.cast("bigint").alias("n_removed"))
+                .collect()
+            )
+
+        t0 = time.time()
+        w2 = strip_two_phase()
+        out["span_strip_two_phase_s"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        w1 = strip_all_grams()
+        out["span_strip_all_grams_s"] = round(time.time() - t0, 3)
+    assert w1 == w2, (len(w1), len(w2))
+    # local-mode caveat (same as the pack receipt): wall times here are
+    # md5-CPU-bound and the two-phase form hashes the corpus twice, so
+    # single-phase can win locally.  The structural receipt is the
+    # SHUFFLE: single-phase shuffles every doc's stride-1 gram hashes
+    # (corpus-sized exchange + corpus-sized winner aggregation state);
+    # two-phase shuffles winnowed fingerprints (~40% of token count) and
+    # then full grams for the FLAGGED slice only (here 10% of docs) —
+    # at 100 TB the exchange, not the map CPU, is the bill.
+    out["span_strip_flagged_frac"] = round(len(w2) / n_span_docs, 4)
+    print(
+        f"# span_strip: all-grams {out['span_strip_all_grams_s']}s"
+        f" (gram shuffle = 100% of docs) vs two-phase"
+        f" {out['span_strip_two_phase_s']}s (gram shuffle ="
+        f" {out['span_strip_flagged_frac']:.0%} flagged slice;"
+        f" {len(w2)} docs stripped, identical)",
+        flush=True,
+    )
+
     print(json.dumps({"n_docs": n_docs, **out}))
 
 
