@@ -774,7 +774,14 @@ def similarity_mmr_diversify(spark, sf_dir):
         cos(F.col("qq"), F.col("qn"), F.col("q"), F.col("nrm")).alias("rel"),
     )
     w = Window.partitionBy("query_id").orderBy(key(F.col("rel")).desc(), F.col("vec_id"))
-    cand = rel.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= _MMR_POOL)
+    # Materialize the pool (queries x 20 rows) so the three greedy steps
+    # reuse it instead of re-deriving their shared lineage — without this
+    # each step's branch re-scans the corpus for the relevance pass.
+    cand = (
+        rel.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _MMR_POOL)
+        .localCheckpoint(eager=False)
+    )
     s1 = cand.filter("rk = 1").select(
         "query_id", F.col("vec_id").alias("s1_id"), F.col("q").alias("s1_q"),
         F.col("nrm").alias("s1_n"), key(F.col("rel")).alias("k1"),
