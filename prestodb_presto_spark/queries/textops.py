@@ -1892,3 +1892,85 @@ def corpus_snapshot_diff(spark, sf_dir):
         )
         .orderBy("source", "status")
     )
+
+
+_QLIN_D = 1024  # hashed feature buckets
+
+
+@query(
+    "text_quality_linear",
+    oracle=f"""
+    WITH w AS (SELECT i AS bucket,
+                      CAST(('0x' || substr(md5('w' || CAST(i AS VARCHAR)), 1, 13))
+                           AS BIGINT) % 2001 - 1000 AS wt
+               FROM (SELECT unnest(range(0, {_QLIN_D})) AS i)),
+    tk AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS l FROM documents),
+    feats AS (
+      SELECT doc_id, unnest(l || [l[i] || '_' || l[i+1] for i in range(1, len(l))]) AS f
+      FROM tk),
+    b AS (SELECT doc_id,
+                 CAST(('0x' || substr(md5(f), 1, 13)) AS BIGINT) % {_QLIN_D} AS bucket
+          FROM feats)
+    SELECT b.doc_id,
+           COUNT(*) AS n_feats,
+           CAST(SUM(w.wt) AS BIGINT) AS score,
+           (SUM(w.wt) > 0) AS keep
+    FROM b JOIN w ON b.bucket = w.bucket
+    GROUP BY b.doc_id ORDER BY b.doc_id
+    """,
+    tags=("text", "pipeline"),
+)
+def text_quality_linear(spark, sf_dir):
+    """Model-based quality filtering: linear-classifier INFERENCE over
+    hashed unigram+bigram features (the fastText-style scorer used to
+    filter CommonCrawl against a high-quality reference corpus) — the
+    learned complement to the heuristic rule pack (text_quality_rules),
+    rarity (text_unigram_rarity) and bigram-LM (text_bigram_logprob)
+    tiers.  Per doc: feature count, integer margin score, keep verdict.
+
+    The 1024-bucket weight table here is derived deterministically from
+    md5(bucket) (integers in [-1000, 1000]) so both engines build the
+    identical "model"; a real trained model ships as exactly such a
+    (bucket, weight) table — the plumbing below is what inference looks
+    like either way.
+
+    At 100 TB: featurization (unigrams + in-row bigram pairing) is a
+    per-row array expression, bucketing is map-side md5 arithmetic, and
+    the model joins as a BROADCAST table (fastText-class models are
+    ~10^5-10^7 buckets, megabytes); the only shuffle is the per-doc
+    score aggregation — map-side combined.  No Python anywhere.
+    """
+    docs = t(spark, sf_dir, "documents")
+    weights = spark.range(_QLIN_D).select(
+        F.col("id").alias("bucket"),
+        (
+            F.conv(F.substring(F.md5(F.concat(F.lit("w"), F.col("id").cast("string"))), 1, 13), 16, 10)
+            .cast("bigint")
+            % 2001
+            - 1000
+        ).alias("wt"),
+    )
+    l = F.split(F.lower(F.trim(F.col("text"))), " ")
+    bigrams = F.expr(
+        "CASE WHEN size(l) >= 2 THEN transform(sequence(1, size(l) - 1),"
+        " i -> concat(element_at(l, i), '_', element_at(l, i + 1)))"
+        " ELSE slice(l, 1, 0) END"
+    )
+    feats = (
+        docs.select("doc_id", l.alias("l"))
+        .select("doc_id", F.explode(F.concat(F.col("l"), bigrams)).alias("f"))
+    )
+    b = feats.select(
+        "doc_id",
+        (F.conv(F.substring(F.md5("f"), 1, 13), 16, 10).cast("bigint") % _QLIN_D).alias("bucket"),
+    )
+    return (
+        b.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.sum("wt").cast("bigint").alias("score"),
+            (F.sum("wt") > 0).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
