@@ -1974,3 +1974,80 @@ def text_quality_linear(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "dedup_incremental",
+    oracle=f"""
+    WITH bkt AS (SELECT doc_id, text,
+                        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                             AS BIGINT) % 20 AS b
+                 FROM documents),
+    old AS (SELECT doc_id, text FROM bkt WHERE b <> 2),
+    new AS (SELECT doc_id + 1000000000 AS doc_id, text || ' appendix terms' AS text
+            FROM bkt WHERE b = 3
+            UNION ALL
+            SELECT doc_id + 2000000000,
+                   array_to_string(list_reverse(string_split(text, ' ')), ' ')
+            FROM bkt WHERE b = 2),
+    sn AS (SELECT doc_id AS new_id,
+                  (SELECT {SHINGLES3_SQL.replace("l[", "ll[").replace("len(l)", "len(ll)")}
+                   FROM (SELECT string_split(new.text, ' ') AS ll)) AS s
+           FROM new),
+    so AS (SELECT doc_id AS old_id,
+                  (SELECT {SHINGLES3_SQL.replace("l[", "ll[").replace("len(l)", "len(ll)")}
+                   FROM (SELECT string_split(old.text, ' ') AS ll)) AS s
+           FROM old),
+    tn AS (SELECT new_id, len(s) AS sz, unnest(s) AS w FROM sn),
+    tk AS (SELECT old_id, len(s) AS sz, unnest(s) AS w FROM so),
+    inter AS (SELECT tn.new_id, tk.old_id, tn.sz AS sz_n, tk.sz AS sz_o,
+                     COUNT(*) AS c
+              FROM tn JOIN tk ON tn.w = tk.w
+              GROUP BY tn.new_id, tk.old_id, tn.sz, tk.sz)
+    SELECT new_id, old_id,
+           ROUND(c * 1.0 / (sz_n + sz_o - c), 6) AS jaccard
+    FROM inter WHERE c * 1.0 / (sz_n + sz_o - c) >= 0.8
+    ORDER BY new_id, old_id
+    """,
+    tags=("text", "dedup", "approximate", "pipeline"),
+)
+def dedup_incremental(spark, sf_dir):
+    """Incremental-ingestion dedup: check a NEW batch of documents
+    against the EXISTING corpus without re-deduplicating the corpus —
+    the pattern a continuously-fed 100 TB pipeline actually runs (the
+    corpus side's LSH band buckets persist between batches as the dedup
+    INDEX; each arriving batch shingles/signs only itself and equi-joins
+    its buckets against the index).  The fixture derives both sides
+    deterministically: the new batch is ~5% perturbed copies of docs that
+    REMAIN in the corpus (near-dups the index must catch) plus ~5%
+    reversed-token rewrites (shingle-disjoint, must NOT match).
+
+    Verified output = the exact cross-corpus Jaccard >= 0.8 pair set
+    (banding at r=2/b=32 catches J >= 0.8 with prob ~1-1e-13), which is
+    what the oracle computes exactly.  At 100 TB: the index join
+    shuffles (band-hash, id) keys only — batch-sized, not corpus-sized;
+    exact verification touches candidates only.
+    """
+    from prestodb_presto_spark.text.minhash import incremental_near_dup_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10)
+        .cast("bigint")
+        % 20
+    )
+    old = docs.filter(bucket != 2).select("doc_id", "text")
+    new = docs.filter(bucket == 3).select(
+        (F.col("doc_id") + 1000000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" appendix terms")).alias("text"),
+    ).unionAll(
+        docs.filter(bucket == 2).select(
+            (F.col("doc_id") + 2000000000).alias("doc_id"),
+            F.concat_ws(" ", F.reverse(F.split(F.col("text"), " "))).alias("text"),
+        )
+    )
+    return (
+        incremental_near_dup_pairs(new, old, threshold=0.8)
+        .select("new_id", "old_id", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("new_id", "old_id")
+    )

@@ -125,3 +125,46 @@ def verified_near_dup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def _band_buckets(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, bh) band-bucket keys — the LSH 'index rows' for one corpus."""
+    sig = minhash_signatures(docs, id_col, text_col)
+    r = N_HASHES // N_BANDS
+    return sig.select(
+        id_col,
+        F.posexplode(
+            F.expr(f"transform(sequence(0, {N_BANDS - 1}), b -> slice(sig, b * {r} + 1, {r}))")
+        ).alias("band_idx", "band"),
+    ).select(id_col, F.hash("band_idx", "band").alias("bh"))
+
+
+def incremental_near_dup_pairs(
+    new: DataFrame,
+    old: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-corpus near-dup check: which NEW docs duplicate the EXISTING
+    corpus — the incremental-ingestion pattern (the index side's band
+    buckets are exactly what a production pipeline persists between
+    batches, so the existing corpus is never re-shingled, let alone
+    re-self-joined).  Candidates = equi-join of the new batch's band
+    buckets against the index's; verification = exact Jaccard on
+    candidates only.  Returns (new_id, old_id, jaccard >= threshold).
+    """
+    nb = _band_buckets(new, id_col, text_col).withColumnRenamed(id_col, "new_id")
+    ob = _band_buckets(old, id_col, text_col).withColumnRenamed(id_col, "old_id")
+    cands = nb.join(ob, "bh").select("new_id", "old_id").distinct()
+    sh_n = new.select(F.col(id_col).alias("new_id"), shingles3(text_col).alias("s_n"))
+    sh_o = old.select(F.col(id_col).alias("old_id"), shingles3(text_col).alias("s_o"))
+    inter = F.size(F.array_intersect("s_n", "s_o"))
+    jac = inter * 1.0 / (F.size("s_n") + F.size("s_o") - inter)
+    return (
+        cands.join(sh_n, "new_id")
+        .join(sh_o, "old_id")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "old_id", "jaccard")
+    )
