@@ -701,3 +701,66 @@ def events_attribution_lasttouch(spark, sf_dir):
         .agg(F.count("*").cast("bigint").alias("n_purchases"))
         .orderBy("attributed_to")
     )
+
+
+@query(
+    "events_trending_topk",
+    oracle="""
+    WITH w AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws,
+                      event_type, COUNT(*) AS n
+               FROM events GROUP BY 1, 2),
+    g AS (SELECT ws, event_type, n,
+                 n - COALESCE(lag(n) OVER (PARTITION BY event_type ORDER BY ws), 0)
+                   AS growth
+          FROM w),
+    r AS (SELECT ws, event_type, n, growth,
+                 row_number() OVER (PARTITION BY ws
+                                    ORDER BY growth DESC, event_type) AS rk
+          FROM g)
+    SELECT ws AS window_start, CAST(rk AS INT) AS rk, event_type,
+           CAST(n AS BIGINT) AS n, CAST(growth AS BIGINT) AS growth
+    FROM r WHERE rk <= 3 ORDER BY window_start, rk
+    """,
+    tags=("streaming", "pipeline"),
+)
+def events_trending_topk(spark, sf_dir):
+    """Trending detection: the top-3 event types per hour ranked by count
+    GROWTH against the type's previous hour (momentum), not raw volume —
+    the 'trending now' semantic that distinguishes a breakout from a
+    perennial heavy hitter.
+
+    At 100 TB: the raw stream collapses FIRST to (window, type) partial
+    counts — ONE map-side-combined aggregation, after which every window
+    function (per-type lag, per-window rank) runs over windows x types
+    rows (thousands, not billions); the rank <= 3 plans as
+    WindowGroupLimit.  In streaming this is the classic two-stage
+    continuous query: windowed counts maintained incrementally, the
+    momentum/rank stage recomputed over the tiny aggregate.
+    """
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    lag_w = Window.partitionBy("event_type").orderBy("window_start")
+    g = w.withColumn(
+        "growth", F.col("n") - F.coalesce(F.lag("n").over(lag_w), F.lit(0))
+    )
+    rank_w = Window.partitionBy("window_start").orderBy(F.desc("growth"), "event_type")
+    return (
+        g.withColumn("rk", F.row_number().over(rank_w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "window_start",
+            F.col("rk").cast("int").alias("rk"),
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("growth").cast("bigint").alias("growth"),
+        )
+        .orderBy("window_start", "rk")
+    )
