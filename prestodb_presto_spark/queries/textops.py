@@ -1329,6 +1329,26 @@ def decontaminate_exact_passage(spark, sf_dir):
 _VOCAB_V = 500
 
 
+def _vocab(docs):
+    """(tok, id): the frequency-ranked top-V vocabulary (id = rank,
+    deterministic tie-break on token) — ONE definition shared by encode
+    and decode so the two can never drift out of being inverses.
+    The top-V pick is a TakeOrderedAndProject; the rank window runs over
+    V rows only; callers broadcast the result into their lookup join."""
+    from pyspark.sql import Window
+
+    toks = F.split(F.lower(F.col("text")), " ")
+    cnt = (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    top = cnt.orderBy(F.desc("c"), "tok").limit(_VOCAB_V)
+    return top.withColumn(
+        "id", F.row_number().over(Window.orderBy(F.desc("c"), "tok"))
+    ).select("tok", "id")
+
+
 @query(
     "text_vocab_encode",
     oracle=f"""
@@ -1365,19 +1385,9 @@ def text_vocab_encode(spark, sf_dir):
     with ONE per-doc aggregation (sort_array(collect_list(struct(pos,
     id)))) — the same single-shuffle reassembly as dedup_lines.
     """
-    from pyspark.sql import Window
-
     docs = t(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.col("text")), " ")
-    cnt = (
-        docs.select(F.explode(toks).alias("tok"))
-        .groupBy("tok")
-        .agg(F.count("*").alias("c"))
-    )
-    top = cnt.orderBy(F.desc("c"), "tok").limit(_VOCAB_V)
-    vocab = top.withColumn(
-        "id", F.row_number().over(Window.orderBy(F.desc("c"), "tok"))
-    ).select("tok", "id")
+    vocab = _vocab(docs)
     pos = docs.select("doc_id", F.posexplode(toks).alias("i", "tok"))
     enc = pos.join(F.broadcast(vocab), "tok", "left").select(
         "doc_id", "i", F.coalesce("id", F.lit(0)).alias("id")
@@ -1523,6 +1533,23 @@ _WINNOW_HS_SQL = f"""
 
 _TOKS_EXPR = "split(lower(trim(text)), ' ')"
 
+# stride-1 gram-hash projection shared by phase A (detection over the
+# whole corpus) and phase B (exact marking over the flagged slice) —
+# ONE definition so the two phases can never hash differently
+_GRAM_HASH_EXPR = f"""transform(sequence(1, size({_TOKS_EXPR}) - {_WIN_K} + 1),
+      i -> cast(conv(substr(md5(concat_ws(' ',
+             slice({_TOKS_EXPR}, i, {_WIN_K}))), 1, 15), 16, 10)
+           AS BIGINT))"""
+
+
+def _gram_base(docs):
+    """(doc_id, tk, h): token array + stride-1 gram hashes, map-only."""
+    return docs.filter(F.expr(f"size({_TOKS_EXPR}) >= {_WIN_K}")).select(
+        "doc_id",
+        F.expr(_TOKS_EXPR).alias("tk"),
+        F.expr(_GRAM_HASH_EXPR).alias("h"),
+    )
+
 
 def _winnow_parts(spark, sf_dir):
     """Shared plumbing: (base, fp, shared) for the winnowed-span family.
@@ -1537,16 +1564,7 @@ def _winnow_parts(spark, sf_dir):
             count-distinct state).
     """
     docs = t(spark, sf_dir, "documents")
-    base = docs.filter(F.expr(f"size({_TOKS_EXPR}) >= {_WIN_K}")).select(
-        "doc_id",
-        F.expr(_TOKS_EXPR).alias("tk"),
-        F.expr(
-            f"""transform(sequence(1, size({_TOKS_EXPR}) - {_WIN_K} + 1),
-              i -> cast(conv(substr(md5(concat_ws(' ',
-                     slice({_TOKS_EXPR}, i, {_WIN_K}))), 1, 15), 16, 10)
-                   AS BIGINT))"""
-        ).alias("h"),
-    )
+    base = _gram_base(docs)
     fp = base.select(
         "doc_id",
         F.explode(
@@ -1556,6 +1574,10 @@ def _winnow_parts(spark, sf_dir):
             )
         ).alias("fph"),
     )
+    # Materialize the fingerprint stream: `shared` aggregates fp AND fp
+    # is the probe side of the share-test join — without this the
+    # tokenize+md5 subtree (the dominant map cost) runs twice per query.
+    fp = fp.localCheckpoint(eager=False)
     shared = (
         fp.groupBy("fph")
         .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
@@ -1669,17 +1691,9 @@ def dedup_spans_strip(spark, sf_dir):
     # Re-project tokens + gram hashes AFTER the flagged-docs join, so
     # phase B's md5 work (the dominant map cost) runs only on the
     # flagged slice — phase A already paid the one full-corpus pass.
+    # _gram_base guarantees phases A and B hash identically.
     docs = t(spark, sf_dir, "documents")
-    base = docs.join(flagged, "doc_id").select(
-        "doc_id",
-        F.expr(_TOKS_EXPR).alias("tk"),
-        F.expr(
-            f"""transform(sequence(1, size({_TOKS_EXPR}) - {_WIN_K} + 1),
-              i -> cast(conv(substr(md5(concat_ws(' ',
-                     slice({_TOKS_EXPR}, i, {_WIN_K}))), 1, 15), 16, 10)
-                   AS BIGINT))"""
-        ).alias("h"),
-    )
+    base = _gram_base(docs.join(flagged, "doc_id"))
     grams = base.select("doc_id", F.posexplode("h").alias("p0", "gh")).select(
         "doc_id", (F.col("p0") + 1).alias("pos"), "gh"
     )
@@ -1763,19 +1777,9 @@ def text_vocab_decode(spark, sf_dir):
     instead of token); reconstruction is one per-doc
     sort_array(collect_list) aggregation.  No new shuffle shape.
     """
-    from pyspark.sql import Window
-
     docs = t(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.col("text")), " ")
-    cnt = (
-        docs.select(F.explode(toks).alias("tok"))
-        .groupBy("tok")
-        .agg(F.count("*").alias("c"))
-    )
-    top = cnt.orderBy(F.desc("c"), "tok").limit(_VOCAB_V)
-    vocab = top.withColumn(
-        "id", F.row_number().over(Window.orderBy(F.desc("c"), "tok"))
-    ).select("tok", "id")
+    vocab = _vocab(docs)
     pos = docs.select("doc_id", F.posexplode(toks).alias("i", "tok"))
     dec = pos.join(F.broadcast(vocab), "tok", "left").select(
         "doc_id",

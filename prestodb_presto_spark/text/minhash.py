@@ -57,6 +57,20 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     return sig.select(id_col, F.array(*[f"m{i}" for i in range(N_HASHES)]).alias("sig"))
 
 
+def _band_buckets(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, bh) band-bucket keys — the LSH 'index rows' for one corpus;
+    the single banding definition shared by the self-join and
+    incremental (cross-corpus) paths."""
+    sig = minhash_signatures(docs, id_col, text_col)
+    r = N_HASHES // N_BANDS
+    return sig.select(
+        id_col,
+        F.posexplode(
+            F.expr(f"transform(sequence(0, {N_BANDS - 1}), b -> slice(sig, b * {r} + 1, {r}))")
+        ).alias("band_idx", "band"),
+    ).select(id_col, F.hash("band_idx", "band").alias("bh"))
+
+
 def lsh_candidate_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -76,14 +90,7 @@ def lsh_candidate_pairs(
     dedup against the cluster's non-hot edges).  ``bucket_cap=None``
     disables the guard.
     """
-    sig = minhash_signatures(docs, id_col, text_col)
-    r = N_HASHES // N_BANDS
-    bands = sig.select(
-        id_col,
-        F.posexplode(
-            F.expr(f"transform(sequence(0, {N_BANDS - 1}), b -> slice(sig, b * {r} + 1, {r}))")
-        ).alias("band_idx", "band"),
-    ).select(id_col, F.hash("band_idx", "band").alias("bh"))
+    bands = _band_buckets(docs, id_col, text_col)
     if bucket_cap is not None:
         # window count shares the hash partitioning of the self-join key —
         # no extra shuffle, just one pass over each bucket
@@ -127,24 +134,13 @@ def verified_near_dup_pairs(
     )
 
 
-def _band_buckets(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, bh) band-bucket keys — the LSH 'index rows' for one corpus."""
-    sig = minhash_signatures(docs, id_col, text_col)
-    r = N_HASHES // N_BANDS
-    return sig.select(
-        id_col,
-        F.posexplode(
-            F.expr(f"transform(sequence(0, {N_BANDS - 1}), b -> slice(sig, b * {r} + 1, {r}))")
-        ).alias("band_idx", "band"),
-    ).select(id_col, F.hash("band_idx", "band").alias("bh"))
-
-
 def incremental_near_dup_pairs(
     new: DataFrame,
     old: DataFrame,
     threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """Cross-corpus near-dup check: which NEW docs duplicate the EXISTING
     corpus — the incremental-ingestion pattern (the index side's band
@@ -156,9 +152,25 @@ def incremental_near_dup_pairs(
     """
     nb = _band_buckets(new, id_col, text_col).withColumnRenamed(id_col, "new_id")
     ob = _band_buckets(old, id_col, text_col).withColumnRenamed(id_col, "old_id")
+    if bucket_cap is not None:
+        # same hot-bucket guard as the self-join path: an index bucket
+        # holding more than cap docs (boilerplate/empty templates) would
+        # fan every matching new doc out O(bucket) — drop it; recall
+        # caveat identical to lsh_candidate_pairs (a pair is missed only
+        # if ALL its shared buckets are hot)
+        ob = (
+            ob.withColumn("__bsz", F.count("*").over(Window.partitionBy("bh")))
+            .filter(F.col("__bsz") <= bucket_cap)
+            .drop("__bsz")
+        )
     cands = nb.join(ob, "bh").select("new_id", "old_id").distinct()
     sh_n = new.select(F.col(id_col).alias("new_id"), shingles3(text_col).alias("s_n"))
-    sh_o = old.select(F.col(id_col).alias("old_id"), shingles3(text_col).alias("s_o"))
+    # shingle ONLY the candidate slice of the corpus — the semi-join
+    # keeps the verification scan batch-sized, not corpus-sized
+    old_hit = old.join(
+        cands.select(F.col("old_id").alias(id_col)).distinct(), id_col, "left_semi"
+    )
+    sh_o = old_hit.select(F.col(id_col).alias("old_id"), shingles3(text_col).alias("s_o"))
     inter = F.size(F.array_intersect("s_n", "s_o"))
     jac = inter * 1.0 / (F.size("s_n") + F.size("s_o") - inter)
     return (

@@ -390,7 +390,7 @@ def main() -> None:
         "CAST(id AS INT) AS doc_id",
         "CASE WHEN id % 10 = 0 THEN concat("
         "  concat_ws(' ', transform(sequence(1, 6), j -> concat('u', id, 'x', j))), ' ',"
-        "  concat_ws(' ', transform(sequence(1, 12), j -> concat('boiler', id % 40, '_', j))), ' ',"
+        "  concat_ws(' ', transform(sequence(1, 12), j -> concat('boiler', CAST(id / 10 AS BIGINT) % 40, '_', j))), ' ',"
         "  concat_ws(' ', transform(sequence(7, 12), j -> concat('u', id, 'x', j))))"
         " ELSE concat_ws(' ', transform(sequence(1, 24), j -> concat('u', id, 'x', j)))"
         " END AS text",
