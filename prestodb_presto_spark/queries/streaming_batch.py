@@ -764,3 +764,60 @@ def events_trending_topk(spark, sf_dir):
         )
         .orderBy("window_start", "rk")
     )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (SELECT user_id, event_type,
+                        lead(event_type) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id) AS nxt
+                 FROM events),
+    pairs AS (SELECT event_type AS from_type, nxt AS to_type FROM seq
+              WHERE nxt IS NOT NULL),
+    c AS (SELECT from_type, to_type, COUNT(*) AS n FROM pairs
+          GROUP BY from_type, to_type),
+    tot AS (SELECT from_type, SUM(n) AS t FROM c GROUP BY from_type)
+    SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+           ROUND(c.n * 1.0 / tot.t, 6) AS prob
+    FROM c JOIN tot ON c.from_type = tot.from_type
+    ORDER BY c.from_type, c.to_type
+    """,
+    tags=("streaming", "pipeline"),
+)
+def events_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: for every (from_type, to_type) pair of CONSECUTIVE events
+    by the same user (time-ordered, event_id tie-break), the count and
+    the row-normalized transition probability — the behavioral model
+    behind next-action prediction and anomaly scoring.
+
+    At 100 TB: adjacency is a per-user lead() window — each user's
+    partition is their own event count (the same per-user state bound as
+    sessionization; a degenerate bot key costs one task's sort of its
+    own rows, not the stream's); the transition rollup collapses
+    immediately to |types|^2 rows via map-side combine, and the
+    normalizing join runs over that tiny matrix.  prob is a single IEEE
+    division on both engines, rounded at the boundary.
+    """
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    c = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("nxt").alias("to_type")
+    ).agg(F.count("*").alias("n"))
+    tot = c.groupBy("from_type").agg(F.sum("n").alias("t"))
+    return (
+        c.join(tot, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n") * 1.0 / F.col("t"), 6).alias("prob"),
+        )
+        .orderBy("from_type", "to_type")
+    )
