@@ -829,3 +829,149 @@ def similarity_mmr_diversify(spark, sf_dir):
         .unionAll(s3.select("query_id", F.lit(3), "s3_id", "k3"))
         .orderBy("query_id", "step")
     )
+
+
+# --- margin-based bitext mining (mutual nearest neighbors) ----------------
+
+_BITEXT_MARGIN = 20_000_000_000  # 0.02 in round(cos*1e12) key units
+
+
+@query(
+    "similarity_bitext_mine",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, {QUANT_SQL} q FROM embeddings),
+    flat AS (SELECT vec_id, unnest(q) AS x,
+                    generate_subscripts(q, 1) - 1 AS dim
+             FROM e),
+    proj AS (SELECT vec_id, p,
+                    SUM(x * (CAST(CAST(('0x' || substr(md5('planes-' || (p // 32) || '-' || dim),
+                                               (p % 32) + 1, 1))
+                                       AS UBIGINT) AS BIGINT) - 8)) AS s
+             FROM flat CROSS JOIN (SELECT unnest(generate_series(0, 79)) AS p) ps
+             GROUP BY vec_id, p),
+    bands AS (SELECT vec_id, p // 10 AS band,
+                     CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << (p % 10)) ELSE 0 END)
+                          AS BIGINT) AS sig
+              FROM proj GROUP BY vec_id, p // 10),
+    capped AS (SELECT vec_id, band, sig FROM bands
+               QUALIFY COUNT(*) OVER (PARTITION BY band, sig) <= 200),
+    rawp AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM capped a JOIN capped b
+               ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
+    par AS (SELECT vec_id, label % 2 AS par FROM e),
+    orient AS (SELECT CASE WHEN pa.par = 0 THEN r.id_a ELSE r.id_b END AS a_id,
+                      CASE WHEN pa.par = 0 THEN r.id_b ELSE r.id_a END AS b_id
+               FROM rawp r JOIN par pa ON pa.vec_id = r.id_a
+                           JOIN par pb ON pb.vec_id = r.id_b
+               WHERE pa.par <> pb.par),
+    n AS (SELECT vec_id, q, list_dot_product(q::DOUBLE[], q::DOUBLE[]) AS nrm FROM e),
+    scored AS (SELECT o.a_id, o.b_id,
+                      CAST(round(list_dot_product(x.q::DOUBLE[], y.q::DOUBLE[])
+                                 / sqrt(x.nrm) / sqrt(y.nrm) * 1e12) AS BIGINT) AS k
+               FROM orient o JOIN n x ON x.vec_id = o.a_id
+                             JOIN n y ON y.vec_id = o.b_id),
+    fr AS (SELECT a_id, b_id, k,
+                  row_number() OVER (PARTITION BY a_id ORDER BY k DESC, b_id) AS rn
+           FROM scored),
+    fwd AS (SELECT a_id,
+                   MAX(CASE WHEN rn = 1 THEN b_id END) AS b1,
+                   MAX(CASE WHEN rn = 1 THEN k END) AS k1,
+                   MAX(CASE WHEN rn = 2 THEN k END) AS k2
+            FROM fr WHERE rn <= 2 GROUP BY a_id),
+    br AS (SELECT a_id, b_id, k,
+                  row_number() OVER (PARTITION BY b_id ORDER BY k DESC, a_id) AS rn
+           FROM scored),
+    bwd AS (SELECT b_id, MAX(CASE WHEN rn = 1 THEN a_id END) AS a1
+            FROM br WHERE rn = 1 GROUP BY b_id)
+    SELECT f.a_id, f.b1 AS b_id,
+           ROUND(f.k1 / 1e12, 6) AS cosine
+    FROM fwd f JOIN bwd b ON f.b1 = b.b_id AND b.a1 = f.a_id
+    WHERE f.k2 IS NULL OR f.k1 - f.k2 >= {_BITEXT_MARGIN}
+    ORDER BY f.a_id
+    """,
+    tags=("similarity", "pipeline"),
+)
+def similarity_bitext_mine(spark, sf_dir):
+    """Parallel-pair mining by MUTUAL nearest neighbors with a margin
+    filter (the WikiMatrix/CCMatrix recipe, Artetxe & Schwenk): split
+    the embedding corpus into two 'language' sides (label parity), find
+    each side-A vector's best side-B neighbor among banded-LSH
+    candidates, keep a pair only when (a) the choice is mutual — A's
+    best B also picks A back — and (b) A's best beats its runner-up by a
+    cosine margin >= 0.02 (singleton candidates pass), so ambiguous
+    hubs are dropped.  This is the alignment step that builds bitext /
+    image-caption / duplicate-entity training pairs from two embedded
+    corpora.
+
+    Exactness: all comparisons run on the BIGINT key round(cos*1e12)
+    with deterministic id tie-breaks, so both engines pick identical
+    mutual pairs; the banding, hot-bucket cap and margin rule are
+    re-derived verbatim in the oracle.
+
+    At 100 TB: candidate generation is the SAME banded hyperplane LSH
+    as the ANN family (shuffle = 80 longs/vector, per-bucket capped
+    join); forward/backward argmax are rank<=2 windows over the
+    candidate stream (WindowGroupLimit, per-vector groups); the mutual
+    join runs over one row per vector.  Nothing all-pairs.
+    """
+    from pyspark.sql import Window
+
+    from prestodb_presto_spark.similarity.lsh import banded_candidate_pairs
+
+    emb = t(spark, sf_dir, "embeddings")
+    par = emb.select("vec_id", (F.col("label") % 2).alias("par"))
+    rawp = banded_candidate_pairs(emb)
+    pa = par.select(F.col("vec_id").alias("id_a"), F.col("par").alias("pa"))
+    pb = par.select(F.col("vec_id").alias("id_b"), F.col("par").alias("pb"))
+    orient = (
+        rawp.join(pa, "id_a")
+        .join(pb, "id_b")
+        .filter("pa <> pb")
+        .select(
+            F.when(F.col("pa") == 0, F.col("id_a")).otherwise(F.col("id_b")).alias("a_id"),
+            F.when(F.col("pa") == 0, F.col("id_b")).otherwise(F.col("id_a")).alias("b_id"),
+        )
+    )
+    n = emb.select("vec_id", quantized().alias("q")).withColumn(
+        "nrm", dot(F.col("q"), F.col("q"))
+    )
+    nx = n.select(F.col("vec_id").alias("a_id"), F.col("q").alias("qx"), F.col("nrm").alias("nx"))
+    ny = n.select(F.col("vec_id").alias("b_id"), F.col("q").alias("qy"), F.col("nrm").alias("ny"))
+    cos = (
+        dot(F.col("qx"), F.col("qy")).cast("double")
+        / F.sqrt(F.col("nx").cast("double"))
+        / F.sqrt(F.col("ny").cast("double"))
+    )
+    scored = (
+        orient.join(nx, "a_id")
+        .join(ny, "b_id")
+        .select("a_id", "b_id", F.round(cos * 1e12).cast("bigint").alias("k"))
+    )
+    fw = Window.partitionBy("a_id").orderBy(F.desc("k"), "b_id")
+    fwd = (
+        scored.withColumn("rn", F.row_number().over(fw))
+        .filter("rn <= 2")
+        .groupBy("a_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("b_id"))).alias("b1"),
+            F.max(F.when(F.col("rn") == 1, F.col("k"))).alias("k1"),
+            F.max(F.when(F.col("rn") == 2, F.col("k"))).alias("k2"),
+        )
+    )
+    bw = Window.partitionBy("b_id").orderBy(F.desc("k"), "a_id")
+    bwd = (
+        scored.withColumn("rn", F.row_number().over(bw))
+        .filter("rn = 1")
+        .groupBy("b_id")
+        .agg(F.max("a_id").alias("a1"))
+    )
+    return (
+        fwd.join(bwd, (F.col("b1") == F.col("b_id")) & (F.col("a1") == F.col("a_id")))
+        .filter(F.col("k2").isNull() | (F.col("k1") - F.col("k2") >= _BITEXT_MARGIN))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(F.col("k1") / 1e12, 6).alias("cosine"),
+        )
+        .orderBy("a_id")
+    )
