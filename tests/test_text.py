@@ -506,3 +506,31 @@ def test_vocab_roundtrip_decode_inverts_encode(spark):
             assert expect == " ".join(toks)
             checked_exact += 1
     assert checked_exact > 0  # some docs are fully in-vocabulary
+
+
+def test_incremental_dedup_planted_pairs(spark, tmp_path):
+    """Cross-corpus incremental check on planted data: a new doc that is
+    an old doc plus one appended token MUST be caught (J ~ 0.93); a new
+    doc with the old doc's tokens reversed MUST NOT (3-shingles are
+    order-sensitive); a brand-new doc matches nothing."""
+    from prestodb_presto_spark.text.minhash import incremental_near_dup_pairs
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    old = spark.createDataFrame(
+        [(1, base), (2, " ".join(f"other{i}" for i in range(40)))],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (101, base + " appendix"),
+            (102, " ".join(reversed(base.split()))),
+            (103, " ".join(f"fresh{i}" for i in range(40))),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.new_id, r.old_id): r.jaccard
+        for r in incremental_near_dup_pairs(new, old, threshold=0.8).collect()
+    }
+    assert set(got) == {(101, 1)}
+    assert got[(101, 1)] >= 0.9
