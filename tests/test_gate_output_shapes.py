@@ -28,3 +28,20 @@ def test_no_complex_output_columns(spark):
         if complex_cols:
             offenders[name] = complex_cols
     assert not offenders, f"gate queries with non-scalar outputs: {offenders}"
+
+
+def test_catalog_docstring_and_oracle_invariants():
+    """Catalog hygiene ratchet: every entry ships a DuckDB oracle (the
+    driver's weaker rows-only path stays empty by policy), and no
+    docstring leaks an uninterpolated {_CONSTANT} placeholder into the
+    generated CATALOG (round-8 ADVICE class)."""
+    import re
+
+    from prestodb_presto_spark.queries import load_all
+
+    specs = load_all()
+    assert len(specs) >= 181  # ratchet: the catalog only grows
+    no_oracle = [n for n, s in specs.items() if s.oracle is None]
+    assert no_oracle == [], no_oracle
+    leaks = [n for n, s in specs.items() if re.search(r"\{_[A-Za-z_]+\}", s.doc or "")]
+    assert leaks == [], leaks
