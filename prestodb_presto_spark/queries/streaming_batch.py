@@ -821,3 +821,125 @@ def events_markov_transitions(spark, sf_dir):
         )
         .orderBy("from_type", "to_type")
     )
+
+
+@query(
+    "events_ab_metrics",
+    oracle="""
+    WITH assign AS (SELECT user_id,
+                           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
+                                AS BIGINT) % 2 AS variant
+                    FROM (SELECT DISTINCT user_id FROM events)),
+    conv AS (SELECT a.user_id, a.variant,
+                    MAX(CASE WHEN e.event_type = 'purchase' AND e.value > 180
+                             THEN 1 ELSE 0 END) AS converted,
+                    CAST(SUM(CASE WHEN e.event_type = 'purchase'
+                             THEN CAST(e.value AS DECIMAL(18,2)) ELSE 0 END)
+                         AS DOUBLE) AS revenue
+             FROM assign a JOIN events e ON e.user_id = a.user_id
+             GROUP BY a.user_id, a.variant),
+    v AS (SELECT variant, COUNT(*) AS n, CAST(SUM(converted) AS BIGINT) AS c,
+                 ROUND(CAST(SUM(revenue) AS DOUBLE), 2) AS rev
+          FROM conv GROUP BY variant),
+    p AS (SELECT MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+                 MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+                 MAX(CASE WHEN variant = 0 THEN c END) AS c0,
+                 MAX(CASE WHEN variant = 1 THEN c END) AS c1,
+                 MAX(CASE WHEN variant = 0 THEN rev END) AS rev0,
+                 MAX(CASE WHEN variant = 1 THEN rev END) AS rev1
+          FROM v)
+    SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1, c0, c1,
+           rev0, rev1,
+           ROUND(c0 * 1.0 / n0, 6) AS rate0,
+           ROUND(c1 * 1.0 / n1, 6) AS rate1,
+           ROUND(c1 * 1.0 / n1 - c0 * 1.0 / n0, 6) AS lift,
+           ROUND((c1 * 1.0 / n1 - c0 * 1.0 / n0)
+                 / NULLIF(sqrt(((c0 + c1) * 1.0 / (n0 + n1))
+                               * (1.0 - (c0 + c1) * 1.0 / (n0 + n1))
+                               * (1.0 / n0 + 1.0 / n1)), 0), 6) AS z
+    FROM p
+    """,
+    tags=("streaming", "pipeline"),
+)
+def events_ab_metrics(spark, sf_dir):
+    """A/B experiment readout over the event stream: users bucket into
+    two variants by the md5-prefix parity of user_id (the deterministic
+    hash assignment real experimentation systems use — reruns and late
+    data keep every user in their variant), conversion = did the user
+    make a large purchase (value > 180 — ~30% of users at every fixture
+    scale, so the statistic is non-degenerate); emits one row with per-variant user counts, conversions,
+    decimal-exact revenue, conversion rates, lift, and the two-sample
+    pooled z-statistic (NULL when conversion is degenerate — pooled rate
+    0 or 1 zeroes the denominator).
+
+    Determinism: rates/lift/z are single IEEE expression chains evaluated
+    identically on both engines and rounded only at the boundary; revenue
+    sums in DECIMAL (order-independent) and rounds to cents.
+
+    At 100 TB: per-user conversion collapses the stream with ONE
+    map-side-combined aggregation keyed on user; the variant rollup is
+    2 rows; every statistic computes on the driver-sized pivot.  No
+    per-user state beyond the group key.
+    """
+    ev = t(spark, sf_dir, "events")
+    variant = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10)
+        .cast("bigint")
+        % 2
+    )
+    conv = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") > 180), 1
+                ).otherwise(0)
+            ).alias("converted"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("value").cast("decimal(18,2)"),
+                ).otherwise(F.lit(0).cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .withColumn("variant", variant)
+    )
+    v = conv.groupBy("variant").agg(
+        F.count("*").alias("n"),
+        F.sum("converted").cast("bigint").alias("c"),
+        F.round(F.sum(F.col("revenue").cast("decimal(18,2)")).cast("double"), 2).alias("rev"),
+    )
+    p = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 0, F.col("c"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("c"))).alias("c1"),
+        F.max(F.when(F.col("variant") == 0, F.col("rev"))).alias("rev0"),
+        F.max(F.when(F.col("variant") == 1, F.col("rev"))).alias("rev1"),
+    )
+    rate0 = F.col("c0") * 1.0 / F.col("n0")
+    rate1 = F.col("c1") * 1.0 / F.col("n1")
+    pooled = (F.col("c0") + F.col("c1")) * 1.0 / (F.col("n0") + F.col("n1"))
+    return p.select(
+        F.col("n0").cast("bigint").alias("n0"),
+        F.col("n1").cast("bigint").alias("n1"),
+        "c0",
+        "c1",
+        "rev0",
+        "rev1",
+        F.round(rate0, 6).alias("rate0"),
+        F.round(rate1, 6).alias("rate1"),
+        F.round(rate1 - rate0, 6).alias("lift"),
+        F.round(
+            (rate1 - rate0)
+            / F.nullif(
+                F.sqrt(
+                    pooled * (1.0 - pooled) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("z"),
+    )
