@@ -2055,3 +2055,58 @@ def dedup_incremental(spark, sf_dir):
         .select("new_id", "old_id", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("new_id", "old_id")
     )
+
+
+@query(
+    "text_contamination_report",
+    oracle="""
+    WITH p AS (
+      SELECT DISTINCT substr(text, 11, 12) AS passage
+      FROM documents WHERE doc_id % 37 = 0 AND length(text) >= 50),
+    corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 37 <> 0),
+    hits AS (
+      SELECT p.passage, c.doc_id
+      FROM p JOIN corpus c ON position(p.passage IN c.text) > 0),
+    agg AS (SELECT passage, COUNT(*) AS n FROM hits GROUP BY passage)
+    SELECT p.passage,
+           CAST(COALESCE(a.n, 0) AS BIGINT) AS n_corpus_docs,
+           (COALESCE(a.n, 0) > 0) AS contaminated
+    FROM p LEFT JOIN agg a ON p.passage = a.passage
+    ORDER BY p.passage
+    """,
+    tags=("pipeline", "decontamination"),
+)
+def text_contamination_report(spark, sf_dir):
+    """Eval-side contamination report — the inverse view of
+    decontaminate_exact_passage: for every EVAL passage, how many corpus
+    documents contain it verbatim (zero-hit passages included).  This is
+    the audit you run BEFORE trusting a benchmark number: a per-item
+    contamination table, not just a corpus-side drop list.
+
+    At 100 TB: the eval set broadcasts (it is always tiny relative to
+    the corpus); the scan is one map-only pass with instr() in
+    whole-stage codegen; per-passage counts combine map-side; the final
+    LEFT join back to the passage list preserves clean items and runs
+    over eval-set-sized data.
+    """
+    docs = t(spark, sf_dir, "documents")
+    passages = (
+        docs.filter((F.col("doc_id") % 37 == 0) & (F.length("text") >= 50))
+        .select(F.substring("text", 11, 12).alias("passage"))
+        .distinct()
+    )
+    corpus = docs.filter(F.col("doc_id") % 37 != 0)
+    hits = (
+        corpus.join(F.broadcast(passages), F.instr(F.col("text"), F.col("passage")) > 0)
+        .groupBy("passage")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        passages.join(hits, "passage", "left")
+        .select(
+            "passage",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_corpus_docs"),
+            (F.coalesce(F.col("n"), F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy("passage")
+    )
