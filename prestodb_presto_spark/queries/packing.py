@@ -55,9 +55,17 @@ _LIVE_PACKING_CACHE: list[DataFrame] = []
 def release_packing_cache() -> None:
     """Unpersist every phase-1 projection still cached by
     packed_assignments (safe to call while a returned DataFrame is
-    still un-materialized: Spark just recomputes the projection)."""
+    still un-materialized: Spark just recomputes the projection).
+    Tolerates projections owned by an already-stopped SparkSession —
+    a dead session's cache is gone with its executors, so a failed
+    unpersist is a no-op, not an error (the replay verifier cycles
+    sessions between configs and hit exactly this)."""
     while _LIVE_PACKING_CACHE:
-        _LIVE_PACKING_CACHE.pop().unpersist()
+        df = _LIVE_PACKING_CACHE.pop()
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 - stale session: nothing to release
+            pass
 
 
 def packed_assignments(
