@@ -975,3 +975,99 @@ def similarity_bitext_mine(spark, sf_dir):
         )
         .orderBy("a_id")
     )
+
+
+_NEG_K = 3        # negatives per anchor
+_NEG_BUCKETS = 16  # negative-pool shards
+_NEG_NA = 50       # anchors
+
+
+@query(
+    "sample_negative_pairs",
+    oracle=f"""
+    WITH anchors AS (SELECT vec_id AS a_id, label AS a_label FROM embeddings
+                     WHERE vec_id < {_NEG_NA}),
+    pool AS (SELECT vec_id AS n_id, label AS n_label,
+                    CAST(('0x' || substr(md5('shard' || CAST(vec_id AS VARCHAR)), 1, 13))
+                         AS BIGINT) % {_NEG_BUCKETS} AS shard
+             FROM embeddings WHERE vec_id >= {_NEG_NA}),
+    asg AS (SELECT a_id, a_label,
+                   CAST(('0x' || substr(md5('anchor' || CAST(a_id AS VARCHAR)), 1, 13))
+                        AS BIGINT) % {_NEG_BUCKETS} AS shard
+            FROM anchors),
+    cand AS (SELECT a.a_id, p.n_id,
+                    CAST(('0x' || substr(md5(CAST(a.a_id AS VARCHAR) || ':' ||
+                                             CAST(p.n_id AS VARCHAR)), 1, 13))
+                         AS BIGINT) AS rk_key
+             FROM asg a JOIN pool p ON a.shard = p.shard
+             WHERE p.n_label <> a.a_label),
+    r AS (SELECT a_id, n_id,
+                 row_number() OVER (PARTITION BY a_id ORDER BY rk_key, n_id) AS rk
+          FROM cand)
+    SELECT a_id, CAST(rk AS INT) AS rk, n_id
+    FROM r WHERE rk <= {_NEG_K} ORDER BY a_id, rk
+    """,
+    tags=("similarity", "sampling", "pipeline"),
+)
+def sample_negative_pairs(spark, sf_dir):
+    """Negative sampling for contrastive training: 3 label-mismatched
+    negatives per anchor, chosen deterministically (md5 of the pair) so
+    reruns build the identical training set — the data-prep step behind
+    contrastive embedding / reranker training.
+
+    The scale move is SHARDING: the negative pool hashes into 16 shards
+    and each anchor samples only from its assigned shard — the
+    anchor x corpus cross join (quadratic, dead at 100 TB) becomes an
+    equi-join on the shard key whose output is corpus/16 rows per
+    anchor, and per-anchor rank<=k plans as WindowGroupLimit.  Both
+    shard assignments and the per-pair rank key are pure md5 functions
+    of the ids (no rand()), so both engines draw identical samples.
+    """
+    from pyspark.sql import Window
+
+    emb = t(spark, sf_dir, "embeddings")
+
+    def h(prefix, col):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(prefix), col.cast("string"))), 1, 13),
+                16,
+                10,
+            ).cast("bigint")
+        )
+
+    anchors = emb.filter(F.col("vec_id") < _NEG_NA).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("a_label"),
+    )
+    asg = anchors.withColumn("shard", h("anchor", F.col("a_id")) % _NEG_BUCKETS)
+    pool = emb.filter(F.col("vec_id") >= _NEG_NA).select(
+        F.col("vec_id").alias("n_id"),
+        F.col("label").alias("n_label"),
+        (h("shard", F.col("vec_id")) % _NEG_BUCKETS).alias("shard"),
+    )
+    rk_key = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("a_id").cast("string"), F.lit(":"), F.col("n_id").cast("string")
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    cand = (
+        asg.join(pool, "shard")
+        .filter(F.col("n_label") != F.col("a_label"))
+        .select("a_id", "n_id", rk_key.alias("rk_key"))
+    )
+    w = Window.partitionBy("a_id").orderBy("rk_key", "n_id")
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _NEG_K)
+        .select("a_id", F.col("rk").cast("int").alias("rk"), "n_id")
+        .orderBy("a_id", "rk")
+    )
