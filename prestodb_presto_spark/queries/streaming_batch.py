@@ -943,3 +943,50 @@ def events_ab_metrics(spark, sf_dir):
             6,
         ).alias("z"),
     )
+
+
+@query(
+    "events_top_paths",
+    oracle="""
+    WITH seq AS (SELECT user_id, event_type,
+                        lead(event_type, 1) OVER w AS e2,
+                        lead(event_type, 2) OVER w AS e3
+                 FROM events
+                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    paths AS (SELECT event_type || '>' || e2 || '>' || e3 AS path
+              FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL)
+    SELECT path, COUNT(*) AS n
+    FROM paths GROUP BY path
+    ORDER BY n DESC, path LIMIT 10
+    """,
+    tags=("streaming", "pipeline"),
+)
+def events_top_paths(spark, sf_dir):
+    """Top user journeys: the 10 most frequent 3-step event-type paths
+    over per-user time-ordered streams — the path-analysis report that
+    sits on top of the Markov transition matrix (which step SEQUENCES
+    dominate, not just pairwise rates).
+
+    At 100 TB: two lead() offsets over the same per-user window (one
+    sort per user partition, the sessionization state bound); paths
+    collapse immediately to at most |types|^3 counter rows via map-side
+    combine; the top-10 is a TakeOrderedAndProject.
+    """
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(10)
+    )

@@ -2110,3 +2110,53 @@ def text_contamination_report(spark, sf_dir):
         )
         .orderBy("passage")
     )
+
+
+_BLOCKLIST = ("slow", "error", "drop")  # the C4-style bad-terms list
+
+
+@query(
+    "text_blocklist_filter",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS l
+                FROM documents),
+    f AS (SELECT doc_id,
+                 len(l) AS n_tokens,
+                 len(list_filter(l, x -> list_contains({list(_BLOCKLIST)!r}, x)))
+                   AS n_blocked,
+                 COALESCE(array_to_string(list_sort(list_distinct(
+                   list_filter(l, x -> list_contains({list(_BLOCKLIST)!r}, x)))), '|'),
+                          '') AS blocked_terms
+          FROM tk)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_blocked AS BIGINT) AS n_blocked, blocked_terms,
+           (n_blocked * 20 <= n_tokens) AS keep
+    FROM f ORDER BY doc_id
+    """,
+    tags=("text", "pipeline"),
+)
+def text_blocklist_filter(spark, sf_dir):
+    """Blocklist term filtering (the C4 'bad words' pass): per document,
+    how many tokens hit the blocklist, which distinct terms, and a keep
+    verdict (blocked fraction <= 5%, tested as the integer inequality
+    n_blocked * 20 <= n_tokens so no float ratio crosses the engine
+    boundary).
+
+    At 100 TB: the blocklist folds into the filter lambda as a literal
+    array (real lists of ~10^3 terms broadcast the same way the quality
+    model does); counting and term extraction are per-row array
+    expressions in codegen — zero shuffles except the output sort.
+    """
+    docs = t(spark, sf_dir, "documents")
+    lst = ", ".join(f"'{w}'" for w in _BLOCKLIST)
+    l = f"split(lower(trim(text)), ' ')"
+    blocked = f"filter({l}, x -> array_contains(array({lst}), x))"
+    return docs.select(
+        "doc_id",
+        F.expr(f"size({l})").cast("bigint").alias("n_tokens"),
+        F.expr(f"size({blocked})").cast("bigint").alias("n_blocked"),
+        F.expr(
+            f"array_join(array_sort(array_distinct({blocked})), '|')"
+        ).alias("blocked_terms"),
+        F.expr(f"size({blocked}) * 20 <= size({l})").alias("keep"),
+    ).orderBy("doc_id")
