@@ -942,10 +942,14 @@ def similarity_bitext_mine(spark, sf_dir):
         / F.sqrt(F.col("nx").cast("double"))
         / F.sqrt(F.col("ny").cast("double"))
     )
+    # Materialize the candidate-sized scored stream: the forward and
+    # backward argmax windows would otherwise each re-derive the entire
+    # LSH candidate pipeline (signatures, banding, capped join).
     scored = (
         orient.join(nx, "a_id")
         .join(ny, "b_id")
         .select("a_id", "b_id", F.round(cos * 1e12).cast("bigint").alias("k"))
+        .localCheckpoint(eager=False)
     )
     fw = Window.partitionBy("a_id").orderBy(F.desc("k"), "b_id")
     fwd = (
