@@ -44,6 +44,34 @@ def salted_join(
     return out.drop(_SALT)
 
 
+def drop_hot_buckets(df: DataFrame, keys: str | list[str], cap: int) -> DataFrame:
+    """Drop every row whose bucket (group over ``keys``) holds more than
+    ``cap`` rows — WITHOUT a window over the bucket key.
+
+    ``count(*) over (partition by bucket)`` buffers each bucket in ONE
+    task; the degenerate bucket such a guard exists to bound (a
+    boilerplate cluster holding a double-digit share of a 100 TB corpus)
+    becomes a single-task spilled buffer — the guard serializes the very
+    skew it guards against.  This form is algebraic instead:
+
+      1. ``groupBy(keys).count()`` — map-side combined, so the hot
+         bucket collapses to one row per input partition before the
+         exchange;
+      2. filter to the over-cap buckets — at most a handful of rows by
+         construction (each survivor represents > cap input rows);
+      3. broadcast ``left_anti`` join-back — no shuffle of ``df`` at
+         all when the over-cap list broadcasts (it always does).
+    """
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    hot = (
+        df.groupBy(*key_list)
+        .agg(F.count(F.lit(1)).alias("__bsz"))
+        .filter(F.col("__bsz") > cap)
+        .select(*key_list)
+    )
+    return df.join(F.broadcast(hot), key_list, "left_anti")
+
+
 def salted_groupby_count(df: DataFrame, key: str, salt: int = 8) -> DataFrame:
     """Two-phase count for a skewed group-by key: pre-aggregate on
     (key, salt), then merge — the hot key's first-phase work spreads

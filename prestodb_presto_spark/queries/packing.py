@@ -199,12 +199,12 @@ CHUNK_STRIDE = 48  # 16-token overlap
     tags=("pipeline", "chunking"),
 )
 def doc_chunking(spark, sf_dir):
-    """Overlapping token-window chunking ({CHUNK_SIZE}-token windows,
-    stride {CHUNK_STRIDE}) — the retrieval-indexing primitive.  Chunk
-    boundaries are a per-row array expression (sequence + slice) and ONE
-    explode; zero shuffles besides the deterministic output sort.  Each
-    chunk reports its token count and first token (a cheap content
-    witness both engines agree on)."""
+    """Overlapping token-window chunking (CHUNK_SIZE=64-token windows,
+    stride CHUNK_STRIDE=48, i.e. 16-token overlap) — the
+    retrieval-indexing primitive.  Chunk boundaries are a per-row array
+    expression (sequence + slice) and ONE explode; zero shuffles besides
+    the deterministic output sort.  Each chunk reports its token count
+    and first token (a cheap content witness both engines agree on)."""
     docs = t(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     n_chunks = F.greatest(

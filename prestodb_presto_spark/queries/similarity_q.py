@@ -739,6 +739,12 @@ def similarity_mmr_diversify(spark, sf_dir):
     round(score*1e12)*1e5 − vec_id (score arithmetic is the shared
     dot/sqrt/divide sequence both engines execute identically; the key
     embeds the deterministic tie-break), so selections are hash-exact.
+    The packing is order-preserving only while vec_id < 1e5 (the 1e5
+    factor is the id headroom; it cannot widen past ~4e6 without
+    |score|<=2 keys overflowing BIGINT) — both engines AND the Python
+    test model share the formula, so a larger id space would deviate
+    from true MMR silently rather than mismatch.  Fixture ids are < 1e4;
+    callers with wider id spaces must densify ids first.
 
     At 100 TB: the candidate pool is the part that touches the corpus —
     here a brute-force relevance scan cut to top-20 per query by
@@ -786,6 +792,9 @@ def similarity_mmr_diversify(spark, sf_dir):
         "query_id", F.col("vec_id").alias("s1_id"), F.col("q").alias("s1_q"),
         F.col("nrm").alias("s1_n"), key(F.col("rel")).alias("k1"),
     )
+    # order-preserving ONLY for vec_id < 100000 (see docstring: widening
+    # the factor overflows BIGINT at |score|<=2; densify ids for wider
+    # id spaces)
     kk = key(F.col("sc")) * 100000 - F.col("vec_id")
     st2 = (
         cand.join(F.broadcast(s1), "query_id")

@@ -839,7 +839,11 @@ def events_markov_transitions(spark, sf_dir):
              FROM assign a JOIN events e ON e.user_id = a.user_id
              GROUP BY a.user_id, a.variant),
     v AS (SELECT variant, COUNT(*) AS n, CAST(SUM(converted) AS BIGINT) AS c,
-                 ROUND(CAST(SUM(revenue) AS DOUBLE), 2) AS rev
+                 -- variant-level sum in DECIMAL (order-independent),
+                 -- mirroring the Spark plan — a DOUBLE sum here would be
+                 -- IEEE order-dependent and could flip a cent at larger
+                 -- fixtures
+                 ROUND(CAST(SUM(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE), 2) AS rev
           FROM conv GROUP BY variant),
     p AS (SELECT MAX(CASE WHEN variant = 0 THEN n END) AS n0,
                  MAX(CASE WHEN variant = 1 THEN n END) AS n1,

@@ -2050,8 +2050,13 @@ def dedup_incremental(spark, sf_dir):
             F.concat_ws(" ", F.reverse(F.split(F.col("text"), " "))).alias("text"),
         )
     )
+    # bucket_cap=None in the GATED form: the oracle computes the exact
+    # all-pairs J>=0.8 set, which the index-side cap does not model — a
+    # hot band bucket at a larger fixture would be a deterministic
+    # recall miss that fails the gate instead of the query.  Production
+    # callers keep the default cap (minhash.DEFAULT_BUCKET_CAP).
     return (
-        incremental_near_dup_pairs(new, old, threshold=0.8)
+        incremental_near_dup_pairs(new, old, threshold=0.8, bucket_cap=None)
         .select("new_id", "old_id", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("new_id", "old_id")
     )

@@ -12,8 +12,10 @@ cap bounding the bucket-local self-join.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from prestodb_presto_spark.operators.skew import drop_hot_buckets
 
 N_PLANES = 16
 DEFAULT_BUCKET_CAP = 200
@@ -68,11 +70,9 @@ def lsh_candidate_pairs(
     """
     sig = hyperplane_buckets(emb, id_col, vec_col)
     if bucket_cap is not None:
-        sig = (
-            sig.withColumn("__bsz", F.count("*").over(Window.partitionBy("bucket")))
-            .filter(F.col("__bsz") <= bucket_cap)
-            .drop("__bsz")
-        )
+        # algebraic guard — see operators/skew.drop_hot_buckets: a window
+        # over `bucket` would single-task-buffer the hot bucket itself
+        sig = drop_hot_buckets(sig, "bucket", bucket_cap)
     a = sig.alias("a")
     b = sig.alias("b")
     return (
@@ -144,11 +144,7 @@ def banded_candidate_pairs(
     ]
     sig = proj.select(id_col, F.posexplode(F.array(*band_sigs)).alias("band", "sig"))
     if bucket_cap is not None:
-        sig = (
-            sig.withColumn("__bsz", F.count("*").over(Window.partitionBy("band", "sig")))
-            .filter(F.col("__bsz") <= bucket_cap)
-            .drop("__bsz")
-        )
+        sig = drop_hot_buckets(sig, ["band", "sig"], bucket_cap)
     a, b = sig.alias("a"), sig.alias("b")
     return (
         a.join(

@@ -19,9 +19,10 @@ the differential oracle checks.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from prestodb_presto_spark.operators.skew import drop_hot_buckets
 from prestodb_presto_spark.text.analysis import shingles3
 
 N_HASHES = 64
@@ -92,13 +93,11 @@ def lsh_candidate_pairs(
     """
     bands = _band_buckets(docs, id_col, text_col)
     if bucket_cap is not None:
-        # window count shares the hash partitioning of the self-join key —
-        # no extra shuffle, just one pass over each bucket
-        bands = (
-            bands.withColumn("__bsz", F.count("*").over(Window.partitionBy("bh")))
-            .filter(F.col("__bsz") <= bucket_cap)
-            .drop("__bsz")
-        )
+        # algebraic guard (operators/skew.py): groupBy count is map-side
+        # combined, so the hot bucket never buffers in one task — a
+        # window count over `bh` would serialize exactly the bucket this
+        # cap exists to bound
+        bands = drop_hot_buckets(bands, "bh", bucket_cap)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -157,12 +156,9 @@ def incremental_near_dup_pairs(
         # holding more than cap docs (boilerplate/empty templates) would
         # fan every matching new doc out O(bucket) — drop it; recall
         # caveat identical to lsh_candidate_pairs (a pair is missed only
-        # if ALL its shared buckets are hot)
-        ob = (
-            ob.withColumn("__bsz", F.count("*").over(Window.partitionBy("bh")))
-            .filter(F.col("__bsz") <= bucket_cap)
-            .drop("__bsz")
-        )
+        # if ALL its shared buckets are hot).  Algebraic form — see
+        # operators/skew.drop_hot_buckets.
+        ob = drop_hot_buckets(ob, "bh", bucket_cap)
     cands = nb.join(ob, "bh").select("new_id", "old_id").distinct()
     sh_n = new.select(F.col(id_col).alias("new_id"), shingles3(text_col).alias("s_n"))
     # shingle ONLY the candidate slice of the corpus — the semi-join

@@ -20,9 +20,10 @@ md5-derived so a DuckDB oracle re-derives identical pairs bit-for-bit
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from prestodb_presto_spark.operators.skew import drop_hot_buckets
 from prestodb_presto_spark.text.analysis import (
     N_SIM_BITS,
     token_array,
@@ -78,15 +79,10 @@ def simhash_near_pairs(
     fp = with_simhash64(docs.select(id_col, text_col), F.array_distinct(token_array(text_col)))
     bands = simhash_band_buckets(fp.select(id_col, "simhash"), d=d)
     if bucket_cap is not None:
-        # window count shares the self-join key's hash partitioning —
-        # one pass per bucket, no extra shuffle
-        bands = (
-            bands.withColumn(
-                "__bsz", F.count("*").over(Window.partitionBy("band_idx", "bv"))
-            )
-            .filter(F.col("__bsz") <= bucket_cap)
-            .drop("__bsz")
-        )
+        # algebraic guard (operators/skew.drop_hot_buckets): a window
+        # count over the bucket key would buffer the hot bucket in one
+        # task — the exact skew the cap exists to bound
+        bands = drop_hot_buckets(bands, ["band_idx", "bv"], bucket_cap)
     a = bands.alias("a")
     b = bands.alias("b")
     hamming = F.bit_count(

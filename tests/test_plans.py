@@ -290,3 +290,50 @@ def test_runtime_bloom_filter_injection(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_lsh_bucket_cap_guard_is_algebraic(spark, specs):
+    """The hot-bucket cap guard must NOT be a window over the bucket key:
+    count(*) over (partition by bucket) buffers the degenerate bucket it
+    exists to bound in ONE task.  Round-10 fix (operators/skew.
+    drop_hot_buckets): groupBy(bucket).count() (map-side combined) +
+    broadcast anti join-back.  Asserts (a) no Window node anywhere in
+    the capped dedup/ANN plans, (b) the guard's join-back IS a broadcast
+    join in the standalone capped pipeline."""
+    for name in (
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_embedding_cosine",
+        "dedup_incremental",
+    ):
+        plan = plan_of(spark, specs, name)
+        assert "Window" not in plan, f"{name}: window survived in capped LSH plan"
+
+    # standalone receipt on a synthetic mega-bucket: 3000 identical docs
+    # (one boilerplate cluster = one hot bucket per band) plus a tail
+    from pyspark.sql import functions as F
+
+    from prestodb_presto_spark.text.minhash import lsh_candidate_pairs
+
+    docs = spark.range(3200).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 3000, F.lit("the same boilerplate text repeated everywhere"))
+        .otherwise(F.concat(F.lit("unique document body number "), F.col("id")))
+        .alias("text"),
+    )
+    cands = lsh_candidate_pairs(docs, bucket_cap=200)
+    plan = cands._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:3000]
+    # mega-bucket dropped: the 3000-doc boilerplate cluster (ids < 3000)
+    # contributes ZERO candidates — without the cap it alone yields
+    # ~4.5M pairs.  (The 200 tail docs share 2 of their 3 shingles, so
+    # nearly all tail pairs are legitimately candidates.)
+    agg = cands.agg(
+        F.sum((F.col("id_a") < 3000).cast("int")).alias("hot"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert agg.hot == 0
+    assert agg.n <= 200 * 199 // 2
