@@ -921,11 +921,14 @@ def dedup_lines_cross_doc(spark, sf_dir):
 # --- composite pipeline verdict ---------------------------------------------
 
 
-_PIPE_KEEP_ORACLE = f"""
-    WITH base AS (
+def _keep_flags_sql(src: str) -> str:
+    """base/q/firsts CTE bodies computing the keep flags over relation
+    ``src`` (columns doc_id, text) — shared by _PIPE_KEEP_ORACLE and the
+    pipeline_incremental_refresh composition oracle."""
+    return f"""base AS (
       SELECT doc_id, text, string_split(text, ' ') AS l,
              md5(lower(trim(text))) AS h
-      FROM documents),
+      FROM {src}),
     q AS (
       SELECT doc_id, h,
         (len(l) BETWEEN 20 AND 10000
@@ -946,7 +949,11 @@ _PIPE_KEEP_ORACLE = f"""
           OR regexp_matches(text, '{_PII_RULES[2][0]}')
           OR regexp_matches(text, '{_PII_RULES[3][0]}')) AS flag_no_pii
       FROM base),
-    firsts AS (SELECT h, min(doc_id) AS first_doc FROM base GROUP BY h)
+    firsts AS (SELECT h, min(doc_id) AS first_doc FROM base GROUP BY h)"""
+
+
+_PIPE_KEEP_ORACLE = f"""
+    WITH {_keep_flags_sql("documents")}
     SELECT q.doc_id, flag_quality, flag_lang, flag_no_pii,
            (q.doc_id = f.first_doc) AS flag_first_copy,
            (flag_quality AND flag_lang AND flag_no_pii
@@ -956,26 +963,12 @@ _PIPE_KEEP_ORACLE = f"""
 """
 
 
-@query(
-    "pipeline_keep",
-    oracle=_PIPE_KEEP_ORACLE,
-    tags=("text", "pipeline", "quality"),
-)
-def pipeline_keep(spark, sf_dir):
-    """Composite per-doc keep/drop verdict — the gate a real training
-    pipeline applies before packing: C4/Gopher quality rules AND
-    language-ID AND no-PII AND exact-dedup first-copy membership, all
-    composed over ONE shared token/hash projection (the flags derive
-    from a single `toks`/`h` select; split(text) is not recomputed per
-    rule — Spark keeps the projection separate because the array is
-    referenced many times, and codegen CSEs any residual repeats).
-
-    Scale posture: the rule flags are per-row expressions on the scan;
-    the only shuffle is the exact-dedup winner aggregation
-    (groupBy(content-hash).min(doc_id), algebraic, map-side combined)
-    plus its join back — no window over the corpus, no Python anywhere.
-    """
-    docs = t(spark, sf_dir, "documents")
+def _keep_flag_frame(docs):
+    """Shared keep/drop flag computation over (doc_id, text) — the
+    engine of `pipeline_keep`, reused by `pipeline_incremental_refresh`.
+    Returns (doc_id, flag_quality, flag_lang, flag_no_pii,
+    flag_first_copy, keep); first-copy is exact dedup WITHIN the input
+    frame (groupBy(content-hash).min(doc_id), algebraic)."""
     base = docs.select(
         "doc_id",
         "text",
@@ -1031,7 +1024,29 @@ def pipeline_keep(spark, sf_dir):
             & F.col("flag_no_pii")
             & first_copy
         ).alias("keep"),
-    ).orderBy("doc_id")
+    )
+
+
+@query(
+    "pipeline_keep",
+    oracle=_PIPE_KEEP_ORACLE,
+    tags=("text", "pipeline", "quality"),
+)
+def pipeline_keep(spark, sf_dir):
+    """Composite per-doc keep/drop verdict — the gate a real training
+    pipeline applies before packing: C4/Gopher quality rules AND
+    language-ID AND no-PII AND exact-dedup first-copy membership, all
+    composed over ONE shared token/hash projection (the flags derive
+    from a single `toks`/`h` select; split(text) is not recomputed per
+    rule — Spark keeps the projection separate because the array is
+    referenced many times, and codegen CSEs any residual repeats).
+
+    Scale posture: the rule flags are per-row expressions on the scan;
+    the only shuffle is the exact-dedup winner aggregation
+    (groupBy(content-hash).min(doc_id), algebraic, map-side combined)
+    plus its join back — no window over the corpus, no Python anywhere.
+    """
+    return _keep_flag_frame(t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
 # --- intra-doc repetition removal -------------------------------------------
@@ -1980,9 +1995,10 @@ def text_quality_linear(spark, sf_dir):
     )
 
 
-@query(
-    "dedup_incremental",
-    oracle=f"""
+# Shared by dedup_incremental (index derived in-query) and
+# dedup_incremental_persisted (index materialized through the engine's
+# writer): both compute the exact cross-corpus Jaccard >= 0.8 pair set.
+_INCR_DEDUP_ORACLE = f"""
     WITH bkt AS (SELECT doc_id, text,
                         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
                              AS BIGINT) % 20 AS b
@@ -2012,7 +2028,36 @@ def text_quality_linear(spark, sf_dir):
            ROUND(c * 1.0 / (sz_n + sz_o - c), 6) AS jaccard
     FROM inter WHERE c * 1.0 / (sz_n + sz_o - c) >= 0.8
     ORDER BY new_id, old_id
-    """,
+    """
+
+
+def _incr_dedup_fixture(spark, sf_dir):
+    """(new, old) fixture shared by both incremental-dedup gates: the new
+    batch is ~5% perturbed copies of docs that remain in the corpus
+    (near-dups the index must catch) plus ~5% reversed-token rewrites
+    (shingle-disjoint, must NOT match)."""
+    docs = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10)
+        .cast("bigint")
+        % 20
+    )
+    old = docs.filter(bucket != 2).select("doc_id", "text")
+    new = docs.filter(bucket == 3).select(
+        (F.col("doc_id") + 1000000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" appendix terms")).alias("text"),
+    ).unionAll(
+        docs.filter(bucket == 2).select(
+            (F.col("doc_id") + 2000000000).alias("doc_id"),
+            F.concat_ws(" ", F.reverse(F.split(F.col("text"), " "))).alias("text"),
+        )
+    )
+    return new, old
+
+
+@query(
+    "dedup_incremental",
+    oracle=_INCR_DEDUP_ORACLE,
     tags=("text", "dedup", "approximate", "pipeline"),
 )
 def dedup_incremental(spark, sf_dir):
@@ -2034,22 +2079,7 @@ def dedup_incremental(spark, sf_dir):
     """
     from prestodb_presto_spark.text.minhash import incremental_near_dup_pairs
 
-    docs = t(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10)
-        .cast("bigint")
-        % 20
-    )
-    old = docs.filter(bucket != 2).select("doc_id", "text")
-    new = docs.filter(bucket == 3).select(
-        (F.col("doc_id") + 1000000000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" appendix terms")).alias("text"),
-    ).unionAll(
-        docs.filter(bucket == 2).select(
-            (F.col("doc_id") + 2000000000).alias("doc_id"),
-            F.concat_ws(" ", F.reverse(F.split(F.col("text"), " "))).alias("text"),
-        )
-    )
+    new, old = _incr_dedup_fixture(spark, sf_dir)
     # bucket_cap=None in the GATED form: the oracle computes the exact
     # all-pairs J>=0.8 set, which the index-side cap does not model — a
     # hot band bucket at a larger fixture would be a deterministic
@@ -2057,6 +2087,43 @@ def dedup_incremental(spark, sf_dir):
     # callers keep the default cap (minhash.DEFAULT_BUCKET_CAP).
     return (
         incremental_near_dup_pairs(new, old, threshold=0.8, bucket_cap=None)
+        .select("new_id", "old_id", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("new_id", "old_id")
+    )
+
+
+@query(
+    "dedup_incremental_persisted",
+    oracle=_INCR_DEDUP_ORACLE,
+    tags=("text", "dedup", "approximate", "pipeline"),
+)
+def dedup_incremental_persisted(spark, sf_dir):
+    """The PRODUCTION shape of incremental dedup: the corpus's LSH
+    band-bucket index is materialized through the engine's own writer
+    (sources/io.write_table — bucketed by band hash, the Hive-bucketing
+    analog of SURVEY §2.2), then the arriving batch is checked against
+    the STORED table with minhash.check_batch — batch N+1 reuses batch
+    N's artifact; the corpus text is touched only for the candidate
+    slice during exact verification.  Same fixture and exact oracle as
+    `dedup_incremental`, so the gate proves the persisted round-trip is
+    lossless: write index → fresh catalog read → identical pair set.
+
+    At 100 TB: the index is 32×16 bytes per corpus document, written
+    once per snapshot; the nightly check shuffles only the batch's band
+    rows (the index reads pre-bucketed on the join key).
+    """
+    from prestodb_presto_spark.sources.io import drop_table
+    from prestodb_presto_spark.text.minhash import check_batch, write_dedup_index
+
+    new, old = _incr_dedup_fixture(spark, sf_dir)
+    tbl = "dedup_lsh_index"
+    drop_table(spark, tbl)  # clears stale cross-session warehouse dirs too
+    write_dedup_index(old, tbl)
+    index = spark.table(tbl)
+    # bucket_cap=None for the same reason as dedup_incremental: the
+    # oracle is the exact all-pairs set
+    return (
+        check_batch(new, index, old, threshold=0.8, bucket_cap=None)
         .select("new_id", "old_id", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("new_id", "old_id")
     )
@@ -2165,3 +2232,123 @@ def text_blocklist_filter(spark, sf_dir):
         ).alias("blocked_terms"),
         F.expr(f"size({blocked}) * 20 <= size({l})").alias("keep"),
     ).orderBy("doc_id")
+
+
+_SH_LL = SHINGLES3_SQL.replace("l[", "ll[").replace("len(l)", "len(ll)")
+
+_REFRESH_ORACLE = f"""
+    WITH bkt AS (SELECT doc_id, source, text,
+                        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                             AS BIGINT) % 20 AS b
+                 FROM documents),
+    incoming AS (
+      SELECT doc_id, source, text || ' [rev2]' AS text FROM bkt WHERE b = 1
+      UNION ALL
+      SELECT doc_id + 1000000000 AS doc_id, source, text || ' [new]' AS text
+      FROM bkt WHERE b = 2),
+    corpus AS (SELECT doc_id, source, text FROM bkt WHERE b NOT IN (0, 1)),
+    si AS (SELECT doc_id AS new_id,
+                  (SELECT {_SH_LL}
+                   FROM (SELECT string_split(incoming.text, ' ') AS ll)) AS s
+           FROM incoming),
+    sc AS (SELECT doc_id AS old_id,
+                  (SELECT {_SH_LL}
+                   FROM (SELECT string_split(corpus.text, ' ') AS ll)) AS s
+           FROM corpus),
+    ti AS (SELECT new_id, len(s) AS sz, unnest(s) AS w FROM si),
+    tc AS (SELECT old_id, len(s) AS sz, unnest(s) AS w FROM sc),
+    pairs AS (SELECT ti.new_id, tc.old_id, ti.sz AS szn, tc.sz AS szo,
+                     COUNT(*) AS c
+              FROM ti JOIN tc ON ti.w = tc.w
+              GROUP BY ti.new_id, tc.old_id, ti.sz, tc.sz),
+    dup AS (SELECT DISTINCT new_id FROM pairs
+            WHERE c * 1.0 / (szn + szo - c) >= 0.8),
+    survivors AS (SELECT * FROM incoming
+                  WHERE doc_id NOT IN (SELECT new_id FROM dup)),
+    {_keep_flags_sql("survivors")},
+    kept AS (SELECT q.doc_id
+             FROM q JOIN firsts f ON q.h = f.h
+             WHERE flag_quality AND flag_lang AND flag_no_pii
+               AND q.doc_id = f.first_doc),
+    final AS (SELECT s.source, length(s.text) AS nc,
+                     CAST(('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 13))
+                          AS BIGINT) % 100 AS bucket
+              FROM survivors s JOIN kept k ON s.doc_id = k.doc_id)
+    SELECT source,
+           CASE WHEN bucket < 96 THEN 'train'
+                WHEN bucket < 98 THEN 'valid' ELSE 'test' END AS split,
+           COUNT(*) AS n_docs, CAST(SUM(nc) AS BIGINT) AS n_chars
+    FROM final GROUP BY source, split ORDER BY source, split
+"""
+
+
+@query(
+    "pipeline_incremental_refresh",
+    oracle=_REFRESH_ORACLE,
+    tags=("pipeline", "dedup", "quality", "sampling"),
+)
+def pipeline_incremental_refresh(spark, sf_dir):
+    """The nightly incremental-ingest loop, composed END-TO-END from the
+    catalog's own lifecycle stages: snapshot-diff the corpus (v2 derives
+    deterministically from the fixture: 5% removed, 5% rewritten, 5%
+    new — the corpus_snapshot_diff derivation), take the changed+added
+    slice as the arriving batch, dedup it against the unchanged corpus
+    (minhash.check_batch semantics, exact-oracle form), apply the
+    pipeline_keep quality/language/PII/first-copy verdict to the
+    survivors, and account the accepted documents per (source,
+    train/valid/test holdout split) — the sample_split_holdout stage.
+
+    At 100 TB each stage keeps its audited posture: diff classification
+    is map-only hashing; the batch-vs-corpus LSH join shuffles band keys
+    only (batch-sized); keep flags are per-row expressions with one
+    algebraic first-copy aggregation over the BATCH (not the corpus);
+    the split rollup is map-side combined to <= 3 x sources rows.  The
+    corpus itself is scanned once for the index derivation and once for
+    the candidate-slice verification — never shuffled whole.
+    """
+    from prestodb_presto_spark.text.minhash import incremental_near_dup_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    b20 = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10)
+        .cast("bigint")
+        % 20
+    )
+    incoming = (
+        docs.filter(b20 == 1)
+        .select(
+            "doc_id", "source",
+            F.concat(F.col("text"), F.lit(" [rev2]")).alias("text"),
+        )
+        .unionAll(
+            docs.filter(b20 == 2).select(
+                (F.col("doc_id") + 1000000000).alias("doc_id"),
+                "source",
+                F.concat(F.col("text"), F.lit(" [new]")).alias("text"),
+            )
+        )
+    )
+    corpus = docs.filter(~b20.isin(0, 1)).select("doc_id", "source", "text")
+    # exact-oracle form: uncapped, same reasoning as dedup_incremental
+    dups = (
+        incremental_near_dup_pairs(incoming, corpus, threshold=0.8, bucket_cap=None)
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+    )
+    survivors = incoming.join(dups, "doc_id", "left_anti")
+    kept = _keep_flag_frame(survivors.select("doc_id", "text")).filter("keep").select("doc_id")
+    final = survivors.join(kept, "doc_id")
+    b100 = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    split = F.when(b100 < 96, "train").when(b100 < 98, "valid").otherwise("test")
+    return (
+        final.groupBy("source", split.alias("split"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+        )
+        .orderBy("source", "split")
+    )

@@ -87,6 +87,21 @@ def write_table(
         writer.save(path)
 
 
+def drop_table(spark: SparkSession, table_name: str) -> None:
+    """DROP TABLE IF EXISTS — including a stale warehouse location left
+    by a PREVIOUS session (a managed table's directory survives the
+    in-memory catalog, and saveAsTable then fails with
+    LOCATION_ALREADY_EXISTS).  Mirrors the reference's DROP TABLE
+    metadata-delete semantics (MetadataDeleteOperator)."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    if wh:
+        shutil.rmtree(f"{wh.rstrip('/')}/{table_name.lower()}", ignore_errors=True)
+
+
 def blackhole(df: DataFrame) -> None:
     """presto-blackhole: materialize every row, write nothing (noop sink)."""
     df.write.format("noop").mode("overwrite").save()

@@ -133,31 +133,70 @@ def verified_near_dup_pairs(
     )
 
 
-def incremental_near_dup_pairs(
+def build_dedup_index(
+    corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The persistable LSH dedup index of a corpus: (old_id, bh) band-
+    bucket rows — 32 rows of 16 bytes per document, the artifact a
+    production pipeline writes ONCE per corpus snapshot so later batches
+    never re-shingle (let alone re-sign) the corpus.  Persist it with
+    :func:`write_dedup_index`; consume it with :func:`check_batch`.
+    """
+    return _band_buckets(corpus, id_col, text_col).select(
+        F.col(id_col).alias("old_id"), "bh"
+    )
+
+
+def write_dedup_index(
+    corpus: DataFrame,
+    table_name: str,
+    n_buckets: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Materialize :func:`build_dedup_index` through the engine's own
+    writer (sources/io.write_table), BUCKETED by ``bh`` — the batch-vs-
+    index equi-join on ``bh`` then reads the index pre-partitioned, so
+    at 100 TB the nightly check shuffles only the arriving batch's band
+    rows, never the stored index.  (Reference analog: Hive bucketed
+    tables, SURVEY §2.2.)
+    """
+    from prestodb_presto_spark.sources.io import write_table
+
+    write_table(
+        build_dedup_index(corpus, id_col, text_col),
+        bucket_by=(n_buckets, ["bh"]),
+        table_name=table_name,
+    )
+
+
+def check_batch(
     new: DataFrame,
+    index: DataFrame,
     old: DataFrame,
     threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
     bucket_cap: int | None = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
-    """Cross-corpus near-dup check: which NEW docs duplicate the EXISTING
-    corpus — the incremental-ingestion pattern (the index side's band
-    buckets are exactly what a production pipeline persists between
-    batches, so the existing corpus is never re-shingled, let alone
-    re-self-joined).  Candidates = equi-join of the new batch's band
-    buckets against the index's; verification = exact Jaccard on
-    candidates only.  Returns (new_id, old_id, jaccard >= threshold).
+    """Dedup an arriving batch against a PERSISTED corpus index.
+
+    ``index`` is the (old_id, bh) table written by
+    :func:`write_dedup_index` (or any DataFrame of that shape);
+    ``old`` supplies document text ONLY for the candidate slice — it is
+    semi-joined down to candidates before shingling, so exact
+    verification stays batch-sized.  Candidates = equi-join of the new
+    batch's band buckets against the index; verification = exact Jaccard
+    on candidates only.  Returns (new_id, old_id, jaccard >= threshold).
     """
     nb = _band_buckets(new, id_col, text_col).withColumnRenamed(id_col, "new_id")
-    ob = _band_buckets(old, id_col, text_col).withColumnRenamed(id_col, "old_id")
+    ob = index
     if bucket_cap is not None:
-        # same hot-bucket guard as the self-join path: an index bucket
-        # holding more than cap docs (boilerplate/empty templates) would
-        # fan every matching new doc out O(bucket) — drop it; recall
-        # caveat identical to lsh_candidate_pairs (a pair is missed only
-        # if ALL its shared buckets are hot).  Algebraic form — see
-        # operators/skew.drop_hot_buckets.
+        # hot-bucket guard: an index bucket holding more than cap docs
+        # (boilerplate/empty templates) would fan every matching new doc
+        # out O(bucket) — drop it; recall caveat identical to
+        # lsh_candidate_pairs (a pair is missed only if ALL its shared
+        # buckets are hot).  Algebraic form — operators/skew.
         ob = drop_hot_buckets(ob, "bh", bucket_cap)
     cands = nb.join(ob, "bh").select("new_id", "old_id").distinct()
     sh_n = new.select(F.col(id_col).alias("new_id"), shingles3(text_col).alias("s_n"))
@@ -175,4 +214,28 @@ def incremental_near_dup_pairs(
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("new_id", "old_id", "jaccard")
+    )
+
+
+def incremental_near_dup_pairs(
+    new: DataFrame,
+    old: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+) -> DataFrame:
+    """Cross-corpus near-dup check with the index derived in-query —
+    :func:`check_batch` against :func:`build_dedup_index` of ``old``.
+    Production pipelines persist the index between batches instead
+    (:func:`write_dedup_index`); semantics are identical.
+    """
+    return check_batch(
+        new,
+        build_dedup_index(old, id_col, text_col),
+        old,
+        threshold=threshold,
+        id_col=id_col,
+        text_col=text_col,
+        bucket_cap=bucket_cap,
     )

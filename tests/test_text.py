@@ -534,3 +534,58 @@ def test_incremental_dedup_planted_pairs(spark, tmp_path):
     }
     assert set(got) == {(101, 1)}
     assert got[(101, 1)] >= 0.9
+
+
+def test_persisted_dedup_index_roundtrip_and_corpus_isolation(spark):
+    """The persisted-index flow (write_dedup_index → spark.table →
+    check_batch) must (a) reproduce the in-query incremental result
+    exactly, (b) derive candidates from the STORED index — asserted by
+    scanning the index table in the plan AND by corrupting the text of
+    every non-candidate corpus doc (text is read only for the candidate
+    slice, so the output cannot change)."""
+    from prestodb_presto_spark.text.minhash import (
+        _band_buckets,
+        check_batch,
+        incremental_near_dup_pairs,
+        write_dedup_index,
+    )
+
+    docs = _docs(spark)
+    old = docs.filter(F.col("doc_id") % 7 != 0).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 7 == 3).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    from prestodb_presto_spark.sources.io import drop_table
+
+    drop_table(spark, "t_dedup_idx")
+    write_dedup_index(old, "t_dedup_idx")
+    index = spark.table("t_dedup_idx")
+
+    out = check_batch(new, index, old, threshold=0.8, bucket_cap=None)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "t_dedup_idx" in plan, "candidates must scan the stored index table"
+
+    expect = {tuple(r) for r in incremental_near_dup_pairs(new, old, bucket_cap=None).collect()}
+    got = {tuple(r) for r in out.collect()}
+    assert got == expect and len(got) > 0
+
+    # corrupt every corpus doc that is NOT a candidate: output unchanged
+    nb = _band_buckets(new, "doc_id", "text").withColumnRenamed("doc_id", "new_id")
+    cand_old = {
+        r.old_id for r in nb.join(index, "bh").select("old_id").distinct().collect()
+    }
+    corrupted = old.withColumn(
+        "text",
+        F.when(F.col("doc_id").isin(list(cand_old)), F.col("text")).otherwise(
+            F.lit("CORRUPTED")
+        ),
+    )
+    got2 = {
+        tuple(r)
+        for r in check_batch(new, index, corrupted, threshold=0.8, bucket_cap=None).collect()
+    }
+    assert got2 == expect
+    drop_table(spark, "t_dedup_idx")
