@@ -94,13 +94,176 @@ def attach_media_meta(df: DataFrame, kind: str, fmt: str, content_col: str = "co
     )
 
 
+WAV_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("sum_abs", LongType()),
+        StructField("sum_sq", LongType()),
+        StructField("min_sample", IntegerType()),
+        StructField("max_sample", IntegerType()),
+    ]
+)
+
+BMP_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+    ]
+)
+
+
+def pack_text_as_wav(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Fixture adapter: synthesize a REAL 16-bit PCM WAV per document —
+    sample i = (text byte i − 100) · 256 at 8 kHz — so the decode gate
+    exercises the actual RIFF byte format while a SQL oracle re-derives
+    every feature from the text in closed form."""
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from prestodb_presto_spark.multimodal.codecs import encode_wav_pcm16
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                samples = ((b.astype(np.int16) - 100) * 256).astype(np.int16)
+                content = encode_wav_pcm16(samples, 8000)
+                rows.append({"doc_id": doc_id, "content": content})
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    packed = docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        gen,
+        schema=StructType(
+            [StructField("doc_id", LongType()), StructField("content", BinaryType())]
+        ),
+    )
+    return attach_media_meta(packed, "audio", "wav")
+
+
+def _wav_feature_batch(batches) -> Iterator:
+    """mapInPandas worker: REAL WAV decode (multimodal/codecs.decode_wav,
+    stdlib wave) → integer audio statistics.  All-integer outputs keep
+    the differential oracle bit-exact."""
+    import pandas as pd
+
+    from prestodb_presto_spark.multimodal.codecs import decode_wav
+
+    for pdf in batches:
+        rows = []
+        for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+            d = decode_wav(bytes(content))
+            s = d["samples"].astype("int64")
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "n_samples": d["n_samples"],
+                    "sample_rate": d["sample_rate"],
+                    "duration_ms": d["duration_ms"],
+                    "sum_abs": int(abs(s).sum()),
+                    "sum_sq": int((s * s).sum()),
+                    "min_sample": int(s.min()),
+                    "max_sample": int(s.max()),
+                }
+            )
+        yield pd.DataFrame(rows, columns=[f.name for f in WAV_FEATURE_SCHEMA.fields])
+
+
+def wav_features(media_df: DataFrame) -> DataFrame:
+    """Decode WAV media rows and emit integer audio features — narrow
+    (input partitioning preserved), Arrow-batched, codec-real."""
+    return media_df.select("doc_id", "content").mapInPandas(
+        _wav_feature_batch, schema=WAV_FEATURE_SCHEMA
+    )
+
+
+def pack_ids_as_bmp(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture adapter: synthesize a REAL 24-bit BMP per document —
+    w = 1 + id%7, h = 1 + id%5, RGB(x,y) = ((id·7+x·3+y·5)%256,
+    (id·11+x·2+y·13)%256, (id·17+x·5+y·7)%256) — closed-form pixels a
+    SQL oracle reproduces exactly."""
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from prestodb_presto_spark.multimodal.codecs import encode_bmp24
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                w, h = 1 + i % 7, 1 + i % 5
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                px = np.stack(
+                    [
+                        (i * 7 + x * 3 + y * 5) % 256,
+                        (i * 11 + x * 2 + y * 13) % 256,
+                        (i * 17 + x * 5 + y * 7) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                rows.append({"doc_id": doc_id, "content": encode_bmp24(px)})
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    packed = docs.select(F.col(id_col)).mapInPandas(
+        gen,
+        schema=StructType(
+            [StructField("doc_id", LongType()), StructField("content", BinaryType())]
+        ),
+    )
+    return attach_media_meta(packed, "image", "bmp")
+
+
+def _bmp_feature_batch(batches) -> Iterator:
+    """mapInPandas worker: REAL BMP decode (fixed V3 header, bottom-up
+    padded BGR rows) → per-channel integer sums."""
+    import pandas as pd
+
+    from prestodb_presto_spark.multimodal.codecs import decode_bmp
+
+    for pdf in batches:
+        rows = []
+        for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+            px = decode_bmp(bytes(content)).astype("int64")
+            h, w, _ = px.shape
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "width": w,
+                    "height": h,
+                    "sum_r": int(px[:, :, 0].sum()),
+                    "sum_g": int(px[:, :, 1].sum()),
+                    "sum_b": int(px[:, :, 2].sum()),
+                }
+            )
+        yield pd.DataFrame(rows, columns=[f.name for f in BMP_FEATURE_SCHEMA.fields])
+
+
+def bmp_features(media_df: DataFrame) -> DataFrame:
+    """Decode BMP media rows and emit image features — narrow,
+    Arrow-batched, codec-real."""
+    return media_df.select("doc_id", "content").mapInPandas(
+        _bmp_feature_batch, schema=BMP_FEATURE_SCHEMA
+    )
+
+
 def _decode_batch(batches) -> Iterator:
     """mapInPandas worker: byte-level features per media row.
 
-    STUB NOTE: for kind='image'/'audio'/'video' a real deployment calls
-    the codec (PIL/libav) here; those libs are absent in this container,
-    so non-text kinds raise NotImplementedError — the Arrow batch flow,
-    schema, and partitioning are the real thing.
+    Kind routing: 'text' computes byte stats directly; 'audio'/'wav'
+    and 'image'/'bmp' have REAL decoders (multimodal/codecs.py,
+    wav_features/bmp_features below).  Other kinds ('video', non-BMP
+    images) raise NotImplementedError — their codec libs (PIL/libav)
+    are absent from this container; the Arrow batch flow, schema, and
+    partitioning are production-shaped regardless.
     """
     import numpy as np
     import pandas as pd

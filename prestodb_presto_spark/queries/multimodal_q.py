@@ -88,3 +88,85 @@ def multimodal_frame_sample(spark, sf_dir):
         F.col("frame_idx").cast("int").alias("frame_idx"),
         F.octet_length("frame").cast("bigint").alias("frame_bytes"),
     ).orderBy("doc_id", "frame_idx")
+
+
+@query(
+    "multimodal_wav_decode",
+    oracle="""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+         ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM d),
+         s AS (SELECT doc_id, (ord(c) - 100) * 256 AS v FROM ch),
+         agg AS (SELECT doc_id, COUNT(*) AS n, SUM(ABS(v)) AS sa,
+                        SUM(v * v) AS sq, MIN(v) AS mn, MAX(v) AS mx
+                 FROM s GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+           CAST(sa AS BIGINT) AS sum_abs,
+           CAST(sq AS BIGINT) AS sum_sq,
+           CAST(mn AS INT) AS min_sample,
+           CAST(mx AS INT) AS max_sample
+    FROM agg ORDER BY doc_id
+    """,
+    tags=("multimodal", "pipeline"),
+)
+def multimodal_wav_decode(spark, sf_dir):
+    """REAL audio-codec decode gate: each document synthesizes an actual
+    16-bit PCM RIFF/WAVE stream (sample i = (text byte i − 100)·256 at
+    8 kHz), and the pipeline decodes those bytes with the stdlib wave
+    codec (multimodal/codecs.decode_wav) inside an Arrow-batched
+    mapInPandas stage — header parse, frame extraction, int16
+    little-endian decode all exercised on real binary media.  The
+    oracle re-derives every statistic from the text characters in
+    closed form; all-integer outputs make the comparison bit-exact.
+
+    At 100 TB: decode is a narrow transform (no shuffle); the heavy
+    binary column reaches only this stage thanks to column pruning."""
+    from prestodb_presto_spark.multimodal.columns import (
+        pack_text_as_wav,
+        wav_features,
+    )
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return wav_features(pack_text_as_wav(docs)).orderBy("doc_id")
+
+
+@query(
+    "multimodal_bmp_decode",
+    oracle="""
+    WITH d AS (SELECT doc_id, 1 + doc_id % 7 AS w, 1 + doc_id % 5 AS h
+               FROM documents WHERE doc_id < 60),
+         px AS (SELECT doc_id, w, h, x.x AS x, y.y AS y
+                FROM d,
+                     LATERAL (SELECT unnest(range(0, w)) AS x) x,
+                     LATERAL (SELECT unnest(range(0, h)) AS y) y),
+         v AS (SELECT doc_id, w, h,
+                      (doc_id * 7 + x * 3 + y * 5) % 256 AS r,
+                      (doc_id * 11 + x * 2 + y * 13) % 256 AS g,
+                      (doc_id * 17 + x * 5 + y * 7) % 256 AS b
+               FROM px)
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(SUM(r) AS BIGINT) AS sum_r,
+           CAST(SUM(g) AS BIGINT) AS sum_g,
+           CAST(SUM(b) AS BIGINT) AS sum_b
+    FROM v GROUP BY doc_id, w, h ORDER BY doc_id
+    """,
+    tags=("multimodal", "pipeline"),
+)
+def multimodal_bmp_decode(spark, sf_dir):
+    """REAL image-codec decode gate: each document synthesizes an actual
+    24-bit uncompressed BMP (V3 54-byte header, bottom-up 4-byte-padded
+    BGR rows) with closed-form pixels, and the pipeline decodes those
+    bytes with the hand-rolled struct parser
+    (multimodal/codecs.decode_bmp) in an Arrow-batched mapInPandas
+    stage — header unpack, row padding, BGR→RGB flip all exercised on
+    real binary media.  The oracle recomputes the per-channel pixel sums
+    from the same closed form; integer outputs, bit-exact."""
+    from prestodb_presto_spark.multimodal.columns import (
+        bmp_features,
+        pack_ids_as_bmp,
+    )
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    return bmp_features(pack_ids_as_bmp(docs)).orderBy("doc_id")

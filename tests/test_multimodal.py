@@ -76,3 +76,94 @@ def test_binary_file_source(spark, tmp_path):
     feats = decode_features(media)
     rows = feats.collect()
     assert len(rows) == 3 and all(r.n_bytes > 0 for r in rows)
+
+
+def test_wav_codec_roundtrip():
+    """decode(encode(x)) == x for the stdlib-wave PCM16 codec, across
+    shapes including empty and single-sample streams."""
+    import numpy as np
+
+    from prestodb_presto_spark.multimodal.codecs import decode_wav, encode_wav_pcm16
+
+    rng = np.random.RandomState(7)
+    for n in (0, 1, 17, 4096):
+        s = rng.randint(-32768, 32768, size=n).astype(np.int16)
+        d = decode_wav(encode_wav_pcm16(s, 8000))
+        assert d["sample_rate"] == 8000 and d["n_samples"] == n
+        assert d["duration_ms"] == n * 1000 // 8000
+        assert np.array_equal(d["samples"], s)
+
+
+def test_wav_decoder_rejects_garbage():
+    import wave
+
+    import pytest as _pytest
+
+    from prestodb_presto_spark.multimodal.codecs import decode_wav
+
+    with _pytest.raises((wave.Error, EOFError)):
+        decode_wav(b"not a riff stream at all")
+
+
+def test_bmp_codec_roundtrip_all_paddings():
+    """decode(encode(x)) == x for widths hitting every 4-byte row-padding
+    residue (w*3 % 4 in {0,1,2,3}) and h=1..4."""
+    import numpy as np
+
+    from prestodb_presto_spark.multimodal.codecs import decode_bmp, encode_bmp24
+
+    rng = np.random.RandomState(11)
+    for w in (1, 2, 3, 4, 5, 8):
+        for h in (1, 2, 4):
+            px = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+            back = decode_bmp(encode_bmp24(px))
+            assert back.shape == (h, w, 3)
+            assert np.array_equal(back, px), (w, h)
+
+
+def test_bmp_decoder_fail_loud():
+    import numpy as np
+    import pytest as _pytest
+
+    from prestodb_presto_spark.multimodal.codecs import decode_bmp, encode_bmp24
+
+    with _pytest.raises(ValueError):
+        decode_bmp(b"PNG\x00" + b"\x00" * 60)
+    # compressed / non-24bpp headers refuse rather than mis-decode
+    good = bytearray(encode_bmp24(np.zeros((1, 1, 3), dtype=np.uint8)))
+    good[28] = 8  # bpp -> 8
+    with _pytest.raises(NotImplementedError):
+        decode_bmp(bytes(good))
+
+
+def test_wav_bmp_feature_pipelines(spark):
+    """End-to-end mapInPandas: synthesize real media bytes, decode with
+    the real codecs, check a hand-computed document."""
+    import numpy as np
+
+    from prestodb_presto_spark.multimodal.columns import (
+        bmp_features,
+        pack_ids_as_bmp,
+        pack_text_as_wav,
+        wav_features,
+    )
+
+    docs = _docs(spark).filter(F.col("doc_id") < 10)
+    wf = {r.doc_id: r for r in wav_features(pack_text_as_wav(docs)).collect()}
+    one = docs.filter("doc_id = 3").collect()[0]
+    b = np.frombuffer(one.text.encode(), dtype=np.uint8).astype(np.int64)
+    v = (b - 100) * 256
+    r = wf[3]
+    assert r.n_samples == len(v) and r.sum_abs == int(abs(v).sum())
+    assert r.sum_sq == int((v * v).sum())
+    assert (r.min_sample, r.max_sample) == (int(v.min()), int(v.max()))
+
+    bf = {r.doc_id: r for r in bmp_features(pack_ids_as_bmp(docs)).collect()}
+    i = 3
+    w, h = 1 + i % 7, 1 + i % 5
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    assert bf[3].width == w and bf[3].height == h
+    assert bf[3].sum_r == int(((i * 7 + x * 3 + y * 5) % 256).sum())
+    assert bf[3].sum_g == int(((i * 11 + x * 2 + y * 13) % 256).sum())
+    assert bf[3].sum_b == int(((i * 17 + x * 5 + y * 7) % 256).sum())
