@@ -26,19 +26,23 @@ the pandas-UDF tier: functions/geo_setops.py.
 
 Limits (documented, not silently wrong): MULTIPOLYGON WKT round-trips
 each ring as its own part (holes inside multipolygon parts measure
-correctly via parity but serialize as separate parts).  Round 9
-narrowed BOTH round-6 mechanical contracts to thin fail-loud slivers:
-ST_Relate answers T/F/* DE-9IM patterns natively AND dimension-digit
-(0/1/2) patterns EXACTLY for simple single-ring polygons
-(geo_setops.relate_exact — interior areas via Greiner–Hormann clips,
-boundary dimensions via split-at-intersections midpoint
-classification); digits on other kinds / holed polygons still REFUSE.
-ST_Buffer answers concave polygons and bent polylines EXACTLY via
-offset-curve construction (st_buffer_geom: arcs at convex vertices,
-miter joins at reflex ones) and refuses only when the distance reaches
-the local feature size (self-intersecting offset curve — needs global
-clipping).  tests/test_ml_geo.py::test_geo_mechanical_contracts
-asserts the exact canonical-pattern values and the remaining refusals.
+correctly via parity but serialize as separate parts).  Round 10
+closed both remaining round-9 slivers: ST_Relate answers T/F/* DE-9IM
+patterns natively AND dimension-digit (0/1/2) patterns EXACTLY for ALL
+areal inputs — simple, holed, and MULTIPOLYGON ring sets
+(geo_setops.relate_exact — interior areas via the even-odd
+inclusion-exclusion over pairwise Greiner–Hormann clips, boundary
+dimensions via ring-set split-at-intersections midpoint
+classification); digit patterns on line/point kinds still REFUSE (the
+last Sedona integration point).  ST_Buffer answers convex, concave AND
+past-local-feature-size distances exactly: the offset curve
+(st_buffer_geom: arcs at convex vertices, miter joins at reflex ones)
+is globally clipped when it self-intersects (_clip_offset_loops:
+nonzero-winding split/filter/stitch), growing interior holes where the
+dilation closes over a concavity.
+tests/test_ml_geo.py::test_geo_mechanical_contracts asserts the exact
+canonical-pattern values, clipped-buffer areas against analytic truth,
+and the remaining line/point-digit refusal.
 """
 
 from __future__ import annotations
@@ -722,6 +726,174 @@ def st_buffer(g, dist, n_sides: int = 32) -> Column:
     return F.when(gg.getField("kind") == "point", _geom("polygon", ring))
 
 
+def _wn_poly(pt, ring):
+    """Winding number of the closed polyline ``ring`` (cyclic, first
+    vertex not repeated) around ``pt`` — the standard isLeft crossing
+    count."""
+    wn = 0
+    x, y = pt
+    k = len(ring)
+    for i in range(k):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % k]
+        is_left = (x2 - x1) * (y - y1) - (x - x1) * (y2 - y1)
+        if y1 <= y:
+            if y2 > y and is_left > 0:
+                wn += 1
+        elif y2 <= y and is_left < 0:
+            wn -= 1
+    return wn
+
+
+def _on_ring_boundary_py(p, body, eps=1e-9):
+    """p within eps of any edge of the cyclic vertex list ``body``."""
+    k = len(body)
+    for i in range(k):
+        a, b = body[i], body[(i + 1) % k]
+        cross = (b[0] - a[0]) * (p[1] - a[1]) - (p[0] - a[0]) * (b[1] - a[1])
+        scale = abs(b[0] - a[0]) + abs(b[1] - a[1]) + 1.0
+        if abs(cross) > eps * scale:
+            continue
+        if (
+            min(a[0], b[0]) - eps <= p[0] <= max(a[0], b[0]) + eps
+            and min(a[1], b[1]) - eps <= p[1] <= max(a[1], b[1]) + eps
+        ):
+            return True
+    return False
+
+
+def _loop_contains_py(outer, inner):
+    """True if a representative vertex of closed loop ``inner`` lies
+    strictly inside closed loop ``outer`` (vertices on the boundary are
+    skipped — stitched loops can share crossing points)."""
+    body = outer[:-1]
+    for p in inner[:-1]:
+        if _on_ring_boundary_py(p, body):
+            continue
+        return _wn_poly(p, body) != 0
+    return False
+
+
+def _seg_x_param(p1, p2, q1, q2, eps=1e-12):
+    """Proper-crossing params (t, u) strictly inside both segments, plus
+    the crossing point; None otherwise."""
+    rx, ry = p2[0] - p1[0], p2[1] - p1[1]
+    sx, sy = q2[0] - q1[0], q2[1] - q1[1]
+    den = rx * sy - ry * sx
+    if abs(den) < eps:
+        return None
+    qx, qy = q1[0] - p1[0], q1[1] - p1[1]
+    t = (qx * sy - qy * sx) / den
+    u = (qx * ry - qy * rx) / den
+    if eps < t < 1 - eps and eps < u < 1 - eps:
+        return (t, u, (p1[0] + t * rx, p1[1] + t * ry))
+    return None
+
+
+def _clip_offset_loops(out):
+    """Self-intersecting closed offset ring → the boundary rings of its
+    NONZERO-WINDING region — the global clipping step that makes
+    ST_Buffer exact past the local feature size (round 10; closes the
+    round-9 refusal).  The raw offset curve of a CCW source traverses
+    spurious loops clockwise, so the nonzero-winding fill IS the true
+    dilation region (the stroke-offset identity font rasterizers rely
+    on).  Split every segment at proper self-intersections, keep the
+    sub-segments whose inner side winds ≠ 0 and outer side winds 0
+    (true boundary pieces — spurious pieces have both sides covered),
+    then stitch the kept pieces into closed loops; holes (a buffer
+    closing over a concavity) fall out as additional loops."""
+    import math as _m
+
+    k = len(out)
+    cuts = [{0.0, 1.0} for _ in range(k)]
+    xpt = {}
+    for i in range(k):
+        a1, a2 = out[i], out[(i + 1) % k]
+        for j in range(i + 2, k):
+            if i == 0 and j == k - 1:
+                continue  # adjacent through the wraparound
+            hit = _seg_x_param(a1, a2, out[j], out[(j + 1) % k])
+            if hit:
+                t, u, pt = hit
+                cuts[i].add(t)
+                cuts[j].add(u)
+                xpt[(i, t)] = xpt[(j, u)] = pt
+
+    diag = max(
+        max(p[0] for p in out) - min(p[0] for p in out),
+        max(p[1] for p in out) - min(p[1] for p in out),
+        1e-12,
+    )
+    delta = 1e-7 * diag
+
+    def at(i, t):
+        if t == 0.0:
+            return out[i]
+        if t == 1.0:
+            return out[(i + 1) % k]
+        return xpt[(i, t)]
+
+    pieces = []
+    for i in range(k):
+        ts = sorted(cuts[i])
+        for a, b in zip(ts, ts[1:]):
+            pa, pb = at(i, a), at(i, b)
+            dx, dy = pb[0] - pa[0], pb[1] - pa[1]
+            ln = _m.hypot(dx, dy)
+            if ln < 1e-12:
+                continue
+            mid = ((pa[0] + pb[0]) / 2, (pa[1] + pb[1]) / 2)
+            nx, ny = dy / ln, -dx / ln  # right normal = outward for CCW
+            wn_out = _wn_poly((mid[0] + delta * nx, mid[1] + delta * ny), out)
+            wn_in = _wn_poly((mid[0] - delta * nx, mid[1] - delta * ny), out)
+            if wn_in != 0 and wn_out == 0:
+                pieces.append((pa, pb))
+
+    # stitch kept directed pieces into closed loops (endpoints are exact
+    # shared floats: crossing points computed once per pair)
+    def key(p):
+        return (round(p[0], 9), round(p[1], 9))
+
+    starts: dict = {}
+    for idx, (pa, pb) in enumerate(pieces):
+        starts.setdefault(key(pa), []).append(idx)
+    used = [False] * len(pieces)
+    loops = []
+    for idx in range(len(pieces)):
+        if used[idx]:
+            continue
+        chain = [pieces[idx][0], pieces[idx][1]]
+        used[idx] = True
+        origin = key(pieces[idx][0])
+        guard = 0
+        while key(chain[-1]) != origin and guard <= len(pieces):
+            guard += 1
+            nxts = [c_i for c_i in starts.get(key(chain[-1]), []) if not used[c_i]]
+            if not nxts:
+                break
+            if len(nxts) == 1:
+                nxt = nxts[0]
+            else:
+                # crossing with several kept continuations: take the
+                # leftmost turn (max CCW angle) to keep the region on
+                # the inner side
+                px, py = chain[-2]
+                cx, cy = chain[-1]
+                din = _m.atan2(cy - py, cx - px)
+
+                def turn(c_idx):
+                    qa, qb = pieces[c_idx]
+                    ang = _m.atan2(qb[1] - qa[1], qb[0] - qa[0])
+                    return (ang - din + _m.pi) % (2 * _m.pi)
+
+                nxt = max(nxts, key=turn)
+            chain.append(pieces[nxt][1])
+            used[nxt] = True
+        if key(chain[-1]) == origin and len(chain) >= 4:
+            loops.append(chain[:-1] + [chain[0]])
+    return loops
+
+
 @register("st_buffer_geom")
 def st_buffer_geom(g, dist: float, n_sides: int = 32) -> Column:
     """ST_Buffer for line/polygon kinds (GeoFunctions.stBuffer:182) —
@@ -739,11 +911,14 @@ def st_buffer_geom(g, dist: float, n_sides: int = 32) -> Column:
     end caps fall out as ordinary convex arcs, inner bend sides as
     ordinary reflex miters — one code path for both kinds.
 
-    Fail-loud boundary (narrowed, not gone): when the constructed
-    offset ring self-intersects — d at or beyond the local feature
-    size, where the true boundary needs global self-intersection
-    clipping and can grow interior holes — the function still raises
-    NotImplementedError (the remaining Sedona integration point).
+    Past the local feature size (round 10): when the constructed offset
+    ring self-intersects, the true boundary is recovered by global
+    clipping — _clip_offset_loops splits the curve at its proper
+    self-intersections, keeps exactly the sub-segments whose inner side
+    has nonzero winding and outer side zero (spurious loops are covered
+    on both sides), and stitches the survivors into closed loops.
+    Interior holes (the dilation closing over a concavity) fall out as
+    extra loops; the result is polygon/multipolygon by ring nesting.
     Pandas-UDF tier like ST_ConvexHull, hence the sibling name: the
     UDF-backed column cannot nest inside higher-order-function lambdas,
     so the POINT fast path keeps the fully-native st_buffer spelling."""
@@ -811,9 +986,11 @@ def st_buffer_geom(g, dist: float, n_sides: int = 32) -> Column:
                 t = tnum / cross
                 out.append((p[0] + d * n1[0] + t * v1[0],
                             p[1] + d * n1[1] + t * v1[1]))
-        # simplicity check: the offset ring must not self-intersect —
-        # past the local feature size the true buffer needs global
-        # clipping (and can grow holes), which stays fail-loud
+        # simplicity check: if the offset ring self-intersects (d at or
+        # past the local feature size), run the global clipping step —
+        # nonzero-winding split/filter/stitch (_clip_offset_loops) — and
+        # return the true boundary, holes included (round 10; was the
+        # round-9 fail-loud refusal)
         k = len(out)
 
         def _proper_x(a, b, cc, dd):
@@ -824,19 +1001,42 @@ def st_buffer_geom(g, dist: float, n_sides: int = 32) -> Column:
             d3, d4 = orient(a, b, cc), orient(a, b, dd)
             return ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0))
 
+        selfx = False
         for i in range(k):
             a, b = out[i], out[(i + 1) % k]
             for j in range(i + 2, k):
                 if i == 0 and j == k - 1:
                     continue  # adjacent through the wraparound
                 if _proper_x(a, b, out[j], out[(j + 1) % k]):
-                    raise NotImplementedError(
-                        "ST_Buffer distance reaches the shape's local "
-                        "feature size: the offset curve self-intersects "
-                        "and the exact boundary needs global clipping "
-                        "(remaining Sedona integration point)"
-                    )
-        return "polygon", out + [out[0]]
+                    selfx = True
+                    break
+            if selfx:
+                break
+        if not selfx:
+            return "polygon", out + [out[0]]
+        loops = _clip_offset_loops(out)
+        if not loops:
+            raise NotImplementedError(
+                "ST_Buffer offset clipping produced no closed boundary "
+                "(degenerate input past the supported envelope)"
+            )
+        # exterior = largest-area loop first; holes/extra parts follow
+        loops.sort(
+            key=lambda r: abs(
+                sum(
+                    x1 * y2 - x2 * y1
+                    for (x1, y1), (x2, y2) in zip(r, r[1:])
+                )
+            ),
+            reverse=True,
+        )
+        outers = sum(
+            1
+            for r in loops
+            if not any(o is not r and _loop_contains_py(o, r) for o in loops)
+        )
+        kind = "multipolygon" if outers > 1 else "polygon"
+        return kind, loops[0], loops
 
     return _geom_pandas(_buffer_offset, extra=(float(dist), int(n_sides)))(c(g))
 
@@ -984,11 +1184,18 @@ def _geom_pandas(fn, extra=()):
                 ringss.append(None)
                 continue
             pts = [(p["x"], p["y"]) for p in g["pts"]]
-            kind, new_pts = fn(g["kind"], pts, *extra)
+            res = fn(g["kind"], pts, *extra)
+            if len(res) == 3:  # multi-ring result (kind, exterior, rings)
+                kind, new_pts, rings = res
+            else:
+                kind, new_pts = res
+                rings = [new_pts]
             out = [{"x": float(x), "y": float(y)} for x, y in new_pts]
             kinds.append(kind)
             ptss.append(out)
-            ringss.append([out])
+            ringss.append(
+                [[{"x": float(x), "y": float(y)} for x, y in r] for r in rings]
+            )
         return pd.DataFrame({"kind": kinds, "pts": ptss, "rings": ringss})
 
     return _f
@@ -1435,11 +1642,12 @@ def st_relate(g1, g2, pattern: str) -> Column:
     T/F/* pattern positions evaluate natively, with each matrix cell
     derived as a boolean from the engine's interior/boundary
     primitives.  Dimension digits (0/1/2) require exact intersection
-    DIMENSIONS — round 9 computes them exactly for simple single-ring
-    POLYGON x POLYGON in the pandas tier (geo_setops.relate_exact:
-    interior areas via Greiner–Hormann clips, boundary dims via
-    split-at-intersections midpoint classification); other kinds /
-    holed polygons under a digit pattern remain fail-loud (the Sedona
+    DIMENSIONS — computed exactly for ALL areal ring sets (simple,
+    holed, MULTIPOLYGON; round 10) in the pandas tier
+    (geo_setops.relate_exact: interior areas via even-odd
+    inclusion-exclusion over pairwise Greiner–Hormann clips, boundary
+    dims via ring-set split-at-intersections midpoint classification);
+    line/point kinds under a digit pattern remain fail-loud (the Sedona
     integration point).  (Every ST_Relate pattern in the reference's
     own tests — TestGeoFunctions.java:689 — is T/F/* only.)"""
     a, b = c(g1), c(g2)

@@ -457,47 +457,156 @@ def _boundary_sub_dim(src_ring, other_ring, want_inside):
     return -1
 
 
-def _de9im_matrix(a_ring, b_ring):
-    """Exact DE-9IM dimensions for two simple single-ring polygons —
-    values in {-1 (empty), 0, 1, 2} row-major over (I,B,E)x(I,B,E)."""
-    a = _open([tuple(p) for p in a_ring])
-    b = _open([tuple(p) for p in b_ring])
-    area_a = abs(_ring_area2(_close(list(a)))) / 2.0
-    area_b = abs(_ring_area2(_close(list(b)))) / 2.0
-    inter = _poly_op([_close(list(a))], [_close(list(b))], "and")
-    area_ab = 0.0
-    if inter is not None:
-        _kind, rings = inter
-        area_ab = sum(abs(_ring_area2([tuple(p) for p in r])) / 2.0 for r in rings)
+def _pt_in_region(pt, rings):
+    """Even-odd membership over a FULL ring set (polygon with holes /
+    multipolygon parts): inside iff an odd number of rings contain pt."""
+    return sum(1 for r in rings if _pt_in_ring(pt, _close(list(r)))) % 2 == 1
+
+
+def _on_boundary_region(pt, rings):
+    return any(_on_boundary(pt, r) for r in rings)
+
+
+def _ring_signs(rings):
+    """Even-odd parity sign per ring (+1 outer depth, −1 hole depth):
+    depth = how many OTHER rings strictly contain a representative
+    vertex (falling back to edge midpoints when every vertex touches a
+    sibling ring)."""
+    signs = []
+    for i, r in enumerate(rings):
+        others = [o for j, o in enumerate(rings) if j != i]
+        cands = list(r) + [
+            ((r[k][0] + r[(k + 1) % len(r)][0]) / 2.0,
+             (r[k][1] + r[(k + 1) % len(r)][1]) / 2.0)
+            for k in range(len(r))
+        ]
+        v = next(
+            (p for p in cands if not any(_on_boundary(p, o) for o in others)),
+            r[0],
+        )
+        depth = sum(1 for o in others if _strict_in(v, o))
+        signs.append(-1 if depth % 2 else 1)
+    return signs
+
+
+def _eo_area_rings(rings):
+    """Even-odd area of the region bounded by open ``rings``."""
+    if not rings:
+        return 0.0
+    signs = _ring_signs(rings)
+    return sum(
+        s * abs(_ring_area2(_close(list(r)))) / 2.0 for s, r in zip(signs, rings)
+    )
+
+
+def _inter_area_ringsets(a_rings, b_rings):
+    """Exact area of the intersection of two even-odd regions WITHOUT a
+    general holed-polygon clipper: χ_A = Σ σ_i χ_{R_i} for a valid
+    (non-crossing) ring set, so area(A∩B) = ∬χ_Aχ_B =
+    Σ_{i,j} σ_i τ_j · area(R_i ∩ S_j) — every term a SIMPLE-ring clip
+    the existing Greiner–Hormann tier already computes."""
+    sa, sb = _ring_signs(a_rings), _ring_signs(b_rings)
+    total = 0.0
+    for i, a in enumerate(a_rings):
+        for j, b in enumerate(b_rings):
+            rings = _greiner_hormann(list(a), list(b), "and")
+            if rings:
+                total += sa[i] * sb[j] * _eo_area_rings(
+                    [_open([tuple(p) for p in r]) for r in rings]
+                )
+    return total
+
+
+def _boundary_sub_dim_rs(src_rings, other_rings, want_inside):
+    """Ring-set generalization of _boundary_sub_dim: 1 if some
+    positive-length sub-arc of ANY src ring lies strictly inside
+    (want_inside) / strictly outside (not want_inside) the other
+    region, else -1."""
+    for src in src_rings:
+        n = len(src)
+        for i in range(n):
+            p1, p2 = src[i], src[(i + 1) % n]
+            ts = {0.0, 1.0}
+            for other in other_rings:
+                m = len(other)
+                for j in range(m):
+                    kind, data = _seg_params(p1, p2, other[j], other[(j + 1) % m])
+                    if kind == "point":
+                        ts.add(data[0])
+                    elif kind == "overlap":
+                        ts.update(data)
+            cuts = sorted(ts)
+            for a, b in zip(cuts, cuts[1:]):
+                if b - a <= _EPS:
+                    continue
+                mid = (
+                    p1[0] + (p2[0] - p1[0]) * (a + b) / 2,
+                    p1[1] + (p2[1] - p1[1]) * (a + b) / 2,
+                )
+                if _on_boundary_region(mid, other_rings):
+                    continue
+                if _pt_in_region(mid, other_rings) == want_inside:
+                    return 1
+    return -1
+
+
+def _de9im_matrix(a_ringset, b_ringset):
+    """Exact DE-9IM dimensions for even-odd polygonal regions given as
+    FULL ring sets (single rings, holed polygons, multipolygon parts) —
+    values in {-1 (empty), 0, 1, 2} row-major over (I,B,E)x(I,B,E).
+    Round 10 closes the round-6/9 single-ring restriction: interior
+    areas come from the inclusion-exclusion pairwise-clip identity
+    (_inter_area_ringsets), boundary dims from ring-set midpoint
+    classification."""
+    a_rings = [
+        _open([tuple(p) for p in r]) for r in a_ringset
+    ]
+    b_rings = [
+        _open([tuple(p) for p in r]) for r in b_ringset
+    ]
+    a_rings = [r for r in a_rings if len(r) >= 3]
+    b_rings = [r for r in b_rings if len(r) >= 3]
+    area_a = _eo_area_rings(a_rings)
+    area_b = _eo_area_rings(b_rings)
+    area_ab = _inter_area_ringsets(a_rings, b_rings)
     scale = max(area_a, area_b, 1.0)
     ii = 2 if area_ab > _EPS * scale else -1
     ie = 2 if area_a - area_ab > _EPS * scale else -1
     ei = 2 if area_b - area_ab > _EPS * scale else -1
     # boundary x boundary: collinear overlap → 1; any touch point → 0
     bb = -1
-    na, nb = len(a), len(b)
-    for i in range(na):
-        for j in range(nb):
-            kind, _data = _seg_params(
-                a[i], a[(i + 1) % na], b[j], b[(j + 1) % nb]
-            )
-            if kind == "overlap":
-                bb = 1
-            elif kind == "point" and bb < 0:
-                bb = 0
+    for a in a_rings:
+        na = len(a)
+        for b in b_rings:
+            nb = len(b)
+            for i in range(na):
+                for j in range(nb):
+                    kind, _data = _seg_params(
+                        a[i], a[(i + 1) % na], b[j], b[(j + 1) % nb]
+                    )
+                    if kind == "overlap":
+                        bb = 1
+                    elif kind == "point" and bb < 0:
+                        bb = 0
+                if bb == 1:
+                    break
+            if bb == 1:
+                break
         if bb == 1:
             break
-    ib = _boundary_sub_dim(b, a, want_inside=True)   # I(A) ∩ B(B)
-    bi = _boundary_sub_dim(a, b, want_inside=True)   # B(A) ∩ I(B)
-    be = _boundary_sub_dim(a, b, want_inside=False)  # B(A) ∩ E(B)
-    eb = _boundary_sub_dim(b, a, want_inside=False)  # E(A) ∩ B(B)
+    ib = _boundary_sub_dim_rs(b_rings, a_rings, want_inside=True)   # I(A) ∩ B(B)
+    bi = _boundary_sub_dim_rs(a_rings, b_rings, want_inside=True)   # B(A) ∩ I(B)
+    be = _boundary_sub_dim_rs(a_rings, b_rings, want_inside=False)  # B(A) ∩ E(B)
+    eb = _boundary_sub_dim_rs(b_rings, a_rings, want_inside=False)  # E(A) ∩ B(B)
     return [ii, ib, ie, bi, bb, be, ei, eb, 2]
 
 
 def relate_exact(pattern: str):
     """GEOM×GEOM → BOOLEAN pandas UDF evaluating a full DE-9IM pattern
-    (dimension digits included) for simple single-ring polygons; other
-    kinds / holes stay fail-loud (the remaining Sedona boundary)."""
+    (dimension digits included) for areal geometries — simple polygons,
+    polygons WITH HOLES, and MULTIPOLYGONs (round 10; the ring-set
+    even-odd generalization).  Digit patterns on line/point kinds stay
+    fail-loud (the remaining Sedona boundary)."""
     from pyspark.sql.functions import pandas_udf
 
     pat = pattern.upper()
@@ -520,20 +629,18 @@ def relate_exact(pattern: str):
             if a["pts"] is None or b["pts"] is None:
                 out.append(None)
                 continue
-            if (
-                a["kind"] != "polygon"
-                or b["kind"] != "polygon"
-                or len(a["rings"]) != 1
-                or len(b["rings"]) != 1
+            if a["kind"] not in ("polygon", "multipolygon") or b["kind"] not in (
+                "polygon",
+                "multipolygon",
             ):
                 raise NotImplementedError(
-                    "ST_Relate dimension digits are exact for simple "
-                    "single-ring POLYGON x POLYGON only; other kinds / "
-                    "holes remain the Sedona integration point"
+                    "ST_Relate dimension digits are exact for areal "
+                    "POLYGON/MULTIPOLYGON inputs only; line/point kinds "
+                    "remain the Sedona integration point"
                 )
             m = _de9im_matrix(
-                [(p["x"], p["y"]) for p in a["rings"][0]],
-                [(p["x"], p["y"]) for p in b["rings"][0]],
+                [[(p["x"], p["y"]) for p in ring] for ring in a["rings"]],
+                [[(p["x"], p["y"]) for p in ring] for ring in b["rings"]],
             )
             out.append(all(_cell_ok(ch, d) for ch, d in zip(pat, m)))
         return pd.Series(out)

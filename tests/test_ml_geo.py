@@ -500,13 +500,12 @@ def test_ml_registry_names(spark):
 
 
 def test_geo_mechanical_contracts(spark):
-    """Round-6 contracts, round-9 upgrade: st_relate still REFUSES
-    dimension-digit DE-9IM patterns; st_buffer_geom now answers CONCAVE
-    polygons and BENT polylines EXACTLY (offset-curve construction:
-    arcs at convex vertices, miter joins at reflex ones) and refuses
-    only when the buffer distance reaches the local feature size (the
-    offset curve self-intersects — true boundary needs global
-    clipping)."""
+    """Round-6 contracts, round-10 closure: st_relate answers
+    dimension-digit DE-9IM patterns exactly for ALL areal ring sets
+    (simple, holed, MULTIPOLYGON) and refuses only line/point digits;
+    st_buffer_geom answers concave polygons, bent polylines AND
+    past-feature-size distances exactly (offset curve + nonzero-winding
+    global clipping, holes included)."""
     import pytest as _pt
 
     df = spark.range(1)
@@ -529,7 +528,27 @@ def test_geo_mechanical_contracts(spark):
     assert rel("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))", "2FFF1FFF2")  # equals
     assert rel("POLYGON ((10 10, 12 10, 12 12, 10 12, 10 10))", "FF2FF1212")  # disjoint
     assert not rel("POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))", "****1****")
-    # remaining refusal: digit patterns on non-polygon kinds
+    # round 10: digits exact on HOLED polygons and MULTIPOLYGONs
+    donut = g("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (3 3, 7 3, 7 7, 3 7, 3 3))")
+
+    def rel2(a_expr, b_expr, pat):
+        return df.select(P.st_relate(a_expr, b_expr, pat).alias("v")).collect()[0].v
+
+    # square inside the hole: disjoint (every cell hand-derived)
+    assert rel2(donut, g("POLYGON ((4 4, 6 4, 6 6, 4 6, 4 4))"), "FF2FF1212")
+    # square exactly filling the hole: B's boundary IS the hole ring
+    assert rel2(donut, g("POLYGON ((3 3, 7 3, 7 7, 3 7, 3 3))"), "FF2F112F2")
+    # square straddling the hole wall: overlaps
+    assert rel2(donut, g("POLYGON ((2 4, 6 4, 6 6, 2 6, 2 4))"), "212101212")
+    # donut within its own filled outer ring (hole in B's interior)
+    assert rel2(donut, g("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"), "2FF11F2F2")
+    mp = g(
+        "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)),"
+        " ((10 10, 12 10, 12 12, 10 12, 10 10)))"
+    )
+    assert rel2(mp, g("POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))"), "212101212")
+    assert rel2(mp, mp, "2FFF1FFF2")
+    # remaining refusal: digit patterns on non-areal kinds
     with _pt.raises(Exception) as eir:
         df.select(
             P.st_relate(A, g("LINESTRING (0 0, 1 1)"), "1*T***T**").alias("v")
@@ -562,13 +581,33 @@ def test_geo_mechanical_contracts(spark):
     # straight capsule unchanged: 4x2 rectangle + unit circle caps
     a = area_of(P.st_buffer_geom(g("LINESTRING (0 0, 4 0)"), 1.0))
     assert abs(a - (8 + _m.pi)) < 0.1
-    # narrowed fail-loud: d at the local feature size (the 2-wide slot
-    # of a U-shape buffered by 3) still refuses rather than silently
-    # self-intersecting
+    # round 10: d past the local feature size (the 2-wide slot of a
+    # U-shape buffered by 3) now answers EXACTLY via nonzero-winding
+    # clipping of the self-intersecting offset curve — pinned against
+    # an independent 400x400 grid integration of {p: dist(p,U) <= 3}
+    # (247.78 ± grid error; the n-gon arcs land slightly under the
+    # true circular caps)
     U = g("POLYGON ((0 0, 10 0, 10 10, 6 10, 6 2, 4 2, 4 10, 0 10, 0 0))")
-    with _pt.raises(Exception) as ei:
-        df.select(P.st_buffer_geom(U, 3.0).alias("b")).collect()
-    assert "feature size" in str(ei.value)
+    a = area_of(P.st_buffer_geom(U, 3.0))
+    assert 247.0 < a < 248.5, a
+    # hole growth: a C-shape whose 1-wide mouth closes under d=1 —
+    # result must be ONE polygon with TWO rings (outer + grown hole);
+    # area pinned against a 500x500 grid truth of 127.26
+    C = g(
+        "POLYGON ((0 0, 10 0, 10 10, 5.5 10, 5.5 8, 8 8, 8 2, 2 2,"
+        " 2 8, 4.5 8, 4.5 10, 0 10, 0 0))"
+    )
+    row = (
+        df.select(P.st_buffer_geom(C, 1.0).alias("b"))
+        .select(
+            F.col("b.kind").alias("k"),
+            F.size("b.rings").alias("nr"),
+            P.st_area("b").alias("a"),
+        )
+        .collect()[0]
+    )
+    assert row.k == "polygon" and row.nr == 2
+    assert 126.5 < row.a < 127.3, row.a
     # buffer containment: original boundary vertices sit strictly inside
     within = (
         df.select(P.st_buffer_geom(L_poly, 1.0).alias("b"))
