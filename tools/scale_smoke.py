@@ -21,7 +21,83 @@ QUERIES = [
     "tpch_q01", "tpch_q03", "tpch_q05", "tpch_q09", "tpch_q13",
     "tpch_q18", "tpch_q21", "join_semi", "agg_multi_distinct",
     "window_topn_per_group", "agg_checksum", "agg_sketch_rollup_twolevel",
+    # round-10 additions: the heaviest LLM-pipeline plans get the same
+    # sublinear-scaling receipt as the relational set (documents /
+    # embeddings are replicated 10x-per-sf-unit by build(), so dup
+    # clusters and candidate pools scale with the corpus)
+    "dedup_spans_strip", "similarity_bitext_mine", "dedup_incremental",
 ]
+
+FIXTURE_SF01 = "/root/testdata/sf0.1"
+
+
+def build_docs(sf: float, out_dir: str) -> None:
+    """documents/embeddings at scale, round(sf/0.1) replicas of the
+    sf0.1 fixture: replica 0 verbatim, replicas 1-9 near-dup variants
+    (token suffix — so dup CLUSTERS cap at 10 members and the dup RATE
+    stays realistic as sf grows), replicas >= 10 fresh word-soup from
+    the fixture vocabulary (distinct content, same length profile).
+    Embeddings get per-replica additive jitter (bounded cosine
+    clusters)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n_rep = max(1, round(sf / 0.1))
+    base = pq.read_table(f"{FIXTURE_SF01}/documents.parquet")
+    ids = np.array(base["doc_id"].to_pylist())
+    texts = base["text"].to_pylist()
+    langs = base["lang"].to_pylist()
+    sources = base["source"].to_pylist()
+    vocab = sorted({w for t in texts[:500] for w in t.split()})
+    lens = [len(t.split()) for t in texts]
+    parts = []
+    for k in range(n_rep):
+        if k == 0:
+            tk = texts
+        elif k < 10:
+            tk = [t + f" replica marker r{k}" for t in texts]
+        else:
+            rng = np.random.RandomState(1000 + k)
+            tk = [
+                " ".join(rng.choice(vocab, size=max(n, 3)))
+                for n in lens
+            ]
+        parts.append(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids + k * len(ids), type=pa.int64()),
+                    "text": pa.array(tk),
+                    "lang": pa.array(langs),
+                    "source": pa.array(sources),
+                    "n_chars": pa.array([len(t) for t in tk], type=pa.int64()),
+                }
+            )
+        )
+    pq.write_table(pa.concat_tables(parts), f"{out_dir}/documents.parquet")
+    ebase = pq.read_table(f"{FIXTURE_SF01}/embeddings.parquet")
+    vecs = np.array(ebase["embedding"].to_pylist(), dtype=np.float32)
+    labels = np.array(ebase["label"].to_pylist())
+    vids = np.array(ebase["vec_id"].to_pylist())
+    rng = np.random.RandomState(42)
+    pattern = rng.standard_normal(vecs.shape[1]).astype(np.float32)
+    eparts = []
+    for k in range(n_rep):
+        if k < 10:
+            vk = vecs + 0.01 * k * pattern  # near-dup jitter, clusters cap at 10
+        else:
+            rk = np.random.RandomState(2000 + k)
+            vk = rk.standard_normal(vecs.shape).astype(np.float32)
+        eparts.append(
+            pa.table(
+                {
+                    "vec_id": pa.array(vids + k * len(vids), type=pa.int64()),
+                    "embedding": pa.array(list(vk), type=pa.list_(pa.float32())),
+                    "label": pa.array(labels, type=pa.int32()),
+                }
+            )
+        )
+    pq.write_table(pa.concat_tables(eparts), f"{out_dir}/embeddings.parquet")
 
 
 def build(sf: float, out_dir: str) -> str:
@@ -58,6 +134,7 @@ def build(sf: float, out_dir: str) -> str:
             " (FORMAT PARQUET)"
         )
     con.close()
+    build_docs(sf, out_dir)
     open(marker, "w").write("ok")
     return out_dir
 
