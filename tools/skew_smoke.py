@@ -461,6 +461,49 @@ def main() -> None:
         flush=True,
     )
 
+    # --- (l) round 10: hot-bucket cap guard, window vs algebraic -------
+    # one boilerplate bucket holds 90% of the (bucket, id) index rows —
+    # the exact stream the LSH guards see at 100 TB.  The window form
+    # buffers that bucket in ONE task; drop_hot_buckets collapses it to
+    # one row per input partition (map-side combine) + broadcast anti.
+    from pyspark.sql import Window
+
+    from prestodb_presto_spark.operators.skew import drop_hot_buckets
+
+    bands = spark.range(n_docs).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 10 < 9 THEN 0 ELSE CAST(hash(id) % 5000 AS BIGINT) END AS bh",
+    ).cache()
+    bands.count()
+
+    def guard_window():
+        return (
+            bands.withColumn("__bsz", F.count("*").over(Window.partitionBy("bh")))
+            .filter(F.col("__bsz") <= 200)
+            .drop("__bsz")
+            .count()
+        )
+
+    def guard_algebraic():
+        return drop_hot_buckets(bands, "bh", 200).count()
+
+    for fn in (guard_algebraic, guard_window):
+        fn()  # warm
+    tw, nw = timed(guard_window)
+    ta, na = timed(guard_algebraic)
+    assert na == nw, (na, nw)
+    out["bucket_guard_window_s"] = tw
+    out["bucket_guard_algebraic_s"] = ta
+    plan = drop_hot_buckets(bands, "bh", 200)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    bands.unpersist()
+    print(
+        f"# bucket_guard (90% hot bucket, {n_docs} index rows): window"
+        f" {tw}s (single-task buffer of the hot bucket) vs algebraic"
+        f" {ta}s ({nw} rows survive, identical; no Window in plan)",
+        flush=True,
+    )
+
     print(json.dumps({"n_docs": n_docs, **out}))
 
 
