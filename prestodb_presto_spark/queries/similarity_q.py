@@ -1084,3 +1084,71 @@ def sample_negative_pairs(spark, sf_dir):
         .select("a_id", F.col("rk").cast("int").alias("rk"), "n_id")
         .orderBy("a_id", "rk")
     )
+
+
+@query(
+    "decontaminate_embedding",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {QUANT_SQL} q FROM embeddings),
+    n AS (SELECT vec_id, q,
+                 list_dot_product(q::DOUBLE[], q::DOUBLE[]) AS nrm FROM e),
+    ev AS (SELECT * FROM n WHERE vec_id % 37 = 0),
+    corpus AS (SELECT * FROM n WHERE vec_id % 37 <> 0),
+    scored AS (
+      SELECT c.vec_id,
+             ev.vec_id AS eval_id,
+             list_dot_product(c.q::DOUBLE[], ev.q::DOUBLE[])
+               / sqrt(c.nrm) / sqrt(ev.nrm) AS cos
+      FROM corpus c JOIN ev ON TRUE),
+    agg AS (
+      SELECT vec_id,
+             max_by(eval_id, CAST(round(cos * 1e12) AS BIGINT) * 100000 - eval_id)
+               AS nearest_eval_id,
+             MAX(cos) AS max_cos
+      FROM scored GROUP BY vec_id)
+    SELECT vec_id, nearest_eval_id,
+           ROUND(max_cos, 6) AS max_cosine,
+           (max_cos >= 0.93) AS contaminated
+    FROM agg ORDER BY vec_id
+    """,
+    tags=("similarity", "pipeline", "decontamination"),
+)
+def decontaminate_embedding(spark, sf_dir):
+    """SEMANTIC decontamination — the third member of the family
+    (decontaminate_ngram catches shared 5-grams, decontaminate_exact_
+    passage catches verbatim substrings; this catches PARAPHRASES the
+    lexical checks miss): every corpus vector scores its max cosine
+    against the held-out eval set (vec_id % 37 — the same eval-slice
+    convention as the lexical gates) and is flagged contaminated at
+    cosine >= 0.93.  Integer-quantized components and the engine's
+    standard BIGINT argmax key make both engines bit-agree on the
+    nearest eval item and the flag.
+
+    At 100 TB: eval/benchmark sets are tiny next to the corpus, so the
+    eval side BROADCASTS (same posture as the lexical decontaminators —
+    and the same guarded degrade applies via decontaminate_join's
+    pattern if an eval set ever outgrows the broadcast budget); the
+    corpus streams map-side through one BroadcastNestedLoopJoin and
+    collapses immediately to a per-vector max — one map-side-combined
+    aggregation, zero corpus shuffles before it.
+    """
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", quantized().alias("q"))
+    emb = emb.withColumn("nrm", dot(F.col("q"), F.col("q")).cast("double"))
+    ev = emb.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("eval_id"), F.col("q").alias("eq"), F.col("nrm").alias("en")
+    )
+    corpus = emb.filter(F.col("vec_id") % 37 != 0)
+    scored = corpus.crossJoin(F.broadcast(ev)).withColumn(
+        "cos",
+        dot(F.col("q"), F.col("eq")).cast("double") / F.sqrt("nrm") / F.sqrt("en"),
+    )
+    ordkey = F.round(F.col("cos") * 1e12).cast("bigint") * 100000 - F.col("eval_id")
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max_by("eval_id", ordkey).alias("nearest_eval_id"),
+            F.round(F.max("cos"), 6).alias("max_cosine"),
+            (F.max("cos") >= 0.93).alias("contaminated"),
+        )
+        .orderBy("vec_id")
+    )
