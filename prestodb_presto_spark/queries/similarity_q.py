@@ -253,9 +253,7 @@ def dedup_embedding_cosine(spark, sf_dir):
     return embedding_near_dups(emb, threshold=0.35)
 
 
-@query(
-    "similarity_ivf_ann",
-    oracle=f"""
+_IVF_ORACLE = f"""
     WITH e AS (SELECT vec_id, {QUANT_SQL} q FROM embeddings),
          n AS (SELECT vec_id, q, list_dot_product(q::DOUBLE[], q::DOUBLE[]) AS nrm FROM e),
          cent AS (SELECT vec_id AS cid, q AS cq, nrm AS cn FROM n WHERE vec_id < 16),
@@ -285,7 +283,12 @@ def dedup_embedding_cosine(spark, sf_dir):
            max_by(vec_id, CAST(round(cos * 1e12) AS BIGINT) * 100000 - vec_id) AS neighbor_id,
            ROUND(MAX(cos), 6) AS cosine
     FROM scored GROUP BY qid ORDER BY query_id
-    """,
+    """
+
+
+@query(
+    "similarity_ivf_ann",
+    oracle=_IVF_ORACLE,
     tags=("similarity", "approximate"),
 )
 def similarity_ivf_ann(spark, sf_dir):
@@ -304,6 +307,42 @@ def similarity_ivf_ann(spark, sf_dir):
 
     emb = t(spark, sf_dir, "embeddings")
     return ivf_search_top1(emb, F.col("vec_id") < 20)
+
+
+@query(
+    "similarity_ivf_persisted",
+    oracle=_IVF_ORACLE,
+    tags=("similarity", "approximate", "pipeline"),
+)
+def similarity_ivf_persisted(spark, sf_dir):
+    """The PRODUCTION shape of IVF ANN: the index (inverted lists
+    bucketed by cell + the coarse quantizer) is materialized through
+    the engine's own writer (similarity/ivf.write_ivf_index — the same
+    index-once / search-every-batch pattern as
+    dedup_incremental_persisted), and the query batch searches the
+    STORED tables via ivf_search_top1_indexed.  Same oracle as
+    similarity_ivf_ann, so the gate proves the persisted round-trip is
+    lossless: write index -> fresh catalog read -> identical top-1 set.
+
+    At 100 TB: the index write is one map + one n-row shuffle per
+    corpus snapshot; each nightly query batch broadcasts its probe
+    table against the pre-bucketed lists (bucket pruning per cell),
+    never re-assigning the corpus.
+    """
+    from prestodb_presto_spark.similarity.ivf import (
+        ivf_search_top1_indexed,
+        write_ivf_index,
+    )
+    from prestodb_presto_spark.sources.io import drop_table
+
+    emb = t(spark, sf_dir, "embeddings")
+    tbl = "ivf_ann_index"
+    drop_table(spark, tbl)
+    drop_table(spark, f"{tbl}_centroids")
+    write_ivf_index(emb, tbl)
+    return ivf_search_top1_indexed(
+        spark.table(tbl), spark.table(f"{tbl}_centroids"), F.col("vec_id") < 20
+    )
 
 
 @query(

@@ -110,20 +110,40 @@ def build_ivf(
     return indexed, cent
 
 
-def ivf_search_top1(
+def write_ivf_index(
     emb: DataFrame,
-    query_pred,
+    table_name: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = K_CENTROIDS,
+) -> None:
+    """Materialize the IVF index through the engine's own writer: the
+    indexed corpus (vec_id, q, nrm, cell) BUCKETED by ``cell`` — so a
+    later query batch's probe join prunes whole buckets per cell — plus
+    the broadcast-sized coarse quantizer as ``<table>_centroids``.
+    The production shape of SURVEY §6 ANN: index once per corpus
+    snapshot, search every batch from the stored tables (same pattern
+    as minhash.write_dedup_index)."""
+    from prestodb_presto_spark.sources.io import write_table
+
+    indexed, cent = build_ivf(emb, id_col, vec_col, k)
+    write_table(indexed, bucket_by=(k, ["cell"]), table_name=table_name)
+    write_table(cent, table_name=f"{table_name}_centroids")
+
+
+def ivf_search_top1_indexed(
+    indexed: DataFrame,
+    cent: DataFrame,
+    query_pred,
     n_probe: int = N_PROBE,
 ) -> DataFrame:
-    """Top-1 cosine neighbor for every vector matching ``query_pred``,
-    searching only the ``n_probe`` nearest inverted lists per query.
+    """Top-1 cosine neighbor for every indexed vector matching
+    ``query_pred``, searching only the ``n_probe`` nearest inverted
+    lists per query — over a PRE-BUILT (possibly persisted) index:
+    ``indexed`` = (vec_id, q, nrm, cell), ``cent`` = (cid, cq, cn).
 
     Returns (query_id, neighbor_id, cosine) — cosine rounded to 6 dp.
     """
-    indexed, cent = build_ivf(emb, id_col, vec_col, k)
     queries = guard_rows(
         indexed.filter(query_pred),
         MAX_PROBE_QUERIES,
@@ -157,3 +177,18 @@ def ivf_search_top1(
         )
         .orderBy("query_id")
     )
+
+
+def ivf_search_top1(
+    emb: DataFrame,
+    query_pred,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = K_CENTROIDS,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """ivf_search_top1_indexed over an index derived in-query (the
+    one-shot form; production persists the index with write_ivf_index
+    and searches the stored tables)."""
+    indexed, cent = build_ivf(emb, id_col, vec_col, k)
+    return ivf_search_top1_indexed(indexed, cent, query_pred, n_probe)

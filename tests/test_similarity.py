@@ -249,3 +249,36 @@ def test_mmr_matches_independent_greedy_and_diversifies(spark):
         assert got[qid] == sel, f"query {qid}: {got[qid]} != {sel}"
         diverged = diverged or sel != rel_top3
     assert diverged
+
+
+def test_persisted_ivf_index_roundtrip(spark):
+    """write_ivf_index → spark.table → ivf_search_top1_indexed must
+    (a) reproduce the in-query search exactly, (b) read the STORED
+    index tables (plan-asserted)."""
+    from pyspark.sql import functions as F
+
+    from prestodb_presto_spark.similarity.ivf import (
+        ivf_search_top1,
+        ivf_search_top1_indexed,
+        write_ivf_index,
+    )
+    from prestodb_presto_spark.sources.io import drop_table
+
+    emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+    drop_table(spark, "t_ivf_idx")
+    drop_table(spark, "t_ivf_idx_centroids")
+    write_ivf_index(emb, "t_ivf_idx")
+    out = ivf_search_top1_indexed(
+        spark.table("t_ivf_idx"),
+        spark.table("t_ivf_idx_centroids"),
+        F.col("vec_id") < 20,
+    )
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "t_ivf_idx" in plan
+    expect = {tuple(r) for r in ivf_search_top1(emb, F.col("vec_id") < 20).collect()}
+    got = {tuple(r) for r in out.collect()}
+    assert got == expect and len(got) > 0
+    drop_table(spark, "t_ivf_idx")
+    drop_table(spark, "t_ivf_idx_centroids")
