@@ -67,9 +67,16 @@ def drop_hot_buckets(df: DataFrame, keys: str | list[str], cap: int) -> DataFram
         df.groupBy(*key_list)
         .agg(F.count(F.lit(1)).alias("__bsz"))
         .filter(F.col("__bsz") > cap)
-        .select(*key_list)
+        .select(*[F.col(k).alias(f"__hot_{k}") for k in key_list])
     )
-    return df.join(F.broadcast(hot), key_list, "left_anti")
+    # NULL-SAFE anti join: a NULL bucket key is a bucket too (the window
+    # form this replaces grouped NULLs together) — plain key equality
+    # would never match NULL and the hot NULL bucket would survive
+    cond = None
+    for k in key_list:
+        piece = df[k].eqNullSafe(F.col(f"__hot_{k}"))
+        cond = piece if cond is None else (cond & piece)
+    return df.join(F.broadcast(hot), cond, "left_anti")
 
 
 def salted_groupby_count(df: DataFrame, key: str, salt: int = 8) -> DataFrame:

@@ -116,3 +116,34 @@ def test_grid_spatial_join_matches_broadcast(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     )
     assert "CartesianProduct" not in plan
+
+
+def test_drop_hot_buckets_equals_window_form(spark):
+    """The algebraic hot-bucket guard must agree with the window form it
+    replaced on every (bucket-size distribution, cap) combination —
+    including caps nobody exceeds, caps everybody exceeds, multi-column
+    keys, and NULL keys."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from prestodb_presto_spark.operators.skew import drop_hot_buckets
+
+    df = spark.range(500).selectExpr(
+        "id",
+        "CAST(CASE WHEN id % 11 = 0 THEN NULL ELSE id % 7 END AS BIGINT) AS b1",
+        "id % 3 AS b2",
+    ).cache()
+    for keys in (["b1"], ["b1", "b2"]):
+        for cap in (1, 5, 40, 100, 1000):
+            alg = {tuple(r) for r in drop_hot_buckets(df, keys, cap).collect()}
+            win = {
+                tuple(r)
+                for r in df.withColumn(
+                    "__c", F.count("*").over(Window.partitionBy(*keys))
+                )
+                .filter(F.col("__c") <= cap)
+                .drop("__c")
+                .collect()
+            }
+            assert alg == win, (keys, cap, len(alg), len(win))
+    df.unpersist()
