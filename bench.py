@@ -133,10 +133,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
+    # 5 iterations (round 10, was 3): this host's hypervisor noise showed
+    # back-to-back total swings of 16s vs 26s with identical code — min-of-5
+    # keeps one clean pass per query far more likely through a noise burst.
     for name in BENCH_QUERIES:
         fn = specs[name].spark_fn
         runs: list[float] = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.time()
             df = fn(spark, sf_dir)
             # noop sink: forces full materialization of every output column
@@ -145,7 +148,7 @@ def main() -> None:
             runs.append(time.time() - t0)
         runs.sort()
         timings[name] = round(runs[0], 3)
-        medians[name] = round(runs[1], 3)
+        medians[name] = round(runs[len(runs) // 2], 3)
         ratio = f" ({timings[name] / baseline[name]:.2f}x baseline)" if baseline.get(name) else ""
         print(f"# {name}: min {timings[name]:.3f}s median {medians[name]:.3f}s{ratio}", file=sys.stderr)
 
