@@ -33,8 +33,10 @@ areal inputs — simple, holed, and MULTIPOLYGON ring sets
 (geo_setops.relate_exact — interior areas via the even-odd
 inclusion-exclusion over pairwise Greiner–Hormann clips, boundary
 dimensions via ring-set split-at-intersections midpoint
-classification); digit patterns on line/point kinds still REFUSE (the
-last Sedona integration point).  ST_Buffer answers convex, concave AND
+classification) — and for LINE and POINT kinds in every combination
+(OGC boundary conventions: point boundary empty, line boundary =
+endpoints, mod-2; 14 canonical matrices pinned in
+tests/test_geo_properties.py).  ST_Buffer answers convex, concave AND
 past-local-feature-size distances exactly: the offset curve
 (st_buffer_geom: arcs at convex vertices, miter joins at reflex ones)
 is globally clipped when it self-intersects (_clip_offset_loops:
@@ -1642,14 +1644,15 @@ def st_relate(g1, g2, pattern: str) -> Column:
     T/F/* pattern positions evaluate natively, with each matrix cell
     derived as a boolean from the engine's interior/boundary
     primitives.  Dimension digits (0/1/2) require exact intersection
-    DIMENSIONS — computed exactly for ALL areal ring sets (simple,
-    holed, MULTIPOLYGON; round 10) in the pandas tier
-    (geo_setops.relate_exact: interior areas via even-odd
-    inclusion-exclusion over pairwise Greiner–Hormann clips, boundary
-    dims via ring-set split-at-intersections midpoint classification);
-    line/point kinds under a digit pattern remain fail-loud (the Sedona
-    integration point).  (Every ST_Relate pattern in the reference's
-    own tests — TestGeoFunctions.java:689 — is T/F/* only.)"""
+    DIMENSIONS — computed exactly for EVERY supported kind pair
+    (round 10): areal ring sets (simple, holed, MULTIPOLYGON — interior
+    areas via even-odd inclusion-exclusion over pairwise
+    Greiner–Hormann clips, boundary dims via ring-set
+    split-at-intersections midpoint classification), LINESTRINGs and
+    (MULTI)POINTs in all combinations (geo_setops.de9im_matrix_general,
+    OGC boundary conventions; 14 canonical matrices pinned).  (Every
+    ST_Relate pattern in the reference's own tests —
+    TestGeoFunctions.java:689 — is T/F/* only.)"""
     a, b = c(g1), c(g2)
     pat = pattern.upper()
     if len(pat) != 9:

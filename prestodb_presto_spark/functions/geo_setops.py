@@ -603,10 +603,12 @@ def _de9im_matrix(a_ringset, b_ringset):
 
 def relate_exact(pattern: str):
     """GEOM×GEOM → BOOLEAN pandas UDF evaluating a full DE-9IM pattern
-    (dimension digits included) for areal geometries — simple polygons,
-    polygons WITH HOLES, and MULTIPOLYGONs (round 10; the ring-set
-    even-odd generalization).  Digit patterns on line/point kinds stay
-    fail-loud (the remaining Sedona boundary)."""
+    (dimension digits included) for EVERY supported kind pair — areal
+    (simple / holed / MULTIPOLYGON ring sets, even-odd), LINESTRING,
+    and (MULTI)POINT, in all combinations (round 10; the general
+    dispatch is de9im_matrix_general).  OGC boundary conventions:
+    point boundary = empty, line boundary = endpoints (empty when
+    closed), polygon boundary = its rings."""
     from pyspark.sql.functions import pandas_udf
 
     pat = pattern.upper()
@@ -629,20 +631,249 @@ def relate_exact(pattern: str):
             if a["pts"] is None or b["pts"] is None:
                 out.append(None)
                 continue
-            if a["kind"] not in ("polygon", "multipolygon") or b["kind"] not in (
-                "polygon",
-                "multipolygon",
-            ):
-                raise NotImplementedError(
-                    "ST_Relate dimension digits are exact for areal "
-                    "POLYGON/MULTIPOLYGON inputs only; line/point kinds "
-                    "remain the Sedona integration point"
-                )
-            m = _de9im_matrix(
+            m = de9im_matrix_general(
+                a["kind"],
+                [(p["x"], p["y"]) for p in a["pts"]],
                 [[(p["x"], p["y"]) for p in ring] for ring in a["rings"]],
+                b["kind"],
+                [(p["x"], p["y"]) for p in b["pts"]],
                 [[(p["x"], p["y"]) for p in ring] for ring in b["rings"]],
             )
             out.append(all(_cell_ok(ch, d) for ch, d in zip(pat, m)))
         return pd.Series(out)
 
     return _f
+
+
+# --- DE-9IM for line/point kinds (round 10: the general dispatch) -----------
+# OGC boundary conventions: point/multipoint boundary = EMPTY; linestring
+# boundary = its two endpoints (mod-2 rule: EMPTY when the path is closed);
+# polygonal boundary = the ring set.  With those, every kind pair reduces
+# to the primitives above (segment-pair classification, sub-arc midpoint
+# tests, even-odd region membership).
+
+
+def _path_edges(path):
+    return [
+        (path[i], path[i + 1])
+        for i in range(len(path) - 1)
+        if path[i] != path[i + 1]
+    ]
+
+
+def _on_path(pt, path):
+    """pt within _EPS of the OPEN polyline (no closing edge)."""
+    x, y = pt
+    for (x1, y1), (x2, y2) in _path_edges(path):
+        dx, dy = x2 - x1, y2 - y1
+        rr = dx * dx + dy * dy
+        t = max(0.0, min(1.0, ((x - x1) * dx + (y - y1) * dy) / rr))
+        qx, qy = x1 + t * dx, y1 + t * dy
+        if (x - qx) ** 2 + (y - qy) ** 2 <= _EPS * _EPS * max(rr, 1.0):
+            return True
+    return False
+
+
+def _line_boundary(path):
+    """Mod-2 boundary: the endpoints, EMPTY for a closed path."""
+    if len(path) > 1 and path[0] == path[-1]:
+        return []
+    return [path[0], path[-1]]
+
+
+def _same_pt(a, b):
+    return abs(a[0] - b[0]) <= _EPS and abs(a[1] - b[1]) <= _EPS
+
+
+def _split_ts(p1, p2, other_edges):
+    ts = {0.0, 1.0}
+    for q1, q2 in other_edges:
+        kind, data = _seg_params(p1, p2, q1, q2)
+        if kind == "point":
+            ts.add(data[0])
+        elif kind == "overlap":
+            ts.update(data)
+    return sorted(ts)
+
+
+def _sub_arc_exists(edges, other_edges, classify):
+    """True if some positive-length sub-arc of ``edges`` (split at every
+    intersection with ``other_edges``) has a midpoint where ``classify``
+    holds."""
+    for p1, p2 in edges:
+        cuts = _split_ts(p1, p2, other_edges)
+        for a, b in zip(cuts, cuts[1:]):
+            if b - a <= _EPS:
+                continue
+            mid = (
+                p1[0] + (p2[0] - p1[0]) * (a + b) / 2,
+                p1[1] + (p2[1] - p1[1]) * (a + b) / 2,
+            )
+            if classify(mid):
+                return True
+    return False
+
+
+def _transpose_de9im(m):
+    ii, ib, ie, bi, bb, be, ei, eb, ee = m
+    return [ii, bi, ei, ib, bb, eb, ie, be, ee]
+
+
+def _line_line_de9im(a_path, b_path):
+    """DE-9IM for LINESTRING x LINESTRING."""
+    a_edges, b_edges = _path_edges(a_path), _path_edges(b_path)
+    a_bnd, b_bnd = _line_boundary(a_path), _line_boundary(b_path)
+
+    def a_interior_pt(p):
+        return _on_path(p, a_path) and not any(_same_pt(p, e) for e in a_bnd)
+
+    def b_interior_pt(p):
+        return _on_path(p, b_path) and not any(_same_pt(p, e) for e in b_bnd)
+
+    ii = -1
+    for p1, p2 in a_edges:
+        for q1, q2 in b_edges:
+            kind, data = _seg_params(p1, p2, q1, q2)
+            if kind == "overlap":
+                ii = 1
+            elif kind == "point" and ii < 0:
+                t = data[0]
+                pt = (p1[0] + t * (p2[0] - p1[0]), p1[1] + t * (p2[1] - p1[1]))
+                if a_interior_pt(pt) and b_interior_pt(pt):
+                    ii = 0
+        if ii == 1:
+            break
+    ib = 0 if any(a_interior_pt(e) for e in b_bnd) else -1
+    bi = 0 if any(b_interior_pt(e) for e in a_bnd) else -1
+    bb = (
+        0
+        if any(any(_same_pt(ea, eb_) for eb_ in b_bnd) for ea in a_bnd)
+        else -1
+    )
+    be = 0 if any(not _on_path(e, b_path) for e in a_bnd) else -1
+    eb = 0 if any(not _on_path(e, a_path) for e in b_bnd) else -1
+    ie = 1 if _sub_arc_exists(a_edges, b_edges, lambda m: not _on_path(m, b_path)) else -1
+    ei = 1 if _sub_arc_exists(b_edges, a_edges, lambda m: not _on_path(m, a_path)) else -1
+    return [ii, ib, ie, bi, bb, be, ei, eb, 2]
+
+
+def _line_poly_de9im(a_path, b_rings):
+    """DE-9IM for LINESTRING x even-odd polygonal ring set."""
+    a_edges = _path_edges(a_path)
+    a_bnd = _line_boundary(a_path)
+    ring_edges = []
+    for r in b_rings:
+        n = len(r)
+        ring_edges.extend((r[i], r[(i + 1) % n]) for i in range(n))
+
+    def strictly_in(p):
+        return not _on_boundary_region(p, b_rings) and _pt_in_region(p, b_rings)
+
+    def strictly_out(p):
+        return not _on_boundary_region(p, b_rings) and not _pt_in_region(p, b_rings)
+
+    ii = 1 if _sub_arc_exists(a_edges, ring_edges, strictly_in) else -1
+    ie = 1 if _sub_arc_exists(a_edges, ring_edges, strictly_out) else -1
+    # I(L) ∩ B(P): collinear overlap → 1; else an interior touch point → 0
+    ib = -1
+    for p1, p2 in a_edges:
+        for q1, q2 in ring_edges:
+            kind, data = _seg_params(p1, p2, q1, q2)
+            if kind == "overlap":
+                ib = 1
+            elif kind == "point" and ib < 0:
+                t = data[0]
+                pt = (p1[0] + t * (p2[0] - p1[0]), p1[1] + t * (p2[1] - p1[1]))
+                if not any(_same_pt(pt, e) for e in a_bnd):
+                    ib = 0
+        if ib == 1:
+            break
+    bi = 0 if any(strictly_in(e) for e in a_bnd) else -1
+    bb = 0 if any(_on_boundary_region(e, b_rings) for e in a_bnd) else -1
+    be = 0 if any(strictly_out(e) for e in a_bnd) else -1
+    eb = (
+        1
+        if _sub_arc_exists(ring_edges, a_edges, lambda m: not _on_path(m, a_path))
+        else -1
+    )
+    return [ii, ib, ie, bi, bb, be, 2, eb, 2]
+
+
+def _pts_poly_de9im(a_pts, b_rings):
+    """DE-9IM for (MULTI)POINT x polygonal region (point boundary = ∅)."""
+    on = [_on_boundary_region(p, b_rings) for p in a_pts]
+    inside = [
+        (not o) and _pt_in_region(p, b_rings) for p, o in zip(a_pts, on)
+    ]
+    ii = 0 if any(inside) else -1
+    ib = 0 if any(on) else -1
+    ie = 0 if any(not o and not i for o, i in zip(on, inside)) else -1
+    return [ii, ib, ie, -1, -1, -1, 2, 1, 2]
+
+
+def _pts_line_de9im(a_pts, b_path):
+    """DE-9IM for (MULTI)POINT x LINESTRING."""
+    b_bnd = _line_boundary(b_path)
+
+    def b_interior_pt(p):
+        return _on_path(p, b_path) and not any(_same_pt(p, e) for e in b_bnd)
+
+    ii = 0 if any(b_interior_pt(p) for p in a_pts) else -1
+    ib = 0 if any(any(_same_pt(p, e) for e in b_bnd) for p in a_pts) else -1
+    ie = 0 if any(not _on_path(p, b_path) for p in a_pts) else -1
+    eb = (
+        0
+        if any(not any(_same_pt(e, p) for p in a_pts) for e in b_bnd)
+        else -1
+    )
+    # E(A) ∩ I(B): a finite point set can't cover a positive-length line
+    return [ii, ib, ie, -1, -1, -1, 1, eb, 2]
+
+
+def _pts_pts_de9im(a_pts, b_pts):
+    shared = any(any(_same_pt(a, b) for b in b_pts) for a in a_pts)
+    a_only = any(not any(_same_pt(a, b) for b in b_pts) for a in a_pts)
+    b_only = any(not any(_same_pt(b, a) for a in a_pts) for b in b_pts)
+    return [
+        0 if shared else -1, -1, 0 if a_only else -1,
+        -1, -1, -1,
+        0 if b_only else -1, -1, 2,
+    ]
+
+
+_AREAL = ("polygon", "multipolygon")
+_LINEAL = ("linestring",)
+_PUNCTAL = ("point", "multipoint")
+
+
+def de9im_matrix_general(a_kind, a_pts, a_rings, b_kind, b_pts, b_rings):
+    """Exact DE-9IM for every supported kind pair — areal x areal
+    (ring-set even-odd), lineal, punctal, and all mixes (reversed
+    orders via matrix transpose)."""
+    if a_kind in _AREAL and b_kind in _AREAL:
+        return _de9im_matrix(a_rings, b_rings)
+    if a_kind in _LINEAL and b_kind in _LINEAL:
+        return _line_line_de9im(a_pts, b_pts)
+    if a_kind in _PUNCTAL and b_kind in _PUNCTAL:
+        return _pts_pts_de9im(a_pts, b_pts)
+    if a_kind in _LINEAL and b_kind in _AREAL:
+        return _line_poly_de9im(
+            a_pts, [_open([tuple(p) for p in r]) for r in b_rings]
+        )
+    if a_kind in _AREAL and b_kind in _LINEAL:
+        return _transpose_de9im(
+            _line_poly_de9im(b_pts, [_open([tuple(p) for p in r]) for r in a_rings])
+        )
+    if a_kind in _PUNCTAL and b_kind in _AREAL:
+        return _pts_poly_de9im(
+            a_pts, [_open([tuple(p) for p in r]) for r in b_rings]
+        )
+    if a_kind in _AREAL and b_kind in _PUNCTAL:
+        return _transpose_de9im(
+            _pts_poly_de9im(b_pts, [_open([tuple(p) for p in r]) for r in a_rings])
+        )
+    if a_kind in _PUNCTAL and b_kind in _LINEAL:
+        return _pts_line_de9im(a_pts, b_pts)
+    if a_kind in _LINEAL and b_kind in _PUNCTAL:
+        return _transpose_de9im(_pts_line_de9im(b_pts, a_pts))
+    raise NotImplementedError(f"ST_Relate for kinds {a_kind!r} x {b_kind!r}")

@@ -291,3 +291,44 @@ def test_bing_tile_quadkey_roundtrip_and_covering(spark):
     for r in out:
         assert r.qk == r.qk_rt and len(r.qk) == r.z, r
         assert r.covered, r
+
+
+def test_de9im_general_canonical_matrices():
+    """Round 10: exact DE-9IM for line/point kinds — 14 canonical OGC
+    matrices pinned (pure Python, no Spark).  Known values: lines-equal
+    1FFF0FFF2, lines-touch FF1F00102, lines-overlap 1010F0102,
+    line-crosses-polygon 101FF0212, point-within 0FFFFF212, etc."""
+    from prestodb_presto_spark.functions.geo_setops import de9im_matrix_general
+
+    def s(m):
+        return "".join("F" if d == -1 else str(d) for d in m)
+
+    SQ = [[(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)]]
+    cases = [
+        (("linestring", [(0, 0), (2, 2)], None),
+         ("linestring", [(0, 2), (2, 0)], None), "0F1FF0102"),
+        (("linestring", [(0, 0), (1, 1)], None),
+         ("linestring", [(0, 0), (1, 1)], None), "1FFF0FFF2"),
+        (("linestring", [(0, 0), (1, 1)], None),
+         ("linestring", [(1, 1), (2, 0)], None), "FF1F00102"),
+        (("linestring", [(0, 0), (2, 0)], None),
+         ("linestring", [(1, 0), (3, 0)], None), "1010F0102"),
+        (("linestring", [(-1, 2), (5, 2)], None), ("polygon", SQ[0], SQ), "101FF0212"),
+        (("linestring", [(1, 1), (2, 2)], None), ("polygon", SQ[0], SQ), "1FF0FF212"),
+        (("linestring", [(0, 0), (4, 0)], None), ("polygon", SQ[0], SQ), "F1FF0F212"),
+        (("polygon", SQ[0], SQ), ("linestring", [(0, 0), (1, 1)], None), "102F01FF2"),
+        (("point", [(1, 1)], None), ("polygon", SQ[0], SQ), "0FFFFF212"),
+        (("point", [(0, 2)], None), ("polygon", SQ[0], SQ), "F0FFFF212"),
+        (("point", [(9, 9)], None), ("polygon", SQ[0], SQ), "FF0FFF212"),
+        (("point", [(1, 1)], None), ("point", [(1, 1)], None), "0FFFFFFF2"),
+        (("point", [(1, 1)], None), ("linestring", [(0, 0), (2, 2)], None), "0FFFFF102"),
+        (("multipoint", [(1, 1), (9, 9)], None), ("polygon", SQ[0], SQ), "0F0FFF212"),
+    ]
+    for (ak, ap, ar), (bk, bp, br), want in cases:
+        got = s(
+            de9im_matrix_general(
+                ak, ap, ar if ar is not None else [ap],
+                bk, bp, br if br is not None else [bp],
+            )
+        )
+        assert got == want, (ak, bk, got, want)

@@ -548,12 +548,17 @@ def test_geo_mechanical_contracts(spark):
     )
     assert rel2(mp, g("POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))"), "212101212")
     assert rel2(mp, mp, "2FFF1FFF2")
-    # remaining refusal: digit patterns on non-areal kinds
-    with _pt.raises(Exception) as eir:
-        df.select(
-            P.st_relate(A, g("LINESTRING (0 0, 1 1)"), "1*T***T**").alias("v")
-        ).collect()
-    assert "POLYGON" in str(eir.value)
+    # round 10: digit patterns on LINE and POINT kinds now answer exactly
+    # (general dispatch, OGC boundary conventions) — the corner-entering
+    # line's full matrix vs A, plus crossing / within / point cases
+    assert rel2(A, g("LINESTRING (0 0, 1 1)"), "102F01FF2")
+    assert not rel2(A, g("LINESTRING (0 0, 1 1)"), "1*T***T**")  # ei is F
+    assert rel2(g("LINESTRING (-1 2, 5 2)"), A, "101FF0212")  # crosses
+    assert rel2(g("LINESTRING (1 1, 2 2)"), A, "1FF0FF212")   # within
+    assert rel2(g("POINT (1 1)"), A, "0FFFFF212")             # point in
+    assert rel2(
+        g("LINESTRING (0 0, 2 0)"), g("LINESTRING (1 0, 3 0)"), "1010F0102"
+    )  # line overlaps line
 
     import math as _m
 
