@@ -15,6 +15,13 @@ Scope (documented, not silently wrong):
     Greiner–Hormann; containment/disjoint fast paths.  A−B with B
     strictly inside A yields a polygon WITH A HOLE (rings model);
     disjoint unions yield MULTIPOLYGON.
+  - HOLED / MULTIPOLYGON inputs (round 10): the GF(2) even-odd
+    identity (_poly_op_ringsets — every op reduces to input rings plus
+    pairwise simple-ring clips, equal rings cancelling) answers every
+    configuration whose result rings come out fully disjoint (clip a
+    donut by a window, union with islands, subtract a hole-covering
+    box, self-ops, ...); configurations whose result rings would cross
+    or share arcs return NULL (unchanged envelope).
   - other kind combinations (line×polygon clips, mixed-dimension unions
     → GEOMETRYCOLLECTION in the reference) return NULL.
 
@@ -238,10 +245,123 @@ def _open(ring):
     return ring[:-1] if len(ring) > 1 and ring[0] == ring[-1] else ring
 
 
+def _canon_ring(r):
+    """Canonical form of a closed/open ring as a point sequence up to
+    rotation and direction — used to CANCEL equal rings (GF(2) XOR)."""
+    body = _open([tuple(p) for p in r])
+    i = body.index(min(body))
+    fwd = tuple(body[i:] + body[:i])
+    rev = list(reversed(body))
+    j = rev.index(min(rev))
+    bwd = tuple(rev[j:] + rev[:j])
+    return min(fwd, bwd)
+
+
+def _rings_cancel(rings):
+    """Remove ring PAIRS equal as point sets: in even-odd (GF(2))
+    semantics a ring appearing twice contributes nothing."""
+    out: list = []
+    seen: dict = {}
+    for r in rings:
+        key = _canon_ring(r)
+        if key in seen:
+            out[seen[key]] = None
+            del seen[key]
+        else:
+            seen[key] = len(out)
+            out.append(r)
+    return [r for r in out if r is not None]
+
+
+def _rings_fully_disjoint(rings):
+    """True when no two rings' edges intersect at all (no crossings, no
+    collinear overlaps, no touches) — the validity condition under
+    which a concatenated even-odd ring set is a well-formed polygon for
+    every downstream parity probe."""
+    opens = [_open([tuple(p) for p in r]) for r in rings]
+    for i in range(len(opens)):
+        a = opens[i]
+        na = len(a)
+        for j in range(i + 1, len(opens)):
+            b = opens[j]
+            nb = len(b)
+            for ii in range(na):
+                for jj in range(nb):
+                    kind, _ = _seg_params(
+                        a[ii], a[(ii + 1) % na], b[jj], b[(jj + 1) % nb]
+                    )
+                    if kind != "none":
+                        return False
+    return True
+
+
+def _poly_op_ringsets(a_open, b_open, op):
+    """Boolean set op for even-odd RING SETS (holed polygons /
+    multipolygons) via the GF(2) identity: with χ_A = ⊕ᵢ χ_{Rᵢ} and
+    χ_B = ⊕ⱼ χ_{Sⱼ},
+
+        A∩B = ⊕ᵢⱼ (Rᵢ∩Sⱼ)          (AND distributes over XOR)
+        A∪B = A ⊕ B ⊕ (A∩B)
+        A∖B = A ⊕ (A∩B)
+        AΔB = A ⊕ B
+
+    so every op is a CONCATENATION of input rings and pairwise
+    simple-ring Greiner–Hormann clips, with equal rings cancelling.
+    The concatenation is emitted only when the resulting rings are
+    fully disjoint (no two rings' edges intersect) — then it is a valid
+    nested even-odd set and every downstream parity probe (st_area
+    nesting signs, ray-cast containment) is well-defined.  Crossing /
+    arc-sharing configurations return None (the documented NULL
+    envelope, unchanged)."""
+    and_rings = []
+    if op != "sym":
+        for ra in a_open:
+            for rb in b_open:
+                and_rings.extend(_greiner_hormann(ra, rb, "and"))
+    if op == "and":
+        cand = list(and_rings)
+    elif op == "or":
+        cand = [_close(list(r)) for r in a_open] + [
+            _close(list(r)) for r in b_open
+        ] + and_rings
+    elif op == "sub":
+        cand = [_close(list(r)) for r in a_open] + and_rings
+    else:  # sym
+        cand = [_close(list(r)) for r in a_open] + [
+            _close(list(r)) for r in b_open
+        ]
+    cand = _rings_cancel(cand)
+    if not cand:
+        return ("multipolygon", [])
+    if not _rings_fully_disjoint(cand):
+        return None
+    outers = sum(
+        1
+        for r in cand
+        if not any(o is not r and _pt_in_ring(r[0], o) for o in cand)
+    )
+    kind = "multipolygon" if outers > 1 else "polygon"
+    return (kind, [list(r) for r in cand])
+
+
 def _poly_op(a_rings, b_rings, op):
-    """Dispatch one polygon boolean; inputs must be single-ring."""
+    """Dispatch one polygon boolean; single-ring inputs take the full
+    Greiner–Hormann path, multi-ring (holed / multipolygon) inputs the
+    GF(2) ring-set path (_poly_op_ringsets)."""
     if len(a_rings) != 1 or len(b_rings) != 1:
-        return None  # holes in inputs: outside the supported envelope
+        a_open = [
+            r
+            for r in (_open([tuple(p) for p in rr]) for rr in a_rings)
+            if len(r) >= 3
+        ]
+        b_open = [
+            r
+            for r in (_open([tuple(p) for p in rr]) for rr in b_rings)
+            if len(r) >= 3
+        ]
+        if not a_open or not b_open:
+            return None
+        return _poly_op_ringsets(a_open, b_open, op)
     a, b = _open([tuple(p) for p in a_rings[0]]), _open([tuple(p) for p in b_rings[0]])
     if len(a) < 3 or len(b) < 3:
         return None

@@ -627,3 +627,48 @@ def test_geo_mechanical_contracts(spark):
         .v
     )
     assert within
+
+
+def test_geo_set_operations_ringsets(spark):
+    """Round 10: boolean set ops on HOLED and MULTIPOLYGON inputs via
+    the GF(2) even-odd identity — analytic areas and containment
+    probes; crossing configurations keep the documented NULL."""
+    df = spark.range(1)
+    g = lambda w: P.st_geom_from_text(F.lit(w))  # noqa: E731
+    import prestodb_presto_spark.functions.geo_setops as S
+
+    donut = g("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (3 3, 7 3, 7 7, 3 7, 3 3))")
+    hole_box = g("POLYGON ((2 2, 8 2, 8 8, 2 8, 2 2))")
+    clip_box = g("POLYGON ((2 2, 12 2, 12 8, 2 8, 2 2))")
+    island = g("POLYGON ((4 4, 6 4, 6 6, 4 6, 4 4))")
+    mp = g(
+        "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)),"
+        " ((10 10, 12 10, 12 12, 10 12, 10 10)))"
+    )
+    far = g("POLYGON ((20 20, 21 20, 21 21, 20 21, 20 20))")
+    step1 = df.select(
+        S.st_intersection(donut, hole_box).alias("i1"),
+        S.st_intersection(donut, clip_box).alias("i2"),
+        S.st_union(donut, island).alias("u1"),
+        S.st_difference(donut, hole_box).alias("d1"),
+        S.st_union(mp, far).alias("u2"),
+        S.st_intersection(donut, donut).alias("slf"),
+        S.st_sym_difference(donut, clip_box).alias("nul"),
+    )
+    row = step1.select(
+        P.st_area("i1").alias("a1"),
+        P.st_area("i2").alias("a2"),
+        P.st_area("u1").alias("a3"),
+        P.st_area("d1").alias("a4"),
+        P.st_area("u2").alias("a5"),
+        P.st_area("slf").alias("a6"),
+        F.col("nul.pts").isNull().alias("nul"),
+        P.st_contains("i1", P.st_point(F.lit(2.5), F.lit(2.5))).alias("in_band"),
+        P.st_contains("i1", P.st_point(F.lit(5.0), F.lit(5.0))).alias("in_hole"),
+    ).collect()[0]
+    # donut∩window(⊃hole)=36−16; donut∩clip=48−16; donut∪island=84+4;
+    # donut∖window=100−36; multipolygon∪far=16+4+1; donut∩donut=84
+    assert (row.a1, row.a2, row.a3, row.a4, row.a5, row.a6) == (
+        20.0, 32.0, 88.0, 64.0, 21.0, 84.0
+    )
+    assert row.nul and row.in_band and not row.in_hole
