@@ -316,8 +316,15 @@ def _poly_op_ringsets(a_open, b_open, op):
     and_rings = []
     if op != "sym":
         for ra in a_open:
+            ca = _canon_ring(ra)
             for rb in b_open:
-                and_rings.extend(_greiner_hormann(ra, rb, "and"))
+                if ca == _canon_ring(rb):
+                    # identical rings: R∩R = R, deterministically — the
+                    # G-H fast path would ray-cast a vertex lying ON the
+                    # other ring (undefined) for this case
+                    and_rings.append(_close(list(ra)))
+                else:
+                    and_rings.extend(_greiner_hormann(ra, rb, "and"))
     if op == "and":
         cand = list(and_rings)
     elif op == "or":
