@@ -635,7 +635,15 @@ def _inter_area_ringsets(a_rings, b_rings):
     sa, sb = _ring_signs(a_rings), _ring_signs(b_rings)
     total = 0.0
     for i, a in enumerate(a_rings):
+        ca = _canon_ring(a)
         for j, b in enumerate(b_rings):
+            if ca == _canon_ring(b):
+                # identical rings: R∩R = R, deterministically — the G-H
+                # no-intersection fast path would ray-cast a vertex lying
+                # ON the other ring (undefined), making the result
+                # vertex-order dependent (mirrors _poly_op_ringsets)
+                total += sa[i] * sb[j] * abs(_ring_area2(_close(list(a)))) / 2.0
+                continue
             rings = _greiner_hormann(list(a), list(b), "and")
             if rings:
                 total += sa[i] * sb[j] * _eo_area_rings(

@@ -61,8 +61,18 @@ def drop_hot_buckets(df: DataFrame, keys: str | list[str], cap: int) -> DataFram
          construction (each survivor represents > cap input rows);
       3. broadcast ``left_anti`` join-back — no shuffle of ``df`` at
          all when the over-cap list broadcasts (it always does).
+
+    The input is lazily ``localCheckpoint``-ed first: the hot-list
+    derivation runs as a separate (broadcast-exchange) job, so without
+    a materialization boundary the anti-join would recompute ``df``'s
+    entire subtree a second time — at the LSH guard sites that subtree
+    is the full shingle→minhash→banding pipeline (measured +45% wall
+    on dedup_minhash_lsh when it double-derived).  The broadcast job
+    computes ``df`` once and checkpoints it; the main job rescans the
+    checkpointed blocks.
     """
     key_list = [keys] if isinstance(keys, str) else list(keys)
+    df = df.localCheckpoint(eager=False)
     hot = (
         df.groupBy(*key_list)
         .agg(F.count(F.lit(1)).alias("__bsz"))

@@ -92,14 +92,54 @@ def drop_table(spark: SparkSession, table_name: str) -> None:
     by a PREVIOUS session (a managed table's directory survives the
     in-memory catalog, and saveAsTable then fails with
     LOCATION_ALREADY_EXISTS).  Mirrors the reference's DROP TABLE
-    metadata-delete semantics (MetadataDeleteOperator)."""
+    metadata-delete semantics (MetadataDeleteOperator).
+
+    If the table is registered, its real location and MANAGED/EXTERNAL
+    type come from the catalog: DROP TABLE removes managed data itself,
+    and EXTERNAL data is never touched.  Only when the catalog has no
+    entry (the stale-directory case this function exists for) is the
+    default warehouse location considered — resolved per Spark's layout
+    (qualified ``db.tbl`` lives under ``<wh>/<db>.db/<tbl>``) and
+    deleted only when its contents look like table output (part files /
+    commit markers / partition dirs), never an arbitrary same-named
+    directory."""
+    import os
     import shutil
     from urllib.parse import urlparse
 
+    parts = [p.strip("`") for p in table_name.split(".")]
+    exists = spark.catalog.tableExists(table_name)
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    if exists:
+        # catalog-managed drop already removed managed data; external
+        # locations are intentionally preserved (reference Hive
+        # semantics: DropTableTask only deletes managed tables' data)
+        return
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    if wh:
-        shutil.rmtree(f"{wh.rstrip('/')}/{table_name.lower()}", ignore_errors=True)
+    if not wh:
+        return
+    if len(parts) == 1:
+        loc = f"{wh.rstrip('/')}/{parts[0].lower()}"
+    elif len(parts) == 2:
+        loc = f"{wh.rstrip('/')}/{parts[0].lower()}.db/{parts[1].lower()}"
+    else:
+        return
+    if not os.path.isdir(loc):
+        return
+
+    def _is_table_artifact(entry: str) -> bool:
+        return (
+            entry.startswith("part-")
+            or entry.startswith("_SUCCESS")
+            or entry.startswith("_committed")
+            or entry.startswith("_started")
+            or entry == "_temporary"
+            or entry.endswith(".crc")
+            or "=" in entry  # partition directory key=value
+        )
+
+    if all(_is_table_artifact(e) for e in os.listdir(loc)):
+        shutil.rmtree(loc, ignore_errors=True)
 
 
 def blackhole(df: DataFrame) -> None:

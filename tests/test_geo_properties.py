@@ -332,3 +332,37 @@ def test_de9im_general_canonical_matrices():
             )
         )
         assert got == want, (ak, bk, got, want)
+
+
+def test_de9im_self_equality_vertex_order_invariant():
+    """Round 11 (ADVICE r10): relating a holed polygon / multipolygon to
+    a vertex-rotated copy of itself must be 2FFF1FFF2 (equals) regardless
+    of which vertex each ring starts at.  Before the fix,
+    _inter_area_ringsets fed identical rings to Greiner–Hormann, whose
+    no-intersection fast path ray-casts a vertex lying ON the other ring
+    (undefined) — the donut-vs-itself matrix flipped between FF2F1F2F2
+    and 2FFF1FFF2 depending on ring start vertex."""
+    from prestodb_presto_spark.functions.geo_setops import de9im_matrix_general
+
+    def s(m):
+        return "".join("F" if d == -1 else str(d) for d in m)
+
+    def rot(ring, k):
+        return ring[k:] + ring[:k]
+
+    outer = [(0, 0), (10, 0), (10, 10), (0, 10)]
+    hole = [(3, 3), (7, 3), (7, 7), (3, 7)]
+    donut = [outer, hole]
+    mp = [[(0, 0), (4, 0), (4, 4), (0, 4)], [(6, 0), (9, 0), (9, 3), (6, 3)]]
+
+    for ka, kb in [(0, 0), (0, 2), (2, 0), (1, 3), (3, 1)]:
+        a = [rot(outer, ka), rot(hole, kb)]
+        b = [rot(outer, kb), rot(hole, ka)]
+        got = s(de9im_matrix_general("polygon", None, a, "polygon", None, b))
+        assert got == "2FFF1FFF2", (ka, kb, got)
+        a2 = [rot(mp[0], ka), rot(mp[1], kb)]
+        b2 = [rot(mp[0], kb), rot(mp[1], ka)]
+        got2 = s(
+            de9im_matrix_general("multipolygon", None, a2, "multipolygon", None, b2)
+        )
+        assert got2 == "2FFF1FFF2", (ka, kb, got2)
