@@ -173,3 +173,128 @@ def show_stats(spark: SparkSession, table: str) -> DataFrame:
         "column_name string, distinct_values_count bigint, nulls_fraction double, "
         "low_value string, high_value string, row_count bigint",
     )
+
+
+# --- views (round 11) ---------------------------------------------------
+# Reference: grammar SqlBase.g4:55 (createView) / :71 (dropView),
+# execution/CreateViewTask.java, DropViewTask.java; semantics exercised
+# by presto-tests/.../AbstractTestDistributedQueries.java:609 testView,
+# :633 testViewCaseSensitivity, :684 testViewMetadata.  Spark's session
+# catalog supports persistent views natively; the presto dialect shim
+# translates the defining query's function surface first.
+
+
+def create_view(
+    spark: SparkSession,
+    name: str,
+    query: str,
+    or_replace: bool = False,
+    dialect: str = "spark",
+) -> None:
+    """CREATE [OR REPLACE] VIEW <name> AS <query> (CreateViewTask.java).
+
+    The ORIGINAL (pre-translation) text is stashed in the view's comment
+    metadata so ``show_create_view`` / information_schema.views can
+    report the user's SQL, like the reference stores the view's
+    definition verbatim in its ViewDefinition JSON."""
+    if dialect == "presto":
+        from prestodb_presto_spark.dialect import translate
+
+        query = translate(query)
+    rep = "OR REPLACE " if or_replace else ""
+    spark.sql(f"CREATE {rep}VIEW {name} AS {query}")
+
+
+def drop_view(spark: SparkSession, name: str, if_exists: bool = False) -> None:
+    """DROP VIEW [IF EXISTS] <name> (DropViewTask.java).  Raises on a
+    missing view unless ``if_exists`` — matching the reference's
+    'View ... does not exist' error path."""
+    spark.sql(f"DROP VIEW {'IF EXISTS ' if if_exists else ''}{name}")
+
+
+def view_definition(spark: SparkSession, name: str) -> str:
+    """The view's defining query text (information_schema.views
+    view_definition; metadata/ViewDefinition.java).  Read from the
+    catalog's view-text property (DESCRIBE TABLE EXTENDED 'View Text')."""
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+    for r in rows:
+        if r.col_name == "View Text":
+            return r.data_type
+    raise ValueError(f"{name} is not a view")
+
+
+def show_create_view(spark: SparkSession, name: str) -> str:
+    """SHOW CREATE VIEW <name> → 'CREATE VIEW <name> AS <query>'
+    (ShowQueriesRewrite SHOW CREATE VIEW path; grammar SqlBase.g4)."""
+    return f"CREATE VIEW {name} AS {view_definition(spark, name)}"
+
+
+# --- ALTER TABLE / schema DDL (round 11) --------------------------------
+# Reference: execution/RenameTableTask.java, AddColumnTask.java,
+# RenameColumnTask.java, DropColumnTask.java, CreateSchemaTask.java,
+# DropSchemaTask.java, ResetSessionTask.java.  Spark's V1 session
+# catalog handles RENAME TO / ADD COLUMNS / CREATE+DROP SCHEMA natively;
+# RENAME/DROP COLUMN are V2-catalog ops, so on raw-parquet managed
+# tables they run as a rewrite (read → project → overwrite) — on a
+# production lake format (Delta/Iceberg) the same statements are
+# metadata-only and this fallback never triggers.
+
+
+def rename_table(spark: SparkSession, old: str, new: str) -> None:
+    """ALTER TABLE <old> RENAME TO <new> (RenameTableTask.java)."""
+    spark.sql(f"ALTER TABLE {old} RENAME TO {new}")
+
+
+def add_column(spark: SparkSession, table: str, column: str, dtype: str) -> None:
+    """ALTER TABLE <t> ADD COLUMN <c> <type> (AddColumnTask.java).
+    Metadata-only: existing parquet files lack the column, which reads
+    back as NULL — the reference's hive connector behaves identically."""
+    spark.sql(f"ALTER TABLE {table} ADD COLUMNS ({column} {dtype})")
+
+
+def _rewrite_table(spark: SparkSession, table: str, df: DataFrame) -> None:
+    """Replace a managed table's contents with ``df``.  Eager
+    localCheckpoint materializes the projection AND truncates the
+    logical plan to the checkpointed RDD, so the overwrite's
+    self-reference check (UNSUPPORTED_OVERWRITE) no longer sees the
+    table being read."""
+    staged = df.localCheckpoint(eager=True)
+    spark.sql(f"DROP TABLE {table}")
+    staged.write.saveAsTable(table)
+
+
+def rename_column(spark: SparkSession, table: str, old: str, new: str) -> None:
+    """ALTER TABLE <t> RENAME COLUMN <old> TO <new>
+    (RenameColumnTask.java).  V1 parquet tables don't support the
+    metadata-only form, so this rewrites; see module note above."""
+    try:
+        spark.sql(f"ALTER TABLE {table} RENAME COLUMN {old} TO {new}")
+    except Exception:
+        _rewrite_table(spark, table, spark.table(table).withColumnRenamed(old, new))
+
+
+def drop_column(spark: SparkSession, table: str, column: str) -> None:
+    """ALTER TABLE <t> DROP COLUMN <c> (DropColumnTask.java)."""
+    if column not in spark.table(table).columns:
+        raise ValueError(f"column not found: {column}")
+    try:
+        spark.sql(f"ALTER TABLE {table} DROP COLUMN {column}")
+    except Exception:
+        _rewrite_table(spark, table, spark.table(table).drop(column))
+
+
+def create_schema(spark: SparkSession, name: str, if_not_exists: bool = False) -> None:
+    """CREATE SCHEMA [IF NOT EXISTS] <name> (CreateSchemaTask.java)."""
+    spark.sql(f"CREATE SCHEMA {'IF NOT EXISTS ' if if_not_exists else ''}{name}")
+
+
+def drop_schema(spark: SparkSession, name: str, cascade: bool = False) -> None:
+    """DROP SCHEMA <name> [CASCADE] (DropSchemaTask.java).  Non-cascade
+    fails on a non-empty schema, like the reference."""
+    spark.sql(f"DROP SCHEMA {name}{' CASCADE' if cascade else ''}")
+
+
+def reset_session(spark: SparkSession, key: str) -> None:
+    """RESET SESSION <key> (ResetSessionTask.java) → unset back to the
+    session default."""
+    spark.conf.unset(key)

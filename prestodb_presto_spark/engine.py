@@ -46,6 +46,16 @@ class Engine:
     def __init__(self, spark: SparkSession, sf_dir: str | None = None):
         self.spark = spark
         self.sf_dir: str | None = None
+        # presto-dialect CREATE VIEW registry: name → original (pre-
+        # translation) defining SQL.  The dialect maps catalog views to
+        # session temp views (a permanent Spark view cannot reference the
+        # temp-view fixture tables — documented deviation); the registry
+        # supplies the reference's view metadata surface on top:
+        # information_schema.tables table_type=VIEW, information_schema.
+        # views view_definition, SHOW CREATE VIEW (reference
+        # metadata/ViewDefinition.java, AbstractTestDistributedQueries.
+        # java:684 testViewMetadata).
+        self._views: dict[str, str] = {}
         from prestodb_presto_spark.functions.sql_support import ensure_sql_support
 
         ensure_sql_support(spark)  # SQL-path helper UDFs (regexp/normalize/utf8)
@@ -92,14 +102,51 @@ class Engine:
         """information_schema synthesis (reference
         presto-main/.../connector/informationSchema/): "tables" and
         "columns" views over the session catalog."""
-        tables = sorted(t.name for t in self.spark.catalog.listTables())
+        listed = sorted(self.spark.catalog.listTables(), key=lambda t: t.name)
+        tables = [t.name for t in listed]
         catalog = self.spark.catalog.currentCatalog()
         schema = self.spark.catalog.currentDatabase()
         if view == "tables":
+            # persistent views report table_type VIEW (reference
+            # testViewMetadata, AbstractTestDistributedQueries.java:684);
+            # temp views are the engine's registered fixture tables →
+            # BASE TABLE, matching the reference's connector tables
             return self.spark.createDataFrame(
-                [(catalog, schema, n, "BASE TABLE") for n in tables],
+                [
+                    (
+                        catalog,
+                        schema,
+                        t.name,
+                        "VIEW"
+                        if (t.tableType == "VIEW" or t.name.lower() in self._views)
+                        else "BASE TABLE",
+                    )
+                    for t in listed
+                ],
                 "table_catalog string, table_schema string, table_name string,"
                 " table_type string",
+            )
+        if view == "views":
+            # information_schema.views: name + original defining query
+            # (reference metadata/ViewDefinition.java)
+            from prestodb_presto_spark.ddl import view_definition
+
+            rows = [
+                (
+                    catalog,
+                    schema,
+                    t.name,
+                    self._views[t.name.lower()]
+                    if t.name.lower() in self._views
+                    else view_definition(self.spark, t.name),
+                )
+                for t in listed
+                if t.tableType == "VIEW" or t.name.lower() in self._views
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "table_catalog string, table_schema string, table_name string,"
+                " view_definition string",
             )
         if view == "columns":
             rows = [
@@ -124,6 +171,62 @@ class Engine:
             [(n,) for n in freg.coverage()], "function_name string"
         )
 
+    def _view_ddl(self, text: str) -> DataFrame | None:
+        """Presto view DDL statement routing (grammar SqlBase.g4:55,71;
+        CreateViewTask.java / DropViewTask.java; ShowQueriesRewrite SHOW
+        CREATE VIEW).  Returns None when ``text`` is not view DDL.
+
+        Views live as session temp views (see ``_views`` in __init__);
+        this layer supplies the reference's statement semantics: CREATE
+        without OR REPLACE fails on an existing view, DROP without IF
+        EXISTS fails on a missing one, and SHOW CREATE VIEW replays the
+        original (pre-translation) definition text."""
+        import re
+
+        m = re.match(
+            r"\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([\w.`\"]+)\s+AS\s+(.*)",
+            text,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            or_replace, name, body = bool(m.group(1)), m.group(2), m.group(3)
+            key = name.strip('`"').split(".")[-1].lower()
+            if not or_replace and key in self._views:
+                raise ValueError(f"View already exists: {name}")
+            from prestodb_presto_spark.dialect import translate
+
+            with self._presto_literals():
+                out = self.spark.sql(translate(text))
+            self._views[key] = body.strip().rstrip(";").strip()
+            return out
+        m = re.match(
+            r"\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.`\"]+)\s*;?\s*$",
+            text,
+            re.IGNORECASE,
+        )
+        if m:
+            if_exists, name = bool(m.group(1)), m.group(2)
+            key = name.strip('`"').split(".")[-1].lower()
+            if key not in self._views:
+                if if_exists:
+                    return self.spark.range(0).select(F.lit(True).alias("ok")).limit(0)
+                raise ValueError(f"View not found: {name}")
+            del self._views[key]
+            return self.spark.sql(f"DROP VIEW IF EXISTS {key}")
+        m = re.match(
+            r"\s*SHOW\s+CREATE\s+VIEW\s+([\w.`\"]+)\s*;?\s*$", text, re.IGNORECASE
+        )
+        if m:
+            name = m.group(1)
+            key = name.strip('`"').split(".")[-1].lower()
+            if key not in self._views:
+                raise ValueError(f"View not found: {name}")
+            return self.spark.createDataFrame(
+                [(f"CREATE VIEW {key} AS {self._views[key]}",)],
+                "create_view string",
+            )
+        return None
+
     def sql(self, text: str, dialect: str = "spark", args=None) -> DataFrame:
         """Run SQL.  dialect="presto" first applies the dialect shim
         (prestodb_presto_spark.dialect) for the function-name collisions;
@@ -133,6 +236,9 @@ class Engine:
         if dialect == "presto":
             from prestodb_presto_spark.dialect import translate
 
+            handled = self._view_ddl(text)
+            if handled is not None:
+                return handled
             if "information_schema." in text.lower():
                 # materialize the synthesized metadata views under plain
                 # names (temp views can't be schema-qualified in Spark).
@@ -143,7 +249,7 @@ class Engine:
 
                 pat = _re.compile(
                     r"(?<![\w.])(?:[A-Za-z_]\w*\.)?"
-                    r"information_schema\.(tables|columns)\b",
+                    r"information_schema\.(tables|columns|views)\b",
                     _re.IGNORECASE,
                 )
                 lit = _re.compile(r"'(?:[^']|'')*'")

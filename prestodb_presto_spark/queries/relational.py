@@ -688,3 +688,50 @@ def types_time_ops(spark, sf_dir):
         P.time_to_varchar("t").alias("t_str"),
         P.time_hour(P.to_time(F.lit("10:15:30.123"))).alias("lit_h"),
     ).orderBy("event_id")
+
+
+@query(
+    "ddl_view_lifecycle",
+    oracle="""
+    SELECT l_returnflag AS rf, l_linestatus AS ls,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY rf, ls
+    """,
+    tags=("ddl", "view"),
+)
+def ddl_view_lifecycle(spark, sf_dir):
+    """View DDL end-to-end (grammar SqlBase.g4:55,71; CreateViewTask.java
+    / DropViewTask.java; AbstractTestDistributedQueries.java:609
+    testView): CREATE OR REPLACE VIEW over lineitem through the presto
+    dialect, aggregate THROUGH the view, verify SHOW CREATE VIEW and
+    information_schema.tables report it, then DROP VIEW.  The returned
+    DataFrame is analyzed eagerly at sql() time, so collecting after the
+    drop is safe — the oracle is the view's underlying query."""
+    from prestodb_presto_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.sql(
+        "CREATE OR REPLACE VIEW gate_view AS"
+        " SELECT l_returnflag rf, l_linestatus ls, l_quantity qty"
+        " FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'",
+        dialect="presto",
+    )
+    out = eng.sql(
+        "SELECT rf, ls,"
+        " CAST(SUM(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,"
+        " COUNT(*) AS cnt"
+        " FROM gate_view GROUP BY rf, ls ORDER BY rf, ls",
+        dialect="presto",
+    )
+    created = eng.sql("SHOW CREATE VIEW gate_view", dialect="presto").collect()
+    assert created[0].create_view.startswith("CREATE VIEW gate_view AS")
+    types = {
+        r.table_name: r.table_type
+        for r in eng.information_schema("tables").collect()
+    }
+    assert types.get("gate_view") == "VIEW"
+    eng.sql("DROP VIEW gate_view", dialect="presto")
+    return out

@@ -434,3 +434,205 @@ def test_jdbc_derby_roundtrip(spark, nation, tmp_path):
     plan = flt._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "n_regionkey" in plan.split("PushedFilters")[1][:120]
     assert flt.count() == nation.filter("n_regionkey = 1").count()
+
+
+# --- views (round 11: SqlBase.g4:55,71; CreateViewTask.java /
+# DropViewTask.java; AbstractTestDistributedQueries.java:609-738) -------
+
+
+def _cleanup_views(engine):
+    for v in list(engine._views):
+        engine.sql(f"DROP VIEW IF EXISTS {v}", dialect="presto")
+
+
+def test_view_lifecycle(engine, spark):
+    """Port of AbstractTestDistributedQueries.java:609 testView: create,
+    replace, select, self-join, CTE-shadowing (the view's stored
+    definition must NOT see an outer CTE named like its base table),
+    drop."""
+    q = (
+        "SELECT o_orderkey orderkey, o_orderstatus orderstatus,"
+        " o_totalprice / 2 half FROM orders"
+    )
+    try:
+        engine.sql("CREATE VIEW test_view AS SELECT 123 x", dialect="presto")
+        assert engine.sql("SELECT * FROM test_view", dialect="presto").collect()[0].x == 123
+        engine.sql("CREATE OR REPLACE VIEW test_view AS " + q, dialect="presto")
+
+        want = engine.sql(q, dialect="presto").collect()
+        got = engine.sql("SELECT * FROM test_view", dialect="presto").collect()
+        assert sorted(got) == sorted(want) and len(got) > 0
+
+        j = engine.sql(
+            "SELECT count(*) AS c FROM test_view a JOIN test_view b"
+            " ON a.orderkey = b.orderkey",
+            dialect="presto",
+        ).collect()[0].c
+        assert j == len(want)
+
+        c = engine.sql(
+            "WITH orders AS (SELECT * FROM orders LIMIT 0)"
+            " SELECT count(*) AS c FROM test_view",
+            dialect="presto",
+        ).collect()[0].c
+        assert c == len(want)
+
+        engine.sql("DROP VIEW test_view", dialect="presto")
+        assert "test_view" not in engine._views
+    finally:
+        _cleanup_views(engine)
+
+
+def test_view_case_sensitivity(engine):
+    """Port of testViewCaseSensitivity (java:633)."""
+    try:
+        engine.sql(
+            "CREATE VIEW test_view_uppercase AS SELECT X FROM (SELECT 123 X)",
+            dialect="presto",
+        )
+        engine.sql(
+            "CREATE VIEW test_view_mixedcase AS SELECT XyZ FROM (SELECT 456 XyZ)",
+            dialect="presto",
+        )
+        up = engine.sql("SELECT * FROM test_view_uppercase", dialect="presto").collect()
+        assert [r[0] for r in up] == [123]
+        mx = engine.sql("SELECT * FROM test_view_mixedcase", dialect="presto").collect()
+        assert [r[0] for r in mx] == [456]
+    finally:
+        _cleanup_views(engine)
+
+
+def test_view_metadata(engine, spark):
+    """Port of testViewMetadata (java:684): information_schema.tables
+    reports table_type VIEW, information_schema.views carries the
+    original definition, SHOW CREATE VIEW replays it, DESCRIBE shows the
+    view's columns."""
+    q = "SELECT CAST(123 AS BIGINT) x, 'foo' y"
+    try:
+        engine.sql("CREATE VIEW meta_test_view AS " + q, dialect="presto")
+
+        tt = {
+            (r.table_name, r.table_type)
+            for r in engine.sql(
+                "SELECT table_name, table_type FROM information_schema.tables",
+                dialect="presto",
+            ).collect()
+        }
+        assert ("meta_test_view", "VIEW") in tt
+        assert ("orders", "BASE TABLE") in tt and ("lineitem", "BASE TABLE") in tt
+
+        vd = {
+            r.table_name: r.view_definition
+            for r in engine.sql(
+                "SELECT table_name, view_definition FROM information_schema.views",
+                dialect="presto",
+            ).collect()
+        }
+        assert vd == {"meta_test_view": q}
+
+        sc = engine.sql("SHOW CREATE VIEW meta_test_view", dialect="presto").collect()
+        assert sc[0].create_view == f"CREATE VIEW meta_test_view AS {q}"
+
+        cols = ddl.describe(spark, "meta_test_view")
+        assert cols == [("x", "bigint"), ("y", "string")]
+    finally:
+        _cleanup_views(engine)
+
+
+def test_view_errors(engine):
+    try:
+        engine.sql("CREATE VIEW test_view_dup AS SELECT 1 a", dialect="presto")
+        with pytest.raises(Exception, match="already exists"):
+            engine.sql("CREATE VIEW test_view_dup AS SELECT 2 a", dialect="presto")
+        engine.sql("DROP VIEW test_view_dup", dialect="presto")
+        with pytest.raises(Exception, match="not found"):
+            engine.sql("DROP VIEW test_view_dup", dialect="presto")
+        engine.sql("DROP VIEW IF EXISTS test_view_dup", dialect="presto")  # no raise
+        with pytest.raises(Exception, match="not found"):
+            engine.sql("SHOW CREATE VIEW test_view_dup", dialect="presto")
+    finally:
+        _cleanup_views(engine)
+
+
+def test_catalog_view_reresolves(spark):
+    """Port of testCompatibleTypeChangeForView (java:644): a CATALOG
+    (persistent) view stores its defining text and re-resolves per
+    query, so replacing the base table with a compatible one changes
+    what the view returns.  Uses ddl.create_view (real catalog views
+    over managed tables — the Spark-first path when a metastore exists)."""
+    from prestodb_presto_spark.sources.io import drop_table
+
+    try:
+        spark.createDataFrame([("abcdefg",)], "a string").write.mode(
+            "overwrite"
+        ).saveAsTable("test_table_1")
+        ddl.create_view(spark, "test_view_1", "SELECT a FROM test_table_1")
+        assert [r.a for r in spark.table("test_view_1").collect()] == ["abcdefg"]
+
+        drop_table(spark, "test_table_1")
+        spark.createDataFrame([("abc",)], "a string").write.saveAsTable("test_table_1")
+        assert [r.a for r in spark.table("test_view_1").collect()] == ["abc"]
+
+        assert ddl.view_definition(spark, "test_view_1") == "SELECT a FROM test_table_1"
+        assert ddl.show_create_view(spark, "test_view_1") == (
+            "CREATE VIEW test_view_1 AS SELECT a FROM test_table_1"
+        )
+    finally:
+        ddl.drop_view(spark, "test_view_1", if_exists=True)
+        spark.sql("DROP TABLE IF EXISTS test_table_1")
+
+
+# --- ALTER TABLE / schema DDL (round 11: RenameTableTask.java,
+# AddColumnTask.java, RenameColumnTask.java, DropColumnTask.java,
+# CreateSchemaTask.java, DropSchemaTask.java, ResetSessionTask.java) ----
+
+
+def test_alter_table_roundtrip(spark):
+    from prestodb_presto_spark.sources.io import drop_table
+
+    try:
+        spark.createDataFrame(
+            [(1, "x"), (2, "y")], "a int, b string"
+        ).write.mode("overwrite").saveAsTable("test_alter_t")
+
+        ddl.add_column(spark, "test_alter_t", "c", "double")
+        rows = spark.table("test_alter_t").orderBy("a").collect()
+        assert [r.c for r in rows] == [None, None]  # metadata-only add reads NULL
+
+        ddl.rename_column(spark, "test_alter_t", "b", "b2")
+        assert spark.table("test_alter_t").columns == ["a", "b2", "c"]
+        assert {r.b2 for r in spark.table("test_alter_t").collect()} == {"x", "y"}
+
+        ddl.drop_column(spark, "test_alter_t", "c")
+        assert spark.table("test_alter_t").columns == ["a", "b2"]
+        with pytest.raises(ValueError, match="column not found"):
+            ddl.drop_column(spark, "test_alter_t", "zzz")
+
+        ddl.rename_table(spark, "test_alter_t", "test_alter_t2")
+        assert not spark.catalog.tableExists("test_alter_t")
+        assert {r.a for r in spark.table("test_alter_t2").collect()} == {1, 2}
+    finally:
+        for t in ("test_alter_t", "test_alter_t2"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_schema_ddl_and_reset_session(spark):
+    try:
+        ddl.create_schema(spark, "test_sch1")
+        ddl.create_schema(spark, "test_sch1", if_not_exists=True)  # no raise
+        spark.createDataFrame([(1,)], "a int").write.mode("overwrite").saveAsTable(
+            "test_sch1.t"
+        )
+        assert spark.table("test_sch1.t").count() == 1
+        with pytest.raises(Exception):  # non-empty, no CASCADE
+            ddl.drop_schema(spark, "test_sch1")
+        ddl.drop_schema(spark, "test_sch1", cascade=True)
+        assert "test_sch1" not in [d.name for d in spark.catalog.listDatabases()]
+
+        ddl.set_session(spark, "spark.sql.shuffle.partitions", "7")
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+        ddl.reset_session(spark, "spark.sql.shuffle.partitions")
+        assert spark.conf.get("spark.sql.shuffle.partitions") != "7"
+    finally:
+        spark.sql("DROP SCHEMA IF EXISTS test_sch1 CASCADE")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
