@@ -121,9 +121,13 @@ BMP_FEATURE_SCHEMA = StructType(
 
 def pack_text_as_wav(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Fixture adapter: synthesize a REAL 16-bit PCM WAV per document —
-    sample i = (text byte i − 100) · 256 at 8 kHz — so the decode gate
-    exercises the actual RIFF byte format while a SQL oracle re-derives
-    every feature from the text in closed form."""
+    sample i = clip((codepoint i − 100) · 256, int16 range) at 8 kHz —
+    so the decode gate exercises the actual RIFF byte format while a SQL
+    oracle re-derives every feature from the text in closed form
+    (LEAST/GREATEST mirror the clip).  Arithmetic runs in int64 per
+    CODE POINT, not UTF-8 byte: the old int16-byte form wrapped negative
+    for bytes ≥ 228 while the oracle used unwrapped code points, so any
+    non-ASCII document silently diverged."""
     def gen(batches):
         import numpy as np
         import pandas as pd
@@ -133,8 +137,10 @@ def pack_text_as_wav(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
-                samples = ((b.astype(np.int16) - 100) * 256).astype(np.int16)
+                cps = np.fromiter((ord(c) for c in text), dtype=np.int64)
+                samples = (
+                    np.clip((cps - 100) * 256, -32768, 32767).astype(np.int16)
+                )
                 content = encode_wav_pcm16(samples, 8000)
                 rows.append({"doc_id": doc_id, "content": content})
             yield pd.DataFrame(rows, columns=["doc_id", "content"])

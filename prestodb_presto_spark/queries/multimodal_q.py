@@ -95,7 +95,9 @@ def multimodal_frame_sample(spark, sf_dir):
     oracle="""
     WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
          ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM d),
-         s AS (SELECT doc_id, (ord(c) - 100) * 256 AS v FROM ch),
+         s AS (SELECT doc_id,
+                      LEAST(GREATEST((ord(c) - 100) * 256, -32768), 32767) AS v
+               FROM ch),
          agg AS (SELECT doc_id, COUNT(*) AS n, SUM(ABS(v)) AS sa,
                         SUM(v * v) AS sq, MIN(v) AS mn, MAX(v) AS mx
                  FROM s GROUP BY doc_id)
@@ -113,8 +115,10 @@ def multimodal_frame_sample(spark, sf_dir):
 )
 def multimodal_wav_decode(spark, sf_dir):
     """REAL audio-codec decode gate: each document synthesizes an actual
-    16-bit PCM RIFF/WAVE stream (sample i = (text byte i − 100)·256 at
-    8 kHz), and the pipeline decodes those bytes with the stdlib wave
+    16-bit PCM RIFF/WAVE stream (sample i = clip((codepoint i − 100)·256,
+    int16) at 8 kHz — clipped identically by the oracle's LEAST/GREATEST,
+    so non-ASCII text stays coherent), and the pipeline decodes those
+    bytes with the stdlib wave
     codec (multimodal/codecs.decode_wav) inside an Arrow-batched
     mapInPandas stage — header parse, frame extraction, int16
     little-endian decode all exercised on real binary media.  The

@@ -736,12 +736,12 @@ _MMR_POOL = 20  # relevance candidate pool per query
                    c.rel - (list_dot_product(c.q::DOUBLE[], s.s1_q::DOUBLE[])
                             / sqrt(c.nrm) / sqrt(s.s1_n)) AS sc
             FROM cand c JOIN s1 s ON c.query_id = s.query_id AND c.vec_id <> s.s1_id),
-    s2 AS (SELECT query_id,
-                  max_by(vec_id, CAST(round(sc * 1e12) AS BIGINT) * 100000 - vec_id) AS s2_id,
-                  max(CAST(round(sc * 1e12) AS BIGINT) * 100000 - vec_id) AS kk2
-           FROM st2 GROUP BY query_id),
-    s2v AS (SELECT s2.query_id, s2.s2_id, n.q AS s2_q, n.nrm AS s2_n,
-                   (s2.kk2 + s2.s2_id) // 100000 AS k2
+    s2 AS (SELECT query_id, vec_id AS s2_id, CAST(round(sc * 1e12) AS BIGINT) AS k2
+           FROM (SELECT st2.*, row_number() OVER (PARTITION BY query_id
+                   ORDER BY CAST(round(sc * 1e12) AS BIGINT) DESC, vec_id) AS rn
+                 FROM st2)
+           WHERE rn = 1),
+    s2v AS (SELECT s2.query_id, s2.s2_id, n.q AS s2_q, n.nrm AS s2_n, s2.k2
             FROM s2 JOIN n ON n.vec_id = s2.s2_id),
     st3 AS (SELECT c.query_id, c.vec_id,
                    c.rel - greatest(
@@ -753,12 +753,11 @@ _MMR_POOL = 20  # relevance candidate pool per query
             JOIN s1 ON c.query_id = s1.query_id
             JOIN s2v ON c.query_id = s2v.query_id
             WHERE c.vec_id <> s1.s1_id AND c.vec_id <> s2v.s2_id),
-    s3 AS (SELECT query_id,
-                  max_by(vec_id, CAST(round(sc * 1e12) AS BIGINT) * 100000 - vec_id) AS s3_id,
-                  (max(CAST(round(sc * 1e12) AS BIGINT) * 100000 - vec_id)
-                   + max_by(vec_id, CAST(round(sc * 1e12) AS BIGINT) * 100000 - vec_id))
-                  // 100000 AS k3
-           FROM st3 GROUP BY query_id)
+    s3 AS (SELECT query_id, vec_id AS s3_id, CAST(round(sc * 1e12) AS BIGINT) AS k3
+           FROM (SELECT st3.*, row_number() OVER (PARTITION BY query_id
+                   ORDER BY CAST(round(sc * 1e12) AS BIGINT) DESC, vec_id) AS rn
+                 FROM st3)
+           WHERE rn = 1)
     SELECT query_id, 1 AS step, s1_id AS vec_id, k1 AS score_key FROM s1
     UNION ALL SELECT query_id, 2, s2_id, k2 FROM s2v
     UNION ALL SELECT query_id, 3, s3_id, k3 FROM s3
@@ -774,16 +773,15 @@ def similarity_mmr_diversify(spark, sf_dir):
     (lambda = 0.5, so the argmax key is rel − max_sim), k = 3 steps over
     a 20-candidate relevance pool per query.
 
-    Exactness: every comparison runs on the BIGINT key
-    round(score*1e12)*1e5 − vec_id (score arithmetic is the shared
-    dot/sqrt/divide sequence both engines execute identically; the key
-    embeds the deterministic tie-break), so selections are hash-exact.
-    The packing is order-preserving only while vec_id < 1e5 (the 1e5
-    factor is the id headroom; it cannot widen past ~4e6 without
-    |score|<=2 keys overflowing BIGINT) — both engines AND the Python
-    test model share the formula, so a larger id space would deviate
-    from true MMR silently rather than mismatch.  Fixture ids are < 1e4;
-    callers with wider id spaces must densify ids first.
+    Exactness: every greedy argmax orders on (round(score*1e12),
+    −vec_id) — a STRUCT ordering key on the Spark side (the ivf.py
+    _argmax_key pattern: exact for unbounded ids, no BIGINT-packing
+    headroom bound) matched by an equivalent two-term window ordering
+    in the oracle; the score arithmetic itself is the shared
+    dot/sqrt/divide sequence both engines execute identically, so
+    selections are hash-exact.  The winner's reported score_key is
+    just max(round(score*1e12)) — lexicographic max of (key, −id) has
+    the maximal key — so no unpacking arithmetic is needed.
 
     At 100 TB: the candidate pool is the part that touches the corpus —
     here a brute-force relevance scan cut to top-20 per query by
@@ -831,24 +829,24 @@ def similarity_mmr_diversify(spark, sf_dir):
         "query_id", F.col("vec_id").alias("s1_id"), F.col("q").alias("s1_q"),
         F.col("nrm").alias("s1_n"), key(F.col("rel")).alias("k1"),
     )
-    # order-preserving ONLY for vec_id < 100000 (see docstring: widening
-    # the factor overflows BIGINT at |score|<=2; densify ids for wider
-    # id spaces)
-    kk = key(F.col("sc")) * 100000 - F.col("vec_id")
+    # struct ordering key (ivf.py _argmax_key pattern): lexicographic
+    # (score key, -id) — exact for unbounded ids, unlike BIGINT packing
+    kk = F.struct(
+        key(F.col("sc")).alias("k"), (-F.col("vec_id")).cast("bigint").alias("t")
+    )
     st2 = (
         cand.join(F.broadcast(s1), "query_id")
         .filter("vec_id <> s1_id")
         .withColumn("sc", F.col("rel") - cos(F.col("q"), F.col("nrm"), F.col("s1_q"), F.col("s1_n")))
     )
     s2 = st2.groupBy("query_id").agg(
-        F.max_by("vec_id", kk).alias("s2_id"), F.max(kk).alias("kk2")
+        F.max_by("vec_id", kk).alias("s2_id"),
+        # the winner maximizes (key, -id), so its key IS max(key)
+        F.max(key(F.col("sc"))).alias("k2"),
     )
-    s2v = (
-        s2.join(
-            n.select(F.col("vec_id").alias("s2_id"), F.col("q").alias("s2_q"), F.col("nrm").alias("s2_n")),
-            "s2_id",
-        )
-        .withColumn("k2", F.expr("(kk2 + s2_id) div 100000"))
+    s2v = s2.join(
+        n.select(F.col("vec_id").alias("s2_id"), F.col("q").alias("s2_q"), F.col("nrm").alias("s2_n")),
+        "s2_id",
     )
     st3 = (
         cand.join(F.broadcast(s1), "query_id")
@@ -863,10 +861,8 @@ def similarity_mmr_diversify(spark, sf_dir):
             ),
         )
     )
-    s3 = (
-        st3.groupBy("query_id")
-        .agg(F.max_by("vec_id", kk).alias("s3_id"), F.max(kk).alias("kk3"))
-        .withColumn("k3", F.expr("(kk3 + s3_id) div 100000"))
+    s3 = st3.groupBy("query_id").agg(
+        F.max_by("vec_id", kk).alias("s3_id"), F.max(key(F.col("sc"))).alias("k3")
     )
     return (
         s1.select(

@@ -167,3 +167,33 @@ def test_wav_bmp_feature_pipelines(spark):
     assert bf[3].sum_r == int(((i * 7 + x * 3 + y * 5) % 256).sum())
     assert bf[3].sum_g == int(((i * 11 + x * 2 + y * 13) % 256).sum())
     assert bf[3].sum_b == int(((i * 17 + x * 5 + y * 7) % 256).sum())
+
+
+def test_wav_pack_non_ascii_coherent(spark):
+    """Round 11 (ADVICE r10): non-ASCII text must produce the same
+    features the oracle model computes — per CODE POINT, clipped to the
+    int16 range (the old UTF-8-byte int16 form wrapped negative for
+    bytes ≥ 228 and double-counted multibyte characters)."""
+    import numpy as np
+
+    from prestodb_presto_spark.multimodal.columns import (
+        pack_text_as_wav,
+        wav_features,
+    )
+
+    texts = [
+        (0, "héllo wörld"),          # 2-byte UTF-8 chars
+        (1, "日本語テキスト"),          # 3-byte chars, codepoints >> 228
+        (2, "mixed ascii + é + 字"),
+        (3, "äèñ"),   # all bytes >= 228 in latin portion
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r.doc_id: r for r in wav_features(pack_text_as_wav(docs)).collect()}
+    for doc_id, text in texts:
+        cps = np.array([ord(c) for c in text], dtype=np.int64)
+        v = np.clip((cps - 100) * 256, -32768, 32767)
+        r = got[doc_id]
+        assert r.n_samples == len(cps), (doc_id, r.n_samples, len(cps))
+        assert r.sum_abs == int(abs(v).sum())
+        assert r.sum_sq == int((v * v).sum())
+        assert (r.min_sample, r.max_sample) == (int(v.min()), int(v.max()))

@@ -239,11 +239,14 @@ def test_mmr_matches_independent_greedy_and_diversifies(spark):
         rel_top3 = cands[:3]
         sel = [cands[0]]
         for _ in range(2):
+            # struct-key semantics: max score key, min id on ties —
+            # exact for unbounded ids (round-11 widening)
             best = max(
                 (v for v in cands if v not in sel),
-                key=lambda v: round(
-                    (cos(qid, v) - max(cos(v, s) for s in sel)) * 1e12
-                ) * 100000 - v,
+                key=lambda v: (
+                    round((cos(qid, v) - max(cos(v, s) for s in sel)) * 1e12),
+                    -v,
+                ),
             )
             sel.append(best)
         assert got[qid] == sel, f"query {qid}: {got[qid]} != {sel}"
