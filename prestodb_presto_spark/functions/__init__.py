@@ -67,6 +67,7 @@ def _load():
             setdigest,
             strings,
             teradata,
+            windows_reg,
         )
         from prestodb_presto_spark import ml  # noqa: F401  (registry-owned ML names)
 

@@ -367,9 +367,32 @@ def test_reference_suite_case(suites_env, name, sql, exp, opts):
 
 # --- select_no_from: golden .result comparison against the reference ---
 
-NO_FROM_SUITES = ("select_no_from", "convertion_functions", "horology_functions")
+NO_FROM_SUITES = (
+    "select_no_from",
+    "convertion_functions",
+    "horology_functions",
+    # round 11: the remaining function suites' executable cases — each
+    # is a no-FROM projection with a .result golden; the suites' SHOW
+    # FUNCTIONS dumps are replayed name-by-name in
+    # test_registered_function_suites_covered instead
+    "array_functions",
+    "binary_functions",
+    "json_functions",
+    "map_functions",
+    "math_functions",
+    "regex_functions",
+    "url_functions",
+    "functions/conditional-expressions",
+)
 NO_FROM_SKIP = {
     "checkHorologyFunctionsRegistered": "SHOW FUNCTIONS tabular output",
+    "checkArrayFunctionsRegistered": "SHOW FUNCTIONS dump → name-parity test",
+    "checkBinaryFunctionsRegistered": "SHOW FUNCTIONS dump → name-parity test",
+    "checkJsonFunctionsRegistered": "SHOW FUNCTIONS dump → name-parity test",
+    "checkMapFunctionsRegistered": "SHOW FUNCTIONS dump → name-parity test",
+    "checkMathFunctionsRegistered": "SHOW FUNCTIONS dump → name-parity test",
+    "checkRegexFunctionsRegistered": "SHOW FUNCTIONS dump → name-parity test",
+    "checkUrlFunctionsRegistered": "SHOW FUNCTIONS dump → name-parity test",
     "dateTimeOperatorsAccessible": (
         "reference's own .result says 'we just check if query succeeds'"
         " (interval renderings aren't comparable); covered by"
@@ -468,3 +491,37 @@ def test_aggregate_suite_golden(suites_env, sql_file):
                 assert g == pytest.approx(e, rel=1e-9, abs=1e-12), (name, grow, erow)
             else:
                 assert gv == ev, (name, grow, erow)
+
+
+# --- check*FunctionsRegistered suites: name-by-name parity ---------------
+# The reference's registered-function testcases run SHOW FUNCTIONS and
+# golden-compare the dump (ignoreExcessRows, so each .result pins only
+# its own family's rows).  Tabular SHOW FUNCTIONS output isn't
+# comparable across engines (signatures render differently), but the
+# check's INTENT — "every one of these functions exists" — replays
+# exactly: every function name each .result pins must be in the
+# engine's registry coverage().
+
+REGISTERED_SUITE_FILES = (
+    sorted(glob.glob(f"{REF_DIR}/*/check*Registered.result"))
+    if os.path.isdir(REF_DIR)
+    else []
+)
+
+
+@pytest.mark.parametrize(
+    "result_file",
+    REGISTERED_SUITE_FILES,
+    ids=[f.split("/")[-2] for f in REGISTERED_SUITE_FILES],
+)
+def test_registered_function_suites_covered(result_file):
+    from prestodb_presto_spark import functions as freg
+
+    cov = set(freg.coverage())
+    names = {
+        line.split("|")[0].strip()
+        for line in open(result_file).read().splitlines()[1:]
+        if line.strip()
+    }
+    missing = sorted(n for n in names if n and n.lower() not in cov)
+    assert not missing, f"{result_file.split('/')[-2]}: not registered: {missing}"

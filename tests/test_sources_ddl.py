@@ -636,3 +636,92 @@ def test_schema_ddl_and_reset_session(spark):
     finally:
         spark.sql("DROP SCHEMA IF EXISTS test_sch1 CASCADE")
         spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+
+# --- kafka contract + full record-decoder surface (round 11) -----------
+# No broker or spark-sql-kafka jar ships in this container (documented
+# env-gate, COVERAGE §2.2): the reader contract is pinned here so a
+# cluster deployment failure is a CONTRACT change, not a silent skip;
+# the decode path (the actual logic, presto-record-decoder parity) runs
+# fully on kafka-shaped frames.
+
+
+def test_kafka_contract(spark):
+    """kafka_batch must target the kafka DSv2 source with the documented
+    subscribe/offset options; without the package Spark must fail with
+    DATA_SOURCE_NOT_FOUND naming 'kafka' (not silently return an empty
+    frame)."""
+    from prestodb_presto_spark.sources.io import kafka_batch
+
+    try:
+        df = kafka_batch(spark, "localhost:9092", "events")
+    except Exception as exc:
+        msg = str(exc)
+        assert "kafka" in msg.lower() and (
+            "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find" in msg
+        ), msg
+        return
+    # package present (cluster environment): the kafka schema contract
+    assert {"key", "value", "topic", "partition", "offset"} <= set(df.columns)
+
+
+def test_record_decoders_timestamp_fields(spark):
+    """JSON temporal field decoders vs presto-record-decoder
+    (decoder/json/*.java): iso8601, rfc2822 ('EEE MMM dd HH:mm:ss Z
+    yyyy', the Twitter created_at shape), millis/seconds since epoch,
+    and a custom formatHint — each must land on the same UTC instant."""
+    from prestodb_presto_spark.sources.decoders import decode_json, decode_ts_field
+
+    payload = (
+        '{"iso": "1970-01-02T00:00:00.000Z",'
+        ' "rfc": "Fri Jan 02 00:00:00 +0000 1970",'
+        ' "ms": 86400000, "s": 86400, "custom": "1970/01/02 00.00.00"}'
+    )
+    msgs = spark.createDataFrame(
+        [("t", 0, 0, bytearray(payload.encode()))],
+        "topic string, partition int, offset long, value binary",
+    )
+    m = msgs.select(
+        decode_json(
+            "value", "iso STRING, rfc STRING, ms LONG, s LONG, custom STRING"
+        ).alias("m")
+    ).select("m.*")
+    row = m.select(
+        F.unix_timestamp(decode_ts_field("iso", "iso8601")).alias("iso"),
+        F.unix_timestamp(decode_ts_field("rfc", "rfc2822")).alias("rfc"),
+        F.unix_timestamp(decode_ts_field("ms", "milliseconds-since-epoch")).alias("ms"),
+        F.unix_timestamp(decode_ts_field("s", "seconds-since-epoch")).alias("s"),
+        F.unix_timestamp(decode_ts_field("custom", "yyyy/MM/dd HH.mm.ss")).alias("c"),
+    ).collect()[0]
+    assert (row.iso, row.rfc, row.ms, row.s, row.c) == (86400,) * 5
+
+
+def test_record_decoder_raw_layouts(spark):
+    """Raw decoder integer layouts (decoder/raw/RawRowDecoder.java):
+    big-endian two's-complement BYTE/SHORT/INT/LONG, including negative
+    values, plus boolean."""
+    from prestodb_presto_spark.sources.decoders import decode_raw
+
+    rows = spark.createDataFrame(
+        [
+            (bytearray(b"\x7f"),),                                  # 127
+            (bytearray(b"\x80"),),                                  # -128
+            (bytearray(b"\x01\x00"),),                              # 256
+            (bytearray(b"\xff\xff"),),                              # -1
+            (bytearray(b"\x00\x01\x00\x00"),),                      # 65536
+            (bytearray(b"\xff\xff\xff\xff\xff\xff\xff\xfe"),),      # -2
+        ],
+        "value binary",
+    )
+    vals = rows.select(
+        decode_raw("value", "tinyint").alias("b"),
+        decode_raw("value", "smallint").alias("h"),
+        decode_raw("value", "int").alias("i"),
+        decode_raw("value", "bigint").alias("l"),
+        decode_raw("value", "boolean").alias("t"),
+    ).collect()
+    assert [v.b for v in vals[:2]] == [127, -128]
+    assert [v.h for v in vals[2:4]] == [256, -1]
+    assert vals[4].i == 65536
+    assert vals[5].l == -2
+    assert vals[0].t is True
