@@ -1003,7 +1003,18 @@ def st_buffer_geom(g, dist: float, n_sides: int = 32) -> Column:
             d3, d4 = orient(a, b, cc), orient(a, b, dd)
             return ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0))
 
+        # _seg_params (geo_setops) classifies EVERY contact kind, not
+        # just transversal crossings: a tangential touch or collinear
+        # overlap between non-adjacent offset segments (e.g. opposite
+        # offset walls coinciding at d = exactly half a slot width) is
+        # also a simplicity violation — _clip_offset_loops can only
+        # split at proper crossings, so those configurations stay
+        # fail-loud instead of returning a self-overlapping "polygon"
+        # whose parity-based st_area would be silently wrong
+        from prestodb_presto_spark.functions.geo_setops import _seg_params
+
         selfx = False
+        touch_overlap = False
         for i in range(k):
             a, b = out[i], out[(i + 1) % k]
             for j in range(i + 2, k):
@@ -1011,9 +1022,17 @@ def st_buffer_geom(g, dist: float, n_sides: int = 32) -> Column:
                     continue  # adjacent through the wraparound
                 if _proper_x(a, b, out[j], out[(j + 1) % k]):
                     selfx = True
-                    break
-            if selfx:
-                break
+                else:
+                    kind, _data = _seg_params(a, b, out[j], out[(j + 1) % k])
+                    if kind != "none":
+                        touch_overlap = True
+        if touch_overlap:
+            raise NotImplementedError(
+                "ST_Buffer offset curve self-touches tangentially or "
+                "overlaps collinearly (buffer distance at a degenerate "
+                "feature width); only transversally self-crossing "
+                "offsets are clippable"
+            )
         if not selfx:
             return "polygon", out + [out[0]]
         loops = _clip_offset_loops(out)

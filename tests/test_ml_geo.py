@@ -672,3 +672,19 @@ def test_geo_set_operations_ringsets(spark):
         20.0, 32.0, 88.0, 64.0, 21.0, 84.0
     )
     assert row.nul and row.in_band and not row.in_hole
+
+
+def test_buffer_tangential_self_overlap_fail_loud(spark):
+    """Round 11 (ADVICE r10): an offset curve that self-OVERLAPS
+    collinearly (buffer distance exactly half the slot width — the
+    opposite offset walls coincide) is not transversally clippable;
+    it must raise, not return a self-overlapping 'polygon' whose
+    parity-based st_area is silently wrong."""
+    import pytest as _pt
+
+    df = spark.range(1)
+    g = lambda w: P.st_geom_from_text(F.lit(w))  # noqa: E731
+    # 2-wide slot buffered by exactly 1: inner walls offset onto x=5
+    U = g("POLYGON ((0 0, 10 0, 10 10, 6 10, 6 2, 4 2, 4 10, 0 10, 0 0))")
+    with _pt.raises(Exception, match="self-touches|overlaps collinearly"):
+        df.select(P.st_buffer_geom(U, 1.0).alias("b")).collect()
