@@ -225,6 +225,62 @@ class Engine:
                 [(f"CREATE VIEW {key} AS {self._views[key]}",)],
                 "create_view string",
             )
+        return self._session_stmt(text)
+
+    def _session_stmt(self, text: str) -> DataFrame | None:
+        """Presto session/metadata statements with no Spark-parser
+        spelling (grammar SqlBase.g4; execution/SetSessionTask.java,
+        ResetSessionTask.java, ShowQueriesRewrite SHOW SESSION / SHOW
+        STATS / SHOW CREATE TABLE).  Returns None when ``text`` is not
+        one of them."""
+        import re
+
+        m = re.match(
+            r"\s*SET\s+SESSION\s+([\w.]+)\s*=\s*(.+?)\s*;?\s*$", text, re.IGNORECASE
+        )
+        if m:
+            key, raw = m.group(1), m.group(2).strip()
+            if raw.startswith("'") and raw.endswith("'"):
+                raw = raw[1:-1].replace("''", "'")
+            self.spark.conf.set(key, raw)
+            return self.spark.createDataFrame([(True,)], "result boolean")
+        m = re.match(r"\s*RESET\s+SESSION\s+([\w.]+)\s*;?\s*$", text, re.IGNORECASE)
+        if m:
+            self.spark.conf.unset(m.group(1))
+            return self.spark.createDataFrame([(True,)], "result boolean")
+        if re.match(r"\s*SHOW\s+SESSION\s*;?\s*$", text, re.IGNORECASE):
+            # Presto lists (name, value, default, type, description); the
+            # runtime-set Spark confs are the session-property analog
+            rows = self.spark.sql("SET").collect()
+            return self.spark.createDataFrame(
+                [(r.key, r.value) for r in rows], "name string, value string"
+            ).orderBy("name")
+        m = re.match(
+            r"\s*SHOW\s+STATS\s+FOR\s+([\w.`\"]+)\s*;?\s*$", text, re.IGNORECASE
+        )
+        if m:
+            from prestodb_presto_spark.ddl import show_stats
+
+            return show_stats(self.spark, m.group(1).strip('`"'))
+        m = re.match(
+            r"\s*SHOW\s+CREATE\s+TABLE\s+([\w.`\"]+)\s*;?\s*$", text, re.IGNORECASE
+        )
+        if m:
+            name = m.group(1).strip('`"')
+            try:
+                # catalog tables/persistent views: Spark's native command
+                return self.spark.sql(f"SHOW CREATE TABLE {name}")
+            except Exception:
+                # temp-view fixture tables: synthesize from the schema,
+                # like the reference renders connector tables' metadata
+                fields = ",\n   ".join(
+                    f"{f.name} {f.dataType.simpleString()}"
+                    for f in self.spark.table(name).schema.fields
+                )
+                return self.spark.createDataFrame(
+                    [(f"CREATE TABLE {name} (\n   {fields}\n)",)],
+                    "create_table string",
+                )
         return None
 
     def sql(self, text: str, dialect: str = "spark", args=None) -> DataFrame:

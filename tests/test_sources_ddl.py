@@ -725,3 +725,34 @@ def test_record_decoder_raw_layouts(spark):
     assert vals[4].i == 65536
     assert vals[5].l == -2
     assert vals[0].t is True
+
+
+def test_session_statement_routing(engine, spark):
+    """Presto session/metadata statements through Engine.sql
+    (SetSessionTask.java, ResetSessionTask.java, ShowQueriesRewrite
+    SHOW SESSION / SHOW STATS / SHOW CREATE TABLE)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        engine.sql(
+            "SET SESSION spark.sql.shuffle.partitions = 7", dialect="presto"
+        )
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+        sess = {
+            r.name: r.value
+            for r in engine.sql("SHOW SESSION", dialect="presto").collect()
+        }
+        assert sess.get("spark.sql.shuffle.partitions") == "7"
+        engine.sql(
+            "RESET SESSION spark.sql.shuffle.partitions", dialect="presto"
+        )
+        assert spark.conf.get("spark.sql.shuffle.partitions") != "7"
+
+        stats = engine.sql("SHOW STATS FOR nation", dialect="presto").collect()
+        cols = {r.column_name: r for r in stats}
+        assert cols["n_nationkey"].row_count == 25
+        assert cols["n_nationkey"].distinct_values_count >= 24
+
+        ct = engine.sql("SHOW CREATE TABLE nation", dialect="presto").collect()
+        assert "CREATE TABLE nation" in ct[0][0] and "n_name" in ct[0][0]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
