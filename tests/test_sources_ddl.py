@@ -756,3 +756,107 @@ def test_session_statement_routing(engine, spark):
         assert "CREATE TABLE nation" in ct[0][0] and "n_name" in ct[0][0]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+# --- example-http: real Python DataSource V2 connector (round 11) ------
+
+
+@pytest.fixture(scope="module")
+def example_http_server(tmp_path_factory):
+    """Serve a reference-shaped example catalog over REAL HTTP
+    (presto-example-http test fixture example-metadata.json shape)."""
+    import http.server
+    import json as _json
+    import socketserver
+    import threading
+
+    root = tmp_path_factory.mktemp("example_http")
+    (root / "example-metadata.json").write_text(
+        _json.dumps(
+            {
+                "example": [
+                    {
+                        "name": "numbers",
+                        "columns": [
+                            {"name": "text", "type": "VARCHAR"},
+                            {"name": "value", "type": "BIGINT"},
+                        ],
+                        "sources": ["numbers-1.csv", "numbers-2.csv"],
+                    },
+                    {
+                        "name": "mixed",
+                        "columns": [
+                            {"name": "flag", "type": "BOOLEAN"},
+                            {"name": "score", "type": "DOUBLE"},
+                            {"name": "n", "type": "INTEGER"},
+                        ],
+                        "sources": ["mixed-1.csv"],
+                    },
+                ]
+            }
+        )
+    )
+    (root / "numbers-1.csv").write_text("one, 1\ntwo, 2\n")
+    (root / "numbers-2.csv").write_text("three, 3\nten, 10\neleven, 11\n")
+    (root / "mixed-1.csv").write_text("true, 1.5, 7\nfalse, -0.25, 9\n")
+
+    class Handler(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=str(root), **kw)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    with socketserver.TCPServer(("127.0.0.1", 0), Handler) as httpd:
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        yield f"http://127.0.0.1:{port}/example-metadata.json"
+        httpd.shutdown()
+
+
+def test_example_http_datasource(spark, example_http_server):
+    """The reference's example-http connector re-expressed as a pure
+    Python DataSource V2: catalog JSON over HTTP, one split per source
+    URI, typed CSV decode on executors (ExampleClient.java:95,
+    ExampleSplitManager.java, ExampleRecordCursor.java:42)."""
+    from prestodb_presto_spark.sources.example_http import register_example_http
+
+    register_example_http(spark)
+    df = (
+        spark.read.format("example_http")
+        .option("metadata", example_http_server)
+        .option("schema", "example")
+        .option("table", "numbers")
+        .load()
+    )
+    assert df.schema.simpleString() == "struct<text:string,value:bigint>"
+    # one partition per source URI (two CSVs → two splits)
+    assert df.rdd.getNumPartitions() == 2
+    rows = {(r.text, r.value) for r in df.collect()}
+    assert rows == {("one", 1), ("two", 2), ("three", 3), ("ten", 10), ("eleven", 11)}
+    # aggregation through the connector (executor-side decode)
+    assert df.agg(F.sum("value").alias("s")).collect()[0].s == 27
+
+    mixed = (
+        spark.read.format("example_http")
+        .option("metadata", example_http_server)
+        .option("schema", "example")
+        .option("table", "mixed")
+        .load()
+        .orderBy("n")
+        .collect()
+    )
+    assert [(r.flag, r.score, r.n) for r in mixed] == [
+        (True, 1.5, 7),
+        (False, -0.25, 9),
+    ]
+
+    with pytest.raises(Exception, match="unknown table"):
+        (
+            spark.read.format("example_http")
+            .option("metadata", example_http_server)
+            .option("schema", "example")
+            .option("table", "nope")
+            .load()
+        )
