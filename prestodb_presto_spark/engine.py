@@ -263,6 +263,11 @@ class Engine:
 
             return show_stats(self.spark, m.group(1).strip('`"'))
         m = re.match(
+            r"\s*CALL\s+([\w.]+)\s*\((.*)\)\s*;?\s*$", text, re.IGNORECASE | re.DOTALL
+        )
+        if m:
+            return self._call_procedure(m.group(1), m.group(2))
+        m = re.match(
             r"\s*SHOW\s+CREATE\s+TABLE\s+([\w.`\"]+)\s*;?\s*$", text, re.IGNORECASE
         )
         if m:
@@ -282,6 +287,107 @@ class Engine:
                     "create_table string",
                 )
         return None
+
+    # --- CALL procedures (execution/CallTask.java; metadata/
+    # ProcedureRegistry.java) -------------------------------------------
+    # Built-ins mirror the reference's system procedures on their Spark
+    # analogs; register_procedure adds connector-style ones.
+
+    def register_procedure(self, name: str, arg_names: list[str], fn) -> None:
+        """Register a CALL-able procedure (spi/procedure/Procedure.java:
+        name + declared argument names + method handle)."""
+        if not hasattr(self, "_procedures"):
+            self._procedures: dict[str, tuple[list[str], object]] = {}
+        self._procedures[name.lower()] = (list(arg_names), fn)
+
+    def _builtin_procedures(self):
+        spark = self.spark
+
+        def kill_query(query_id: str):
+            # KillQueryProcedure.java:55 — cancel by id; Spark's query id
+            # is the job group tag
+            spark.sparkContext.cancelJobGroup(str(query_id))
+
+        def refresh_table(table: str):
+            # the metadata-cache flush procedures' Spark analog
+            spark.catalog.refreshTable(table)
+
+        def repair_partitions(table: str):
+            # hive sync_partition_metadata analog: reconcile catalog
+            # partitions with the filesystem layout
+            spark.sql(f"MSCK REPAIR TABLE {table}")
+
+        return {
+            "system.runtime.kill_query": (["query_id"], kill_query),
+            "system.refresh_table": (["table_name"], refresh_table),
+            "system.repair_partitions": (["table_name"], repair_partitions),
+        }
+
+    def _call_procedure(self, name: str, argtext: str) -> DataFrame:
+        """CallTask.java argument semantics: positional OR named
+        (``name => value``) — mixing forbidden, duplicate and unknown
+        names rejected; literal values only (the reference folds
+        expressions to constants first)."""
+        import re
+
+        procs = dict(self._builtin_procedures())
+        procs.update(getattr(self, "_procedures", {}))
+        proc = procs.get(name.lower())
+        if proc is None:
+            raise ValueError(f"Procedure not registered: {name}")
+        arg_names, fn = proc
+
+        def lit(v: str):
+            v = v.strip()
+            if re.fullmatch(r"'(?:[^']|'')*'", v):
+                return v[1:-1].replace("''", "'")
+            if v.upper() == "NULL":
+                return None
+            if v.upper() in ("TRUE", "FALSE"):
+                return v.upper() == "TRUE"
+            if re.fullmatch(r"-?\d+", v):
+                return int(v)
+            if re.fullmatch(r"-?\d*\.\d+([eE][+-]?\d+)?", v):
+                return float(v)
+            raise ValueError(f"CALL arguments must be literals, got: {v!r}")
+
+        # split top-level commas (string literals may hold commas)
+        parts: list[str] = []
+        depth, cur, in_str = 0, [], False
+        for ch in argtext:
+            if ch == "'":
+                in_str = not in_str
+            if not in_str:
+                if ch in "([":
+                    depth += 1
+                elif ch in ")]":
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    parts.append("".join(cur))
+                    cur = []
+                    continue
+            cur.append(ch)
+        if "".join(cur).strip():
+            parts.append("".join(cur))
+
+        named = [p for p in parts if "=>" in p.split("'", 1)[0]]
+        if named and len(named) != len(parts):
+            raise ValueError("Named and positional arguments cannot be mixed")
+        if named:
+            kwargs: dict[str, object] = {}
+            for p in parts:
+                k, v = p.split("=>", 1)
+                k = k.strip()
+                if k in kwargs:
+                    raise ValueError(f"Duplicate procedure argument: {k}")
+                if k not in arg_names:
+                    raise ValueError(f"Unknown argument name: {k}")
+                kwargs[k] = lit(v)
+            args = [kwargs.get(a) for a in arg_names[: len(kwargs)]]
+        else:
+            args = [lit(p) for p in parts]
+        fn(*args)
+        return self.spark.createDataFrame([(True,)], "result boolean")
 
     def sql(self, text: str, dialect: str = "spark", args=None) -> DataFrame:
         """Run SQL.  dialect="presto" first applies the dialect shim

@@ -860,3 +860,33 @@ def test_example_http_datasource(spark, example_http_server):
             .option("table", "nope")
             .load()
         )
+
+
+def test_call_procedures(engine, spark):
+    """CALL statement (execution/CallTask.java semantics: positional OR
+    named args, no mixing, unknown/duplicate names rejected) over a
+    procedure registry (metadata/ProcedureRegistry.java) with the
+    reference's system procedures mapped to Spark analogs
+    (KillQueryProcedure.java -> cancelJobGroup; metadata-cache flush ->
+    refreshTable; hive partition sync -> MSCK REPAIR)."""
+    calls = []
+    engine.register_procedure(
+        "testing.record", ["x", "y", "z"], lambda x, y=None, z=None: calls.append((x, y, z))
+    )
+    engine.sql("CALL testing.record(1, 2.5, 'it''s')", dialect="presto")
+    assert calls[-1] == (1, 2.5, "it's")
+    engine.sql("CALL testing.record(x => 7, y => true)", dialect="presto")
+    assert calls[-1] == (7, True, None)
+    with pytest.raises(Exception, match="cannot be mixed"):
+        engine.sql("CALL testing.record(1, y => 2)", dialect="presto")
+    with pytest.raises(Exception, match="Unknown argument"):
+        engine.sql("CALL testing.record(q => 1)", dialect="presto")
+    with pytest.raises(Exception, match="Duplicate procedure argument"):
+        engine.sql("CALL testing.record(x => 1, x => 2)", dialect="presto")
+    with pytest.raises(Exception, match="not registered"):
+        engine.sql("CALL nope.nothing()", dialect="presto")
+
+    # built-ins execute against the live session
+    spark.createDataFrame([(1,)], "a int").createOrReplaceTempView("call_probe")
+    engine.sql("CALL system.refresh_table('call_probe')", dialect="presto")
+    engine.sql("CALL system.runtime.kill_query('no-such-group')", dialect="presto")
