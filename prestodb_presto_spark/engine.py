@@ -160,6 +160,8 @@ class Engine:
                 " column_name string, ordinal_position long, data_type string,"
                 " is_nullable boolean",
             )
+        if view == "table_privileges":
+            return self.table_privileges()
         raise ValueError(f"unknown information_schema view {view!r}")
 
     def show_functions(self) -> DataFrame:
@@ -267,6 +269,9 @@ class Engine:
         )
         if m:
             return self._call_procedure(m.group(1), m.group(2))
+        out = self._grant_stmt(text)
+        if out is not None:
+            return out
         m = re.match(
             r"\s*SHOW\s+CREATE\s+TABLE\s+([\w.`\"]+)\s*;?\s*$", text, re.IGNORECASE
         )
@@ -287,6 +292,107 @@ class Engine:
                     "create_table string",
                 )
         return None
+
+    # --- GRANT / REVOKE / SHOW GRANTS (execution/GrantTask.java,
+    # RevokeTask.java; spi/security/Privilege.java: SELECT, DELETE,
+    # INSERT, UPDATE).  Session-scoped privilege BOOKKEEPING surfaced
+    # through information_schema.table_privileges — a Spark library has
+    # no multi-user execution context, so enforcement belongs to the
+    # lake's access layer; the statements, the privilege model, and the
+    # metadata surface match the reference. -----------------------------
+
+    _PRIVILEGES = ("SELECT", "DELETE", "INSERT", "UPDATE")
+
+    def _grants(self) -> dict:
+        if not hasattr(self, "_grants_map"):
+            # (grantee, table) -> {privilege: is_grantable}
+            self._grants_map: dict[tuple[str, str], dict[str, bool]] = {}
+        return self._grants_map
+
+    def _grant_stmt(self, text: str) -> DataFrame | None:
+        import re
+
+        m = re.match(
+            r"\s*GRANT\s+(.+?)\s+ON\s+(?:TABLE\s+)?([\w.]+)\s+TO\s+([\w\"]+)"
+            r"(\s+WITH\s+GRANT\s+OPTION)?\s*;?\s*$",
+            text,
+            re.IGNORECASE,
+        )
+        if m:
+            privs, table, grantee, opt = (
+                m.group(1),
+                m.group(2).lower(),
+                m.group(3).strip('"').lower(),
+                bool(m.group(4)),
+            )
+            if not self.spark.catalog.tableExists(table):
+                raise ValueError(f"Table '{table}' does not exist")
+            plist = self._parse_privileges(privs)
+            slot = self._grants().setdefault((grantee, table), {})
+            for p in plist:
+                slot[p] = opt
+            return self.spark.createDataFrame([(True,)], "result boolean")
+        m = re.match(
+            r"\s*REVOKE\s+(GRANT\s+OPTION\s+FOR\s+)?(.+?)\s+ON\s+(?:TABLE\s+)?"
+            r"([\w.]+)\s+FROM\s+([\w\"]+)\s*;?\s*$",
+            text,
+            re.IGNORECASE,
+        )
+        if m:
+            opt_only, privs, table, grantee = (
+                bool(m.group(1)),
+                m.group(2),
+                m.group(3).lower(),
+                m.group(4).strip('"').lower(),
+            )
+            if not self.spark.catalog.tableExists(table):
+                raise ValueError(f"Table '{table}' does not exist")
+            slot = self._grants().get((grantee, table), {})
+            for p in self._parse_privileges(privs):
+                if opt_only:
+                    if p in slot:
+                        slot[p] = False
+                else:
+                    slot.pop(p, None)
+            return self.spark.createDataFrame([(True,)], "result boolean")
+        m = re.match(
+            r"\s*SHOW\s+GRANTS(?:\s+ON\s+(?:TABLE\s+)?([\w.]+))?\s*;?\s*$",
+            text,
+            re.IGNORECASE,
+        )
+        if m:
+            table = m.group(1).lower() if m.group(1) else None
+            return self.table_privileges(table)
+        return None
+
+    def _parse_privileges(self, privs: str) -> list[str]:
+        if privs.strip().upper() in ("ALL PRIVILEGES", "ALL"):
+            return list(self._PRIVILEGES)  # GrantTask.java:66
+        out = []
+        for p in privs.split(","):
+            p = p.strip().upper()
+            if p not in self._PRIVILEGES:
+                raise ValueError(f"Unknown privilege: {p}")
+            out.append(p)
+        return out
+
+    def table_privileges(self, table: str | None = None) -> DataFrame:
+        """information_schema.table_privileges
+        (InformationSchemaMetadata.java:106 column set)."""
+        catalog = self.spark.catalog.currentCatalog()
+        schema = self.spark.catalog.currentDatabase()
+        rows = [
+            ("system", grantee, catalog, schema, tbl, priv, grantable, False)
+            for (grantee, tbl), slot in sorted(self._grants().items())
+            for priv, grantable in sorted(slot.items())
+            if table is None or tbl == table
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "grantor string, grantee string, table_catalog string,"
+            " table_schema string, table_name string, privilege_type string,"
+            " is_grantable boolean, with_hierarchy boolean",
+        )
 
     # --- CALL procedures (execution/CallTask.java; metadata/
     # ProcedureRegistry.java) -------------------------------------------
@@ -411,7 +517,7 @@ class Engine:
 
                 pat = _re.compile(
                     r"(?<![\w.])(?:[A-Za-z_]\w*\.)?"
-                    r"information_schema\.(tables|columns|views)\b",
+                    r"information_schema\.(tables|columns|views|table_privileges)\b",
                     _re.IGNORECASE,
                 )
                 lit = _re.compile(r"'(?:[^']|'')*'")

@@ -890,3 +890,48 @@ def test_call_procedures(engine, spark):
     spark.createDataFrame([(1,)], "a int").createOrReplaceTempView("call_probe")
     engine.sql("CALL system.refresh_table('call_probe')", dialect="presto")
     engine.sql("CALL system.runtime.kill_query('no-such-group')", dialect="presto")
+
+
+def test_grant_revoke_show_grants(engine, spark):
+    """GRANT/REVOKE/SHOW GRANTS (GrantTask.java, RevokeTask.java;
+    spi/security/Privilege.java SELECT/DELETE/INSERT/UPDATE) with the
+    reference's information_schema.table_privileges column set
+    (InformationSchemaMetadata.java:106). Session-scoped bookkeeping —
+    enforcement documented as the lake access layer's job."""
+    try:
+        engine.sql("GRANT SELECT, INSERT ON lineitem TO alice", dialect="presto")
+        engine.sql(
+            "GRANT ALL PRIVILEGES ON TABLE nation TO bob WITH GRANT OPTION",
+            dialect="presto",
+        )
+        g = engine.sql("SHOW GRANTS ON lineitem", dialect="presto").collect()
+        assert {(r.grantee, r.privilege_type, r.is_grantable) for r in g} == {
+            ("alice", "SELECT", False),
+            ("alice", "INSERT", False),
+        }
+        assert g[0].grantor == "system" and g[0].table_name == "lineitem"
+
+        allg = engine.sql(
+            "SELECT grantee, table_name, privilege_type, is_grantable"
+            " FROM information_schema.table_privileges",
+            dialect="presto",
+        ).collect()
+        bob = {(r.privilege_type, r.is_grantable) for r in allg if r.grantee == "bob"}
+        assert bob == {(p, True) for p in ("SELECT", "DELETE", "INSERT", "UPDATE")}
+
+        engine.sql(
+            "REVOKE GRANT OPTION FOR SELECT ON nation FROM bob", dialect="presto"
+        )
+        g2 = engine.sql("SHOW GRANTS ON nation", dialect="presto").collect()
+        assert {(r.privilege_type, r.is_grantable) for r in g2} == {
+            ("SELECT", False), ("DELETE", True), ("INSERT", True), ("UPDATE", True),
+        }
+        engine.sql("REVOKE ALL PRIVILEGES ON nation FROM bob", dialect="presto")
+        assert engine.sql("SHOW GRANTS ON nation", dialect="presto").count() == 0
+
+        with pytest.raises(Exception, match="does not exist"):
+            engine.sql("GRANT SELECT ON no_such_tbl TO x", dialect="presto")
+        with pytest.raises(Exception, match="Unknown privilege"):
+            engine.sql("GRANT FLY ON lineitem TO x", dialect="presto")
+    finally:
+        engine._grants().clear()
