@@ -273,6 +273,35 @@ class Engine:
         if out is not None:
             return out
         m = re.match(
+            r"\s*EXPLAIN\s+(?:\(\s*TYPE\s+(\w+)\s*\)|(ANALYZE))\s+(.+)$",
+            text,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            # Presto EXPLAIN (TYPE LOGICAL|DISTRIBUTED|VALIDATE|IO) and
+            # EXPLAIN ANALYZE (grammar SqlBase.g4:68; ExplainTask.java /
+            # ExplainAnalyzeOperator.java).  Plain EXPLAIN <q> parses
+            # natively in Spark and is NOT intercepted.
+            from prestodb_presto_spark.dialect import translate
+            from prestodb_presto_spark.ddl import explain, explain_analyze
+
+            etype = (m.group(1) or "ANALYZE").upper()
+            with self._presto_literals():
+                df = self.spark.sql(translate(m.group(3).strip().rstrip(";")))
+            if etype == "VALIDATE":
+                # analysis already succeeded above — the reference
+                # returns a single `valid: true` row
+                return self.spark.createDataFrame([(True,)], "valid boolean")
+            if etype == "ANALYZE":
+                plan = explain_analyze(df)
+            elif etype == "LOGICAL":
+                plan = explain(df, "extended")
+            elif etype in ("DISTRIBUTED", "IO"):
+                plan = explain(df, "formatted")
+            else:
+                raise ValueError(f"unknown EXPLAIN type: {etype}")
+            return self.spark.createDataFrame([(plan,)], "query_plan string")
+        m = re.match(
             r"\s*SHOW\s+CREATE\s+TABLE\s+([\w.`\"]+)\s*;?\s*$", text, re.IGNORECASE
         )
         if m:
