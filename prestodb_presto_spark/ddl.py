@@ -144,7 +144,7 @@ def show_stats(spark: SparkSession, table: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.types import NumericType, StringType
 
-    df = spark.table(table)
+    df = spark.table(table) if isinstance(table, str) else table
     aggs: list = [F.count(F.lit(1)).alias("__rows")]
     numeric_or_str = []
     for f in df.schema.fields:
@@ -298,3 +298,29 @@ def reset_session(spark: SparkSession, key: str) -> None:
     """RESET SESSION <key> (ResetSessionTask.java) → unset back to the
     session default."""
     spark.conf.unset(key)
+
+
+def rename_schema(spark: SparkSession, old: str, new: str) -> None:
+    """ALTER SCHEMA <old> RENAME TO <new> (grammar SqlBase.g4:36
+    renameSchema; RenameSchemaTask).  Spark has no ALTER DATABASE RENAME,
+    so the equivalent is: create the target schema, move every table
+    into it with ALTER TABLE RENAME (metadata-only — data files do not
+    move for managed tables within a warehouse), drop the old schema.
+    Fails loudly if the target already exists, like the reference.
+    Spark's V1 session catalog refuses cross-database RENAME, so each
+    table moves by rewrite (saveAsTable into the new schema, drop the
+    old) — on a metastore-backed catalog supporting cross-db rename
+    this would be metadata-only."""
+    dbs = [d.name for d in spark.catalog.listDatabases()]
+    if old not in dbs:
+        raise ValueError(f"Schema '{old}' does not exist")
+    if new in dbs:
+        raise ValueError(f"Schema '{new}' already exists")
+    spark.sql(f"CREATE SCHEMA {new}")
+    for t in spark.catalog.listTables(old):
+        if t.tableType == "TEMPORARY":
+            continue  # listTables(db) also returns session temp views
+        staged = spark.table(f"{old}.{t.name}").localCheckpoint(eager=True)
+        staged.write.saveAsTable(f"{new}.{t.name}")
+        spark.sql(f"DROP TABLE {old}.{t.name}")
+    spark.sql(f"DROP SCHEMA {old}")

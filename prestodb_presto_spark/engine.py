@@ -258,12 +258,67 @@ class Engine:
                 [(r.key, r.value) for r in rows], "name string, value string"
             ).orderBy("name")
         m = re.match(
-            r"\s*SHOW\s+STATS\s+FOR\s+([\w.`\"]+)\s*;?\s*$", text, re.IGNORECASE
+            r"\s*SHOW\s+STATS\s+(?:FOR|ON)\s+([\w.`\"]+)\s*;?\s*$", text, re.IGNORECASE
         )
         if m:
             from prestodb_presto_spark.ddl import show_stats
 
             return show_stats(self.spark, m.group(1).strip('`"'))
+        m = re.match(
+            r"\s*SHOW\s+STATS\s+FOR\s*\((.+)\)\s*;?\s*$",
+            text,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            # showStatsForQuery (grammar SqlBase.g4:77): stats of an
+            # arbitrary query's result
+            from prestodb_presto_spark.dialect import translate
+            from prestodb_presto_spark.ddl import show_stats
+
+            with self._presto_literals():
+                df = self.spark.sql(translate(m.group(1).strip()))
+            return show_stats(self.spark, df)
+        m = re.match(
+            r"\s*PREPARE\s+(\w+)\s+FROM\s+(.+)$", text, re.IGNORECASE | re.DOTALL
+        )
+        if m:
+            self.prepare(m.group(1), m.group(2).strip().rstrip(";"), dialect="presto")
+            return self.spark.createDataFrame([(True,)], "result boolean")
+        m = re.match(r"\s*DEALLOCATE\s+PREPARE\s+(\w+)\s*;?\s*$", text, re.IGNORECASE)
+        if m:
+            name = m.group(1)
+            if not getattr(self, "_prepared", None) or name not in self._prepared:
+                raise KeyError(f"prepared statement not found: {name}")
+            del self._prepared[name]
+            return self.spark.createDataFrame([(True,)], "result boolean")
+        m = re.match(
+            r"\s*EXECUTE\s+(\w+)(?:\s+USING\s+(.+))?\s*;?\s*$",
+            text,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            params = []
+            if m.group(2):
+                with self._presto_literals():
+                    row = self.spark.sql(
+                        f"SELECT {m.group(2)}"
+                    ).collect()[0]
+                params = list(row)
+            return self.execute(m.group(1), *params)
+        m = re.match(
+            r"\s*DESCRIBE\s+(INPUT|OUTPUT)\s+(\w+)\s*;?\s*$", text, re.IGNORECASE
+        )
+        if m:
+            kind, name = m.group(1).upper(), m.group(2)
+            return (
+                self.describe_input(name) if kind == "INPUT" else self.describe_output(name)
+            )
+        m = re.match(r"\s*SET\s+PATH\s+(.+?)\s*;?\s*$", text, re.IGNORECASE)
+        if m:
+            # SetPathTask: session path for function resolution — the
+            # engine's registry is flat, so the path is bookkeeping only
+            self._session_path = m.group(1).strip()
+            return self.spark.createDataFrame([(True,)], "result boolean")
         m = re.match(
             r"\s*CALL\s+([\w.]+)\s*\((.*)\)\s*;?\s*$", text, re.IGNORECASE | re.DOTALL
         )

@@ -967,3 +967,49 @@ def test_explain_statement_routing(engine):
     # plain EXPLAIN still parses natively through the dialect path
     pl = engine.sql("EXPLAIN SELECT 1", dialect="presto").collect()
     assert len(pl) == 1
+
+
+def test_prepared_statement_routing_and_misc(engine, spark):
+    """Statement-level PREPARE/EXECUTE [USING]/DEALLOCATE PREPARE/
+    DESCRIBE INPUT/OUTPUT + SHOW STATS FOR (query) + SET PATH +
+    ALTER SCHEMA RENAME (grammar SqlBase.g4:29-99; PrepareTask,
+    showStatsForQuery, SetPathTask, RenameSchemaTask)."""
+    engine.sql(
+        "PREPARE my_q FROM SELECT n_name FROM nation WHERE n_regionkey = ?",
+        dialect="presto",
+    )
+    rows = engine.sql("EXECUTE my_q USING 2", dialect="presto").collect()
+    assert len(rows) == 5
+    outd = engine.sql("DESCRIBE OUTPUT my_q", dialect="presto").collect()
+    assert [(r.column_name, r.type) for r in outd] == [("n_name", "string")]
+    ind = engine.sql("DESCRIBE INPUT my_q", dialect="presto").collect()
+    assert len(ind) == 1
+    engine.sql("DEALLOCATE PREPARE my_q", dialect="presto")
+    with pytest.raises(Exception, match="not found"):
+        engine.sql("EXECUTE my_q", dialect="presto")
+
+    st = engine.sql(
+        "SHOW STATS FOR (SELECT n_regionkey FROM nation)", dialect="presto"
+    ).collect()
+    assert st[0].column_name == "n_regionkey" and st[0].row_count == 25
+
+    engine.sql("SET PATH a.b", dialect="presto")
+    assert engine._session_path == "a.b"
+
+    from prestodb_presto_spark import ddl as _ddl
+
+    try:
+        _ddl.create_schema(spark, "ren_src")
+        spark.createDataFrame([(1,)], "a int").write.mode("overwrite").saveAsTable(
+            "ren_src.t1"
+        )
+        _ddl.rename_schema(spark, "ren_src", "ren_dst")
+        assert "ren_src" not in [d.name for d in spark.catalog.listDatabases()]
+        assert spark.table("ren_dst.t1").count() == 1
+        with pytest.raises(ValueError, match="does not exist"):
+            _ddl.rename_schema(spark, "ren_src", "ren_x")
+        with pytest.raises(ValueError, match="already exists"):
+            _ddl.rename_schema(spark, "default", "ren_dst")
+    finally:
+        spark.sql("DROP SCHEMA IF EXISTS ren_src CASCADE")
+        spark.sql("DROP SCHEMA IF EXISTS ren_dst CASCADE")
