@@ -1013,3 +1013,17 @@ def test_prepared_statement_routing_and_misc(engine, spark):
     finally:
         spark.sql("DROP SCHEMA IF EXISTS ren_src CASCADE")
         spark.sql("DROP SCHEMA IF EXISTS ren_dst CASCADE")
+
+
+def test_show_partitions_native(spark):
+    """SHOW PARTITIONS (grammar SqlBase.g4:91 showPartitions) — Spark's
+    native spelling matches for the base form; predicates filter
+    client-side like the reference's WHERE."""
+    try:
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "a")], "v int, k string"
+        ).write.mode("overwrite").partitionBy("k").saveAsTable("show_part_t")
+        parts = [r.partition for r in spark.sql("SHOW PARTITIONS show_part_t").collect()]
+        assert sorted(parts) == ["k=a", "k=b"]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS show_part_t")
