@@ -328,19 +328,24 @@ class Engine:
         if out is not None:
             return out
         m = re.match(
-            r"\s*EXPLAIN\s+(?:\(\s*TYPE\s+(\w+)\s*\)|(ANALYZE))\s+(.+)$",
+            r"\s*EXPLAIN\s+(?:\(([^)]*\bTYPE\s+\w+[^)]*)\)|(ANALYZE))\s+(.+)$",
             text,
             re.IGNORECASE | re.DOTALL,
         )
         if m:
-            # Presto EXPLAIN (TYPE LOGICAL|DISTRIBUTED|VALIDATE|IO) and
-            # EXPLAIN ANALYZE (grammar SqlBase.g4:68; ExplainTask.java /
-            # ExplainAnalyzeOperator.java).  Plain EXPLAIN <q> parses
-            # natively in Spark and is NOT intercepted.
+            # Presto EXPLAIN (TYPE LOGICAL|DISTRIBUTED|VALIDATE|IO[,
+            # FORMAT ...]) and EXPLAIN ANALYZE (grammar SqlBase.g4:68;
+            # ExplainTask.java / ExplainAnalyzeOperator.java).  Plain
+            # EXPLAIN <q> parses natively in Spark and is NOT
+            # intercepted; FORMAT is accepted and ignored (text only).
             from prestodb_presto_spark.dialect import translate
             from prestodb_presto_spark.ddl import explain, explain_analyze
 
-            etype = (m.group(1) or "ANALYZE").upper()
+            if m.group(1):
+                tm = re.search(r"\bTYPE\s+(\w+)", m.group(1), re.IGNORECASE)
+                etype = tm.group(1).upper()
+            else:
+                etype = "ANALYZE"
             with self._presto_literals():
                 df = self.spark.sql(translate(m.group(3).strip().rstrip(";")))
             if etype == "VALIDATE":

@@ -1027,3 +1027,10 @@ def test_show_partitions_native(spark):
         assert sorted(parts) == ["k=a", "k=b"]
     finally:
         spark.sql("DROP TABLE IF EXISTS show_part_t")
+
+
+def test_explain_option_list(engine):
+    v = engine.sql(
+        "EXPLAIN (FORMAT TEXT, TYPE VALIDATE) SELECT 1", dialect="presto"
+    ).collect()
+    assert v[0].valid is True
