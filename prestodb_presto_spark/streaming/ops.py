@@ -284,3 +284,82 @@ def sketch_rows_to_estimates(rollup: DataFrame) -> DataFrame:
     return rollup.groupBy("window_start", "key").applyInPandas(
         _finish, "window_start long, key string, n_distinct_est long"
     )
+
+
+def dedup_stream_against_index(
+    docs_stream: DataFrame,
+    index_table: str,
+    corpus_table: str,
+    out_path: str,
+    checkpoint: str,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Continuous-ingestion near-dup filtering: the streaming twin of
+    the batch incremental dedup (text/minhash.check_batch), the pattern
+    a 100 TB training-data pipeline runs as documents ARRIVE rather
+    than nightly.
+
+    Per micro-batch (foreachBatch):
+      1. dedup within the batch itself (LSH + exact-Jaccard verify,
+         lowest id wins — batches are micro, so this stays tiny);
+      2. check survivors against the PERSISTED corpus index (band-
+         bucket equi-join + exact verify on the candidate slice only —
+         the corpus is never re-shingled);
+      3. append unique docs to the parquet sink AND self-maintain the
+         state: survivors' band rows append to the index and their text
+         to the corpus table, so batch N+1 dedups against everything
+         through batch N.
+
+    The streaming index table appends per batch and is therefore plain
+    (unbucketed) — the bucketed layout (write_dedup_index) is the
+    snapshot-rebuild optimization; compact into it periodically.
+    Exactly-once: foreachBatch replays a failed epoch, so the sink
+    append is idempotent per epoch via epoch-tagged subdirectories.
+
+    Returns the StreamingQuery (availableNow semantics are the
+    caller's choice via the source).
+    """
+    from prestodb_presto_spark.text.minhash import (
+        build_dedup_index,
+        check_batch,
+        verified_near_dup_pairs,
+    )
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        if not batch.take(1):
+            return
+        # the micro-batch runs in a CLONED session; reads must go through
+        # it (and refresh) — the previous epoch's appends invalidated the
+        # clone-of-that-epoch's relation cache, not this one's
+        spark = batch.sparkSession
+        spark.catalog.refreshTable(index_table)
+        spark.catalog.refreshTable(corpus_table)
+        batch = batch.localCheckpoint(eager=True)
+        # (1) within-batch dedup: keep the lowest id of each dup pair
+        intra = verified_near_dup_pairs(
+            batch, threshold, id_col, text_col
+        ).select(F.col("id_b").alias(id_col)).distinct()
+        survivors = batch.join(intra, id_col, "left_anti")
+        # (2) against the persisted index (+ corpus text for verify)
+        index = spark.table(index_table)
+        corpus = spark.table(corpus_table)
+        dups = check_batch(
+            survivors, index, corpus, threshold, id_col, text_col
+        ).select(F.col("new_id").alias(id_col)).distinct()
+        keep = survivors.join(dups, id_col, "left_anti").localCheckpoint(eager=True)
+        # (3) sink + self-maintaining state (epoch-tagged for idempotent
+        # replay)
+        keep.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
+        build_dedup_index(keep, id_col, text_col).write.mode("append").saveAsTable(
+            index_table
+        )
+        keep.write.mode("append").saveAsTable(corpus_table)
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

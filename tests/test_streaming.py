@@ -448,3 +448,85 @@ def test_streaming_sketch_rollup_equals_batch_and_exact(spark):
         .collect()
     }
     assert est == exact, (len(est), len(exact))
+
+
+def test_streaming_dedup_against_index(spark, tmp_path):
+    """Round 11: continuous-ingestion dedup — each micro-batch dedups
+    within itself, against the persisted corpus index, AND against all
+    previous batches (the foreachBatch loop appends survivors' band
+    rows back to the index).  Proof points: a corpus near-dup drops in
+    batch 1; a near-dup OF A BATCH-1 SURVIVOR drops in batch 2; an
+    intra-batch dup drops; unique docs flow through."""
+    import os
+    import time as _time
+
+    from prestodb_presto_spark.streaming.ops import dedup_stream_against_index
+    from prestodb_presto_spark.text.minhash import build_dedup_index
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "green turtles carry heavy crates across a narrow wooden bridge "
+        "during the long rainy afternoon in november"
+    )
+    uniq1 = (
+        "completely different subject matter about distributed query "
+        "engines shuffling columnar batches through whole stage code "
+        "generation pipelines with adaptive execution enabled everywhere"
+    )
+    uniq2 = (
+        "a third unrelated passage describing minhash signatures banded "
+        "into sixteen buckets so that similar documents collide with "
+        "high probability while distinct ones rarely do at scale"
+    )
+    from prestodb_presto_spark.sources.io import drop_table
+
+    drop_table(spark, "sdi_index")
+    drop_table(spark, "sdi_corpus")
+    corpus = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    corpus.write.saveAsTable("sdi_corpus")
+    build_dedup_index(spark.table("sdi_corpus")).write.saveAsTable("sdi_index")
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    # batch 1: 101 = corpus near-dup (drop), 102 = unique (keep)
+    spark.createDataFrame(
+        [(101, base + " appendix"), (102, uniq1)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(in_dir / "b1"))
+    _time.sleep(1.1)
+    # batch 2: 201 = near-dup of batch-1 survivor 102 (drop — proves the
+    # self-maintaining index), 202 = unique (keep), 203 = intra-batch
+    # dup of 202 (drop)
+    spark.createDataFrame(
+        [(201, uniq1 + " appendix"), (202, uniq2), (203, uniq2 + " suffix")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(in_dir / "b2"))
+    # file-source batches order by modification time: force b2 newer
+    now = _time.time()
+    for sub, ts in (("b1", now - 60), ("b2", now)):
+        for f in os.listdir(in_dir / sub):
+            os.utime(in_dir / sub / f, (ts, ts))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "*"))
+    )
+    q = dedup_stream_against_index(
+        stream,
+        index_table="sdi_index",
+        corpus_table="sdi_corpus",
+        out_path=str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    kept = {r.doc_id for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert kept == {102, 202}, kept
+    # state self-maintained: corpus grew by the survivors, index covers
+    # them (refresh: the appends ran in cloned micro-batch sessions)
+    spark.catalog.refreshTable("sdi_corpus")
+    spark.catalog.refreshTable("sdi_index")
+    assert {r.doc_id for r in spark.table("sdi_corpus").collect()} == {1, 102, 202}
+    assert spark.table("sdi_index").filter("old_id = 102").count() > 0
+    spark.sql("DROP TABLE IF EXISTS sdi_index")
+    spark.sql("DROP TABLE IF EXISTS sdi_corpus")

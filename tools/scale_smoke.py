@@ -26,6 +26,9 @@ QUERIES = [
     # embeddings are replicated 10x-per-sf-unit by build(), so dup
     # clusters and candidate pools scale with the corpus)
     "dedup_spans_strip", "similarity_bitext_mine", "dedup_incremental",
+    # round 11: the checkpoint-backed hot-bucket guard (operators/skew)
+    # gets its own scale receipt — band rows materialize once per query
+    "dedup_minhash_lsh",
 ]
 
 FIXTURE_SF01 = "/root/testdata/sf0.1"
