@@ -71,8 +71,14 @@ def lsh_candidate_pairs(
     sig = hyperplane_buckets(emb, id_col, vec_col)
     if bucket_cap is not None:
         # algebraic guard — see operators/skew.drop_hot_buckets: a window
-        # over `bucket` would single-task-buffer the hot bucket itself
+        # over `bucket` would single-task-buffer the hot bucket itself;
+        # then bucket-grouped pair expansion (operators/pairs) — one
+        # shuffle, no distinct needed: each vector sits in exactly one
+        # bucket, so a pair can only arise once
+        from prestodb_presto_spark.operators.pairs import grouped_pair_expand
+
         sig = drop_hot_buckets(sig, "bucket", bucket_cap)
+        return grouped_pair_expand(sig, "bucket", id_col, distinct=False)
     a = sig.alias("a")
     b = sig.alias("b")
     return (
@@ -144,7 +150,10 @@ def banded_candidate_pairs(
     ]
     sig = proj.select(id_col, F.posexplode(F.array(*band_sigs)).alias("band", "sig"))
     if bucket_cap is not None:
+        from prestodb_presto_spark.operators.pairs import grouped_pair_expand
+
         sig = drop_hot_buckets(sig, ["band", "sig"], bucket_cap)
+        return grouped_pair_expand(sig, ["band", "sig"], id_col)
     a, b = sig.alias("a"), sig.alias("b")
     return (
         a.join(

@@ -98,6 +98,15 @@ def lsh_candidate_pairs(
         # window count over `bh` would serialize exactly the bucket this
         # cap exists to bound
         bands = drop_hot_buckets(bands, "bh", bucket_cap)
+        # bucket-grouped pair expansion (operators/pairs): ONE shuffle
+        # of the band rows instead of the self-equi-join's two; bounded
+        # per bucket (<= cap ids, <= cap^2/2 pairs) — safe only BECAUSE
+        # over-cap buckets were dropped above
+        from prestodb_presto_spark.operators.pairs import grouped_pair_expand
+
+        return grouped_pair_expand(bands, "bh", id_col)
+    # uncapped: a degenerate bucket would make the grouped array
+    # unbounded, so pair generation stays a self-equi-join
     a = bands.alias("a")
     b = bands.alias("b")
     return (

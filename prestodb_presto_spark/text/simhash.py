@@ -83,11 +83,24 @@ def simhash_near_pairs(
         # count over the bucket key would buffer the hot bucket in one
         # task — the exact skew the cap exists to bound
         bands = drop_hot_buckets(bands, ["band_idx", "bv"], bucket_cap)
-    a = bands.alias("a")
-    b = bands.alias("b")
     hamming = F.bit_count(
         F.col("ha").bitwiseXOR(F.col("hb"))
     ).cast("bigint")
+    if bucket_cap is not None:
+        # bucket-grouped pair expansion (operators/pairs): one shuffle of
+        # the band rows, fingerprints ride along for the Hamming verify
+        from prestodb_presto_spark.operators.pairs import grouped_pair_expand
+
+        pairs = grouped_pair_expand(
+            bands, ["band_idx", "bv"], id_col, payload=["simhash"]
+        ).withColumnsRenamed({"simhash_a": "ha", "simhash_b": "hb"})
+        return (
+            pairs.withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= d)
+            .select("id_a", "id_b", "hamming")
+        )
+    a = bands.alias("a")
+    b = bands.alias("b")
     return (
         a.join(
             b,

@@ -329,13 +329,22 @@ def test_lsh_bucket_cap_guard_is_algebraic(spark, specs):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:3000]
     # round 11: the guard must not re-derive its input subtree — the
     # band rows are lazily localCheckpoint-ed, so every consumer (hot
-    # list, anti-join probe, self-join sides) reads the checkpointed
+    # list, anti-join probe, pair expansion) reads the checkpointed
     # blocks (Scan ExistingRDD) and the shingle→minhash→banding pipeline
-    # (Generate nodes) appears NOWHERE in this plan (it ran once, inside
+    # (its posexplode) appears NOWHERE in this plan (it ran once, inside
     # the checkpoint job).  r10's unpersisted form re-ran it per branch:
-    # +45% wall on dedup_minhash_lsh.
+    # +45% wall on dedup_minhash_lsh.  The capped path also generates
+    # pairs by bucket-grouped expansion (ONE groupBy-bh shuffle +
+    # in-task i<j explode, bounded by the cap) instead of a self-equi-
+    # join (TWO shuffles of the band rows) — exactly one Generate (the
+    # pair explode), zero self-joins of the band relation.
     assert "Scan ExistingRDD" in plan
-    assert "Generate" not in plan, plan[:3000]
+    assert "posexplode" not in plan, plan[:3000]
+    import re as _re
+
+    # formatted explain prints each node in the tree AND a details
+    # section — count unique node headers
+    assert len(_re.findall(r"\(\d+\) Generate", plan)) == 1, plan[:3000]
     # mega-bucket dropped: the 3000-doc boilerplate cluster (ids < 3000)
     # contributes ZERO candidates — without the cap it alone yields
     # ~4.5M pairs.  (The 200 tail docs share 2 of their 3 shingles, so
