@@ -589,3 +589,43 @@ def test_persisted_dedup_index_roundtrip_and_corpus_isolation(spark):
     }
     assert got2 == expect
     drop_table(spark, "t_dedup_idx")
+
+
+def test_grouped_pair_expand_equals_self_join(spark):
+    """operators/pairs.grouped_pair_expand must produce EXACTLY the
+    self-equi-join's pair set (with and without payload) on a randomized
+    multi-bucket fixture including singleton, duplicate-membership, and
+    shared-bucket cases."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from prestodb_presto_spark.operators.pairs import grouped_pair_expand
+
+    rng = random.Random(7)
+    rows = []
+    for doc in range(40):
+        for b in rng.sample(range(12), rng.randint(1, 4)):
+            rows.append((doc, b, doc * 1000 + 7))
+    df = spark.createDataFrame(rows, "id long, bucket int, payload long").distinct()
+
+    a, b = df.alias("a"), df.alias("b")
+    want = {
+        (r.id_a, r.id_b)
+        for r in a.join(
+            b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+        .collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in grouped_pair_expand(df, "bucket", "id").collect()
+    }
+    assert got == want and len(got) > 50
+
+    withp = grouped_pair_expand(df, "bucket", "id", payload=["payload"]).collect()
+    assert {(r.id_a, r.id_b) for r in withp} == want
+    for r in withp:
+        assert r.payload_a == r.id_a * 1000 + 7 and r.payload_b == r.id_b * 1000 + 7
