@@ -14,6 +14,7 @@ audited dispatch layer rather than a protocol implementation:
 | presto-base-jdbc + dialects       | jdbc()/jdbc_write() (Derby e2e)     |
 | presto-kafka / presto-redis       | kafka() batch/stream (gated)        |
 | presto-memory                     | memory.MemoryTable (cached view)    |
+| presto-example-http               | example_http.py (pure-Python DSv2)  |
 | presto-blackhole                  | blackhole() noop sink               |
 | presto-tpch / presto-tpcds        | fixtures.load_fixture (testdata)    |
 """
@@ -26,6 +27,10 @@ from prestodb_presto_spark.sources.io import (
     read_table,
     write_table,
 )
+from prestodb_presto_spark.sources.example_http import (
+    ExampleHttpDataSource,
+    register_example_http,
+)
 from prestodb_presto_spark.sources.memory import MemoryTable
 
 __all__ = [
@@ -36,4 +41,6 @@ __all__ = [
     "jdbc_write",
     "kafka_batch",
     "MemoryTable",
+    "ExampleHttpDataSource",
+    "register_example_http",
 ]
