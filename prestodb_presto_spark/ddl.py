@@ -193,10 +193,12 @@ def create_view(
 ) -> None:
     """CREATE [OR REPLACE] VIEW <name> AS <query> (CreateViewTask.java).
 
-    The ORIGINAL (pre-translation) text is stashed in the view's comment
-    metadata so ``show_create_view`` / information_schema.views can
-    report the user's SQL, like the reference stores the view's
-    definition verbatim in its ViewDefinition JSON."""
+    Spark's catalog stores the defining text itself ('View Text' in
+    DESCRIBE EXTENDED) — ``show_create_view`` / information_schema.views
+    read it back from there, like the reference stores the view's
+    definition verbatim in its ViewDefinition JSON.  With
+    dialect="presto" the stored text is the TRANSLATED query (Spark
+    must re-analyze it natively per read)."""
     if dialect == "presto":
         from prestodb_presto_spark.dialect import translate
 
