@@ -276,9 +276,13 @@ def rename_column(spark: SparkSession, table: str, old: str, new: str) -> None:
 
 
 def drop_column(spark: SparkSession, table: str, column: str) -> None:
-    """ALTER TABLE <t> DROP COLUMN <c> (DropColumnTask.java)."""
-    if column not in spark.table(table).columns:
+    """ALTER TABLE <t> DROP COLUMN <c> (DropColumnTask.java; the
+    only-column guard matches AbstractTestDistributedQueries.java:382)."""
+    cols = spark.table(table).columns
+    if column not in cols:
         raise ValueError(f"column not found: {column}")
+    if len(cols) == 1:
+        raise ValueError("Cannot drop the only column in a table")
     try:
         spark.sql(f"ALTER TABLE {table} DROP COLUMN {column}")
     except Exception:

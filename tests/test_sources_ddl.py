@@ -1034,3 +1034,94 @@ def test_explain_option_list(engine):
         "EXPLAIN (FORMAT TEXT, TYPE VALIDATE) SELECT 1", dialect="presto"
     ).collect()
     assert v[0].valid is True
+
+
+# --- direct ports of the reference's ALTER-family tests ----------------
+# AbstractTestDistributedQueries.java:338 testRenameTable, :358
+# testRenameColumn, :375 testDropColumn, :386 testAddColumn — run on
+# managed tables through ddl.py + Spark SQL.
+
+
+def _drop_all(spark, *tables):
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_rename_table_port(spark):
+    try:
+        spark.createDataFrame([(123,)], "x int").write.mode("overwrite").saveAsTable(
+            "test_rename"
+        )
+        ddl.rename_table(spark, "test_rename", "test_rename_new")
+        assert spark.sql("SELECT x FROM test_rename_new").collect()[0].x == 123
+        # new name in uppercase: resolution is case-insensitive
+        ddl.rename_table(spark, "test_rename_new", "TEST_RENAME")
+        assert spark.sql("SELECT x FROM test_rename").collect()[0].x == 123
+        spark.sql("DROP TABLE test_rename")
+        assert not spark.catalog.tableExists("test_rename")
+        assert not spark.catalog.tableExists("test_rename_new")
+    finally:
+        _drop_all(spark, "test_rename", "test_rename_new")
+
+
+def test_rename_column_port(spark):
+    try:
+        spark.createDataFrame([(123,)], "x int").write.mode("overwrite").saveAsTable(
+            "test_rename_column"
+        )
+        ddl.rename_column(spark, "test_rename_column", "x", "y")
+        assert spark.sql("SELECT y FROM test_rename_column").collect()[0].y == 123
+        ddl.rename_column(spark, "test_rename_column", "y", "Z")
+        assert spark.sql("SELECT z FROM test_rename_column").collect()[0][0] == 123
+    finally:
+        _drop_all(spark, "test_rename_column")
+
+
+def test_drop_column_port(spark):
+    try:
+        spark.createDataFrame([(123, 111)], "x int, a int").write.mode(
+            "overwrite"
+        ).saveAsTable("test_drop_col")
+        ddl.drop_column(spark, "test_drop_col", "x")
+        with pytest.raises(Exception):  # Column 'x' cannot be resolved
+            spark.sql("SELECT x FROM test_drop_col").collect()
+        with pytest.raises(ValueError, match="only column"):
+            ddl.drop_column(spark, "test_drop_col", "a")
+    finally:
+        _drop_all(spark, "test_drop_col")
+
+
+def test_add_column_port(spark):
+    try:
+        spark.createDataFrame([(123,)], "x int").write.mode("overwrite").saveAsTable(
+            "test_add_col"
+        )
+        spark.createDataFrame([(234, 111)], "x int, a bigint").write.mode(
+            "overwrite"
+        ).saveAsTable("test_add_col_a")
+        spark.createDataFrame(
+            [(345, 222, 33.3)], "x int, a bigint, b double"
+        ).write.mode("overwrite").saveAsTable("test_add_col_ab")
+
+        with pytest.raises(Exception):  # Column 'x' already exists
+            ddl.add_column(spark, "test_add_col", "x", "bigint")
+        with pytest.raises(Exception):  # case-insensitive duplicate
+            ddl.add_column(spark, "test_add_col", "X", "bigint")
+        with pytest.raises(Exception):  # unknown type
+            ddl.add_column(spark, "test_add_col", "q", "bad_type")
+
+        ddl.add_column(spark, "test_add_col", "a", "bigint")
+        spark.sql("INSERT INTO test_add_col SELECT * FROM test_add_col_a")
+        rows = spark.sql("SELECT x, a FROM test_add_col ORDER BY x").collect()
+        assert [(r.x, r.a) for r in rows] == [(123, None), (234, 111)]
+
+        ddl.add_column(spark, "test_add_col", "b", "double")
+        spark.sql("INSERT INTO test_add_col SELECT * FROM test_add_col_ab")
+        rows = spark.sql("SELECT x, a, b FROM test_add_col ORDER BY x").collect()
+        assert [(r.x, r.a, r.b) for r in rows] == [
+            (123, None, None),
+            (234, 111, None),
+            (345, 222, 33.3),
+        ]
+    finally:
+        _drop_all(spark, "test_add_col", "test_add_col_a", "test_add_col_ab")
