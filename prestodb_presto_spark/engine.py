@@ -346,6 +346,13 @@ class Engine:
                 etype = tm.group(1).upper()
             else:
                 etype = "ANALYZE"
+            inner_kw = re.match(r"\s*(\w+)", m.group(3)).group(1).upper()
+            if etype == "ANALYZE" and inner_kw not in ("SELECT", "WITH", "TABLE", "VALUES"):
+                # AbstractTestDistributedQueries.java:302 — EXPLAIN
+                # ANALYZE of a non-query statement must be rejected
+                raise ValueError(
+                    f"EXPLAIN ANALYZE doesn't support statement type: {inner_kw}"
+                )
             with self._presto_literals():
                 df = self.spark.sql(translate(m.group(3).strip().rstrip(";")))
             if etype == "VALIDATE":

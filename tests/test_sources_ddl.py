@@ -1125,3 +1125,15 @@ def test_add_column_port(spark):
         ]
     finally:
         _drop_all(spark, "test_add_col", "test_add_col_a", "test_add_col_ab")
+
+
+def test_explain_analyze_ddl_rejected(engine):
+    """Port of testExplainAnalyzeDDL (java:302): EXPLAIN ANALYZE of a
+    non-query statement must be rejected, not executed."""
+    with pytest.raises(Exception, match="doesn't support statement type"):
+        engine.sql("EXPLAIN ANALYZE DROP TABLE orders", dialect="presto")
+    # query forms still work
+    out = engine.sql(
+        "EXPLAIN ANALYZE SELECT count(*) AS c FROM nation", dialect="presto"
+    ).collect()
+    assert "=" in out[0].query_plan
