@@ -73,11 +73,58 @@ def _calibrate(n_probes: int = 5) -> float:
     return round(best, 3)
 
 
+def _classify_log_events(segment: str) -> list[str]:
+    """Compress a driver-log slice to its attributable events: ERROR
+    lines and the first line of each WARN that names a task/stage loss.
+    (Round-12 task: BENCH_r11 carried a truncated DAGScheduler stack in
+    the driver's stderr tail with no owning query — never again.)"""
+    events: list[str] = []
+    for line in segment.splitlines():
+        if " ERROR " in line or (
+            " WARN " in line
+            and any(k in line for k in ("TaskSetManager", "Lost task", "FetchFailed"))
+        ):
+            events.append(line[:400])
+        if len(events) >= 20:
+            events.append("... (truncated at 20 events)")
+            break
+    return events
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     calib_sec = _calibrate()  # before the JVM exists
-    spark = get_spark("bench")
+    # route the driver JVM's log4j2 output to a file too, so per-query
+    # byte offsets attribute any task failure/retry to its query
+    log_path = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), f"bench_spark_driver_{os.getpid()}.log"
+    )
+    log_conf = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools", "bench_log4j2.properties"
+    )
+    spark = get_spark(
+        "bench",
+        extra_conf={
+            "spark.driver.extraJavaOptions": (
+                f"-Dlog4j.configurationFile=file:{log_conf} -Dbench.spark.log={log_path}"
+            )
+        },
+    )
+
+    def _log_offset() -> int:
+        try:
+            return os.path.getsize(log_path)
+        except OSError:
+            return 0
+
+    def _log_segment(start: int) -> str:
+        try:
+            with open(log_path, "r", errors="replace") as f:
+                f.seek(start)
+                return f.read()
+        except OSError:
+            return ""
     specs = load_all()
 
     # Warm-up (not timed): run every bench query once at the smallest SF so
@@ -136,9 +183,11 @@ def main() -> None:
     # 5 iterations (round 10, was 3): this host's hypervisor noise showed
     # back-to-back total swings of 16s vs 26s with identical code — min-of-5
     # keeps one clean pass per query far more likely through a noise burst.
+    log_events: dict[str, list[str]] = {}
     for name in BENCH_QUERIES:
         fn = specs[name].spark_fn
         runs: list[float] = []
+        seg_start = _log_offset()
         for _ in range(5):
             t0 = time.time()
             df = fn(spark, sf_dir)
@@ -146,11 +195,15 @@ def main() -> None:
             # (count() would let Catalyst prune the payload)
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)
+        events = _classify_log_events(_log_segment(seg_start))
+        if events:
+            log_events[name] = events
         runs.sort()
         timings[name] = round(runs[0], 3)
         medians[name] = round(runs[len(runs) // 2], 3)
         ratio = f" ({timings[name] / baseline[name]:.2f}x baseline)" if baseline.get(name) else ""
-        print(f"# {name}: min {timings[name]:.3f}s median {medians[name]:.3f}s{ratio}", file=sys.stderr)
+        flag = f" [{len(events)} log events]" if events else ""
+        print(f"# {name}: min {timings[name]:.3f}s median {medians[name]:.3f}s{ratio}{flag}", file=sys.stderr)
 
     load_after = os.getloadavg()[0] if hasattr(os, "getloadavg") else None
     ncpu = os.cpu_count() or 1
@@ -221,6 +274,10 @@ def main() -> None:
                 "cpus": ncpu,
                 "bench_cpus": bench_cpus,
                 "machine_loaded_at_start": loaded,
+                # per-query driver-log ERROR / task-loss events (empty =
+                # clean run; a retried task during a timing loop shows up
+                # here attributed to its query, not as a stderr mystery)
+                "log_events": log_events,
             }
         )
     )

@@ -255,14 +255,26 @@ def add_column(spark: SparkSession, table: str, column: str, dtype: str) -> None
 
 
 def _rewrite_table(spark: SparkSession, table: str, df: DataFrame) -> None:
-    """Replace a managed table's contents with ``df``.  Eager
-    localCheckpoint materializes the projection AND truncates the
-    logical plan to the checkpointed RDD, so the overwrite's
-    self-reference check (UNSUPPORTED_OVERWRITE) no longer sees the
-    table being read."""
-    staged = df.localCheckpoint(eager=True)
+    """Replace a managed table's contents with ``df``, DURABLY: stage
+    the full rewrite into a temporary table first (reading ``table`` and
+    writing a *different* name, so no self-overwrite and no
+    materialization boundary needed), then swap with metadata-only
+    DROP + RENAME.  A crash mid-write leaves the original untouched; a
+    crash between DROP and RENAME leaves the complete data in the tmp
+    table, recoverable by hand — never the prior form's window where
+    the table was dropped while the new copy existed only in
+    session-local checkpoint blocks.  The reference's *Task.java DDL is
+    metadata-atomic (execution/RenameColumnTask.java); this is the
+    closest a rewrite fallback gets."""
+    tmp = f"{table}__rewrite_tmp"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    try:
+        df.write.saveAsTable(tmp)
+    except Exception:
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        raise
     spark.sql(f"DROP TABLE {table}")
-    staged.write.saveAsTable(table)
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
 
 
 def rename_column(spark: SparkSession, table: str, old: str, new: str) -> None:
@@ -316,17 +328,38 @@ def rename_schema(spark: SparkSession, old: str, new: str) -> None:
     Spark's V1 session catalog refuses cross-database RENAME, so each
     table moves by rewrite (saveAsTable into the new schema, drop the
     old) — on a metastore-backed catalog supporting cross-db rename
-    this would be metadata-only."""
+    this would be metadata-only.
+    Views are moved by re-creating them from their defining text in the
+    new schema (a view's query can't be "rewritten" like table data);
+    view moves happen AFTER all table moves so a view over a sibling
+    table resolves, and every move writes/creates in the new schema
+    BEFORE dropping from the old one — a mid-flight crash never loses
+    an object."""
     dbs = [d.name for d in spark.catalog.listDatabases()]
     if old not in dbs:
         raise ValueError(f"Schema '{old}' does not exist")
     if new in dbs:
         raise ValueError(f"Schema '{new}' already exists")
     spark.sql(f"CREATE SCHEMA {new}")
-    for t in spark.catalog.listTables(old):
-        if t.tableType == "TEMPORARY":
-            continue  # listTables(db) also returns session temp views
-        staged = spark.table(f"{old}.{t.name}").localCheckpoint(eager=True)
-        staged.write.saveAsTable(f"{new}.{t.name}")
+    entries = [
+        t for t in spark.catalog.listTables(old) if t.tableType != "TEMPORARY"
+    ]  # listTables(db) also returns session temp views — skip those
+    for t in entries:
+        if t.tableType == "VIEW":
+            continue
+        spark.table(f"{old}.{t.name}").write.saveAsTable(f"{new}.{t.name}")
         spark.sql(f"DROP TABLE {old}.{t.name}")
+    import re as _re
+
+    for t in entries:
+        if t.tableType != "VIEW":
+            continue
+        text = view_definition(spark, f"{old}.{t.name}")
+        # re-point self-references: the stored view SQL qualifies sibling
+        # tables with the OLD schema name, which no longer exists — the
+        # reference stores view SQL verbatim and has the same hazard;
+        # the textual rewrite keeps intra-schema views resolvable
+        text = _re.sub(rf"\b{_re.escape(old)}\.", f"{new}.", text)
+        spark.sql(f"CREATE VIEW {new}.{t.name} AS {text}")
+        spark.sql(f"DROP VIEW {old}.{t.name}")
     spark.sql(f"DROP SCHEMA {old}")

@@ -346,22 +346,59 @@ class Engine:
                 etype = tm.group(1).upper()
             else:
                 etype = "ANALYZE"
-            inner_kw = re.match(r"\s*(\w+)", m.group(3)).group(1).upper()
-            if etype == "ANALYZE" and inner_kw not in ("SELECT", "WITH", "TABLE", "VALUES"):
-                # AbstractTestDistributedQueries.java:302 — EXPLAIN
-                # ANALYZE of a non-query statement must be rejected
-                raise ValueError(
-                    f"EXPLAIN ANALYZE doesn't support statement type: {inner_kw}"
+            inner = m.group(3).strip().rstrip(";")
+            inner_kw = re.match(r"\s*\(*\s*(\w+)", inner).group(1).upper()
+            # statement classification mirrors StatementUtils.getQueryType
+            # (presto-main/.../StatementUtils.java): queries are lazy in
+            # Spark, DML executes eagerly, everything else is DDL
+            is_query = inner_kw in ("SELECT", "WITH", "TABLE", "VALUES")
+            is_ctas = bool(
+                re.match(
+                    r"\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\b.*\bAS\b",
+                    inner,
+                    re.IGNORECASE | re.DOTALL,
                 )
+            )
+            is_dml = inner_kw in ("INSERT", "DELETE", "UPDATE") or is_ctas
+            if etype == "ANALYZE":
+                if not (is_query or is_dml):
+                    # SqlQueryManager.java:441 — only DATA_DEFINITION
+                    # statements are rejected; INSERT/DELETE/CTAS run
+                    raise ValueError(
+                        f"EXPLAIN ANALYZE doesn't support statement type: {inner_kw}"
+                    )
+                # EXPLAIN ANALYZE executes the statement by definition
+                # (ExplainAnalyzeOperator.java) — eager for DML, driven
+                # by explain_analyze for queries
+                with self._presto_literals():
+                    df = self.spark.sql(translate(inner))
+                plan = explain_analyze(df)
+                return self.spark.createDataFrame([(plan,)], "query_plan string")
+            if not is_query:
+                # ExplainTask.java only PLANS the inner statement — a
+                # side-effecting statement must never execute, so route
+                # through Spark's own EXPLAIN command (verified: it
+                # analyzes+plans INSERT/DDL without running them and
+                # reports analysis errors as text)
+                mode_kw = "EXTENDED" if etype == "LOGICAL" else "FORMATTED"
+                with self._presto_literals():
+                    plan = self.spark.sql(
+                        f"EXPLAIN {mode_kw} {translate(inner)}"
+                    ).collect()[0][0]
+                if plan.startswith("Error occurred during query planning"):
+                    raise ValueError(plan)
+                if etype == "VALIDATE":
+                    return self.spark.createDataFrame([(True,)], "valid boolean")
+                if etype not in ("LOGICAL", "DISTRIBUTED", "IO"):
+                    raise ValueError(f"unknown EXPLAIN type: {etype}")
+                return self.spark.createDataFrame([(plan,)], "query_plan string")
             with self._presto_literals():
-                df = self.spark.sql(translate(m.group(3).strip().rstrip(";")))
+                df = self.spark.sql(translate(inner))
             if etype == "VALIDATE":
                 # analysis already succeeded above — the reference
                 # returns a single `valid: true` row
                 return self.spark.createDataFrame([(True,)], "valid boolean")
-            if etype == "ANALYZE":
-                plan = explain_analyze(df)
-            elif etype == "LOGICAL":
+            if etype == "LOGICAL":
                 plan = explain(df, "extended")
             elif etype in ("DISTRIBUTED", "IO"):
                 plan = explain(df, "formatted")
@@ -585,7 +622,13 @@ class Engine:
                 if k not in arg_names:
                     raise ValueError(f"Unknown argument name: {k}")
                 kwargs[k] = lit(v)
-            args = [kwargs.get(a) for a in arg_names[: len(kwargs)]]
+            # bind each named arg by its DECLARED position (CallTask.java
+            # positions named args by the procedure's parameter index) —
+            # then trim only TRAILING unset optionals, so CALL p(b => 5)
+            # on proc(a, b) passes (None, 5), not (5,)
+            args = [kwargs.get(a) for a in arg_names]
+            while args and arg_names[len(args) - 1] not in kwargs:
+                args.pop()
         else:
             args = [lit(p) for p in parts]
         fn(*args)

@@ -23,8 +23,9 @@ Scale notes (100 TB posture):
   - the driver-side loop is inherent to iterative fixpoints (the same
     shape GraphX/GraphFrames use); each iteration's convergence check
     is a single count() action on the changed-label set.
-  - localCheckpoint(eager) truncates lineage each round — without it the
-    plan doubles per iteration and the optimizer re-analyzes O(2^k)
+  - an eager materialization boundary (operators/materialize,
+    truncate_required=True) truncates lineage each round — without it
+    the plan doubles per iteration and the optimizer re-analyzes O(2^k)
     nodes.
 """
 
@@ -53,11 +54,13 @@ def connected_components(
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
     )
-    lab = (
+    from prestodb_presto_spark.operators.materialize import materialize
+
+    lab = materialize(
         sym.groupBy("u")
         .agg(F.least(F.min("v"), F.col("u")).alias("lab"))
-        .select(F.col("u").alias("node"), "lab")
-        .localCheckpoint(eager=True)
+        .select(F.col("u").alias("node"), "lab"),
+        truncate_required=True,
     )
     for _ in range(max_iter):
         # neighbor minimum: the smallest label in N(u)
@@ -72,10 +75,10 @@ def connected_components(
         )
         # pointer jumping: lab(u) ← lab(lab(u))
         hop = new.select(F.col("node").alias("h_node"), F.col("lab").alias("h_lab"))
-        new = (
+        new = materialize(
             new.join(hop, new.lab == hop.h_node, "left")
-            .select("node", F.coalesce("h_lab", "lab").alias("lab"))
-            .localCheckpoint(eager=True)
+            .select("node", F.coalesce("h_lab", "lab").alias("lab")),
+            truncate_required=True,
         )
         changed = (
             new.alias("n")

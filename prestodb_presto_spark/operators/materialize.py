@@ -1,0 +1,70 @@
+"""Session-configurable materialization boundaries.
+
+Several operators need a point where a DataFrame's result is computed
+ONCE and reused by more than one downstream job (the LSH hot-bucket
+guard, the shared shingle arrays, iterative connected-components
+rounds).  ``localCheckpoint`` is the fastest way to get one, but its
+blocks are UNREPLICATED executor storage: on a real cluster, losing the
+executor that holds a block kills every job still reading it — at the
+100 TB design point that is a durability bug, not a perf detail.
+
+This module centralizes the choice behind one session conf::
+
+    spark.prestodb_presto_spark.materialization = local | persist | reliable
+
+- ``local`` (default): ``localCheckpoint`` — fastest, lineage
+  truncated, blocks die with their executor.  Right for single-node
+  and for short-lived intra-query boundaries.
+- ``persist``: ``persist(MEMORY_AND_DISK)`` — blocks are
+  recomputable from lineage on executor loss (Spark re-derives the
+  lost partitions), at the cost of keeping the lineage alive.  Right
+  default for long multi-job pipelines on a shared cluster.
+- ``reliable``: ``RDD checkpoint`` to ``spark.checkpoint.dir``
+  (HDFS/S3 in production) — survives executor AND driver loss.
+  Right for state that outlives a job (streaming dedup epochs).
+
+Sites that REQUIRE lineage truncation (iterative algorithms whose plan
+would otherwise grow every round, e.g. operators/components.py) pass
+``truncate_required=True``: there ``persist`` is upgraded to
+``reliable`` because persist alone leaves the growing plan in place.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+
+CONF_KEY = "spark.prestodb_presto_spark.materialization"
+_MODES = ("local", "persist", "reliable")
+
+
+def materialization_mode(df: DataFrame) -> str:
+    mode = df.sparkSession.conf.get(CONF_KEY, "local")
+    if mode not in _MODES:
+        raise ValueError(f"{CONF_KEY} must be one of {_MODES}, got {mode!r}")
+    return mode
+
+
+def materialize(
+    df: DataFrame, eager: bool = True, truncate_required: bool = False
+) -> DataFrame:
+    """Return a DataFrame whose result is computed once and shared by
+    all downstream jobs, using the session's configured strategy."""
+    mode = materialization_mode(df)
+    if mode == "persist" and truncate_required:
+        mode = "reliable"
+    if mode == "local":
+        return df.localCheckpoint(eager=eager)
+    if mode == "persist":
+        out = df.persist(StorageLevel.MEMORY_AND_DISK)
+        if eager:
+            out.count()
+        return out
+    # reliable: needs spark.checkpoint.dir; fall back loudly if unset
+    sc = df.sparkSession.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isEmpty():
+        raise ValueError(
+            "materialization=reliable requires sparkContext.setCheckpointDir "
+            "(an HDFS/S3 path on a real cluster)"
+        )
+    return df.checkpoint(eager=eager)

@@ -44,7 +44,9 @@ def salted_join(
     return out.drop(_SALT)
 
 
-def drop_hot_buckets(df: DataFrame, keys: str | list[str], cap: int) -> DataFrame:
+def drop_hot_buckets(
+    df: DataFrame, keys: str | list[str], cap: int, materialize: bool = True
+) -> DataFrame:
     """Drop every row whose bucket (group over ``keys``) holds more than
     ``cap`` rows — WITHOUT a window over the bucket key.
 
@@ -62,17 +64,27 @@ def drop_hot_buckets(df: DataFrame, keys: str | list[str], cap: int) -> DataFram
       3. broadcast ``left_anti`` join-back — no shuffle of ``df`` at
          all when the over-cap list broadcasts (it always does).
 
-    The input is lazily ``localCheckpoint``-ed first: the hot-list
-    derivation runs as a separate (broadcast-exchange) job, so without
-    a materialization boundary the anti-join would recompute ``df``'s
-    entire subtree a second time — at the LSH guard sites that subtree
-    is the full shingle→minhash→banding pipeline (measured +45% wall
-    on dedup_minhash_lsh when it double-derived).  The broadcast job
-    computes ``df`` once and checkpoints it; the main job rescans the
-    checkpointed blocks.
+    With ``materialize=True`` (default) the input gets a lazy
+    materialization boundary first (operators/materialize — strategy is
+    session-configurable): the hot-list derivation runs as a separate
+    (broadcast-exchange) job, so without the boundary the anti-join
+    would recompute ``df``'s entire subtree a second time — at the LSH
+    guard sites that subtree is the full shingle→minhash→banding
+    pipeline (measured +45% wall on dedup_minhash_lsh when it
+    double-derived).  Pass ``materialize=False`` when ``df`` is a plain
+    table scan (e.g. the persisted dedup index in
+    text/minhash.check_batch): re-scanning parquet twice is cheap,
+    while materializing the WHOLE index into executor storage per
+    arriving batch is not — and it would truncate the scan's lineage,
+    losing recompute-on-executor-loss for no benefit.
     """
     key_list = [keys] if isinstance(keys, str) else list(keys)
-    df = df.localCheckpoint(eager=False)
+    if materialize:
+        from prestodb_presto_spark.operators.materialize import (
+            materialize as _mat,
+        )
+
+        df = _mat(df, eager=False)
     hot = (
         df.groupBy(*key_list)
         .agg(F.count(F.lit(1)).alias("__bsz"))

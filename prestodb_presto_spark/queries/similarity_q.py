@@ -820,10 +820,11 @@ def similarity_mmr_diversify(spark, sf_dir):
     # Materialize the pool (queries x 20 rows) so the three greedy steps
     # reuse it instead of re-deriving their shared lineage — without this
     # each step's branch re-scans the corpus for the relevance pass.
-    cand = (
-        rel.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _MMR_POOL)
-        .localCheckpoint(eager=False)
+    from prestodb_presto_spark.operators.materialize import materialize
+
+    cand = materialize(
+        rel.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= _MMR_POOL),
+        eager=False,
     )
     s1 = cand.filter("rk = 1").select(
         "query_id", F.col("vec_id").alias("s1_id"), F.col("q").alias("s1_q"),
@@ -989,11 +990,13 @@ def similarity_bitext_mine(spark, sf_dir):
     # Materialize the candidate-sized scored stream: the forward and
     # backward argmax windows would otherwise each re-derive the entire
     # LSH candidate pipeline (signatures, banding, capped join).
-    scored = (
+    from prestodb_presto_spark.operators.materialize import materialize
+
+    scored = materialize(
         orient.join(nx, "a_id")
         .join(ny, "b_id")
-        .select("a_id", "b_id", F.round(cos * 1e12).cast("bigint").alias("k"))
-        .localCheckpoint(eager=False)
+        .select("a_id", "b_id", F.round(cos * 1e12).cast("bigint").alias("k")),
+        eager=False,
     )
     fw = Window.partitionBy("a_id").orderBy(F.desc("k"), "b_id")
     fwd = (

@@ -1592,7 +1592,9 @@ def _winnow_parts(spark, sf_dir):
     # Materialize the fingerprint stream: `shared` aggregates fp AND fp
     # is the probe side of the share-test join — without this the
     # tokenize+md5 subtree (the dominant map cost) runs twice per query.
-    fp = fp.localCheckpoint(eager=False)
+    from prestodb_presto_spark.operators.materialize import materialize
+
+    fp = materialize(fp, eager=False)
     shared = (
         fp.groupBy("fph")
         .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))

@@ -315,8 +315,11 @@ def dedup_stream_against_index(
     The streaming index table appends per batch and is therefore plain
     (unbucketed) — the bucketed layout (write_dedup_index) is the
     snapshot-rebuild optimization; compact into it periodically.
-    Exactly-once: foreachBatch replays a failed epoch, so the sink
-    append is idempotent per epoch via epoch-tagged subdirectories.
+    Exactly-once: foreachBatch replays a failed epoch, so every write
+    must be replay-safe — the sink via epoch-tagged overwrite
+    subdirectories, the state appends via an anti-join on ids already
+    present, and the corpus check via a new_id != old_id guard (a
+    replayed doc finds its own prior append and must not self-dup).
 
     Returns the StreamingQuery (availableNow semantics are the
     caller's choice via the source).
@@ -336,7 +339,9 @@ def dedup_stream_against_index(
         spark = batch.sparkSession
         spark.catalog.refreshTable(index_table)
         spark.catalog.refreshTable(corpus_table)
-        batch = batch.localCheckpoint(eager=True)
+        from prestodb_presto_spark.operators.materialize import materialize
+
+        batch = materialize(batch)
         # (1) within-batch dedup: keep the lowest id of each dup pair
         intra = verified_near_dup_pairs(
             batch, threshold, id_col, text_col
@@ -345,17 +350,31 @@ def dedup_stream_against_index(
         # (2) against the persisted index (+ corpus text for verify)
         index = spark.table(index_table)
         corpus = spark.table(corpus_table)
-        dups = check_batch(
-            survivors, index, corpus, threshold, id_col, text_col
-        ).select(F.col("new_id").alias(id_col)).distinct()
-        keep = survivors.join(dups, id_col, "left_anti").localCheckpoint(eager=True)
-        # (3) sink + self-maintaining state (epoch-tagged for idempotent
-        # replay)
+        # REPLAY SAFETY: if this epoch already ran partially (state
+        # appended, checkpoint commit lost), the replayed batch's own
+        # docs are in the corpus — new_id != old_id drops the
+        # self-match (Jaccard 1.0) so the replay REPRODUCES the output
+        # instead of marking every survivor a dup and overwriting the
+        # epoch directory with an empty result
+        dups = (
+            check_batch(survivors, index, corpus, threshold, id_col, text_col)
+            .filter(F.col("new_id") != F.col("old_id"))
+            .select(F.col("new_id").alias(id_col))
+            .distinct()
+        )
+        keep = materialize(survivors.join(dups, id_col, "left_anti"))
+        # (3) sink + self-maintaining state.  The sink is idempotent via
+        # the epoch-tagged overwrite; the state appends are made
+        # idempotent by anti-joining on ids already present, so a
+        # replayed epoch never duplicates index/corpus rows
         keep.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
-        build_dedup_index(keep, id_col, text_col).write.mode("append").saveAsTable(
+        fresh = materialize(
+            keep.join(spark.table(corpus_table).select(id_col), id_col, "left_anti")
+        )
+        build_dedup_index(fresh, id_col, text_col).write.mode("append").saveAsTable(
             index_table
         )
-        keep.write.mode("append").saveAsTable(corpus_table)
+        fresh.write.mode("append").saveAsTable(corpus_table)
 
     return (
         docs_stream.writeStream.foreachBatch(process)

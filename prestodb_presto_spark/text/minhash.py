@@ -140,12 +140,14 @@ def verified_near_dup_pairs(
 ) -> DataFrame:
     """LSH candidates re-verified with exact Jaccard ≥ threshold.
 
-    The shingle arrays are computed ONCE (lazy localCheckpoint) and
+    The shingle arrays are computed ONCE (lazy materialization) and
     shared between the signature derivation and the exact-Jaccard
     verify — measured 13% off the whole pipeline at sf0.1 vs
     re-shingling for the verify side (2.37s vs 2.72s min-of-5)."""
-    sh = docs.select(F.col(id_col), shingles3(text_col).alias("s")).localCheckpoint(
-        eager=False
+    from prestodb_presto_spark.operators.materialize import materialize
+
+    sh = materialize(
+        docs.select(F.col(id_col), shingles3(text_col).alias("s")), eager=False
     )
     if bucket_cap is not None:
         from prestodb_presto_spark.operators.pairs import grouped_pair_expand
@@ -234,8 +236,11 @@ def check_batch(
         # (boilerplate/empty templates) would fan every matching new doc
         # out O(bucket) — drop it; recall caveat identical to
         # lsh_candidate_pairs (a pair is missed only if ALL its shared
-        # buckets are hot).  Algebraic form — operators/skew.
-        ob = drop_hot_buckets(ob, "bh", bucket_cap)
+        # buckets are hot).  Algebraic form — operators/skew; the index
+        # is a persisted table scan, so no materialization boundary:
+        # re-scanning parquet beats pinning the whole index in executor
+        # storage every arriving batch (round-12 ADVICE)
+        ob = drop_hot_buckets(ob, "bh", bucket_cap, materialize=False)
     cands = nb.join(ob, "bh").select("new_id", "old_id").distinct()
     sh_n = new.select(F.col(id_col).alias("new_id"), shingles3(text_col).alias("s_n"))
     # shingle ONLY the candidate slice of the corpus — the semi-join

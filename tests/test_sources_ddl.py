@@ -1137,3 +1137,136 @@ def test_explain_analyze_ddl_rejected(engine):
         "EXPLAIN ANALYZE SELECT count(*) AS c FROM nation", dialect="presto"
     ).collect()
     assert "=" in out[0].query_plan
+
+
+def test_explain_never_executes_side_effects(engine, spark):
+    """Round-12 ADVICE: ExplainTask.java only PLANS the inner statement —
+    EXPLAIN (TYPE VALIDATE|LOGICAL|DISTRIBUTED|IO) of an INSERT/DDL must
+    not run it.  (Spark executes DML eagerly through spark.sql, so the
+    guard routes non-queries through Spark's plan-only EXPLAIN.)"""
+    spark.sql("DROP TABLE IF EXISTS expl_guard_t")
+    spark.sql("CREATE TABLE expl_guard_t (a int) USING parquet")
+    try:
+        spark.sql("INSERT INTO expl_guard_t VALUES (1)")
+        for etype in ("VALIDATE", "LOGICAL", "DISTRIBUTED", "IO"):
+            out = engine.sql(
+                f"EXPLAIN (TYPE {etype}) INSERT INTO expl_guard_t VALUES (99)",
+                dialect="presto",
+            ).collect()
+            assert len(out) == 1
+            assert spark.table("expl_guard_t").count() == 1, etype
+        # plan text is real for the plan-returning variants
+        pl = engine.sql(
+            "EXPLAIN (TYPE DISTRIBUTED) INSERT INTO expl_guard_t VALUES (99)",
+            dialect="presto",
+        ).collect()[0].query_plan
+        assert "Insert" in pl
+        # VALIDATE of a broken statement still fails analysis
+        with pytest.raises(Exception):
+            engine.sql(
+                "EXPLAIN (TYPE VALIDATE) INSERT INTO expl_guard_t "
+                "SELECT no_such_col FROM nation",
+                dialect="presto",
+            )
+        assert spark.table("expl_guard_t").count() == 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS expl_guard_t")
+
+
+def test_explain_analyze_dml_allowed(engine, spark):
+    """Round-12 ADVICE: the reference rejects only DATA_DEFINITION under
+    EXPLAIN ANALYZE (SqlQueryManager.java:441 via StatementUtils) — DML
+    is executed and reported, so INSERT must run exactly once."""
+    spark.sql("DROP TABLE IF EXISTS expl_an_t")
+    spark.sql("CREATE TABLE expl_an_t (a int) USING parquet")
+    try:
+        out = engine.sql(
+            "EXPLAIN ANALYZE INSERT INTO expl_an_t VALUES (5)", dialect="presto"
+        ).collect()
+        assert len(out) == 1
+        spark.catalog.refreshTable("expl_an_t")
+        assert spark.table("expl_an_t").count() == 1
+        # data definition still rejected
+        with pytest.raises(Exception, match="doesn't support statement type"):
+            engine.sql("EXPLAIN ANALYZE CREATE SCHEMA expl_an_s", dialect="presto")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS expl_an_t")
+
+
+def test_call_named_args_bind_by_declared_position(engine):
+    """Round-12 ADVICE: CALL p(z => 9) on proc(x, y, z) must bind z at
+    its DECLARED index (CallTask.java), not compact named args into a
+    positional prefix."""
+    calls = []
+    engine.register_procedure(
+        "testing.bind3",
+        ["x", "y", "z"],
+        lambda x=None, y=None, z=None: calls.append((x, y, z)),
+    )
+    engine.sql("CALL testing.bind3(z => 9)", dialect="presto")
+    assert calls[-1] == (None, None, 9)
+    engine.sql("CALL testing.bind3(y => 5)", dialect="presto")
+    assert calls[-1] == (None, 5, None)
+    engine.sql("CALL testing.bind3(x => 1, z => 3)", dialect="presto")
+    assert calls[-1] == (1, None, 3)
+
+
+def test_rewrite_table_durable_on_midflight_failure(spark, monkeypatch):
+    """Round-12 top task: the RENAME/DROP COLUMN rewrite fallback must
+    stage to a tmp table BEFORE dropping the original — a writer crash
+    mid-rewrite leaves the table fully intact (the prior form dropped
+    first and held the new copy only in session-local checkpoint
+    blocks)."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    spark.sql("DROP TABLE IF EXISTS durab_t")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id int, name string").write.saveAsTable(
+        "durab_t"
+    )
+    try:
+        real = DataFrameWriter.saveAsTable
+
+        def boom(self, name, *a, **k):
+            if "__rewrite_tmp" in name:
+                raise RuntimeError("simulated executor crash mid-write")
+            return real(self, name, *a, **k)
+
+        monkeypatch.setattr(DataFrameWriter, "saveAsTable", boom)
+        with pytest.raises(RuntimeError, match="simulated"):
+            ddl.drop_column(spark, "durab_t", "name")
+        monkeypatch.setattr(DataFrameWriter, "saveAsTable", real)
+        # original table fully intact, no tmp left behind
+        assert sorted(r.id for r in spark.table("durab_t").collect()) == [1, 2]
+        assert spark.table("durab_t").columns == ["id", "name"]
+        assert not spark.catalog.tableExists("durab_t__rewrite_tmp")
+        # and the un-patched rewrite still works end-to-end
+        ddl.drop_column(spark, "durab_t", "name")
+        assert spark.table("durab_t").columns == ["id"]
+        assert not spark.catalog.tableExists("durab_t__rewrite_tmp")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS durab_t")
+        spark.sql("DROP TABLE IF EXISTS durab_t__rewrite_tmp")
+
+
+def test_rename_schema_moves_views(spark):
+    """Round-12 task 6: ALTER SCHEMA RENAME must carry views (recreated
+    from their defining text AFTER sibling tables move), not silently
+    drop them."""
+    spark.sql("DROP SCHEMA IF EXISTS renv_src CASCADE")
+    spark.sql("DROP SCHEMA IF EXISTS renv_dst CASCADE")
+    try:
+        ddl.create_schema(spark, "renv_src")
+        spark.createDataFrame([(1,), (2,)], "a int").write.saveAsTable("renv_src.base")
+        spark.sql(
+            "CREATE VIEW renv_src.v AS SELECT a * 10 AS a10 FROM renv_src.base"
+        )
+        ddl.rename_schema(spark, "renv_src", "renv_dst")
+        tabs = {t.name: t.tableType for t in spark.catalog.listTables("renv_dst")}
+        assert tabs.get("base") == "MANAGED" and tabs.get("v") == "VIEW"
+        # self-references were re-pointed to the new schema, so the
+        # moved view still resolves and computes the same result
+        assert sorted(r.a10 for r in spark.table("renv_dst.v").collect()) == [10, 20]
+        assert "renv_dst.base" in ddl.view_definition(spark, "renv_dst.v").replace("`", "")
+    finally:
+        spark.sql("DROP SCHEMA IF EXISTS renv_src CASCADE")
+        spark.sql("DROP SCHEMA IF EXISTS renv_dst CASCADE")

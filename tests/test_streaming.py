@@ -530,3 +530,71 @@ def test_streaming_dedup_against_index(spark, tmp_path):
     assert spark.table("sdi_index").filter("old_id = 102").count() > 0
     spark.sql("DROP TABLE IF EXISTS sdi_index")
     spark.sql("DROP TABLE IF EXISTS sdi_corpus")
+
+
+def test_dedup_stream_replay_safe(spark, tmp_path):
+    """Round-12 ADVICE: a replayed epoch (state appended, checkpoint
+    commit lost) must REPRODUCE its output, not erase it.  Simulate the
+    half-committed state directly: the corpus/index already contain the
+    arriving batch's own docs under their own ids.  Without the
+    new_id != old_id guard every survivor self-matches (Jaccard 1.0)
+    and the epoch overwrite lands EMPTY; without the anti-join the
+    state appends duplicate."""
+    from prestodb_presto_spark.sources.io import drop_table
+    from prestodb_presto_spark.streaming.ops import dedup_stream_against_index
+    from prestodb_presto_spark.text.minhash import build_dedup_index
+
+    text_a = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "green turtles carry heavy crates across a narrow wooden bridge"
+    )
+    text_b = (
+        "completely different subject matter about distributed query "
+        "engines shuffling columnar batches through codegen pipelines"
+    )
+    drop_table(spark, "rsf_index")
+    drop_table(spark, "rsf_corpus")
+    # state as a crashed epoch left it: docs 101/102 ALREADY appended
+    corpus = spark.createDataFrame(
+        [(101, text_a), (102, text_b)], "doc_id long, text string"
+    )
+    corpus.write.saveAsTable("rsf_corpus")
+    build_dedup_index(spark.table("rsf_corpus")).write.saveAsTable("rsf_index")
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    corpus.coalesce(1).write.parquet(str(in_dir / "b1"))  # the replayed batch
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "*"))
+    )
+    q = dedup_stream_against_index(
+        stream,
+        index_table="rsf_index",
+        corpus_table="rsf_corpus",
+        out_path=str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    kept = {r.doc_id for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert kept == {101, 102}, kept  # output reproduced, not erased
+    spark.catalog.refreshTable("rsf_corpus")
+    spark.catalog.refreshTable("rsf_index")
+    # state appends were idempotent: one corpus row per doc, and the
+    # index row-count per doc did not double
+    counts = {
+        r.doc_id: r.c
+        for r in spark.table("rsf_corpus").groupBy("doc_id").count().withColumnRenamed("count", "c").collect()
+    }
+    assert counts == {101: 1, 102: 1}, counts
+    per_doc = {
+        r.old_id: r.c
+        for r in spark.table("rsf_index").groupBy("old_id").count().withColumnRenamed("count", "c").collect()
+    }
+    assert set(per_doc) == {101, 102}
+    base = {r.old_id: r.c for r in build_dedup_index(corpus).groupBy("old_id").count().withColumnRenamed("count", "c").collect()}
+    assert per_doc == base, (per_doc, base)
+    spark.sql("DROP TABLE IF EXISTS rsf_index")
+    spark.sql("DROP TABLE IF EXISTS rsf_corpus")
