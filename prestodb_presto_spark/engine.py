@@ -229,6 +229,125 @@ class Engine:
             )
         return self._session_stmt(text)
 
+    def _system_catalog_stmt(self, text: str) -> DataFrame | None:
+        """SHOW statements over the SYSTEM / JMX catalogs (reference
+        connector/system/SystemConnectorModule.java, presto-jmx
+        JmxMetadata.java; product-test suites catalog/ and system/).
+        Presto's SHOW output shapes: SHOW CATALOGS → Catalog; SHOW
+        SCHEMAS → Schema; SHOW TABLES → Table; SHOW COLUMNS → Column,
+        Type, Extra, Comment.  Returns None when not one of them."""
+        import re
+
+        from prestodb_presto_spark.sources import system_tables as st
+
+        m = re.match(
+            r"\s*SHOW\s+CATALOGS(?:\s+LIKE\s+'([^']*)')?\s*;?\s*$", text, re.IGNORECASE
+        )
+        if m:
+            df = st.metadata_catalogs(self.spark).select(
+                F.col("catalog_name").alias("Catalog")
+            )
+            if m.group(1):
+                df = df.filter(F.col("Catalog").like(m.group(1)))
+            return df.orderBy("Catalog")
+        if re.match(r"\s*SHOW\s+SCHEMAS\s*;?\s*$", text, re.IGNORECASE):
+            # every Presto catalog exposes a synthesized information_schema
+            # alongside its real schemas (catalog suite showSchemas golden)
+            names = sorted(
+                {d.name for d in self.spark.catalog.listDatabases()}
+                | {"information_schema"}
+            )
+            return self.spark.createDataFrame([(n,) for n in names], "Schema string")
+        m = re.match(
+            r"\s*SHOW\s+SCHEMAS\s+(?:FROM|IN)\s+(system|jmx)\s*;?\s*$",
+            text,
+            re.IGNORECASE,
+        )
+        if m:
+            names = (
+                st.SYSTEM_SCHEMAS
+                if m.group(1).lower() == "system"
+                else ["current", "history"]  # JmxConnectorFactory schemas
+            )
+            return self.spark.createDataFrame(
+                [(n,) for n in names], "Schema string"
+            )
+        m = re.match(
+            r"\s*SHOW\s+TABLES\s+(?:FROM|IN)\s+"
+            r"(?:system\.(\w+)|(jmx)\.current)\s*;?\s*$",
+            text,
+            re.IGNORECASE,
+        )
+        if m:
+            if m.group(2):
+                names = st.JMX_TABLES
+            else:
+                schema = m.group(1).lower()
+                if schema not in st.SYSTEM_MODEL:
+                    raise ValueError(f"Schema not found: system.{schema}")
+                names = sorted(st.SYSTEM_MODEL[schema])
+            return self.spark.createDataFrame([(n,) for n in names], "Table string")
+        m = re.match(
+            r"\s*SHOW\s+COLUMNS\s+(?:FROM|IN)\s+"
+            r"(?:system\.(\w+)\.(\w+)|jmx\.current\.\"([^\"]+)\")\s*;?\s*$",
+            text,
+            re.IGNORECASE,
+        )
+        if m:
+            if m.group(3):
+                df = st.jmx_current(self.spark, m.group(3))
+                rows = [
+                    (f.name, f.dataType.simpleString(), "", "") for f in df.schema.fields
+                ]
+            else:
+                schema, table = m.group(1).lower(), m.group(2).lower()
+                cols = st.SYSTEM_MODEL.get(schema, {}).get(table)
+                if cols is None:
+                    raise ValueError(f"Table not found: system.{schema}.{table}")
+                rows = [(n, t, "", "") for n, t in cols]
+            return self.spark.createDataFrame(
+                rows, "Column string, Type string, Extra string, Comment string"
+            )
+        return None
+
+    def _rewrite_system_tables(self, text: str) -> str:
+        """Rewrite system.<schema>.<table> / jmx.current."bean" table
+        references to synthesized temp views (temp views can't be
+        catalog-qualified in Spark) — string literals are skipped, same
+        contract as the information_schema rewrite."""
+        import re
+
+        pat = re.compile(
+            r"(?<![\w.])system\.(information_schema|runtime|metadata)\.(\w+)",
+            re.IGNORECASE,
+        )
+        jpat = re.compile(r'(?<![\w.])jmx\.current\."([^"]+)"', re.IGNORECASE)
+        lit = re.compile(r"'(?:[^']|'')*'")
+        from prestodb_presto_spark.sources import system_tables as st
+
+        def _sys_repl(m):
+            schema, table = m.group(1).lower(), m.group(2).lower()
+            view = f"__system_{schema}_{table}"
+            st.system_table(self.spark, schema, table).createOrReplaceTempView(view)
+            return view
+
+        def _jmx_repl(m):
+            bean = m.group(1)
+            view = "__jmx_" + re.sub(r"\W+", "_", bean.lower()).strip("_")
+            st.jmx_current(self.spark, bean).createOrReplaceTempView(view)
+            return view
+
+        pieces, last = [], 0
+        for lm in lit.finditer(text):
+            pieces.append((text[last : lm.start()], True))
+            pieces.append((lm.group(0), False))
+            last = lm.end()
+        pieces.append((text[last:], True))
+        return "".join(
+            jpat.sub(_jmx_repl, pat.sub(_sys_repl, seg)) if rw else seg
+            for seg, rw in pieces
+        )
+
     def _session_stmt(self, text: str) -> DataFrame | None:
         """Presto session/metadata statements with no Spark-parser
         spelling (grammar SqlBase.g4; execution/SetSessionTask.java,
@@ -237,6 +356,9 @@ class Engine:
         one of them."""
         import re
 
+        out = self._system_catalog_stmt(text)
+        if out is not None:
+            return out
         m = re.match(
             r"\s*SET\s+SESSION\s+([\w.]+)\s*=\s*(.+?)\s*;?\s*$", text, re.IGNORECASE
         )
@@ -646,6 +768,16 @@ class Engine:
             handled = self._view_ddl(text)
             if handled is not None:
                 return handled
+            import re
+
+            low0 = text.lower()
+            if re.search(
+                r"\bsystem\.(information_schema|runtime|metadata)\.", low0
+            ) or "jmx.current" in low0:
+                # must run BEFORE the generic information_schema rewrite,
+                # which would otherwise swallow system.information_schema
+                # as a catalog-qualified hive reference
+                text = self._rewrite_system_tables(text)
             if "information_schema." in text.lower():
                 # materialize the synthesized metadata views under plain
                 # names (temp views can't be schema-qualified in Spark).

@@ -228,6 +228,56 @@ def pack_ids_as_bmp(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return attach_media_meta(packed, "image", "bmp")
 
 
+def pack_near_dup_bmps(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture adapter for the perceptual-hash dedup gate: REAL 24-bit
+    BMPs in NEAR-DUP PAIRS — docs 2k and 2k+1 render the same base image
+    (i = (id//2)*2), the odd member perturbed by +8 on R(0,0), so dHash
+    places pair members within a small Hamming distance while the
+    x·y·(1+i%13)-style cross terms disperse unrelated ids' gradients.
+    Dims start at 4 so no image degenerates below the 9x8 dHash grid's
+    resolution into an all-zero hash.  Pixels stay closed-form (integer
+    arithmetic on id, x, y) so a SQL oracle re-derives the hash exactly:
+      w = 4 + i%7, h = 4 + i%5
+      R = (i·7  + x·37 + y·59 + x·y·(1+i%13) + 8·[odd ∧ x=0 ∧ y=0]) % 256
+      G = (i·11 + x·23 + y·41 + x·y·(2+i%11)) % 256
+      B = (i·17 + x·29 + y·31 + x·y·(3+i%7)) % 256
+    """
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from prestodb_presto_spark.multimodal.codecs import encode_bmp24
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                i, odd = (d // 2) * 2, d % 2
+                w, h = 4 + i % 7, 4 + i % 5
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                perturb = 8 * odd * ((x == 0) & (y == 0))
+                px = np.stack(
+                    [
+                        (i * 7 + x * 37 + y * 59 + x * y * (1 + i % 13) + perturb) % 256,
+                        (i * 11 + x * 23 + y * 41 + x * y * (2 + i % 11)) % 256,
+                        (i * 17 + x * 29 + y * 31 + x * y * (3 + i % 7)) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                rows.append({"doc_id": doc_id, "content": encode_bmp24(px)})
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    packed = docs.select(F.col(id_col)).mapInPandas(
+        gen,
+        schema=StructType(
+            [StructField("doc_id", LongType()), StructField("content", BinaryType())]
+        ),
+    )
+    return attach_media_meta(packed, "image", "bmp")
+
+
 def _bmp_feature_batch(batches) -> Iterator:
     """mapInPandas worker: REAL BMP decode (fixed V3 header, bottom-up
     padded BGR rows) → per-channel integer sums."""

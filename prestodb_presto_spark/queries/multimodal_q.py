@@ -174,3 +174,61 @@ def multimodal_bmp_decode(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
     return bmp_features(pack_ids_as_bmp(docs)).orderBy("doc_id")
+
+
+@query(
+    "multimodal_dedup_phash",
+    oracle="""
+    WITH ids AS (SELECT doc_id, (doc_id // 2) * 2 AS i, doc_id % 2 AS odd
+                 FROM documents WHERE doc_id < 200),
+         dims AS (SELECT doc_id, i, odd, 4 + i % 7 AS w, 4 + i % 5 AS h FROM ids),
+         grid AS (SELECT d.*, yi.range AS yi, xj.range AS xj
+                  FROM dims d, range(8) yi, range(9) xj),
+         sampled AS (SELECT doc_id, i, odd, yi, xj,
+                            (yi * h) // 8 AS y, (xj * w) // 9 AS x
+                     FROM grid),
+         gray AS (SELECT doc_id, yi, xj,
+            ( (i*7  + x*37 + y*59 + x*y*(1 + i % 13)
+               + CASE WHEN odd = 1 AND x = 0 AND y = 0 THEN 8 ELSE 0 END) % 256
+            + (i*11 + x*23 + y*41 + x*y*(2 + i % 11)) % 256
+            + (i*17 + x*29 + y*31 + x*y*(3 + i % 7)) % 256 ) // 3 AS g
+                  FROM sampled),
+         bits AS (SELECT a.doc_id, a.yi, a.xj AS j,
+                         CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+                  FROM gray a JOIN gray b
+                    ON b.doc_id = a.doc_id AND b.yi = a.yi AND b.xj = a.xj + 1
+                  WHERE a.xj < 8),
+         halves AS (SELECT doc_id,
+             CAST(SUM(CASE WHEN yi < 4
+                  THEN bit * (1::BIGINT << ((yi % 4) * 8 + j)) ELSE 0 END) AS BIGINT) AS h_hi,
+             CAST(SUM(CASE WHEN yi >= 4
+                  THEN bit * (1::BIGINT << ((yi % 4) * 8 + j)) ELSE 0 END) AS BIGINT) AS h_lo
+                    FROM bits GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                          bit_count(xor(a.h_hi, b.h_hi))
+                        + bit_count(xor(a.h_lo, b.h_lo)) AS hamming
+                   FROM halves a JOIN halves b ON a.doc_id < b.doc_id)
+    SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+    FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b
+    """,
+    tags=("multimodal", "dedup", "pipeline"),
+)
+def multimodal_dedup_phash(spark, sf_dir):
+    """Perceptual-hash image dedup gate (multimodal/phash.py): synthesize
+    REAL near-dup BMP pairs (pack_near_dup_bmps — docs 2k/2k+1 share a
+    base image, odd copy perturbed by one pixel channel), decode + dHash
+    them in one Arrow-batched pass, then find all pairs within Hamming 3
+    via 16-bit band LSH (capped hot buckets + single-shuffle pair
+    expansion — the standard LSH posture of every dedup path here).
+    Banding is EXACT for d=3 over 4 bands (pigeonhole), so the DuckDB
+    oracle brute-forces the same answer: it re-derives the 9x8-grid
+    dHash from the closed-form pixel functions entirely in SQL and
+    compares all pairs.  Reference analog: dedup/similarity are the
+    engine-extension tier (SURVEY §2 'training-data pipeline ops');
+    image hashing itself is UDF-tier work in the reference too."""
+    from prestodb_presto_spark.multimodal.columns import pack_near_dup_bmps
+    from prestodb_presto_spark.multimodal.phash import phash_images, phash_near_pairs
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    hashes = phash_images(pack_near_dup_bmps(docs))
+    return phash_near_pairs(hashes, d=3).orderBy("id_a", "id_b")

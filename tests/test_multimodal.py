@@ -197,3 +197,62 @@ def test_wav_pack_non_ascii_coherent(spark):
         assert r.sum_abs == int(abs(v).sum())
         assert r.sum_sq == int((v * v).sum())
         assert (r.min_sample, r.max_sample) == (int(v.min()), int(v.max()))
+
+
+def test_dhash_properties():
+    """dHash invariants: identical images → distance 0; a one-pixel
+    perturbation moves few bits; an unrelated image moves many."""
+    import numpy as np
+
+    from prestodb_presto_spark.multimodal.phash import dhash_halves
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, size=(16, 20, 3)).astype(np.uint8)
+    near = base.copy()
+    near[0, 0, 0] = (int(near[0, 0, 0]) + 8) % 256
+    far = rng.integers(0, 256, size=(16, 20, 3)).astype(np.uint8)
+
+    def ham(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    hb, hn, hf = dhash_halves(base), dhash_halves(near), dhash_halves(far)
+    assert ham(hb, hb) == 0
+    assert ham(hb, hn) <= 3          # local perturbation: few gradient flips
+    assert ham(hb, hf) > 10          # unrelated image: hash far away
+    for hi, lo in (hb, hn, hf):      # halves stay in unsigned-32 territory
+        assert 0 <= hi < 1 << 32 and 0 <= lo < 1 << 32
+
+
+def test_phash_near_pairs_banded_equals_bruteforce(spark):
+    """The 16-bit-band LSH path (capped, single-shuffle pair expansion)
+    must return exactly the brute-force pair set for d <= 3 — the
+    pigeonhole guarantee the gate's DuckDB oracle relies on."""
+    from prestodb_presto_spark.multimodal.columns import pack_near_dup_bmps
+    from prestodb_presto_spark.multimodal.phash import phash_images, phash_near_pairs
+
+    docs = spark.range(0, 80).withColumnRenamed("id", "doc_id")
+    hashes = phash_images(pack_near_dup_bmps(docs)).cache()
+    banded = sorted(
+        (r.id_a, r.id_b, r.hamming) for r in phash_near_pairs(hashes, d=3).collect()
+    )
+    brute = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in phash_near_pairs(hashes, d=3, bucket_cap=None).collect()
+    )
+    assert banded == brute
+    # every designed pair group (2k, 2k+1) within threshold is present
+    same_group = [(a, b) for a, b, _ in banded if a // 2 == b // 2]
+    assert len(same_group) >= 35  # most of the 40 groups stay within d=3
+    hashes.unpersist()
+
+
+def test_phash_plan_no_cartesian(spark):
+    """The banded path must never plan a cartesian/nested-loop join —
+    candidates come from the (band_idx, bv) bucket grouping."""
+    from prestodb_presto_spark.multimodal.columns import pack_near_dup_bmps
+    from prestodb_presto_spark.multimodal.phash import phash_images, phash_near_pairs
+
+    docs = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    pairs = phash_near_pairs(phash_images(pack_near_dup_bmps(docs)), d=3)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
