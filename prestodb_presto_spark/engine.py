@@ -435,6 +435,31 @@ class Engine:
             return (
                 self.describe_input(name) if kind == "INPUT" else self.describe_output(name)
             )
+        m = re.match(r"\s*USE\s+([\w.]+)\s*;?\s*$", text, re.IGNORECASE)
+        if m:
+            # grammar SqlBase.g4 `use`: USE schema | USE catalog.schema.
+            # Spark's session catalog is the single catalog here, so the
+            # schema part maps to the current database; later unqualified
+            # names resolve inside it (metadata/SessionPropertyManager
+            # session catalog/schema analog).
+            parts = m.group(1).split(".")
+            schema = parts[-1]
+            dbs = [d.name for d in self.spark.catalog.listDatabases()]
+            if schema not in dbs:
+                raise ValueError(f"Schema does not exist: {m.group(1)}")
+            self.spark.catalog.setCurrentDatabase(schema)
+            return self.spark.createDataFrame([(True,)], "result boolean")
+        if re.match(
+            r"\s*(START\s+TRANSACTION|COMMIT|ROLLBACK)\b", text, re.IGNORECASE
+        ):
+            # documented by-design skip (COVERAGE.md): no transactional
+            # storage in scope — fail with the reason, not a parse error
+            raise NotImplementedError(
+                "transactions are not supported: this engine targets "
+                "immutable parquet lakes (COVERAGE.md 'transactions'); "
+                "use a transactional table format (Delta/Iceberg) for "
+                "multi-statement atomicity"
+            )
         m = re.match(r"\s*SET\s+PATH\s+(.+?)\s*;?\s*$", text, re.IGNORECASE)
         if m:
             # SetPathTask: session path for function resolution — the

@@ -25,6 +25,7 @@ from prestodb_presto_spark.sources.io import (
     jdbc_write,
     kafka_batch,
     read_table,
+    read_text_table,
     write_table,
 )
 from prestodb_presto_spark.sources.example_http import (
@@ -35,6 +36,7 @@ from prestodb_presto_spark.sources.memory import MemoryTable
 
 __all__ = [
     "read_table",
+    "read_text_table",
     "write_table",
     "blackhole",
     "jdbc",

@@ -18,6 +18,7 @@ Scale posture baked into the defaults:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 READ_FORMATS = ("parquet", "orc", "csv", "json", "text", "avro", "binaryFile")
 
@@ -48,6 +49,65 @@ def read_table(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load(path)
+
+
+def read_text_table(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    delimiter: str = "|",
+    skip_header: int = 0,
+    skip_footer: int = 0,
+) -> DataFrame:
+    """Hive TEXTFILE table with ``skip.header.line.count`` /
+    ``skip.footer.line.count`` TBLPROPERTIES (reference presto-hive
+    HiveTableProperties / product test tables_with_header_and_footer.sql).
+
+    Header/footer lines are skipped PER FILE, matching Hive.  Footer
+    skipping (and multi-line headers) requires knowing where each file
+    ends, so those paths read whole files per task — the same trade Hive
+    makes (it disables input splitting for footer-skipped tables).  Line
+    extraction happens in an Arrow-batched pass; field split + casts
+    stay JVM-side codegen.  At 100 TB the parallel unit is the file,
+    which is how such tables are laid out anyway."""
+    if skip_footer == 0 and skip_header <= 1:
+        # splittable fast path — Spark's native csv reader
+        return (
+            spark.read.schema(schema)
+            .option("sep", delimiter)
+            .option("header", "true" if skip_header == 1 else "false")
+            .csv(path)
+        )
+    from pyspark.sql.types import StructType
+
+    target = StructType.fromDDL(schema) if isinstance(schema, str) else schema
+
+    def lines_gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for content in pdf["content"]:
+                lines = bytes(content).decode("utf-8").splitlines()
+                end = len(lines) - skip_footer
+                out.extend(lines[skip_header:end])
+            yield pd.DataFrame({"value": out})
+
+    lines = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("content")
+        .mapInPandas(lines_gen, "value string")
+    )
+    import re as _re
+
+    parts = F.split(F.col("value"), _re.escape(delimiter))
+    return lines.select(
+        *[
+            parts.getItem(i).cast(f.dataType).alias(f.name)
+            for i, f in enumerate(target.fields)
+        ]
+    )
 
 
 def write_table(

@@ -842,3 +842,64 @@ def test_orc_varchar_dictionary_suite(engine):
             _compare_golden(name, sdf.collect(), exp, opts)
     finally:
         spark.catalog.dropTempView("orc_varchar_dictionary")
+
+
+def test_tables_with_header_and_footer_suite(engine, tmp_path):
+    """tables_with_header_and_footer.sql replay: Hive TEXTFILE tables
+    with skip.header.line.count / skip.footer.line.count TBLPROPERTIES
+    (sources/io.read_text_table).  The dataset is regenerated exactly
+    per the reference's data-generator script (34×1024 rows, 2 header +
+    2 footer lines whose `data` cell is the literal 'data' — the filter
+    cases prove the skipped lines never leak into the data).  Files are
+    split 3-ways to exercise the PER-FILE skip semantics."""
+    import itertools
+
+    from prestodb_presto_spark.sources import read_text_table
+
+    spark = engine.spark
+    n = 34 * 1024
+    comment = ", ".join(
+        itertools.repeat("very long comment which is as long as 1KB bytes", 22)
+    )
+    rows = [f"{i}|{comment}" for i in range(n)]
+    header = ["id|data", "INT|STRING"]
+    footer = ["id|data", "INT|STRING"]
+    thirds = [rows[:11000], rows[11000:22000], rows[22000:]]
+    specs = {
+        "table_with_header": (header, [], 2, 0),
+        "table_with_footer": ([], footer, 0, 2),
+        "table_with_header_and_footer": (header, footer, 2, 2),
+    }
+    for name, (head, foot, sh, sf) in specs.items():
+        d = tmp_path / name
+        d.mkdir()
+        for k, chunk in enumerate(thirds):
+            (d / f"part-{k}.txt").write_text("\n".join(head + chunk + foot) + "\n")
+        read_text_table(
+            spark, str(d), "id int, data string", "|", sh, sf
+        ).createOrReplaceTempView(name)
+    try:
+        cases = []
+        src = open(f"{REF_DIR}/tables_with_header_and_footer.sql").read()
+        section, mode = None, None
+        for line in src.splitlines():
+            s = line.strip()
+            if s.startswith("--! name:"):
+                cases.append([s.split(":", 1)[1].strip(), [], []])
+                mode = "sql"
+            elif s.startswith("--!"):
+                mode = "rows"
+            elif mode == "sql" and s and not s.startswith("--"):
+                cases[-1][1].append(line)
+            elif mode == "rows" and s and not s.startswith("--"):
+                cases[-1][2].append(s)
+        assert len(cases) == 6
+        for name, sql_lines, exp in cases:
+            got = engine.sql("\n".join(sql_lines), dialect="presto").collect()
+            if "filter" in name:
+                assert got == [], f"{name}: header/footer lines leaked: {got[:2]}"
+            else:
+                assert [str(got[0][0])] == exp, (name, got, exp)
+    finally:
+        for name in specs:
+            spark.catalog.dropTempView(name)

@@ -1270,3 +1270,35 @@ def test_rename_schema_moves_views(spark):
     finally:
         spark.sql("DROP SCHEMA IF EXISTS renv_src CASCADE")
         spark.sql("DROP SCHEMA IF EXISTS renv_dst CASCADE")
+
+
+def test_use_schema_and_qualified_resolution(engine, spark):
+    """USE <schema> / USE <catalog>.<schema> (grammar SqlBase.g4 `use`):
+    later unqualified names resolve in the current schema.  Temp views
+    (the engine's fixture tables) stay visible across USE, like the
+    reference's session catalog."""
+    prev = spark.catalog.currentDatabase()
+    spark.sql("DROP SCHEMA IF EXISTS use_s1 CASCADE")
+    try:
+        ddl.create_schema(spark, "use_s1")
+        spark.createDataFrame([(7,)], "v int").write.saveAsTable("use_s1.tq")
+        engine.sql("USE use_s1", dialect="presto")
+        assert spark.catalog.currentDatabase() == "use_s1"
+        # unqualified name now resolves inside use_s1
+        assert engine.sql("SELECT v FROM tq", dialect="presto").collect()[0].v == 7
+        # catalog-qualified spelling routes to the schema part
+        engine.sql(f"USE hive.{prev}", dialect="presto")
+        assert spark.catalog.currentDatabase() == prev
+        with pytest.raises(ValueError, match="does not exist"):
+            engine.sql("USE no_such_schema_xyz", dialect="presto")
+    finally:
+        spark.catalog.setCurrentDatabase(prev)
+        spark.sql("DROP SCHEMA IF EXISTS use_s1 CASCADE")
+
+
+def test_transactions_fail_with_reason(engine):
+    """START TRANSACTION / COMMIT / ROLLBACK are a documented by-design
+    skip — the user gets the reason, not a Spark parse error."""
+    for stmt in ("START TRANSACTION", "COMMIT", "ROLLBACK", "commit work"):
+        with pytest.raises(NotImplementedError, match="transactions are not supported"):
+            engine.sql(stmt, dialect="presto")
