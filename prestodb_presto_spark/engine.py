@@ -259,22 +259,42 @@ class Engine:
             )
             return self.spark.createDataFrame([(n,) for n in names], "Schema string")
         m = re.match(
-            r"\s*SHOW\s+SCHEMAS\s+(?:FROM|IN)\s+(system|jmx)\s*;?\s*$",
+            r"\s*SHOW\s+SCHEMAS\s+(?:FROM|IN)\s+(system|jmx|tpch)\s*;?\s*$",
             text,
             re.IGNORECASE,
         )
         if m:
-            names = (
-                st.SYSTEM_SCHEMAS
-                if m.group(1).lower() == "system"
-                else ["current", "history"]  # JmxConnectorFactory schemas
-            )
+            which = m.group(1).lower()
+            if which == "system":
+                names = st.SYSTEM_SCHEMAS
+            elif which == "jmx":
+                names = ["current", "history"]  # JmxConnectorFactory schemas
+            else:
+                # presto-tpch TpchMetadata.java:90 SCHEMA_NAMES (+ the
+                # synthesized information_schema every catalog carries)
+                names = [
+                    "information_schema", "tiny", "sf1", "sf100", "sf300",
+                    "sf1000", "sf3000", "sf10000", "sf30000", "sf100000",
+                ]
             return self.spark.createDataFrame(
                 [(n,) for n in names], "Schema string"
             )
         m = re.match(
+            r"\s*SHOW\s+TABLES\s+(?:FROM|IN)\s+tpch\.(\w+)\s*;?\s*$",
+            text,
+            re.IGNORECASE,
+        )
+        if m:
+            # presto-tpch table list (TpchTable enum) — identical in
+            # every sf schema
+            names = sorted(
+                ("customer", "lineitem", "nation", "orders",
+                 "part", "partsupp", "region", "supplier")
+            )
+            return self.spark.createDataFrame([(n,) for n in names], "Table string")
+        m = re.match(
             r"\s*SHOW\s+TABLES\s+(?:FROM|IN)\s+"
-            r"(?:system\.(\w+)|(jmx)\.current)\s*;?\s*$",
+            r"(?:system\.(\w+)|(jmx)\.(?:current|history))\s*;?\s*$",
             text,
             re.IGNORECASE,
         )
@@ -289,13 +309,14 @@ class Engine:
             return self.spark.createDataFrame([(n,) for n in names], "Table string")
         m = re.match(
             r"\s*SHOW\s+COLUMNS\s+(?:FROM|IN)\s+"
-            r"(?:system\.(\w+)\.(\w+)|jmx\.current\.\"([^\"]+)\")\s*;?\s*$",
+            r"(?:system\.(\w+)\.(\w+)|jmx\.(current|history)\.\"([^\"]+)\")\s*;?\s*$",
             text,
             re.IGNORECASE,
         )
         if m:
-            if m.group(3):
-                df = st.jmx_current(self.spark, m.group(3))
+            if m.group(4):
+                fn = st.jmx_history if m.group(3).lower() == "history" else st.jmx_current
+                df = fn(self.spark, m.group(4))
                 rows = [
                     (f.name, f.dataType.simpleString(), "", "") for f in df.schema.fields
                 ]
@@ -321,7 +342,7 @@ class Engine:
             r"(?<![\w.])system\.(information_schema|runtime|metadata)\.(\w+)",
             re.IGNORECASE,
         )
-        jpat = re.compile(r'(?<![\w.])jmx\.current\."([^"]+)"', re.IGNORECASE)
+        jpat = re.compile(r'(?<![\w.])jmx\.(current|history)\."([^"]+)"', re.IGNORECASE)
         lit = re.compile(r"'(?:[^']|'')*'")
         from prestodb_presto_spark.sources import system_tables as st
 
@@ -332,9 +353,10 @@ class Engine:
             return view
 
         def _jmx_repl(m):
-            bean = m.group(1)
-            view = "__jmx_" + re.sub(r"\W+", "_", bean.lower()).strip("_")
-            st.jmx_current(self.spark, bean).createOrReplaceTempView(view)
+            schema, bean = m.group(1).lower(), m.group(2)
+            view = f"__jmx_{schema}_" + re.sub(r"\W+", "_", bean.lower()).strip("_")
+            fn = st.jmx_history if schema == "history" else st.jmx_current
+            fn(self.spark, bean).createOrReplaceTempView(view)
             return view
 
         pieces, last = [], 0
@@ -798,7 +820,7 @@ class Engine:
             low0 = text.lower()
             if re.search(
                 r"\bsystem\.(information_schema|runtime|metadata)\.", low0
-            ) or "jmx.current" in low0:
+            ) or re.search(r"\bjmx\.(current|history)\.", low0):
                 # must run BEFORE the generic information_schema rewrite,
                 # which would otherwise swallow system.information_schema
                 # as a catalog-qualified hive reference

@@ -29,6 +29,7 @@ from __future__ import annotations
 import datetime as _dt
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 # --- static metadata model (column name -> presto type), in declared
 # order; reproduced from the tableMetadataBuilder calls cited above ----
@@ -364,6 +365,16 @@ def jmx_current(spark: SparkSession, bean: str) -> DataFrame:
     else:
         raise ValueError(f"jmx table not found: {bean}")
     return spark.createDataFrame(rows, schema)
+
+
+def jmx_history(spark: SparkSession, bean: str) -> DataFrame:
+    """jmx.history."java.lang:type=X" (JmxMetadata.java:73: the history
+    schema serves the same tables with a leading ``timestamp`` column of
+    periodic dumps).  This app keeps no background dumper, so history =
+    the current snapshot stamped now — one row, correct shape."""
+    return jmx_current(spark, bean).select(
+        F.current_timestamp().alias("timestamp"), "*"
+    )
 
 
 def system_table(spark: SparkSession, schema: str, table: str) -> DataFrame:

@@ -134,3 +134,61 @@ def test_sys_example_system_table(engine):
     VARCHAR row 'test', routable through the presto dialect path."""
     rows = engine.sql("SELECT name FROM sys.example", dialect="presto").collect()
     assert [r.name for r in rows] == ["test"]
+
+
+def test_system_catalog_surface(engine):
+    """Round-12 SYSTEM/JMX catalogs (sources/system_tables.py): live
+    runtime tables from Spark's status stores, metadata catalogs, MXBean
+    tables — shapes pinned to the reference's published column
+    signatures (connector/system/*.java, presto-jmx JmxMetadata)."""
+    spark = engine.spark
+    cats = [r.Catalog for r in engine.sql("SHOW CATALOGS", dialect="presto").collect()]
+    assert {"system", "jmx"} <= set(cats)
+    nodes = engine.sql(
+        "SELECT node_id, coordinator, state FROM system.runtime.nodes",
+        dialect="presto",
+    ).collect()
+    assert len(nodes) >= 1 and nodes[0].state == "active" and nodes[0].coordinator
+    spark.sql("SELECT count(*) FROM range(10)").collect()
+    q = engine.sql(
+        "SELECT query_id, state, query FROM system.runtime.queries", dialect="presto"
+    )
+    assert q.count() >= 1
+    t = engine.sql(
+        "SELECT stage_id, state, splits FROM system.runtime.tasks", dialect="presto"
+    )
+    assert t.count() >= 1
+    assert (
+        engine.sql("SELECT * FROM system.runtime.transactions", dialect="presto").count()
+        == 0
+    )
+    cat_rows = {
+        r.catalog_name
+        for r in engine.sql(
+            "SELECT catalog_name FROM system.metadata.catalogs", dialect="presto"
+        ).collect()
+    }
+    assert {"system", "jmx", "hive"} <= cat_rows
+
+
+def test_jmx_current_and_history(engine):
+    """jmx.current MXBean tables + the history schema's leading
+    timestamp column (JmxMetadata.java:73,76)."""
+    mem = engine.sql(
+        'SELECT heapmemoryusage_used FROM jmx.current."java.lang:type=memory"',
+        dialect="presto",
+    ).collect()
+    assert mem[0].heapmemoryusage_used > 0
+    hist = engine.sql(
+        'SELECT * FROM jmx.history."java.lang:type=runtime"', dialect="presto"
+    )
+    assert hist.columns[0] == "timestamp" and hist.count() == 1
+    cols = engine.sql(
+        'SHOW COLUMNS FROM jmx.history."java.lang:type=memory"', dialect="presto"
+    ).collect()
+    assert cols[0].Column == "timestamp"
+    tabs = [
+        r.Table
+        for r in engine.sql("SHOW TABLES FROM jmx.history", dialect="presto").collect()
+    ]
+    assert "java.lang:type=memory" in tabs

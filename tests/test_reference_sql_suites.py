@@ -903,3 +903,40 @@ def test_tables_with_header_and_footer_suite(engine, tmp_path):
     finally:
         for name in specs:
             spark.catalog.dropTempView(name)
+
+
+# --- tpch_connector suite: counts + nation dump are true goldens over
+# real dbgen sf0.01 (tpch.tiny IS dbgen 0.01); SHOW SCHEMAS/TABLES pin
+# the engine's tpch-catalog surface (presto-tpch TpchMetadata.java:90).
+
+TPCH_CONN_CASES = (
+    _load_single_cases("tpch_connector") if os.path.isdir(REF_DIR) else []
+)
+
+
+@pytest.fixture(scope="module")
+def tpch_tiny_env(engine):
+    from tests.tpch_real import TPCH_TABLES, build_tpch_real_dir
+
+    spark = engine.spark
+    real_dir = build_tpch_real_dir("/tmp/spark_graft_tpch_real_sf0.01")
+    for name in TPCH_TABLES:
+        df = spark.read.parquet(f"{real_dir}/{name}.parquet")
+        spark.sql(
+            "SELECT " + _strip_prefix_select(df.columns)
+            + f" FROM parquet.`{real_dir}/{name}.parquet`"
+        ).createOrReplaceTempView(f"tpchconn_{name}")
+    yield engine
+    for name in TPCH_TABLES:
+        spark.catalog.dropTempView(f"tpchconn_{name}")
+
+
+@pytest.mark.parametrize(
+    "name,sql,exp,opts", TPCH_CONN_CASES, ids=[c[0] for c in TPCH_CONN_CASES]
+)
+def test_tpch_connector_suite_case(tpch_tiny_env, name, sql, exp, opts):
+    engine = tpch_tiny_env
+    assert exp is not None, f"{name}: no golden"
+    rewritten = re.sub(r"\btpch\.tiny\.(\w+)", r"tpchconn_\1", sql)
+    sdf = engine.sql(rewritten, dialect="presto")
+    _compare_golden(name, sdf.collect(), exp, opts)
