@@ -33,6 +33,7 @@ from prestodb_presto_spark.sources.example_http import (
     register_example_http,
 )
 from prestodb_presto_spark.sources.memory import MemoryTable
+from prestodb_presto_spark.sources.redis_source import RedisDataSource, register_redis
 
 __all__ = [
     "read_table",
@@ -45,4 +46,6 @@ __all__ = [
     "MemoryTable",
     "ExampleHttpDataSource",
     "register_example_http",
+    "RedisDataSource",
+    "register_redis",
 ]
