@@ -735,3 +735,61 @@ def ddl_view_lifecycle(spark, sf_dir):
     assert types.get("gate_view") == "VIEW"
     eng.sql("DROP VIEW gate_view", dialect="presto")
     return out
+
+
+@query(
+    "source_text_header_footer",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+           CAST(SUM(length(lang)) AS BIGINT) AS sum_lang_len
+    FROM documents WHERE doc_id < 400
+    """,
+    tags=("sources",),
+)
+def source_text_header_footer(spark, sf_dir):
+    """Hive TEXTFILE header/footer skipping gate
+    (sources/io.read_text_table; reference presto-hive
+    skip.header.line.count / skip.footer.line.count TBLPROPERTIES,
+    product test tables_with_header_and_footer.sql).  Documents stage to
+    3 pipe-delimited text files, each wrapped in 2 header + 2 footer
+    lines whose cells would poison the aggregates if they leaked
+    (doc_id cell = 9999999); the distributed read drops them per file
+    and the oracle recomputes the aggregates straight from the parquet
+    source.  Staging is driver-side fixture construction (a few hundred
+    rows), keyed per sf_dir and written once."""
+    import hashlib
+    import os
+
+    from prestodb_presto_spark.queries.util import t
+    from prestodb_presto_spark.sources.io import read_text_table
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    staged = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"),
+        "spark_graft_textsrc_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    marker = os.path.join(staged, ".complete")
+    if not os.path.exists(marker):
+        os.makedirs(staged, exist_ok=True)
+        rows = sorted(
+            (r.doc_id, r.lang) for r in docs.select("doc_id", "lang").collect()
+        )
+        header = ["9999999|header", "9999999|header"]
+        footer = ["9999999|footer", "9999999|footer"]
+        third = max(1, (len(rows) + 2) // 3)
+        for k in range(3):
+            chunk = rows[k * third : (k + 1) * third]
+            body = [f"{i}|{lang}" for i, lang in chunk]
+            with open(os.path.join(staged, f"part-{k}.txt"), "w") as f:
+                f.write("\n".join(header + body + footer) + "\n")
+        open(marker, "w").write("ok")
+    back = read_text_table(
+        spark, staged, "doc_id bigint, lang string", "|",
+        skip_header=2, skip_footer=2,
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("sum_id"),
+        F.sum(F.length("lang")).alias("sum_lang_len"),
+    )
