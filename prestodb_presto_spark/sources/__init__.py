@@ -33,6 +33,7 @@ from prestodb_presto_spark.sources.example_http import (
     register_example_http,
 )
 from prestodb_presto_spark.sources.memory import MemoryTable
+from prestodb_presto_spark.sources.mongo_source import MongoDataSource, register_mongo
 from prestodb_presto_spark.sources.redis_source import RedisDataSource, register_redis
 
 __all__ = [
@@ -48,4 +49,6 @@ __all__ = [
     "register_example_http",
     "RedisDataSource",
     "register_redis",
+    "MongoDataSource",
+    "register_mongo",
 ]
