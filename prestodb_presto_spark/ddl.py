@@ -91,6 +91,95 @@ def explain(df: DataFrame, mode: str = "formatted") -> str:
     )
 
 
+def explain_io(plan_text: str) -> str:
+    """EXPLAIN (TYPE IO) payload (planPrinter/IOPlanPrinter.java): a
+    JSON document of the INPUT TABLES the plan reads — per scan, the
+    columns actually read (ReadSchema, i.e. column pruning made
+    visible) and the filter constraints pushed into the scan
+    (PushedFilters — the reference prints TupleDomain constraints per
+    column; Spark's pushed-filter predicates are grouped per column the
+    same way) — plus the output table for INSERT/CTAS plans.  Built by
+    parsing Spark's formatted physical plan, so it reflects the plan
+    that would EXECUTE, not the query text."""
+    import json
+    import re
+
+    infos = []
+    for block in re.split(r"\n(?=\(\d+\) )", plan_text):
+        header = block.splitlines()[0] if block.strip() else ""
+        m = re.match(r"\(\d+\)\s+Scan\s+(\w+)\s*([\w.$\-]*)", header)
+        if not m:
+            continue
+        fmt, name = m.group(1), m.group(2)
+        loc = re.search(r"Location: \w+ \[([^\]\,]*)", block)
+        if not name and loc:
+            name = loc.group(1).rstrip("/").rsplit("/", 1)[-1].split(".")[0]
+        cols = []
+        rs = re.search(r"ReadSchema: struct<([^\n]*)>", block)
+        if rs:
+            # bracket-aware top-level split (nested struct/array/map
+            # types carry commas of their own)
+            depth, cur, fields = 0, [], []
+            for ch in rs.group(1):
+                if ch == "<":
+                    depth += 1
+                elif ch == ">":
+                    depth -= 1
+                if ch == "," and depth == 0:
+                    fields.append("".join(cur))
+                    cur = []
+                else:
+                    cur.append(ch)
+            if cur:
+                fields.append("".join(cur))
+            for fld in fields:
+                cname, _, ctype = fld.partition(":")
+                cols.append({"columnName": cname.strip(), "type": ctype.strip()})
+        constraints: dict[str, list[str]] = {}
+        pf = re.search(r"PushedFilters: \[([^\n]*)\]", block)
+        if pf and pf.group(1).strip():
+            for pred in re.findall(r"\w+\([^()]*\)", pf.group(1)):
+                cm = re.match(r"\w+\((\w+)", pred)
+                if cm:
+                    constraints.setdefault(cm.group(1), []).append(pred)
+        infos.append(
+            {
+                "table": {
+                    "catalog": "hive",
+                    "schemaTable": {"schema": "default", "table": name or fmt},
+                },
+                "format": fmt,
+                "columns": cols,
+                "columnConstraints": [
+                    {"columnName": c, "pushedFilters": preds}
+                    for c, preds in sorted(constraints.items())
+                ],
+            }
+        )
+    out = {"inputTableColumnInfos": infos}
+    # the command's detail block carries the qualified destination:
+    # Arguments: file:/..., false, Parquet, ..., `catalog`.`db`.`table`, ...
+    om = re.search(
+        r"InsertIntoHadoopFsRelationCommand\nInput.*\nArguments:[^\n]*?"
+        r"`(\w+)`\.`(\w+)`\.`(\w+)`",
+        plan_text,
+    )
+    if om:
+        out["outputTable"] = {
+            "catalog": "hive" if om.group(1) == "spark_catalog" else om.group(1),
+            "schemaTable": {"schema": om.group(2), "table": om.group(3)},
+        }
+    else:
+        om = re.search(r"InsertIntoHadoopFsRelationCommand ([^\s,(]+),", plan_text)
+        if om:
+            dest = om.group(1).rstrip("/").rsplit("/", 1)[-1]
+            out["outputTable"] = {
+                "catalog": "hive",
+                "schemaTable": {"schema": "default", "table": dest},
+            }
+    return json.dumps(out, indent=2)
+
+
 def explain_analyze(df: DataFrame) -> str:
     """EXPLAIN ANALYZE (ExplainAnalyzeOperator.java): execute the query,
     then report the final physical plan with each operator's runtime

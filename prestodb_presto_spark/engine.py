@@ -508,7 +508,7 @@ class Engine:
             # EXPLAIN <q> parses natively in Spark and is NOT
             # intercepted; FORMAT is accepted and ignored (text only).
             from prestodb_presto_spark.dialect import translate
-            from prestodb_presto_spark.ddl import explain, explain_analyze
+            from prestodb_presto_spark.ddl import explain, explain_analyze, explain_io
 
             if m.group(1):
                 tm = re.search(r"\bTYPE\s+(\w+)", m.group(1), re.IGNORECASE)
@@ -558,7 +558,9 @@ class Engine:
                     raise ValueError(plan)
                 if etype == "VALIDATE":
                     return self.spark.createDataFrame([(True,)], "valid boolean")
-                if etype not in ("LOGICAL", "DISTRIBUTED", "IO"):
+                if etype == "IO":
+                    plan = explain_io(plan)
+                elif etype not in ("LOGICAL", "DISTRIBUTED"):
                     raise ValueError(f"unknown EXPLAIN type: {etype}")
                 return self.spark.createDataFrame([(plan,)], "query_plan string")
             with self._presto_literals():
@@ -569,8 +571,12 @@ class Engine:
                 return self.spark.createDataFrame([(True,)], "valid boolean")
             if etype == "LOGICAL":
                 plan = explain(df, "extended")
-            elif etype in ("DISTRIBUTED", "IO"):
+            elif etype == "DISTRIBUTED":
                 plan = explain(df, "formatted")
+            elif etype == "IO":
+                # IOPlanPrinter.java: JSON of input tables, read columns,
+                # pushed constraints — derived from the executable plan
+                plan = explain_io(explain(df, "formatted"))
             else:
                 raise ValueError(f"unknown EXPLAIN type: {etype}")
             return self.spark.createDataFrame([(plan,)], "query_plan string")

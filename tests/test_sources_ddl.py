@@ -1584,3 +1584,41 @@ def test_bson_roundtrip():
     back, offset = bson_decode(bson_encode(doc))
     assert back == doc
     assert offset == len(bson_encode(doc))
+
+
+def test_explain_type_io_json(engine, spark):
+    """EXPLAIN (TYPE IO) now emits the reference's IOPlanPrinter shape
+    (JSON of input tables, the columns actually read, and per-column
+    pushed constraints) — derived from the EXECUTABLE plan, so column
+    pruning and filter pushdown are visible, and side-effecting
+    statements still never run."""
+    import json
+
+    out = engine.sql(
+        "EXPLAIN (TYPE IO) SELECT o_orderkey, o_totalprice FROM orders"
+        " WHERE o_orderkey < 100 AND o_orderstatus = 'F'",
+        dialect="presto",
+    ).collect()[0].query_plan
+    doc = json.loads(out)
+    info = doc["inputTableColumnInfos"][0]
+    assert info["format"] == "parquet"
+    cols = {c["columnName"] for c in info["columns"]}
+    # pruned read: only the 3 referenced columns reach the scan
+    assert cols == {"o_orderkey", "o_orderstatus", "o_totalprice"}
+    cons = {c["columnName"]: c["pushedFilters"] for c in info["columnConstraints"]}
+    assert any("LessThan" in p for p in cons["o_orderkey"])
+    assert any("EqualTo" in p for p in cons["o_orderstatus"])
+    # non-query form: plan-only, with the output table reported
+    spark.sql("DROP TABLE IF EXISTS io_probe_t")
+    spark.sql("CREATE TABLE io_probe_t (a int) USING parquet")
+    try:
+        out2 = engine.sql(
+            "EXPLAIN (TYPE IO) INSERT INTO io_probe_t SELECT CAST(n_nationkey"
+            " AS INT) FROM nation",
+            dialect="presto",
+        ).collect()[0].query_plan
+        doc2 = json.loads(out2)
+        assert doc2["outputTable"]["schemaTable"]["table"] == "io_probe_t"
+        assert spark.table("io_probe_t").count() == 0  # never executed
+    finally:
+        spark.sql("DROP TABLE IF EXISTS io_probe_t")
