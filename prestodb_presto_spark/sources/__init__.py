@@ -33,6 +33,10 @@ from prestodb_presto_spark.sources.example_http import (
     register_example_http,
 )
 from prestodb_presto_spark.sources.memory import MemoryTable
+from prestodb_presto_spark.sources.cassandra_source import (
+    CassandraDataSource,
+    register_cassandra,
+)
 from prestodb_presto_spark.sources.mongo_source import MongoDataSource, register_mongo
 from prestodb_presto_spark.sources.redis_source import RedisDataSource, register_redis
 
@@ -51,4 +55,6 @@ __all__ = [
     "register_redis",
     "MongoDataSource",
     "register_mongo",
+    "CassandraDataSource",
+    "register_cassandra",
 ]
