@@ -32,6 +32,7 @@ from prestodb_presto_spark.sources.example_http import (
     ExampleHttpDataSource,
     register_example_http,
 )
+from prestodb_presto_spark.sources.kafka_source import KafkaPyDataSource, register_kafka_py
 from prestodb_presto_spark.sources.memory import MemoryTable
 from prestodb_presto_spark.sources.cassandra_source import (
     CassandraDataSource,
@@ -57,4 +58,6 @@ __all__ = [
     "register_mongo",
     "CassandraDataSource",
     "register_cassandra",
+    "KafkaPyDataSource",
+    "register_kafka_py",
 ]
