@@ -55,6 +55,7 @@ def _load():
             binary_fns,
             bingtiles,
             bitwise,
+            color,
             conditional,
             datetime_fns,
             geo,

@@ -642,3 +642,53 @@ def fn_geo_set_ops(spark, sf_dir):
         P.st_touches("a", "cc").alias("ac_touches"),
         P.st_crosses("line", "a").alias("l_crosses"),
     ).orderBy("p_partkey")
+
+
+@query(
+    "fn_color_ops",
+    oracle="""
+    WITH src AS (
+        SELECT n_name AS name, (n_nationkey % 8)::BIGINT AS idx,
+               (n_nationkey % 101) / 100.0 AS pct
+        FROM nation WHERE n_nationkey < 8
+    )
+    SELECT name,
+           -(idx + 1) AS code,
+           chr(27) || '[38;5;' || CAST(idx AS VARCHAR) || 'm' || name
+               || chr(27) || '[0m' AS rendered,
+           CAST(65536 * (255 - (idx * 30)) AS BIGINT) AS rgb_code
+    FROM src ORDER BY name
+    """,
+    tags=("functions", "color"),
+)
+def fn_color_ops(spark, sf_dir):
+    """Color/ANSI scalar family (ColorFunctions.java — the round-12
+    close of the last §2.5 skip): color(name) system encoding,
+    render(value, color) ANSI wrapping, rgb(r,g,b).  The oracle
+    re-derives the exact escape strings with chr(27) arithmetic; the
+    interpolating bar()/color(fraction) forms are pinned bit-exact
+    against TestColorFunctions goldens in tests/test_color_functions.py
+    (their java.awt float32 HSB math has no SQL spelling)."""
+    from prestodb_presto_spark import functions as freg
+
+    P = freg.presto
+    nat = t(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 8)
+    names = ["black", "red", "green", "yellow", "blue", "magenta", "cyan", "white"]
+    sysname = F.element_at(
+        F.array(*[F.lit(n) for n in names]), (F.col("n_nationkey") % 8 + 1).cast("int")
+    )
+    src = nat.select(
+        F.col("n_name").alias("name"),
+        (F.col("n_nationkey") % 8).alias("idx"),
+        sysname.alias("cname"),
+    )
+    return src.select(
+        "name",
+        P.color("cname").alias("code"),
+        P.render(F.col("name"), P.color("cname")).alias("rendered"),
+        P.rgb(
+            (F.lit(255) - F.col("idx") * 30).cast("bigint"),
+            F.lit(0).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        ).alias("rgb_code"),
+    ).orderBy("name")
