@@ -38,7 +38,12 @@ import socket
 import struct
 import zlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import (
     BinaryType,
     IntegerType,
@@ -249,16 +254,112 @@ class KafkaPyDataSource(DataSource):
     def schema(self) -> StructType:
         return KAFKA_SCHEMA
 
-    def reader(self, schema: StructType) -> KafkaPyReader:
+    def _opts(self):
         bootstrap = self.options.get("bootstrap")
         topic = self.options.get("topic")
         if not bootstrap or not topic:
             raise ValueError("kafka_py requires options 'bootstrap' and 'topic'")
-        return KafkaPyReader(
-            bootstrap, topic, int(self.options.get("max_bytes", str(1 << 20)))
-        )
+        return bootstrap, topic, int(self.options.get("max_bytes", str(1 << 20)))
+
+    def reader(self, schema: StructType) -> KafkaPyReader:
+        return KafkaPyReader(*self._opts())
+
+    def streamReader(self, schema: StructType) -> "KafkaPyStreamReader":
+        return KafkaPyStreamReader(*self._opts())
 
 
 def register_kafka_py(spark) -> None:
     """Idempotent registration of the kafka_py format."""
     spark.dataSource.register(KafkaPyDataSource)
+
+
+class KafkaPyStreamReader(DataSourceStreamReader):
+    """Streaming tier of the kafka_py source — the structured-streaming
+    twin of presto-kafka's continuous consumption: offsets are
+    {partition: next_offset} dicts; each micro-batch plans one
+    InputPartition per topic-partition covering [start, latest) and
+    executors fetch their ranges independently.  Exactly-once comes
+    from Spark's offset log: a replayed batch re-fetches the same
+    offset range (Kafka reads are idempotent by offset)."""
+
+    def __init__(self, bootstrap, topic, max_bytes):
+        self._bootstrap = bootstrap
+        self._topic = topic
+        self._max_bytes = max_bytes
+
+    def _wire(self):
+        host, _, port = self._bootstrap.rpartition(":")
+        return KafkaWire(host or "localhost", int(port))
+
+    def _layout(self):
+        wire = self._wire()
+        try:
+            return wire.metadata(self._topic)
+        finally:
+            wire.close()
+
+    def initialOffset(self) -> dict:
+        return {str(pid): 0 for pid, _h, _p in self._layout()}
+
+    def latestOffset(self) -> dict:
+        out = {}
+        for pid, host, port in self._layout():
+            wire = KafkaWire(host, port)
+            try:
+                _records, hw = wire.fetch(self._topic, pid, 0, 1)
+                out[str(pid)] = hw
+            finally:
+                wire.close()
+        return out
+
+    def partitions(self, start: dict, end: dict):
+        layout = {pid: (h, p) for pid, h, p in self._layout()}
+        splits = []
+        for pid_s, end_off in end.items():
+            pid = int(pid_s)
+            start_off = int(start.get(pid_s, 0))
+            if end_off > start_off and pid in layout:
+                host, port = layout[pid]
+                splits.append(
+                    _TopicPartitionRange(
+                        self._topic, pid, host, port, start_off, int(end_off)
+                    )
+                )
+        return splits or [
+            # Spark requires >= 1 partition per batch; an empty range
+            # yields no rows
+            _TopicPartitionRange(self._topic, pid, h, p, 0, 0)
+            for pid, h, p in self._layout()[:1]
+        ]
+
+    def read(self, split):
+        if split.end <= split.start:
+            return
+        wire = KafkaWire(split.host, split.port)
+        try:
+            offset = split.start
+            while offset < split.end:
+                records, _hw = wire.fetch(
+                    split.topic, split.partition, offset, self._max_bytes
+                )
+                if not records:
+                    break
+                for off, key, value in records:
+                    if off >= split.end:
+                        return
+                    yield (key, value, split.topic, split.partition, off)
+                    offset = off + 1
+        finally:
+            wire.close()
+
+    def commit(self, end: dict) -> None:
+        # Kafka offsets are the source of truth; Spark's offset log owns
+        # progress — nothing to acknowledge broker-side for plain fetch
+        pass
+
+
+class _TopicPartitionRange(InputPartition):
+    def __init__(self, topic, partition, host, port, start, end):
+        self.topic, self.partition = topic, partition
+        self.host, self.port = host, port
+        self.start, self.end = start, end

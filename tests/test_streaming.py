@@ -598,3 +598,142 @@ def test_dedup_stream_replay_safe(spark, tmp_path):
     assert per_doc == base, (per_doc, base)
     spark.sql("DROP TABLE IF EXISTS rsf_index")
     spark.sql("DROP TABLE IF EXISTS rsf_corpus")
+
+
+def test_kafka_py_stream_incremental(spark, tmp_path):
+    """kafka_py as a STRUCTURED STREAMING source (DataSourceStreamReader
+    tier): offsets are {partition: next} dicts in Spark's offset log, so
+    a second availableNow run against the same checkpoint reads ONLY the
+    messages appended since the first — presto-kafka's continuous
+    consumption re-expressed on the engine's own protocol reader."""
+    import json
+    import socket
+    import struct
+    import threading
+    import zlib
+
+    from prestodb_presto_spark.sources.kafka_source import register_kafka_py
+
+    def message(key, value):
+        body = b"\x00\x00"
+        body += struct.pack(">i", len(key)) + key
+        body += struct.pack(">i", len(value)) + value
+        return struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF) + body
+
+    def kstr(s):
+        b = s.encode()
+        return struct.pack(">h", len(b)) + b
+
+    parts = {0: [], 1: []}
+
+    def add(i):
+        parts[i % 2].append(
+            message(f"k{i}".encode(), json.dumps({"x": i}).encode())
+        )
+
+    for i in range(10):
+        add(i)
+
+    srv = socket.create_server(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+    stop = threading.Event()
+
+    def reply_metadata(corr, topic):
+        body = struct.pack(">i", 1) + struct.pack(">i", 0) + kstr("127.0.0.1") + struct.pack(">i", port)
+        body += struct.pack(">i", 1) + struct.pack(">h", 0) + kstr(topic)
+        body += struct.pack(">i", 2)
+        for pid in (0, 1):
+            body += struct.pack(">hii", 0, pid, 0)
+            body += struct.pack(">ii", 1, 0) + struct.pack(">ii", 1, 0)
+        return struct.pack(">i", corr) + body
+
+    def reply_fetch(corr, topic, pid, offset):
+        msgs = parts[pid]
+        ms = b""
+        for off in range(offset, len(msgs)):
+            m = msgs[off]
+            ms += struct.pack(">qi", off, len(m)) + m
+        body = struct.pack(">i", 1) + kstr(topic) + struct.pack(">i", 1)
+        body += struct.pack(">ihqi", pid, 0, len(msgs), len(ms)) + ms
+        return struct.pack(">i", corr) + body
+
+    def serve(conn):
+        try:
+            while True:
+                raw = b""
+                while len(raw) < 4:
+                    c = conn.recv(4 - len(raw))
+                    if not c:
+                        return
+                    raw += c
+                size = struct.unpack(">i", raw)[0]
+                req = b""
+                while len(req) < size:
+                    req += conn.recv(size - len(req))
+                api, _v, corr = struct.unpack_from(">hhi", req)
+                pos = 8
+                cn = struct.unpack_from(">h", req, pos)[0]
+                pos += 2 + max(cn, 0)
+                if api == 3:
+                    pos += 4
+                    tn = struct.unpack_from(">h", req, pos)[0]
+                    out = reply_metadata(corr, req[pos + 2 : pos + 2 + tn].decode())
+                else:
+                    pos += 16
+                    tn = struct.unpack_from(">h", req, pos)[0]
+                    topic = req[pos + 2 : pos + 2 + tn].decode()
+                    pos += 2 + tn + 4
+                    pid, offset, _mb = struct.unpack_from(">iqi", req, pos)
+                    out = reply_fetch(corr, topic, pid, offset)
+                conn.sendall(struct.pack(">i", len(out)) + out)
+        except OSError:
+            pass
+        finally:
+            conn.close()
+
+    def accept_loop():
+        srv.settimeout(0.2)
+        while not stop.is_set():
+            try:
+                conn, _ = srv.accept()
+            except TimeoutError:
+                continue
+            except OSError:
+                return
+            threading.Thread(target=serve, args=(conn,), daemon=True).start()
+
+    threading.Thread(target=accept_loop, daemon=True).start()
+    try:
+        register_kafka_py(spark)
+
+        def run_once():
+            stream = (
+                spark.readStream.format("kafka_py")
+                .option("bootstrap", f"127.0.0.1:{port}")
+                .option("topic", "t")
+                .load()
+            )
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", str(tmp_path / "out"))
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run_once()
+        got1 = spark.read.parquet(str(tmp_path / "out"))
+        keys1 = sorted(bytes(r.key).decode() for r in got1.collect())
+        assert keys1 == sorted(f"k{i}" for i in range(10))
+        # broker grows; the next run must read ONLY the new offsets
+        for i in range(10, 16):
+            add(i)
+        run_once()
+        got2 = spark.read.parquet(str(tmp_path / "out"))
+        keys2 = sorted(bytes(r.key).decode() for r in got2.collect())
+        assert keys2 == sorted(f"k{i}" for i in range(16))
+        assert got2.count() == 16  # no re-reads, no gaps
+    finally:
+        stop.set()
+        srv.close()
