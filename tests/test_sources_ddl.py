@@ -1932,3 +1932,29 @@ def test_kafka_py_missing_topic(spark, kafka_stub):
             .load()
             .collect()
         )
+
+
+def test_index_lookup_join_redis(spark, redis_stub):
+    """IndexJoinOperator analog (operators/indexjoin.py): the probe side
+    fetches ONLY its own keys from the remote index (per-task MGET) —
+    the build store is never scanned.  Inner drops missing keys, left
+    keeps them with null values; key traffic is bounded by the probe."""
+    import json
+
+    from prestodb_presto_spark.operators.indexjoin import index_join_redis
+
+    probe = spark.createDataFrame(
+        [(f"dict:{i}",) for i in (1, 3, 5, 999)] + [(None,)],
+        "k string",
+    ).repartition(2)
+    inner = index_join_redis(probe, "k", f"127.0.0.1:{redis_stub}")
+    rows = {r.k: r.value for r in inner.collect()}
+    assert set(rows) == {"dict:1", "dict:3", "dict:5"}  # 999 + null dropped
+    assert json.loads(rows["dict:3"])["n"] == 3
+    left = index_join_redis(probe, "k", f"127.0.0.1:{redis_stub}", how="left")
+    lrows = {r.k: r.value for r in left.collect()}
+    assert lrows["dict:999"] is None and len(lrows) == 5  # incl. the null key
+    # distributed shape: still a narrow mapInPandas over the probe —
+    # no shuffle, no scan of the store
+    plan = inner._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
