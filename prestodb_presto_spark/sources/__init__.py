@@ -40,6 +40,7 @@ from prestodb_presto_spark.sources.cassandra_source import (
 )
 from prestodb_presto_spark.sources.mongo_source import MongoDataSource, register_mongo
 from prestodb_presto_spark.sources.redis_source import RedisDataSource, register_redis
+from prestodb_presto_spark.sources.thrift_source import ThriftDataSource, register_thrift
 
 __all__ = [
     "read_table",
@@ -60,4 +61,6 @@ __all__ = [
     "register_cassandra",
     "KafkaPyDataSource",
     "register_kafka_py",
+    "ThriftDataSource",
+    "register_thrift",
 ]
