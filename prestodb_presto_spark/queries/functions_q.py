@@ -659,7 +659,7 @@ def fn_geo_set_ops(spark, sf_dir):
            CAST(65536 * (255 - (idx * 30)) AS BIGINT) AS rgb_code
     FROM src ORDER BY name
     """,
-    tags=("functions", "color"),
+    tags=("functions", "color", "pandas-tier"),
 )
 def fn_color_ops(spark, sf_dir):
     """Color/ANSI scalar family (ColorFunctions.java — the round-12
