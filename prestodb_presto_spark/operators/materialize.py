@@ -37,6 +37,28 @@ from pyspark.sql import DataFrame
 CONF_KEY = "spark.prestodb_presto_spark.materialization"
 _MODES = ("local", "persist", "reliable")
 
+# persist-mode bookkeeping: persisted frames have no downstream owner to
+# unpersist them, so they are tracked here and released explicitly (the
+# same pattern as queries/packing.release_packing_cache; Spark's async
+# ContextCleaner also reclaims unreferenced blocks eventually, but an
+# explicit release keeps executor storage deterministic in long sessions)
+_PERSISTED: list[DataFrame] = []
+
+
+def release_materialized() -> int:
+    """Unpersist every frame persisted by ``materialize`` under the
+    ``persist`` strategy; returns how many were released.  Call at the
+    end of a pipeline run when the session stays alive."""
+    n = 0
+    for df in _PERSISTED:
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    _PERSISTED.clear()
+    return n
+
 
 def materialization_mode(df: DataFrame) -> str:
     mode = df.sparkSession.conf.get(CONF_KEY, "local")
@@ -57,6 +79,7 @@ def materialize(
         return df.localCheckpoint(eager=eager)
     if mode == "persist":
         out = df.persist(StorageLevel.MEMORY_AND_DISK)
+        _PERSISTED.append(out)
         if eager:
             out.count()
         return out

@@ -20,6 +20,9 @@ def docs(spark):
 
 def _set_mode(spark, mode):
     if mode is None:
+        from prestodb_presto_spark.operators.materialize import release_materialized
+
+        release_materialized()  # persist-mode frames must not outlive a test
         spark.conf.unset(CONF_KEY)
     else:
         spark.conf.set(CONF_KEY, mode)
@@ -57,7 +60,7 @@ def test_persist_mode_recomputable_lineage(spark):
         assert out.count() == 100
         # lineage intact: the analyzed plan still contains the Range source
         assert "Range" in out._jdf.queryExecution().analyzed().toString()
-        out.unpersist()
+        # release_materialized (via _set_mode(None) below) unpersists it
     finally:
         _set_mode(spark, None)
 
@@ -116,3 +119,23 @@ def test_bad_mode_and_missing_checkpoint_dir_fail_loud(spark):
                 materialize(spark.range(1))
         finally:
             _set_mode(spark, None)
+
+
+def test_release_materialized_drops_persisted(spark):
+    """persist-mode frames are tracked and released: after
+    release_materialized() the session holds no more cached RDDs than
+    before (the round-12 full-suite cross-test leak)."""
+    from prestodb_presto_spark.operators.materialize import release_materialized
+
+    release_materialized()
+    jsc = spark.sparkContext._jsc.sc()
+    base = jsc.getPersistentRDDs().size()
+    _set_mode(spark, "persist")
+    try:
+        for _ in range(3):
+            materialize(spark.range(50).selectExpr("id * 2 AS x")).count()
+        released = release_materialized()
+        assert released >= 3
+        assert jsc.getPersistentRDDs().size() <= base
+    finally:
+        _set_mode(spark, None)
