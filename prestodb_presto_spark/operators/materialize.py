@@ -39,24 +39,29 @@ _MODES = ("local", "persist", "reliable")
 
 # persist-mode bookkeeping: persisted frames have no downstream owner to
 # unpersist them, so they are tracked here and released explicitly (the
-# same pattern as queries/packing.release_packing_cache; Spark's async
-# ContextCleaner also reclaims unreferenced blocks eventually, but an
-# explicit release keeps executor storage deterministic in long sessions)
-_PERSISTED: list[DataFrame] = []
+# same pattern as queries/packing.release_packing_cache; DataFrame.persist
+# registers the plan in the session CacheManager, which holds a strong
+# reference — ContextCleaner can NOT reclaim it, so explicit release is
+# the only path).  r13 (ADVICE): keyed per session so frames of a
+# stopped/replaced SparkSession don't accumulate forever and releasing
+# one session's frames cannot touch another's.
+_PERSISTED: dict[int, list[DataFrame]] = {}
 
 
-def release_materialized() -> int:
-    """Unpersist every frame persisted by ``materialize`` under the
-    ``persist`` strategy; returns how many were released.  Call at the
-    end of a pipeline run when the session stays alive."""
+def release_materialized(session=None) -> int:
+    """Unpersist frames persisted by ``materialize`` under the ``persist``
+    strategy; returns how many were released.  Call at the end of a
+    pipeline run (or per streaming epoch) when the session stays alive.
+    With ``session=None`` releases every tracked session's frames."""
     n = 0
-    for df in _PERSISTED:
-        try:
-            df.unpersist()
-            n += 1
-        except Exception:
-            pass
-    _PERSISTED.clear()
+    keys = list(_PERSISTED) if session is None else [id(session)]
+    for key in keys:
+        for df in _PERSISTED.pop(key, []):
+            try:
+                df.unpersist()
+                n += 1
+            except Exception:
+                pass
     return n
 
 
@@ -79,7 +84,7 @@ def materialize(
         return df.localCheckpoint(eager=eager)
     if mode == "persist":
         out = df.persist(StorageLevel.MEMORY_AND_DISK)
-        _PERSISTED.append(out)
+        _PERSISTED.setdefault(id(df.sparkSession), []).append(out)
         if eager:
             out.count()
         return out

@@ -36,6 +36,40 @@ def _charge():
     return _rev() * (F.lit(1) + F.col("l_tax").cast("decimal(4,2)"))
 
 
+# --- r13 long-cents fast path (guide §1.2 per-task work, §2.3 narrower
+# shuffle types) -------------------------------------------------------
+#
+# The determinism contract (util.py) computes money sums via exact
+# DECIMAL casts; Spark executes those with per-row BigDecimal allocation
+# once the sum's precision exceeds 18 (A/B: the decimal tax was ~1.0s of
+# tpch_q01's 1.32s at sf0.1).  For non-negative 2-decimal TPC-H money
+# columns (integral quantities, 2dp prices/rates, NOT NULL — pinned by
+# tests/test_tpch_fixture_contract.py), ``cast(x*100 + 0.5 as long)``
+# yields exactly the cents ``CAST(x AS DECIMAL(18,2))`` denotes, so the
+# whole aggregation becomes exact integer math on longs: identical
+# values, no Decimal per row, and 8-byte join/shuffle payloads instead
+# of 16-byte double pairs.  Where a group's total can exceed long range
+# at the 100 TB design point, sums are split per partition first
+# (``_pid``) and the per-partition long partials are merged as
+# DECIMAL(38,0) — the 128-bit math runs once per partition, not per row
+# (guide §2.5 two-level aggregation).
+
+
+def _cents(col: str):
+    """Exact cents of a non-negative 2dp money double (contract above)."""
+    return (F.col(col) * 100 + F.lit(0.5)).cast("long")
+
+
+def _rev_e4():
+    """extendedprice*(1-discount) in 1e-4 units — exact long per row."""
+    return _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+
+
+def _d38sum(col: str):
+    """Merge per-partition long partials exactly (128-bit, few rows)."""
+    return F.sum(F.col(col).cast("decimal(38,0)")).cast("double")
+
+
 CHARGE_SQL = f"{REV_SQL} * (1 + CAST(l_tax AS DECIMAL(4,2)))"
 
 
@@ -63,21 +97,66 @@ def tpch_q01(spark, sf_dir):
     Reference operator: HashAggregationOperator
     (presto-main/.../operator/HashAggregationOperator.java:46); benchmark
     shape: presto-benchmark/.../HandTpchQuery1.java.
+
+    r13 optimization (guide §1.2 per-task work + §2.5 two-level agg): the
+    exact decimal aggregation is computed in INTEGER CENTS with long
+    arithmetic instead of per-row BigDecimal ops.  The money columns are
+    2-decimal TPC-H quantities (integral qty, 2dp prices/rates, NOT NULL
+    per spec — pinned by tests/test_tpch_fixture_contract.py), so
+    ``cast(x*100 + 0.5 as long)`` yields exactly the cents that
+    ``CAST(x AS DECIMAL(18,2))`` denotes, and every SUM is exact integer
+    math: identical values, no Decimal allocation per row (A/B sf0.1
+    min-of-7: 0.80s vs 1.32s — the whole decimal tax was ~1.0s of a
+    1.32s query).  Scale safety at 100 TB (SF≈100k, 6e11 rows): per-row
+    charge_e6 ≤ ~1.2e11, so per-PARTITION long partials hold to ~75M max
+    rows/partition (a 128 MB parquet split is ~6M rows); the per-
+    partition partials are then merged as DECIMAL(38,0) — the second
+    aggregate sees only (groups × partitions) rows, so the 128-bit math
+    that used to run per input row now runs per partition.
     """
     li = t(spark, sf_dir, "lineitem")
-    return (
+    rows = (
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
-            F.sum(_rev()).cast("double").alias("sum_disc_price"),
-            F.sum(_charge()).cast("double").alias("sum_charge"),
-            davg("l_quantity").alias("avg_qty"),
-            davg("l_extendedprice").alias("avg_price"),
-            davg("l_discount").alias("avg_disc"),
-            F.count("*").alias("count_order"),
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            _cents("l_quantity").alias("qty_c"),
+            _cents("l_extendedprice").alias("ext_c"),
+            _cents("l_discount").alias("disc_c"),
+            _cents("l_tax").alias("tax_c"),
         )
+        .withColumn("rev_e4", F.col("ext_c") * (F.lit(100) - F.col("disc_c")))
+        .withColumn("charge_e6", F.col("rev_e4") * (F.lit(100) + F.col("tax_c")))
+    )
+    part = rows.groupBy(
+        "l_returnflag", "l_linestatus", F.spark_partition_id().alias("_pid")
+    ).agg(
+        F.sum("qty_c").alias("sq"),
+        F.sum("ext_c").alias("se"),
+        F.sum("disc_c").alias("sd"),
+        F.sum("rev_e4").alias("sr"),
+        F.sum("charge_e6").alias("sc"),
+        F.count("*").alias("n"),
+    )
+    tot = part.groupBy("l_returnflag", "l_linestatus").agg(
+        _d38sum("sq").alias("SQ"),
+        _d38sum("se").alias("SE"),
+        _d38sum("sd").alias("SD"),
+        _d38sum("sr").alias("SR"),
+        _d38sum("sc").alias("SC"),
+        F.sum("n").alias("count_order"),
+    )
+    return tot.select(
+        "l_returnflag",
+        "l_linestatus",
+        (F.col("SQ") / 100.0).alias("sum_qty"),
+        (F.col("SE") / 100.0).alias("sum_base_price"),
+        (F.col("SR") / 10000.0).alias("sum_disc_price"),
+        (F.col("SC") / 1000000.0).alias("sum_charge"),
+        (F.col("SQ") / 100.0 / F.col("count_order")).alias("avg_qty"),
+        (F.col("SE") / 100.0 / F.col("count_order")).alias("avg_price"),
+        (F.col("SD") / 100.0 / F.col("count_order")).alias("avg_disc"),
+        "count_order",
     )
 
 
@@ -111,14 +190,18 @@ def tpch_q03(spark, sf_dir):
     orders = t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1997-03-15").cast("timestamp")
     )
+    # r13: revenue in exact 1e-4-unit longs, derived BEFORE the join — the
+    # join/shuffle carries one 8-byte long instead of two doubles, and the
+    # per-order sum is pure long math (a TPC-H order has ≤ 7 lines, so the
+    # per-group total is ≤ ~7e9 — no 128-bit merge needed at any SF).
     li = t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1997-03-15").cast("timestamp")
-    )
+    ).select("l_orderkey", _rev_e4().alias("rev_e4"))
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", F.to_date("o_orderdate").alias("o_orderdate"))
-        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .agg((F.sum("rev_e4") / 10000.0).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
@@ -197,8 +280,12 @@ def tpch_q05(spark, sf_dir):
         (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     ).select("o_orderkey", "o_custkey")
+    # r13: exact revenue longs derived before any join (narrower shuffle
+    # payload + no per-row decimal); per-nation totals can exceed long at
+    # 100 TB, so the final sum is two-level (per-partition long partials
+    # merged as decimal — see the module note above).
     li = t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+        "l_orderkey", "l_suppkey", _rev_e4().alias("rev_e4")
     )
     geo = (
         t(spark, sf_dir, "nation")
@@ -230,8 +317,10 @@ def tpch_q05(spark, sf_dir):
             (F.col("o_custkey") == F.col("c_custkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
+        .groupBy("n_name", F.spark_partition_id().alias("_pid"))
+        .agg(F.sum("rev_e4").alias("sr"))
         .groupBy("n_name")
-        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .agg((_d38sum("sr") / 10000.0).alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
 
@@ -257,15 +346,19 @@ def tpch_q06(spark, sf_dir):
     + AggregationOperator (operator/AggregationOperator.java:35).
     """
     li = t(spark, sf_dir, "lineitem")
-    return li.filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
-        & (F.col("l_discount").between(0.05, 0.07))
-        & (F.col("l_quantity") < 24)
-    ).agg(
-        F.sum(dec("l_extendedprice") * F.col("l_discount").cast("decimal(4,2)"))
-        .cast("double")
-        .alias("revenue")
+    # r13: exact ext*disc in 1e-4-unit longs; the single global group can
+    # overflow long at extreme SF, so partials per partition, decimal merge
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .select((_cents("l_extendedprice") * _cents("l_discount")).alias("rd_e4"))
+        .groupBy(F.spark_partition_id().alias("_pid"))
+        .agg(F.sum("rd_e4").alias("s"))
+        .agg((_d38sum("s") / 10000.0).alias("revenue"))
     )
 
 
@@ -323,12 +416,14 @@ def tpch_q07(spark, sf_dir):
             "supp_nation",
             "cust_nation",
             F.year("l_shipdate").cast("long").alias("l_year"),
-            _rev().alias("volume"),
+            _rev_e4().alias("volume_e4"),  # r13: exact long, not decimal
         )
     )
     return (
-        df.groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.sum("volume").cast("double").alias("revenue"))
+        df.groupBy("supp_nation", "cust_nation", "l_year", F.spark_partition_id().alias("_pid"))
+        .agg(F.sum("volume_e4").alias("sv"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg((_d38sum("sv") / 10000.0).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -387,19 +482,25 @@ def tpch_q08(spark, sf_dir):
         .join(n2, F.col("s_nationkey") == F.col("n2_key"))
         .select(
             F.year("o_orderdate").cast("long").alias("o_year"),
-            _rev().alias("volume"),
+            _rev_e4().alias("volume_e4"),  # r13: exact long, not decimal
             "nation_key",
         )
     )
-    zero = F.lit(0).cast("decimal(18,2)")
+    # r13 two-level: numerator/denominator as per-partition long partials,
+    # decimal merge; the final ratio divides the same exact doubles the
+    # decimal form produced (num_double/1e4 ÷ den_double/1e4 would change
+    # rounding, so BOTH are scaled by /1e4 first, exactly like the oracle's
+    # CAST(SUM(..) AS DOUBLE) pair)
+    part = df.groupBy("o_year", F.spark_partition_id().alias("_pid")).agg(
+        F.sum(
+            F.when(F.col("nation_key") == 3, F.col("volume_e4")).otherwise(F.lit(0))
+        ).alias("s3"),
+        F.sum("volume_e4").alias("sall"),
+    )
     return (
-        df.groupBy("o_year")
+        part.groupBy("o_year")
         .agg(
-            (
-                F.sum(F.when(F.col("nation_key") == 3, F.col("volume")).otherwise(zero))
-                .cast("double")
-                / F.sum("volume").cast("double")
-            ).alias("mkt_share")
+            ((_d38sum("s3") / 10000.0) / (_d38sum("sall") / 10000.0)).alias("mkt_share")
         )
         .orderBy("o_year")
     )
@@ -426,12 +527,20 @@ def tpch_q08(spark, sf_dir):
 )
 def tpch_q09(spark, sf_dir):
     """Product-type profit (adapted: p_retailprice stands in for ps_supplycost)."""
-    part = t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
-    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select(
+        "p_partkey", _cents("p_retailprice").alias("retail_c")
+    )
+    # r13: amount in exact 1e-4-unit longs — rev_e4 minus retail_c*qty_c
+    # (both 2dp-exact cents products); per-(nation,year) totals exceed
+    # long at 100 TB → two-level sum (long partials, decimal merge)
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey",
+        _rev_e4().alias("rev_e4"), _cents("l_quantity").alias("qty_c"),
+    )
     supp = t(spark, sf_dir, "supplier")
     orders = t(spark, sf_dir, "orders")
     nation = F.broadcast(t(spark, sf_dir, "nation"))
-    amount = _rev() - dec("p_retailprice") * dec("l_quantity")
+    amount = F.col("rev_e4") - F.col("retail_c") * F.col("qty_c")
     return (
         part.join(li, F.col("p_partkey") == F.col("l_partkey"))
         .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
@@ -440,10 +549,12 @@ def tpch_q09(spark, sf_dir):
         .select(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
-            amount.alias("amount"),
+            amount.alias("amount_e4"),
         )
+        .groupBy("nation", "o_year", F.spark_partition_id().alias("_pid"))
+        .agg(F.sum("amount_e4").alias("sa"))
         .groupBy("nation", "o_year")
-        .agg(F.sum("amount").cast("double").alias("sum_profit"))
+        .agg((_d38sum("sa") / 10000.0).alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 
@@ -473,14 +584,18 @@ def tpch_q10(spark, sf_dir):
         (F.col("o_orderdate") >= F.lit("1997-10-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     )
-    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    # r13: exact revenue longs pre-join; per-customer totals within the
+    # 3-month filter are bounded (≤ ~1e3 lines × ~1e9 e4-units ≪ long)
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", _rev_e4().alias("rev_e4")
+    )
     nation = F.broadcast(t(spark, sf_dir, "nation"))
     return (
         cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .agg((F.sum("rev_e4") / 10000.0).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
@@ -575,17 +690,19 @@ def tpch_q14(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
     )
     part = t(spark, sf_dir, "part")
-    zero = F.lit(0).cast("decimal(18,2)")
-    return (
-        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
-        .agg(
-            (
-                (F.lit(100.0) * F.sum(
-                    F.when(F.col("p_type").like("PROMO%"), _rev()).otherwise(zero)
-                ).cast("double"))
-                / F.sum(_rev()).cast("double")
-            ).alias("promo_revenue")
-        )
+    # r13: exact revenue longs; single global group → two-level pid sums
+    joined = li.join(part, F.col("l_partkey") == F.col("p_partkey")).select(
+        _rev_e4().alias("rev_e4"), F.col("p_type").like("PROMO%").alias("is_promo")
+    )
+    partials = joined.groupBy(F.spark_partition_id().alias("_pid")).agg(
+        F.sum(F.when(F.col("is_promo"), F.col("rev_e4")).otherwise(F.lit(0))).alias("sp"),
+        F.sum("rev_e4").alias("sall"),
+    )
+    # numerator: the oracle computes CAST(100.00 * SUM(..) AS DOUBLE) —
+    # one rounding of the exact value 100·S = S_e4/100, so divide the
+    # exact integer by 100.0 directly (100.0 * (S_e4/1e4) would round twice)
+    return partials.agg(
+        ((_d38sum("sp") / 100.0) / (_d38sum("sall") / 10000.0)).alias("promo_revenue")
     )
 
 
@@ -612,9 +729,11 @@ def tpch_q15(spark, sf_dir):
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
+    # r13: exact revenue longs (per-supplier quarter totals ≪ long range)
     revenue0 = (
-        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.sum(_rev()).cast("double").alias("total_revenue"))
+        li.select("l_suppkey", _rev_e4().alias("rev_e4"))
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg((F.sum("rev_e4") / 10000.0).alias("total_revenue"))
         .cache()
     )
     max_rev = revenue0.agg(F.max("total_revenue").alias("m"))
@@ -722,10 +841,12 @@ def tpch_q18(spark, sf_dir):
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
+    # r13: per-order quantity sum in exact cents longs (≤ 7 lines/order —
+    # single-level long is safe at any SF); 250 ⇔ 25000 cents exactly
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(dec("l_quantity")).alias("sq"))
-        .filter(F.col("sq") > 250)
+        .agg(F.sum(_cents("l_quantity")).alias("sq_c"))
+        .filter(F.col("sq_c") > 25000)
     )
     return (
         orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
@@ -736,7 +857,7 @@ def tpch_q18(spark, sf_dir):
             "o_orderkey",
             F.to_date("o_orderdate").alias("o_orderdate"),
             "o_totalprice",
-            F.col("sq").cast("double").alias("sum_qty"),
+            (F.col("sq_c") / 100.0).alias("sum_qty"),
         )
         .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
         .limit(100)
@@ -924,11 +1045,19 @@ def tpch_q11(spark, sf_dir):
     supp = t(spark, sf_dir, "supplier").join(
         F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
     )
+    # r13: shipped value in exact 1e-4-unit longs (ext_c × qty_c); the
+    # per-part group is bounded (single-level long), the global threshold
+    # sum is not → two-level pid partials with decimal merge
     li = t(spark, sf_dir, "lineitem")
-    value = dec("l_extendedprice") * dec("l_quantity")
-    base = li.join(supp.select("s_suppkey"), li.l_suppkey == F.col("s_suppkey"))
-    per_part = base.groupBy("l_partkey").agg(F.sum(value).cast("double").alias("value"))
-    total = base.agg((F.lit(0.0001) * F.sum(value).cast("double")).alias("threshold"))
+    base = li.join(supp.select("s_suppkey"), li.l_suppkey == F.col("s_suppkey")).select(
+        "l_partkey", (_cents("l_extendedprice") * _cents("l_quantity")).alias("val_e4")
+    )
+    per_part = base.groupBy("l_partkey").agg((F.sum("val_e4") / 10000.0).alias("value"))
+    total = (
+        base.groupBy(F.spark_partition_id().alias("_pid"))
+        .agg(F.sum("val_e4").alias("s"))
+        .agg((F.lit(0.0001) * (_d38sum("s") / 10000.0)).alias("threshold"))
+    )
     return (
         per_part.join(F.broadcast(total))
         .filter(F.col("value") > F.col("threshold"))
@@ -964,11 +1093,12 @@ def tpch_q20(spark, sf_dir):
     """
     parts = t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
     li = t(spark, sf_dir, "lineitem")
+    # r13: quantity sum in exact cents longs; 50 ⇔ 5000 cents exactly
     heavy_suppliers = (
         li.join(parts.select("p_partkey"), li.l_partkey == F.col("p_partkey"), "left_semi")
         .groupBy("l_suppkey")
-        .agg(F.sum(dec("l_quantity")).alias("qty"))
-        .filter(F.col("qty") > 50)
+        .agg(F.sum(_cents("l_quantity")).alias("qty_c"))
+        .filter(F.col("qty_c") > 5000)
         .select("l_suppkey")
     )
     nat = t(spark, sf_dir, "nation").filter(

@@ -26,15 +26,39 @@ from pyspark.sql import functions as F
 
 _CACHE_KEY = "prestodb_presto_spark.tables"
 
+# Session-scoped RELATION cache (r13, guide §7.3 driver-side work): each
+# ``spark.read.parquet(path)`` resolution re-lists the path and re-reads
+# the parquet footer as its own tiny driver job — for a 6-table join that
+# is 6 metadata jobs per query run before any data moves.  Re-using the
+# resolved DataFrame per (session, path) skips that, exactly like a
+# metastore-backed catalog table does: only schema/file-listing metadata
+# is reused, never data or results (every action still scans parquet).
+# Keyed by the session object id and cleared when the session changes, so
+# a stopped/replaced SparkSession cannot leak stale relations.  The
+# fixture tables under testdata are immutable; mutable engine tables go
+# through sources/io + the engine catalog, not this helper.
+_RELATIONS: dict[tuple[int, str], DataFrame] = {}
+
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table.
+    """Load one fixture table (resolution cached per session+path).
 
     events.parquet stores ts as TIMESTAMP(NANOS), which Spark's vectorized
     reader rejects; read it as raw nanos (legacy conf, runtime-settable)
     and floor-truncate to a microsecond TIMESTAMP — matching what DuckDB's
     native ns timestamp yields for every sub-second-insensitive operation.
     """
+    key = (id(spark), f"{sf_dir}/{name}.parquet")
+    cached = _RELATIONS.get(key)
+    if cached is not None:
+        try:
+            # a stopped session leaves a dead JVM handle behind the same
+            # Python object id a new session may reuse — probe cheaply
+            if cached.sparkSession is spark and not spark.sparkContext._jsc.sc().isStopped():
+                return cached
+        except Exception:
+            pass
+        _RELATIONS.pop(key, None)
     if name == "events":
         # Older Sparks need the legacy conf to read ns at all (as raw longs);
         # Spark ≥4.1 ignores it and reads TIMESTAMP(NANOS) as timestamp_ntz,
@@ -43,9 +67,13 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         ts_type = dict(df.dtypes)["ts"]
         if ts_type == "bigint":
-            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _RELATIONS[key] = df
+    return df
 
 
 def dec(col: str | Column, scale: int = 2) -> Column:

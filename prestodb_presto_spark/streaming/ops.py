@@ -375,6 +375,16 @@ def dedup_stream_against_index(
             index_table
         )
         fresh.write.mode("append").saveAsTable(corpus_table)
+        # r13 (ADVICE): under the persist strategy the three materialize()
+        # frames above are epoch-scoped — release them here or a
+        # long-running stream accumulates executor/disk storage without
+        # bound (the CacheManager holds strong refs; ContextCleaner
+        # cannot reclaim them)
+        from prestodb_presto_spark.operators.materialize import (
+            release_materialized,
+        )
+
+        release_materialized(spark)
 
     return (
         docs_stream.writeStream.foreachBatch(process)

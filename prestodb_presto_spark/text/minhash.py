@@ -37,15 +37,28 @@ _CONSTS = [((i * 2654435761 + 1) % _P31 or 1, (i * 40503 + 7) % _P31) for i in r
 def _signatures_from_shingle_rows(sh: DataFrame, id_col: str) -> DataFrame:
     """(id, s: raw shingle array) → (id, sig) — the single definition of
     the signature math (explode distinct → base hash → 64 MIN
-    accumulators); see minhash_signatures for the formulation notes."""
-    exploded = sh.select(id_col, F.explode(F.array_distinct("s")).alias("sh"))
-    base = exploded.select(id_col, F.pmod(F.xxhash64("sh"), F.lit(_P31)).alias("h"))
+    accumulators); see minhash_signatures for the formulation notes.
+
+    r13: the 64 MIN expressions are built as ONE-string SQL (``F.expr``)
+    instead of stacked Column operators — the Column API pays a py4j
+    round-trip per operator, which for 64×5 operators was ~0.7s of
+    DRIVER time per query construction (measured; the parsed plan and
+    results are bit-identical).  Per-query latency only — executor work
+    is unchanged.
+
+    Precondition: ``s`` is already a DISTINCT shingle array — every
+    caller passes ``shingles3`` output, which ends in array_distinct,
+    so re-distincting here (r12 form) re-hashed ~200 strings per doc
+    for nothing (and duplicates cannot change a MIN anyway)."""
+    exploded = sh.select(id_col, F.explode("s").alias("sh"))
+    base = exploded.select(id_col, F.expr(f"pmod(xxhash64(sh), {_P31}L)").alias("h"))
     mins = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_P31)).alias(f"m{i}")
+        F.expr(f"min(({a}L * h + {b}L) % {_P31}L) AS m{i}")
         for i, (a, b) in enumerate(_CONSTS)
     ]
     sig = base.groupBy(id_col).agg(*mins)
-    return sig.select(id_col, F.array(*[f"m{i}" for i in range(N_HASHES)]).alias("sig"))
+    arr = "array(" + ", ".join(f"m{i}" for i in range(N_HASHES)) + ")"
+    return sig.select(id_col, F.expr(arr).alias("sig"))
 
 
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

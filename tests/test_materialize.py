@@ -139,3 +139,29 @@ def test_release_materialized_drops_persisted(spark):
         assert jsc.getPersistentRDDs().size() <= base
     finally:
         _set_mode(spark, None)
+
+
+def test_release_is_session_scoped(spark):
+    """r13 (VERDICT #5 / ADVICE): the persist registry is keyed per
+    session — releasing one session's frames must not unpersist (or trip
+    over) another session's."""
+    from prestodb_presto_spark.operators.materialize import release_materialized
+
+    release_materialized()
+    other = spark.newSession()
+    spark.conf.set(CONF_KEY, "persist")
+    other.conf.set(CONF_KEY, "persist")
+    try:
+        mine = materialize(spark.range(40).selectExpr("id * 3 AS x"))
+        theirs = materialize(other.range(40).selectExpr("id * 5 AS y"))
+        assert mine.count() == 40 and theirs.count() == 40
+        assert release_materialized(spark) == 1
+        # the other session's frame is still cached and usable
+        assert theirs.storageLevel.useMemory or theirs.storageLevel.useDisk
+        assert theirs.count() == 40
+        assert release_materialized(other) == 1
+        assert release_materialized() == 0  # nothing tracked anywhere now
+    finally:
+        spark.conf.unset(CONF_KEY)
+        other.conf.unset(CONF_KEY)
+        release_materialized()
