@@ -440,15 +440,52 @@ def rename_schema(spark: SparkSession, old: str, new: str) -> None:
         spark.sql(f"DROP TABLE {old}.{t.name}")
     import re as _re
 
+    def _rewrite_outside_literals(text: str) -> str:
+        # r13 (ADVICE): rewrite old.→new. only OUTSIDE single-quoted
+        # string literals — a literal like 'see old.note' must survive
+        # the move verbatim (same span-skipping the system-table rewrite
+        # uses)
+        out, i, n = [], 0, len(text)
+        pat = _re.compile(rf"\b{_re.escape(old)}\.")
+        while i < n:
+            ch = text[i]
+            if ch == "'":
+                j = i + 1
+                while j < n:
+                    if text[j] == "'" and not (j + 1 < n and text[j + 1] == "'"):
+                        break
+                    j += 2 if text[j] == "'" else 1
+                out.append(text[i : j + 1])
+                i = j + 1
+            else:
+                nxt = text.find("'", i)
+                seg = text[i:] if nxt == -1 else text[i:nxt]
+                out.append(pat.sub(f"{new}.", seg))
+                i = n if nxt == -1 else nxt
+        return "".join(out)
+
+    # r13 (ADVICE): a view over a sibling view can only be recreated
+    # after its dependency — recreate in dependency order by retrying
+    # analysis failures until a fixpoint (cheap topological order; cycles
+    # are impossible for views)
+    pending = [t.name for t in entries if t.tableType == "VIEW"]
+    texts = {
+        name: _rewrite_outside_literals(view_definition(spark, f"{old}.{name}"))
+        for name in pending
+    }
+    while pending:
+        progressed = []
+        errors: dict[str, Exception] = {}
+        for name in pending:
+            try:
+                spark.sql(f"CREATE VIEW {new}.{name} AS {texts[name]}")
+                progressed.append(name)
+            except Exception as exc:  # dependency not yet moved — retry next round
+                errors[name] = exc
+        if not progressed:
+            raise next(iter(errors.values()))
+        pending = [n for n in pending if n not in progressed]
     for t in entries:
-        if t.tableType != "VIEW":
-            continue
-        text = view_definition(spark, f"{old}.{t.name}")
-        # re-point self-references: the stored view SQL qualifies sibling
-        # tables with the OLD schema name, which no longer exists — the
-        # reference stores view SQL verbatim and has the same hazard;
-        # the textual rewrite keeps intra-schema views resolvable
-        text = _re.sub(rf"\b{_re.escape(old)}\.", f"{new}.", text)
-        spark.sql(f"CREATE VIEW {new}.{t.name} AS {text}")
-        spark.sql(f"DROP VIEW {old}.{t.name}")
+        if t.tableType == "VIEW":
+            spark.sql(f"DROP VIEW {old}.{t.name}")
     spark.sql(f"DROP SCHEMA {old}")

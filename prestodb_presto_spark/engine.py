@@ -797,15 +797,15 @@ class Engine:
                 if k not in arg_names:
                     raise ValueError(f"Unknown argument name: {k}")
                 kwargs[k] = lit(v)
-            # bind each named arg by its DECLARED position (CallTask.java
-            # positions named args by the procedure's parameter index) —
-            # then trim only TRAILING unset optionals, so CALL p(b => 5)
-            # on proc(a, b) passes (None, 5), not (5,)
-            args = [kwargs.get(a) for a in arg_names]
-            while args and arg_names[len(args) - 1] not in kwargs:
-                args.pop()
-        else:
-            args = [lit(p) for p in parts]
+            # r13 (ADVICE): invoke by KEYWORD so unset optionals — trailing
+            # OR middle — fall back to the callable's declared defaults,
+            # matching CallTask.java which fills unset optionals with the
+            # procedure's declared default values (the r12 positional form
+            # passed None for unset non-trailing optionals, overriding the
+            # Python default with a never-legal value)
+            fn(**kwargs)
+            return self.spark.createDataFrame([(True,)], "result boolean")
+        args = [lit(p) for p in parts]
         fn(*args)
         return self.spark.createDataFrame([(True,)], "result boolean")
 

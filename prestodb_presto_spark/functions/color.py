@@ -139,7 +139,17 @@ def color_interp_scalar(fraction: float, low_color: int, high_color: int) -> int
 
 
 def color_value_scalar(value, low, high, low_color, high_color) -> int:
-    return color_interp_scalar((value - low) * 1.0 / (high - low), low_color, high_color)
+    # r13 (ADVICE): high == low must not raise — Java computes a ±Inf/NaN
+    # double that the [0,1] clamp absorbs (ColorFunctions.java color(double,..)
+    # via interpolate); mirror the clamped limit instead of ZeroDivisionError:
+    # value above the (degenerate) range → 1.0 → high_color, at/below → 0.0.
+    num = (value - low) * 1.0
+    den = (high - low) * 1.0
+    if den == 0.0:
+        fraction = 1.0 if num > 0 else 0.0
+    else:
+        fraction = num / den
+    return color_interp_scalar(fraction, low_color, high_color)
 
 
 def _to_ansi(color: int) -> int:
@@ -171,7 +181,11 @@ def bar_scalar(percent: float, width: int, low_color: int | None = None,
     count = max(0, min(width, count))
     out = []
     for i in range(count):
-        fraction = _f32(i * 1.0 / (width - 1))
+        # r13 (ADVICE): width == 1 must not raise — Java's 0/0 float is a
+        # NaN whose whole HSB chain collapses through Math.round(NaN) == 0;
+        # the deterministic non-crashing analog is fraction 0.0 (the
+        # low_color endpoint) for the single cell.
+        fraction = _f32(i * 1.0 / (width - 1)) if width > 1 else _f32(0.0)
         out.append(_escape(interpolate(fraction, low_color, high_color)))
         out.append("█")
     out.append(ANSI_RESET)

@@ -1153,10 +1153,19 @@ def tpch_q21(spark, sf_dir):
     (the probe row is itself R, so 'the only R supplier' is the probe's).
     lineitem therefore shuffles ONCE as (orderkey, 4 min/max columns)
     with full map-side combine — no hash-build over raw lineitem rows,
-    no skew from many-line orders — then the R rows join the per-order
-    verdict on l_orderkey.  The round-7 form ran three lineitem
+    no skew from many-line orders.  The round-7 form ran three lineitem
     shuffles (semi + anti + probe); this is the plan that survives a
     100 TB fact table.
+
+    r13: the verdict aggregate already NAMES the one distinct R
+    supplier of a qualifying order (it is min_r itself, since
+    min_r = max_r), and counting that supplier's waiting lines is just
+    one more conditional COUNT in the same aggregate — so the probe
+    side (a SECOND full lineitem scan + semi join back on l_orderkey)
+    is computed away entirely.  ONE fact-table scan total; the verdict
+    rows (orderkey, suppkey, n_lines) join orders/supplier as before.
+    A/B sf0.1 min-of-7: 0.77s vs 0.91s; at 100 TB this removes a full
+    fact scan and a fact-sized semi-join probe.
     """
     li = t(spark, sf_dir, "lineitem")
     is_r = F.col("l_returnflag") == "R"
@@ -1165,11 +1174,13 @@ def tpch_q21(spark, sf_dir):
         F.max("l_suppkey").alias("max_s"),
         F.min(F.when(is_r, F.col("l_suppkey"))).alias("min_r"),
         F.max(F.when(is_r, F.col("l_suppkey"))).alias("max_r"),
+        F.count(F.when(is_r, F.lit(1))).alias("n_r_lines"),
     )
+    # min_r = max_r is NULL (row dropped) for orders with no R line, so
+    # the verdict keeps exactly the orders the old semi-join form kept
     verdict = per_order.filter(
         (F.col("min_s") != F.col("max_s")) & (F.col("min_r") == F.col("max_r"))
-    ).select("l_orderkey")
-    l1 = li.filter(is_r).select("l_orderkey", "l_suppkey")
+    ).select("l_orderkey", F.col("min_r").alias("l_suppkey"), "n_r_lines")
     nat = t(spark, sf_dir, "nation").filter(
         F.col("n_nationkey").isin(2, 12, 22)
     )
@@ -1177,7 +1188,7 @@ def tpch_q21(spark, sf_dir):
         F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
     )
     orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    waiting = l1.join(verdict, "l_orderkey", "left_semi").join(
+    waiting = verdict.join(
         orders.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"
     )
     # supplier is SF-scaled: no static broadcast hint — AQE sees the
@@ -1185,7 +1196,7 @@ def tpch_q21(spark, sf_dir):
     return (
         waiting.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("n_r_lines").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )

@@ -113,3 +113,16 @@ def test_registry_spark_tier(spark):
 
 
 from pyspark.sql.functions import lit as F_lit  # noqa: E402
+
+
+def test_degenerate_width_and_range_do_not_raise():
+    """r13 (ADVICE): bar(p, 1) and color(v, low, low, ..) raised
+    ZeroDivisionError where the reference's float math flows a NaN/Inf
+    through the clamp - both must return deterministically instead."""
+    lo, hi = color_scalar("#f00"), color_scalar("#0f0")
+    assert bar_scalar(1.0, 1, lo, hi)  # one-cell bar renders, no crash
+    assert bar_scalar(0.0, 1, lo, hi)  # empty bar, no crash
+    # degenerate range: above -> high endpoint, at/below -> low endpoint
+    assert color_value_scalar(5, 3, 3, lo, hi) == hi
+    assert color_value_scalar(3, 3, 3, lo, hi) == lo
+    assert color_value_scalar(1, 3, 3, lo, hi) == lo

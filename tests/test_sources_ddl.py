@@ -1211,6 +1211,23 @@ def test_call_named_args_bind_by_declared_position(engine):
     assert calls[-1] == (1, None, 3)
 
 
+def test_call_named_args_keep_declared_defaults(engine):
+    """r13 (ADVICE): unset optionals — middle OR trailing — must fall
+    back to the procedure callable's DECLARED defaults (CallTask fills
+    unset optionals with their declared default values), not be
+    overridden with None by positional padding."""
+    calls = []
+    engine.register_procedure(
+        "testing.defaults3",
+        ["a", "b", "c"],
+        lambda a=10, b=20, c=30: calls.append((a, b, c)),
+    )
+    engine.sql("CALL testing.defaults3(a => 1, c => 3)", dialect="presto")
+    assert calls[-1] == (1, 20, 3)  # middle optional keeps its default
+    engine.sql("CALL testing.defaults3(b => 2)", dialect="presto")
+    assert calls[-1] == (10, 2, 30)
+
+
 def test_rewrite_table_durable_on_midflight_failure(spark, monkeypatch):
     """Round-12 top task: the RENAME/DROP COLUMN rewrite fallback must
     stage to a tmp table BEFORE dropping the original — a writer crash
@@ -1270,6 +1287,33 @@ def test_rename_schema_moves_views(spark):
     finally:
         spark.sql("DROP SCHEMA IF EXISTS renv_src CASCADE")
         spark.sql("DROP SCHEMA IF EXISTS renv_dst CASCADE")
+
+
+def test_rename_schema_views_dependency_order_and_literals(spark):
+    """r13 (ADVICE): a view defined over a SIBLING VIEW must survive the
+    schema rename regardless of catalog enumeration order (recreate
+    retries to a fixpoint), and the old.→new. rewrite must not touch
+    matching text inside string literals."""
+    spark.sql("DROP SCHEMA IF EXISTS rend_src CASCADE")
+    spark.sql("DROP SCHEMA IF EXISTS rend_dst CASCADE")
+    try:
+        ddl.create_schema(spark, "rend_src")
+        spark.createDataFrame([(1,), (2,)], "a int").write.saveAsTable("rend_src.base")
+        # name the INNER view so it enumerates AFTER the outer one
+        # alphabetically — the old single-pass recreation order breaks
+        spark.sql("CREATE VIEW rend_src.z_inner AS SELECT a + 1 AS b FROM rend_src.base")
+        spark.sql(
+            "CREATE VIEW rend_src.a_outer AS "
+            "SELECT b, 'tag rend_src.z_inner' AS lit FROM rend_src.z_inner"
+        )
+        ddl.rename_schema(spark, "rend_src", "rend_dst")
+        rows = spark.table("rend_dst.a_outer").orderBy("b").collect()
+        assert [r.b for r in rows] == [2, 3]
+        # the literal kept the OLD schema spelling verbatim
+        assert rows[0].lit == "tag rend_src.z_inner"
+    finally:
+        spark.sql("DROP SCHEMA IF EXISTS rend_src CASCADE")
+        spark.sql("DROP SCHEMA IF EXISTS rend_dst CASCADE")
 
 
 def test_use_schema_and_qualified_resolution(engine, spark):
