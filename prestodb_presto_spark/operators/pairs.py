@@ -56,13 +56,17 @@ def grouped_pair_expand(
         cols = ["p.id_a", "p.id_b"]
     out = (
         df.groupBy(*keys)
-        .agg(F.collect_set(elem).alias("es"))
-        .filter(F.size("es") >= 2)
+        .agg(F.collect_set(elem).alias("es0"))
+        .filter(F.size("es0") >= 2)
+        # r13: sort ONCE per bucket — Catalyst does not CSE inside HOF
+        # lambdas, so the old single-expression form re-sorted the set
+        # for every outer element
+        .select(F.array_sort("es0").alias("es"))
         .select(
             F.explode(
                 F.expr(
-                    "flatten(transform(array_sort(es), (x, i) ->"
-                    " transform(slice(array_sort(es), i + 2, size(es)),"
+                    "flatten(transform(es, (x, i) ->"
+                    " transform(slice(es, i + 2, size(es)),"
                     f" y -> struct({outs}))))"
                 )
             ).alias("p")
