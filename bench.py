@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -73,13 +74,33 @@ def _calibrate(n_probes: int = 5) -> float:
     return round(best, 3)
 
 
+_BENIGN_EVENT = re.compile(
+    r"ERROR DAGScheduler: Failed to update accumulator \d+ \(Unknown class\)"
+)
+
+
 def _classify_log_events(segment: str) -> list[str]:
     """Compress a driver-log slice to its attributable events: ERROR
     lines and the first line of each WARN that names a task/stage loss.
     (Round-12 task: BENCH_r11 carried a truncated DAGScheduler stack in
-    the driver's stderr tail with no owning query — never again.)"""
+    the driver's stderr tail with no owning query — never again.)
+
+    Round-13 (VERDICT #3): the one KNOWN-BENIGN pattern is suppressed —
+    "ERROR DAGScheduler: Failed to update accumulator N (Unknown class)".
+    Cause: dedup's lazy ``localCheckpoint`` triggers
+    ``AdaptiveSparkPlanExec`` to materialize its shuffle stages inside
+    ``toRdd``; when a straggler task of such a stage completes after the
+    owning QueryExecution's SQL-metric accumulators have been
+    unregistered (the checkpointed RDD outlives the plan that built it),
+    the DAGScheduler logs this per orphaned metric.  Results and
+    timings are unaffected — the same query hash-matches the oracle in
+    every gate run, and the events appear only intermittently on
+    straggler-heavy runs (absent in 4 of 5 r13 bench runs, present in
+    r12's).  Any OTHER error still surfaces."""
     events: list[str] = []
     for line in segment.splitlines():
+        if _BENIGN_EVENT.search(line):
+            continue
         if " ERROR " in line or (
             " WARN " in line
             and any(k in line for k in ("TaskSetManager", "Lost task", "FetchFailed"))

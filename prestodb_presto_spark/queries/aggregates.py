@@ -687,10 +687,22 @@ def agg_checksum(spark, sf_dir):
     """
     li = t(spark, sf_dir, "lineitem")
     key = (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("string")
-    row_hash = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+    # r13: the hex→long parse was ~half the query (A/B sf0.1: scan+group
+    # 0.48s, +md5 0.62s, +conv 1.17s).  `conv` round-trips through a
+    # decimal STRING before the bigint cast; Long.parseLong(hex, 16) via
+    # reflect computes the identical value (15 hex chars < 2^60, never
+    # overflows, null-safe like conv) directly: 1.14s → 0.74s min-of-5.
+    # reflect is Catalyst-nondeterministic, so it lives in a projection
+    # BEFORE the aggregate (partial agg / map-side combine unchanged).
+    row_hash = F.expr(
+        "cast(reflect('java.lang.Long', 'parseLong',"
+        " substring(md5(__ck_key), 1, 15), 16) as bigint)"
+    )
     return (
-        li.groupBy("l_returnflag")
-        .agg(F.bit_xor(row_hash).alias("row_checksum"))
+        li.select("l_returnflag", key.alias("__ck_key"))
+        .select("l_returnflag", row_hash.alias("rh"))
+        .groupBy("l_returnflag")
+        .agg(F.bit_xor("rh").alias("row_checksum"))
         .orderBy("l_returnflag")
     )
 
