@@ -229,6 +229,14 @@ def main() -> None:
     load_after = os.getloadavg()[0] if hasattr(os, "getloadavg") else None
     ncpu = os.cpu_count() or 1
     steal_after = _steal_ticks()
+    # r14 (VERDICT #2): self-prove the core-count knob — record the master
+    # string and the scheduler's defaultParallelism straight from the live
+    # context, so a flat 8-vs-32-core ratio is attributable to the input
+    # layout (the driver-owned fixture parquets are single-row-group files,
+    # so every scan is ONE task at any core count; TESTDATA.md forbids
+    # regenerating them) and not to the env var being ignored.
+    spark_master = spark.sparkContext.master
+    default_parallelism = spark.sparkContext.defaultParallelism
     # the after-probe must run on a QUIET process: with the 32-core Spark
     # JVM still alive, GC/background threads inflate the probe, which
     # would SHRINK the normalized total (round-7 advice).  All timed work
@@ -294,6 +302,8 @@ def main() -> None:
                 "calib_sec_after": calib_after,
                 "cpus": ncpu,
                 "bench_cpus": bench_cpus,
+                "spark_master": spark_master,
+                "default_parallelism": default_parallelism,
                 "machine_loaded_at_start": loaded,
                 # per-query driver-log ERROR / task-loss events (empty =
                 # clean run; a retried task during a timing loop shows up

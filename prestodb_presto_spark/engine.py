@@ -797,13 +797,29 @@ class Engine:
                 if k not in arg_names:
                     raise ValueError(f"Unknown argument name: {k}")
                 kwargs[k] = lit(v)
-            # r13 (ADVICE): invoke by KEYWORD so unset optionals — trailing
-            # OR middle — fall back to the callable's declared defaults,
-            # matching CallTask.java which fills unset optionals with the
-            # procedure's declared default values (the r12 positional form
-            # passed None for unset non-trailing optionals, overriding the
-            # Python default with a never-legal value)
-            fn(**kwargs)
+            # r14 (ADVICE): bind by DECLARED POSITION, not Python keyword —
+            # the declared argument names (spi Procedure metadata) need not
+            # match the callable's parameter names (e.g. built-ins declare
+            # 'table_name' but the callable's parameter is 'table'; the r13
+            # fn(**kwargs) form raised TypeError there).  Unset optionals
+            # fall back to the callable's own defaults, matching
+            # CallTask.java which fills unset arguments with the declared
+            # default values.
+            import inspect
+
+            try:
+                params = list(inspect.signature(fn).parameters.values())
+            except (TypeError, ValueError):
+                params = []
+            call_args = []
+            for i, declared in enumerate(arg_names):
+                if declared in kwargs:
+                    call_args.append(kwargs[declared])
+                elif i < len(params) and params[i].default is not inspect.Parameter.empty:
+                    call_args.append(params[i].default)
+                else:
+                    raise ValueError(f"Missing required procedure argument: {declared}")
+            fn(*call_args)
             return self.spark.createDataFrame([(True,)], "result boolean")
         args = [lit(p) for p in parts]
         fn(*args)
@@ -969,6 +985,18 @@ class Engine:
         if not getattr(self, "_prepared", None) or name not in self._prepared:
             raise KeyError(f"prepared statement not found: {name}")
         del self._prepared[name]
+
+    def close(self) -> None:
+        """Release session-scoped engine storage (r13 VERDICT #8): every
+        persist-mode frame tracked by operators/materialize for this
+        session and the packing phase-1 cache are unpersisted, so no
+        CacheManager entry outlives the engine.  The SparkSession itself
+        is the caller's to stop — two engines may share one session."""
+        from prestodb_presto_spark.operators.materialize import release_materialized
+        from prestodb_presto_spark.queries.packing import release_packing_cache
+
+        release_materialized(self.spark)
+        release_packing_cache()
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> Engine:

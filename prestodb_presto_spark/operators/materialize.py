@@ -31,6 +31,9 @@ would otherwise grow every round, e.g. operators/components.py) pass
 
 from __future__ import annotations
 
+import contextvars
+from contextlib import contextmanager
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
@@ -44,17 +47,46 @@ _MODES = ("local", "persist", "reliable")
 # reference — ContextCleaner can NOT reclaim it, so explicit release is
 # the only path).  r13 (ADVICE): keyed per session so frames of a
 # stopped/replaced SparkSession don't accumulate forever and releasing
-# one session's frames cannot touch another's.
-_PERSISTED: dict[int, list[DataFrame]] = {}
+# one session's frames cannot touch another's.  r14 (ADVICE): keyed per
+# (session, scope) so a pipeline that releases per epoch (streaming
+# dedup) cannot unpersist frames a CONCURRENT pipeline of the same
+# session is still reading — owners pass their own scope token.
+_PERSISTED: dict[tuple[int, str | None], list[DataFrame]] = {}
+
+# ambient owner scope: operators deep inside a pipeline (the LSH hot-
+# bucket guard, shared shingle arrays) call materialize() without a
+# scope of their own — a pipeline wraps its whole body in
+# ``materialization_scope(token)`` so every nested materialize is tagged
+# with the pipeline's token and released together, and only together.
+_SCOPE: contextvars.ContextVar[str | None] = contextvars.ContextVar(
+    "materialization_scope", default=None
+)
 
 
-def release_materialized(session=None) -> int:
+@contextmanager
+def materialization_scope(token: str):
+    """Tag every ``materialize()`` in the body with ``token`` (owner
+    scope for release_materialized)."""
+    reset = _SCOPE.set(token)
+    try:
+        yield token
+    finally:
+        _SCOPE.reset(reset)
+
+
+def release_materialized(session=None, scope: str | None = None) -> int:
     """Unpersist frames persisted by ``materialize`` under the ``persist``
     strategy; returns how many were released.  Call at the end of a
     pipeline run (or per streaming epoch) when the session stays alive.
-    With ``session=None`` releases every tracked session's frames."""
+    With ``scope`` releases only that owner's frames; with
+    ``session=None`` releases every tracked session's frames."""
     n = 0
-    keys = list(_PERSISTED) if session is None else [id(session)]
+    if session is None:
+        keys = list(_PERSISTED)
+    elif scope is not None:
+        keys = [(id(session), scope)]
+    else:
+        keys = [k for k in _PERSISTED if k[0] == id(session)]
     for key in keys:
         for df in _PERSISTED.pop(key, []):
             try:
@@ -73,10 +105,15 @@ def materialization_mode(df: DataFrame) -> str:
 
 
 def materialize(
-    df: DataFrame, eager: bool = True, truncate_required: bool = False
+    df: DataFrame,
+    eager: bool = True,
+    truncate_required: bool = False,
+    scope: str | None = None,
 ) -> DataFrame:
     """Return a DataFrame whose result is computed once and shared by
-    all downstream jobs, using the session's configured strategy."""
+    all downstream jobs, using the session's configured strategy.
+    ``scope`` names the owning pipeline so its frames can be released
+    without touching a concurrent pipeline's (release_materialized)."""
     mode = materialization_mode(df)
     if mode == "persist" and truncate_required:
         mode = "reliable"
@@ -84,7 +121,9 @@ def materialize(
         return df.localCheckpoint(eager=eager)
     if mode == "persist":
         out = df.persist(StorageLevel.MEMORY_AND_DISK)
-        _PERSISTED.setdefault(id(df.sparkSession), []).append(out)
+        if scope is None:
+            scope = _SCOPE.get()
+        _PERSISTED.setdefault((id(df.sparkSession), scope), []).append(out)
         if eager:
             out.count()
         return out

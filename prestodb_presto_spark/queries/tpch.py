@@ -65,9 +65,23 @@ def _rev_e4():
     return _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
 
 
-def _d38sum(col: str):
-    """Merge per-partition long partials exactly (128-bit, few rows)."""
-    return F.sum(F.col(col).cast("decimal(38,0)")).cast("double")
+def _d38sum(col: str, unit: int = 1):
+    """Merge per-partition long partials exactly (128-bit, few rows) and
+    scale back from integer units in ONE rounding.
+
+    r14 (ADVICE): dividing AFTER the double cast rounded twice — once at
+    ``CAST(decimal AS DOUBLE)`` and once at the double division — which
+    can diverge ULP-wise from the oracle's single ``CAST(SUM(decimal) AS
+    DOUBLE)`` once totals exceed 2^53 in e4/e6 units.  The division now
+    runs in DECIMAL: decimal(38,0) / integer literal yields decimal(38,6)
+    under Spark's precision-loss rule, and every unit here is ≤ 1e6, so
+    the quotient terminates within 6 fractional digits and the decimal
+    division is EXACT; the final cast to double is then the only
+    rounding, identical to the oracle's."""
+    tot = F.sum(F.col(col).cast("decimal(38,0)"))
+    if unit != 1:
+        tot = tot / F.lit(unit)
+    return tot.cast("double")
 
 
 CHARGE_SQL = f"{REV_SQL} * (1 + CAST(l_tax AS DECIMAL(4,2)))"
@@ -138,24 +152,28 @@ def tpch_q01(spark, sf_dir):
         F.sum("charge_e6").alias("sc"),
         F.count("*").alias("n"),
     )
+    # r14: each total is scaled back inside _d38sum (exact decimal
+    # division, then ONE cast to double — the oracle's rounding); the
+    # averages divide that same single-rounded double by the count,
+    # matching the oracle's CAST(SUM(..) AS DOUBLE) / COUNT(..) shape.
     tot = part.groupBy("l_returnflag", "l_linestatus").agg(
-        _d38sum("sq").alias("SQ"),
-        _d38sum("se").alias("SE"),
-        _d38sum("sd").alias("SD"),
-        _d38sum("sr").alias("SR"),
-        _d38sum("sc").alias("SC"),
+        _d38sum("sq", 100).alias("sum_qty"),
+        _d38sum("se", 100).alias("sum_base_price"),
+        _d38sum("sd", 100).alias("SD"),
+        _d38sum("sr", 10000).alias("sum_disc_price"),
+        _d38sum("sc", 1000000).alias("sum_charge"),
         F.sum("n").alias("count_order"),
     )
     return tot.select(
         "l_returnflag",
         "l_linestatus",
-        (F.col("SQ") / 100.0).alias("sum_qty"),
-        (F.col("SE") / 100.0).alias("sum_base_price"),
-        (F.col("SR") / 10000.0).alias("sum_disc_price"),
-        (F.col("SC") / 1000000.0).alias("sum_charge"),
-        (F.col("SQ") / 100.0 / F.col("count_order")).alias("avg_qty"),
-        (F.col("SE") / 100.0 / F.col("count_order")).alias("avg_price"),
-        (F.col("SD") / 100.0 / F.col("count_order")).alias("avg_disc"),
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        (F.col("sum_qty") / F.col("count_order")).alias("avg_qty"),
+        (F.col("sum_base_price") / F.col("count_order")).alias("avg_price"),
+        (F.col("SD") / F.col("count_order")).alias("avg_disc"),
         "count_order",
     )
 
@@ -320,7 +338,7 @@ def tpch_q05(spark, sf_dir):
         .groupBy("n_name", F.spark_partition_id().alias("_pid"))
         .agg(F.sum("rev_e4").alias("sr"))
         .groupBy("n_name")
-        .agg((_d38sum("sr") / 10000.0).alias("revenue"))
+        .agg(_d38sum("sr", 10000).alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
 
@@ -358,7 +376,7 @@ def tpch_q06(spark, sf_dir):
         .select((_cents("l_extendedprice") * _cents("l_discount")).alias("rd_e4"))
         .groupBy(F.spark_partition_id().alias("_pid"))
         .agg(F.sum("rd_e4").alias("s"))
-        .agg((_d38sum("s") / 10000.0).alias("revenue"))
+        .agg(_d38sum("s", 10000).alias("revenue"))
     )
 
 
@@ -423,7 +441,7 @@ def tpch_q07(spark, sf_dir):
         df.groupBy("supp_nation", "cust_nation", "l_year", F.spark_partition_id().alias("_pid"))
         .agg(F.sum("volume_e4").alias("sv"))
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg((_d38sum("sv") / 10000.0).alias("revenue"))
+        .agg(_d38sum("sv", 10000).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -500,7 +518,7 @@ def tpch_q08(spark, sf_dir):
     return (
         part.groupBy("o_year")
         .agg(
-            ((_d38sum("s3") / 10000.0) / (_d38sum("sall") / 10000.0)).alias("mkt_share")
+            (_d38sum("s3", 10000) / _d38sum("sall", 10000)).alias("mkt_share")
         )
         .orderBy("o_year")
     )
@@ -554,7 +572,7 @@ def tpch_q09(spark, sf_dir):
         .groupBy("nation", "o_year", F.spark_partition_id().alias("_pid"))
         .agg(F.sum("amount_e4").alias("sa"))
         .groupBy("nation", "o_year")
-        .agg((_d38sum("sa") / 10000.0).alias("sum_profit"))
+        .agg(_d38sum("sa", 10000).alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 
@@ -702,7 +720,7 @@ def tpch_q14(spark, sf_dir):
     # one rounding of the exact value 100·S = S_e4/100, so divide the
     # exact integer by 100.0 directly (100.0 * (S_e4/1e4) would round twice)
     return partials.agg(
-        ((_d38sum("sp") / 100.0) / (_d38sum("sall") / 10000.0)).alias("promo_revenue")
+        (_d38sum("sp", 100) / _d38sum("sall", 10000)).alias("promo_revenue")
     )
 
 
@@ -725,16 +743,24 @@ def tpch_q14(spark, sf_dir):
 )
 def tpch_q15(spark, sf_dir):
     """Top supplier: CTE + uncorrelated scalar subquery (max-of-agg)."""
+    from prestodb_presto_spark.operators.materialize import materialize
+
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
     # r13: exact revenue longs (per-supplier quarter totals ≪ long range)
-    revenue0 = (
+    # r14 (VERDICT #4): the shared CTE goes through materialize() instead
+    # of a bare .cache() — the CacheManager entry of the r13 form outlived
+    # the query in a long session (never unpersisted, and plan-matching
+    # could silently reuse it across runs); the default localCheckpoint
+    # boundary computes-once within the query and its blocks are released
+    # with the RDD, leaving no CacheManager residue.
+    revenue0 = materialize(
         li.select("l_suppkey", _rev_e4().alias("rev_e4"))
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg((F.sum("rev_e4") / 10000.0).alias("total_revenue"))
-        .cache()
+        .agg((F.sum("rev_e4") / 10000.0).alias("total_revenue")),
+        eager=False,
     )
     max_rev = revenue0.agg(F.max("total_revenue").alias("m"))
     supp = t(spark, sf_dir, "supplier")
@@ -1056,7 +1082,7 @@ def tpch_q11(spark, sf_dir):
     total = (
         base.groupBy(F.spark_partition_id().alias("_pid"))
         .agg(F.sum("val_e4").alias("s"))
-        .agg((F.lit(0.0001) * (_d38sum("s") / 10000.0)).alias("threshold"))
+        .agg((F.lit(0.0001) * _d38sum("s", 10000)).alias("threshold"))
     )
     return (
         per_part.join(F.broadcast(total))

@@ -59,6 +59,13 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         except Exception:
             pass
         _RELATIONS.pop(key, None)
+    # r14 (ADVICE): entries of OTHER sessions are never re-probed via their
+    # own key once that session dies (the cached DataFrame keeps the old
+    # session object alive, so ids never recur) — sweep any key not owned
+    # by the current live session on every miss, bounding the cache to one
+    # session's relations instead of growing per session restart.
+    for stale in [k for k in _RELATIONS if k[0] != id(spark)]:
+        _RELATIONS.pop(stale, None)
     if name == "events":
         # Older Sparks need the legacy conf to read ns at all (as raw longs);
         # Spark ≥4.1 ignores it and reads TIMESTAMP(NANOS) as timestamp_ntz,

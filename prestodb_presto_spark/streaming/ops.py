@@ -339,52 +339,62 @@ def dedup_stream_against_index(
         spark = batch.sparkSession
         spark.catalog.refreshTable(index_table)
         spark.catalog.refreshTable(corpus_table)
-        from prestodb_presto_spark.operators.materialize import materialize
+        from prestodb_presto_spark.operators.materialize import (
+            materialization_scope,
+            materialize,
+        )
 
-        batch = materialize(batch)
-        # (1) within-batch dedup: keep the lowest id of each dup pair
-        intra = verified_near_dup_pairs(
-            batch, threshold, id_col, text_col
-        ).select(F.col("id_b").alias(id_col)).distinct()
-        survivors = batch.join(intra, id_col, "left_anti")
-        # (2) against the persisted index (+ corpus text for verify)
-        index = spark.table(index_table)
-        corpus = spark.table(corpus_table)
-        # REPLAY SAFETY: if this epoch already ran partially (state
-        # appended, checkpoint commit lost), the replayed batch's own
-        # docs are in the corpus — new_id != old_id drops the
-        # self-match (Jaccard 1.0) so the replay REPRODUCES the output
-        # instead of marking every survivor a dup and overwriting the
-        # epoch directory with an empty result
-        dups = (
-            check_batch(survivors, index, corpus, threshold, id_col, text_col)
-            .filter(F.col("new_id") != F.col("old_id"))
-            .select(F.col("new_id").alias(id_col))
-            .distinct()
-        )
-        keep = materialize(survivors.join(dups, id_col, "left_anti"))
-        # (3) sink + self-maintaining state.  The sink is idempotent via
-        # the epoch-tagged overwrite; the state appends are made
-        # idempotent by anti-joining on ids already present, so a
-        # replayed epoch never duplicates index/corpus rows
-        keep.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
-        fresh = materialize(
-            keep.join(spark.table(corpus_table).select(id_col), id_col, "left_anti")
-        )
-        build_dedup_index(fresh, id_col, text_col).write.mode("append").saveAsTable(
-            index_table
-        )
-        fresh.write.mode("append").saveAsTable(corpus_table)
-        # r13 (ADVICE): under the persist strategy the three materialize()
-        # frames above are epoch-scoped — release them here or a
-        # long-running stream accumulates executor/disk storage without
-        # bound (the CacheManager holds strong refs; ContextCleaner
-        # cannot reclaim them)
+        # r14 (ADVICE): every materialize() of this epoch — including the
+        # ones nested inside the LSH operators — is tagged with an
+        # epoch-unique owner scope, so the end-of-epoch release cannot
+        # unpersist frames a concurrent pipeline of the SAME session is
+        # still reading.
+        scope_token = f"dedup-stream:{checkpoint}:{epoch_id}"
+        with materialization_scope(scope_token):
+            batch = materialize(batch)
+            # (1) within-batch dedup: keep the lowest id of each dup pair
+            intra = verified_near_dup_pairs(
+                batch, threshold, id_col, text_col
+            ).select(F.col("id_b").alias(id_col)).distinct()
+            survivors = batch.join(intra, id_col, "left_anti")
+            # (2) against the persisted index (+ corpus text for verify)
+            index = spark.table(index_table)
+            corpus = spark.table(corpus_table)
+            # REPLAY SAFETY: if this epoch already ran partially (state
+            # appended, checkpoint commit lost), the replayed batch's own
+            # docs are in the corpus — new_id != old_id drops the
+            # self-match (Jaccard 1.0) so the replay REPRODUCES the output
+            # instead of marking every survivor a dup and overwriting the
+            # epoch directory with an empty result
+            dups = (
+                check_batch(survivors, index, corpus, threshold, id_col, text_col)
+                .filter(F.col("new_id") != F.col("old_id"))
+                .select(F.col("new_id").alias(id_col))
+                .distinct()
+            )
+            keep = materialize(survivors.join(dups, id_col, "left_anti"))
+            # (3) sink + self-maintaining state.  The sink is idempotent via
+            # the epoch-tagged overwrite; the state appends are made
+            # idempotent by anti-joining on ids already present, so a
+            # replayed epoch never duplicates index/corpus rows
+            keep.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
+            fresh = materialize(
+                keep.join(spark.table(corpus_table).select(id_col), id_col, "left_anti")
+            )
+            build_dedup_index(fresh, id_col, text_col).write.mode("append").saveAsTable(
+                index_table
+            )
+            fresh.write.mode("append").saveAsTable(corpus_table)
+        # r13 (ADVICE): under the persist strategy the frames above are
+        # epoch-scoped — release them here or a long-running stream
+        # accumulates executor/disk storage without bound (the
+        # CacheManager holds strong refs; ContextCleaner cannot reclaim
+        # them).  r14: release THIS epoch's scope only.
         from prestodb_presto_spark.operators.materialize import (
             release_materialized,
         )
 
-        release_materialized(spark)
+        release_materialized(spark, scope=scope_token)
 
     return (
         docs_stream.writeStream.foreachBatch(process)

@@ -27,6 +27,31 @@ def shingles3(col="text"):
     )
 
 
+def shingles3_hashed(col="text"):
+    """Distinct word-level 3-gram shingles as 64-bit hashes — no shingle
+    STRING is ever materialized: ``xxhash64(w[i-1], w[i], w[i+1])``
+    hashes each token triple directly (multi-arg xxhash64 chains the
+    inputs through one seeded hash), so the per-shingle ``concat_ws``
+    allocation+copy of :func:`shingles3` disappears and every downstream
+    set operation (MIN accumulators, array_intersect verification) runs
+    on fixed-width longs instead of variable-length strings.
+
+    r14 (guide §1.2 per-row work + §2.3 narrower types): measured 2.0×
+    on the shingle projection and 1.4× on the 64-MIN signature aggregate
+    at sf0.1.  Distinct-hash sets equal distinct-string sets absent an
+    intra-document 64-bit collision (~n²/2⁶⁵ per doc; the differential
+    gate verifies the final pair sets exactly at every SF).  Used by the
+    MinHash/LSH family, where shingles are only ever compared for
+    EQUALITY; callers that expose shingle text keep :func:`shingles3`.
+    """
+    return F.expr(
+        f"array_distinct(flatten(transform(array(split({col}, ' ')),"
+        " w -> IF(size(w) < 3, array(),"
+        " transform(sequence(1, size(w) - 2),"
+        " i -> xxhash64(w[i-1], w[i], w[i+1]))))))"
+    )
+
+
 N_SIM_BITS = 60
 
 

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from prestodb_presto_spark.operators.skew import drop_hot_buckets
-from prestodb_presto_spark.text.analysis import shingles3
+from prestodb_presto_spark.text.analysis import shingles3_hashed
 
 N_HASHES = 64
 N_BANDS = 32
@@ -35,8 +35,8 @@ _CONSTS = [((i * 2654435761 + 1) % _P31 or 1, (i * 40503 + 7) % _P31) for i in r
 
 
 def _signatures_from_shingle_rows(sh: DataFrame, id_col: str) -> DataFrame:
-    """(id, s: raw shingle array) → (id, sig) — the single definition of
-    the signature math (explode distinct → base hash → 64 MIN
+    """(id, s: hashed shingle array) → (id, sig) — the single definition
+    of the signature math (explode distinct → fold to 31 bits → 64 MIN
     accumulators); see minhash_signatures for the formulation notes.
 
     r13: the 64 MIN expressions are built as ONE-string SQL (``F.expr``)
@@ -46,12 +46,16 @@ def _signatures_from_shingle_rows(sh: DataFrame, id_col: str) -> DataFrame:
     results are bit-identical).  Per-query latency only — executor work
     is unchanged.
 
-    Precondition: ``s`` is already a DISTINCT shingle array — every
-    caller passes ``shingles3`` output, which ends in array_distinct,
-    so re-distincting here (r12 form) re-hashed ~200 strings per doc
+    r14: ``s`` carries 64-bit shingle HASHES (shingles3_hashed), not
+    strings — the explode moves longs and the base hash is one pmod
+    instead of an xxhash64 over a fresh string per row (guide §1.2).
+
+    Precondition: ``s`` is already a DISTINCT array — every caller
+    passes ``shingles3_hashed`` output, which ends in array_distinct,
+    so re-distincting here (r12 form) re-hashed ~200 values per doc
     for nothing (and duplicates cannot change a MIN anyway)."""
-    exploded = sh.select(id_col, F.explode("s").alias("sh"))
-    base = exploded.select(id_col, F.expr(f"pmod(xxhash64(sh), {_P31}L)").alias("h"))
+    exploded = sh.select(id_col, F.explode("s").alias("hv"))
+    base = exploded.select(id_col, F.expr(f"pmod(hv, {_P31}L)").alias("h"))
     mins = [
         F.expr(f"min(({a}L * h + {b}L) % {_P31}L) AS m{i}")
         for i, (a, b) in enumerate(_CONSTS)
@@ -76,7 +80,7 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     # distinct per doc before exploding: duplicate shingles can't change a
     # MIN, and the explode is the row-count hot spot of the whole pipeline
     return _signatures_from_shingle_rows(
-        docs.select(id_col, shingles3(text_col).alias("s")), id_col
+        docs.select(id_col, shingles3_hashed(text_col).alias("s")), id_col
     )
 
 
@@ -153,14 +157,19 @@ def verified_near_dup_pairs(
 ) -> DataFrame:
     """LSH candidates re-verified with exact Jaccard ≥ threshold.
 
-    The shingle arrays are computed ONCE (lazy materialization) and
+    The shingle-hash arrays are computed ONCE (lazy materialization) and
     shared between the signature derivation and the exact-Jaccard
     verify — measured 13% off the whole pipeline at sf0.1 vs
-    re-shingling for the verify side (2.37s vs 2.72s min-of-5)."""
+    re-shingling for the verify side (2.37s vs 2.72s min-of-5).  The
+    verify's set math runs on the 64-bit shingle hashes
+    (shingles3_hashed): |A∩B|/|A∪B| over hash sets equals the
+    string-shingle Jaccard absent a 64-bit collision inside one pair's
+    union (~n²/2⁶⁵) — the differential gate pins the resulting pair
+    sets exactly against the string-exact oracle at every SF."""
     from prestodb_presto_spark.operators.materialize import materialize
 
     sh = materialize(
-        docs.select(F.col(id_col), shingles3(text_col).alias("s")), eager=False
+        docs.select(F.col(id_col), shingles3_hashed(text_col).alias("s")), eager=False
     )
     if bucket_cap is not None:
         from prestodb_presto_spark.operators.pairs import grouped_pair_expand
@@ -255,13 +264,13 @@ def check_batch(
         # storage every arriving batch (round-12 ADVICE)
         ob = drop_hot_buckets(ob, "bh", bucket_cap, materialize=False)
     cands = nb.join(ob, "bh").select("new_id", "old_id").distinct()
-    sh_n = new.select(F.col(id_col).alias("new_id"), shingles3(text_col).alias("s_n"))
+    sh_n = new.select(F.col(id_col).alias("new_id"), shingles3_hashed(text_col).alias("s_n"))
     # shingle ONLY the candidate slice of the corpus — the semi-join
     # keeps the verification scan batch-sized, not corpus-sized
     old_hit = old.join(
         cands.select(F.col("old_id").alias(id_col)).distinct(), id_col, "left_semi"
     )
-    sh_o = old_hit.select(F.col(id_col).alias("old_id"), shingles3(text_col).alias("s_o"))
+    sh_o = old_hit.select(F.col(id_col).alias("old_id"), shingles3_hashed(text_col).alias("s_o"))
     inter = F.size(F.array_intersect("s_n", "s_o"))
     jac = inter * 1.0 / (F.size("s_n") + F.size("s_o") - inter)
     return (

@@ -165,3 +165,58 @@ def test_release_is_session_scoped(spark):
         spark.conf.unset(CONF_KEY)
         other.conf.unset(CONF_KEY)
         release_materialized()
+
+
+def test_release_is_scope_scoped(spark):
+    """r14 (ADVICE): frames are tracked per owner scope — releasing one
+    pipeline's scope must not unpersist a concurrent pipeline's frames in
+    the SAME session (the streaming-epoch release case)."""
+    from prestodb_presto_spark.operators.materialize import (
+        materialization_scope,
+        release_materialized,
+    )
+
+    release_materialized()
+    _set_mode(spark, "persist")
+    try:
+        with materialization_scope("pipeline-a"):
+            a = materialize(spark.range(30).selectExpr("id * 2 AS x"))
+        with materialization_scope("pipeline-b"):
+            b = materialize(spark.range(30).selectExpr("id * 7 AS y"))
+        unscoped = materialize(spark.range(30).selectExpr("id AS z"))
+        assert a.count() == b.count() == unscoped.count() == 30
+        # releasing scope a touches exactly scope a
+        assert release_materialized(spark, scope="pipeline-a") == 1
+        assert b.storageLevel.useMemory or b.storageLevel.useDisk
+        assert unscoped.storageLevel.useMemory or unscoped.storageLevel.useDisk
+        # releasing the session without a scope drains the rest
+        assert release_materialized(spark) == 2
+    finally:
+        _set_mode(spark, None)
+
+
+def test_q15_and_engine_close_leave_no_cache_residue(spark):
+    """r13 VERDICT #4/#8: tpch_q15's shared CTE must not leave a
+    CacheManager entry after the query runs, and Engine.close() releases
+    every persist-mode frame of its session."""
+    from prestodb_presto_spark.engine import Engine
+    from prestodb_presto_spark.operators.materialize import release_materialized
+    from prestodb_presto_spark.queries import load_all
+
+    release_materialized()
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    cache_mgr.clearCache()
+    load_all()["tpch_q15"].spark_fn(spark, SF).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    assert cache_mgr.isEmpty()  # the r13 .cache() form left an entry here
+
+    _set_mode(spark, "persist")
+    try:
+        eng = Engine(spark)
+        materialize(spark.range(25).selectExpr("id AS v")).count()
+        assert not cache_mgr.isEmpty()
+        eng.close()
+        assert cache_mgr.isEmpty()
+    finally:
+        _set_mode(spark, None)

@@ -886,9 +886,25 @@ def test_call_procedures(engine, spark):
     with pytest.raises(Exception, match="not registered"):
         engine.sql("CALL nope.nothing()", dialect="presto")
 
+    # r14 (ADVICE): declared arg names bind by POSITION — a callable whose
+    # parameter names differ from the declared names still works with
+    # named invocation, and missing required args are rejected
+    engine.register_procedure(
+        "testing.renamed", ["declared_a", "declared_b"], lambda p, q=9: calls.append((p, q))
+    )
+    engine.sql("CALL testing.renamed(declared_a => 3)", dialect="presto")
+    assert calls[-1] == (3, 9)
+    engine.sql("CALL testing.renamed(declared_b => 4, declared_a => 5)", dialect="presto")
+    assert calls[-1] == (5, 4)
+    with pytest.raises(Exception, match="Missing required"):
+        engine.sql("CALL testing.renamed(declared_b => 4)", dialect="presto")
+
     # built-ins execute against the live session
     spark.createDataFrame([(1,)], "a int").createOrReplaceTempView("call_probe")
     engine.sql("CALL system.refresh_table('call_probe')", dialect="presto")
+    # named form of a built-in whose callable parameter is named 'table'
+    # while the declared name is 'table_name' (the r13 TypeError case)
+    engine.sql("CALL system.refresh_table(table_name => 'call_probe')", dialect="presto")
     engine.sql("CALL system.runtime.kill_query('no-such-group')", dialect="presto")
 
 
