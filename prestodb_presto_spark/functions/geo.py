@@ -347,6 +347,35 @@ def st_num_points(g) -> Column:
     ).cast("int")
 
 
+def _S_ring_shoelace2(pts: str) -> str:
+    return (
+        f"aggregate({_S_segs(pts)}, 0.0D, (_sh, _ss) -> _sh"
+        f" + _ss.a.x * _ss.b.y - _ss.b.x * _ss.a.y)"
+    )
+
+
+def _S_ring_parity_sign(rings: str, ring: str) -> str:
+    crossings = _S_ring_crossings(
+        "_pr", f"element_at({ring}, 1).x", f"element_at({ring}, 1).y"
+    )
+    return (
+        f"(1 - 2 * (size(filter({rings}, _pr -> (_pr != {ring})"
+        f" AND ({crossings} % 2 = 1))) % 2))"
+    )
+
+
+def _S_area(g: str) -> str:
+    signed = (
+        f"{_S_ring_parity_sign(f'{g}.rings', '_ag')}"
+        f" * abs({_S_ring_shoelace2('_ag')}) / 2"
+    )
+    return (
+        f"CASE WHEN {g}.kind IN ('polygon', 'multipolygon') THEN"
+        f" aggregate({g}.rings, 0.0D, (_aa, _ag) -> _aa + {signed})"
+        f" ELSE 0.0D END"
+    )
+
+
 @register("st_area")
 def st_area(g) -> Column:
     """Even-odd area over all rings (GeoFunctions.stArea): each ring
@@ -354,6 +383,9 @@ def st_area(g) -> Column:
     (how many OTHER rings contain its first vertex).  One formula covers
     single rings (depth 0), polygon holes (depth 1 → subtract) and
     multipolygon parts (each depth 0); 0 for lower-dim geometries."""
+    gn = _S_name(g)
+    if gn:  # r14: one-parse SQL template (guide §7.3 — see the _S_* block)
+        return F.expr(_S_area(gn))
     gg = c(g)
     rings = gg.getField("rings")
 
@@ -483,6 +515,50 @@ def st_centroid(g) -> Column:
     """Centroid as a POINT struct: shoelace-weighted for polygons,
     length-weighted for linestrings, vertex mean for (multi)points
     (GeoFunctions.stCentroid)."""
+    gn = _S_name(g)
+    if gn:  # r14: one-parse SQL template (guide §7.3 — see the _S_* block)
+        seglen = "sqrt((_ls.b.x - _ls.a.x) * (_ls.b.x - _ls.a.x) + (_ls.b.y - _ls.a.y) * (_ls.b.y - _ls.a.y))"
+
+        def ring_c(field):
+            num = (
+                f"aggregate({_S_segs('_cg')}, 0.0D, (_cn, _cs) -> _cn"
+                f" + (_cs.a.{field} + _cs.b.{field})"
+                f" * (_cs.a.x * _cs.b.y - _cs.b.x * _cs.a.y))"
+            )
+            return f"({num} / (3 * nullif({_S_ring_shoelace2('_cg')}, 0.0D)))"
+
+        signed_w = (
+            f"({_S_ring_parity_sign(f'{gn}.rings', '_cg')}"
+            f" * abs({_S_ring_shoelace2('_cg')}))"
+        )
+        wsum = f"nullif(aggregate({gn}.rings, 0.0D, (_cw, _cg) -> _cw + {signed_w}), 0.0D)"
+        px = f"(aggregate({gn}.rings, 0.0D, (_cx, _cg) -> _cx + {signed_w} * {ring_c('x')}) / {wsum})"
+        py = f"(aggregate({gn}.rings, 0.0D, (_cy, _cg) -> _cy + {signed_w} * {ring_c('y')}) / {wsum})"
+        total_len = (
+            f"nullif(aggregate({_S_segs(f'{gn}.pts')}, 0.0D, (_ll, _ls) -> _ll + {seglen}), 0.0D)"
+        )
+        lx = (
+            f"(aggregate({_S_segs(f'{gn}.pts')}, 0.0D, (_ll, _ls) -> _ll"
+            f" + (_ls.a.x + _ls.b.x) / 2 * {seglen}) / {total_len})"
+        )
+        ly = (
+            f"(aggregate({_S_segs(f'{gn}.pts')}, 0.0D, (_ll, _ls) -> _ll"
+            f" + (_ls.a.y + _ls.b.y) / 2 * {seglen}) / {total_len})"
+        )
+        n = f"nullif(cast(size({gn}.pts) AS DOUBLE), 0.0D)"
+        mx = f"(aggregate({gn}.pts, 0.0D, (_cm, _cp) -> _cm + _cp.x) / {n})"
+        my = f"(aggregate({gn}.pts, 0.0D, (_cm, _cp) -> _cm + _cp.y) / {n})"
+
+        def pt(x, y):
+            return (
+                f"named_struct('x', cast({x} AS DOUBLE), 'y', cast({y} AS DOUBLE))"
+            )
+
+        return F.expr(
+            f"CASE WHEN {gn}.kind IN ('polygon', 'multipolygon') THEN {pt(px, py)}"
+            f" WHEN {gn}.kind = 'linestring' THEN {pt(lx, ly)}"
+            f" ELSE {pt(mx, my)} END"
+        )
     gg = c(g)
     pts = gg.getField("pts")
     kind = gg.getField("kind")
@@ -609,6 +685,9 @@ def st_intersects(g1, g2) -> Column:
     containment, otherwise any segment-pair intersection or full
     containment of one geometry's first vertex in the other
     (GeoFunctions.stIntersects)."""
+    an, bn = _S_name(g1), _S_name(g2)
+    if an and bn:  # r14: one-parse SQL template (see the _S_* block below)
+        return F.expr(_S_intersects(an, bn))
     a, b = c(g1), c(g2)
     a_pt, b_pt = a.getField("kind").isin("point", "multipoint"), b.getField("kind").isin(
         "point", "multipoint"
@@ -1382,6 +1461,202 @@ def st_equals(g1, g2) -> Column:
 
 # --- topological predicates (GeoFunctions.java stCrosses:869, stOverlaps:926,
 # --- stTouches:953) — native expressions over ring segments -----------------
+#
+# r14 (guide §7.3 driver-side work): the Column-API forms below pay one
+# py4j round-trip PER OPERATOR, and the nested exists()-over-segments
+# predicates are thousands of operators — st_touches alone cost ~3.5 s
+# of DRIVER time per construction (measured: fn_geo_set_ops spent 17 s
+# of its 19 s construction inside these four predicates' lambda
+# building).  When both operands are plain column NAMES (every query-
+# catalog call site), the predicate is instead rendered as ONE SQL
+# string by the pure-Python ``_S_*`` templates below and parsed with a
+# single F.expr — same expressions, no per-operator round-trips.
+# Column operands (tests, nested-expression callers) keep the original
+# Column-API path; both paths are pinned equal by
+# tests/test_geo_properties.py and the geo gate queries.
+
+
+def _S_name(g) -> str | None:
+    """SQL fast-path key: the operand as a plain identifier, else None."""
+    return g if isinstance(g, str) and g.isidentifier() else None
+
+
+def _S_segs(pts: str) -> str:
+    return (
+        f"CASE WHEN size({pts}) >= 2 THEN"
+        f" transform(sequence(1, size({pts}) - 1),"
+        f" _i -> named_struct('a', element_at({pts}, _i), 'b', element_at({pts}, _i + 1)))"
+        f" ELSE cast(array() AS {_SEGS_DDL}) END"
+    )
+
+
+def _S_all_segs(g: str) -> str:
+    return f"flatten(transform({g}.rings, _r -> {_S_segs('_r')}))"
+
+
+def _S_orient(p: str, q: str, r: str) -> str:
+    return (
+        f"(({q}.x - {p}.x) * ({r}.y - {p}.y) - ({q}.y - {p}.y) * ({r}.x - {p}.x))"
+    )
+
+
+def _S_on_boundary(g: str, p: str) -> str:
+    return (
+        f"exists({_S_all_segs(g)}, _ob ->"
+        f" ({_S_orient('_ob.a', '_ob.b', p)} = 0)"
+        f" AND ({p}.x <= greatest(_ob.a.x, _ob.b.x))"
+        f" AND ({p}.x >= least(_ob.a.x, _ob.b.x))"
+        f" AND ({p}.y <= greatest(_ob.a.y, _ob.b.y))"
+        f" AND ({p}.y >= least(_ob.a.y, _ob.b.y)))"
+    )
+
+
+def _S_ring_crossings(pts: str, px: str, py: str) -> str:
+    return (
+        f"aggregate({_S_segs(pts)}, 0, (_rc, _rs) -> _rc +"
+        f" (CASE WHEN ((_rs.a.y > {py}) != (_rs.b.y > {py}))"
+        f" AND ({px} < (_rs.b.x - _rs.a.x) * ({py} - _rs.a.y)"
+        f" / (_rs.b.y - _rs.a.y) + _rs.a.x) THEN 1 ELSE 0 END))"
+    )
+
+
+def _S_all_crossings(g: str, px: str, py: str) -> str:
+    return (
+        f"aggregate({g}.rings, 0, (_ac, _ar) -> _ac +"
+        f" {_S_ring_crossings('_ar', px, py)})"
+    )
+
+
+def _S_strictly_inside(g: str, p: str) -> str:
+    return (
+        f"(({_S_all_crossings(g, f'{p}.x', f'{p}.y')} % 2) = 1)"
+        f" AND NOT ({_S_on_boundary(g, p)})"
+    )
+
+
+def _S_strictly_outside(g: str, p: str) -> str:
+    return (
+        f"(({_S_all_crossings(g, f'{p}.x', f'{p}.y')} % 2) = 0)"
+        f" AND NOT ({_S_on_boundary(g, p)})"
+    )
+
+
+def _S_proper_cross_any(a: str, b: str) -> str:
+    o1 = _S_orient("_p1.a", "_p1.b", "_p2.a")
+    o2 = _S_orient("_p1.a", "_p1.b", "_p2.b")
+    o3 = _S_orient("_p2.a", "_p2.b", "_p1.a")
+    o4 = _S_orient("_p2.a", "_p2.b", "_p1.b")
+    return (
+        f"exists({_S_all_segs(a)}, _p1 -> exists({_S_all_segs(b)}, _p2 ->"
+        f" ({o1} * {o2} < 0) AND ({o3} * {o4} < 0)))"
+    )
+
+
+def _S_collinear_overlap_any(a: str, b: str) -> str:
+    coll = (
+        f"({_S_orient('_c1.a', '_c1.b', '_c2.a')} = 0)"
+        f" AND ({_S_orient('_c1.a', '_c1.b', '_c2.b')} = 0)"
+    )
+    over = (
+        "((least(greatest(_c1.a.x, _c1.b.x), greatest(_c2.a.x, _c2.b.x))"
+        " > greatest(least(_c1.a.x, _c1.b.x), least(_c2.a.x, _c2.b.x)))"
+        " OR (least(greatest(_c1.a.y, _c1.b.y), greatest(_c2.a.y, _c2.b.y))"
+        " > greatest(least(_c1.a.y, _c1.b.y), least(_c2.a.y, _c2.b.y))))"
+    )
+    return (
+        f"exists({_S_all_segs(a)}, _c1 -> exists({_S_all_segs(b)}, _c2 ->"
+        f" ({coll}) AND {over}))"
+    )
+
+
+def _S_seg_intersects(s1: str, s2: str) -> str:
+    o1 = _S_orient(f"{s1}.a", f"{s1}.b", f"{s2}.a")
+    o2 = _S_orient(f"{s1}.a", f"{s1}.b", f"{s2}.b")
+    o3 = _S_orient(f"{s2}.a", f"{s2}.b", f"{s1}.a")
+    o4 = _S_orient(f"{s2}.a", f"{s2}.b", f"{s1}.b")
+
+    def on_seg(p, q, r):
+        return (
+            f"(({r}.x <= greatest({p}.x, {q}.x)) AND ({r}.x >= least({p}.x, {q}.x))"
+            f" AND ({r}.y <= greatest({p}.y, {q}.y)) AND ({r}.y >= least({p}.y, {q}.y)))"
+        )
+
+    return (
+        f"((({o1} * {o2} < 0) AND ({o3} * {o4} < 0))"
+        f" OR (({o1} = 0) AND {on_seg(f'{s1}.a', f'{s1}.b', f'{s2}.a')})"
+        f" OR (({o2} = 0) AND {on_seg(f'{s1}.a', f'{s1}.b', f'{s2}.b')})"
+        f" OR (({o3} = 0) AND {on_seg(f'{s2}.a', f'{s2}.b', f'{s1}.a')})"
+        f" OR (({o4} = 0) AND {on_seg(f'{s2}.a', f'{s2}.b', f'{s1}.b')}))"
+    )
+
+
+def _S_contains(g: str, px: str, py: str) -> str:
+    return (
+        f"({g}.kind IN ('polygon', 'multipolygon')"
+        f" AND ({_S_all_crossings(g, px, py)} % 2 = 1))"
+    )
+
+
+def _S_intersects(a: str, b: str) -> str:
+    a_pt = f"{a}.kind IN ('point', 'multipoint')"
+    b_pt = f"{b}.kind IN ('point', 'multipoint')"
+    seg_hit = (
+        f"exists({_S_segs(f'{a}.pts')}, _x1 ->"
+        f" exists({_S_segs(f'{b}.pts')}, _x2 -> {_S_seg_intersects('_x1', '_x2')}))"
+    )
+    a_in_b = _S_contains(b, f"element_at({a}.pts, 1).x", f"element_at({a}.pts, 1).y")
+    b_in_a = _S_contains(a, f"element_at({b}.pts, 1).x", f"element_at({b}.pts, 1).y")
+    pt_hit = (
+        f"exists({a}.pts, _q1 -> exists({b}.pts, _q2 ->"
+        f" (_q1.x = _q2.x) AND (_q1.y = _q2.y)))"
+    )
+    return (
+        f"CASE WHEN ({a_pt}) AND ({b_pt}) THEN {pt_hit}"
+        f" WHEN {a_pt} THEN exists({a}.pts, _q3 -> {_S_contains(b, '_q3.x', '_q3.y')})"
+        f" WHEN {b_pt} THEN exists({b}.pts, _q4 -> {_S_contains(a, '_q4.x', '_q4.y')})"
+        f" ELSE ({seg_hit}) OR ({a_in_b}) OR ({b_in_a}) END"
+    )
+
+
+def _S_interiors_intersect(a: str, b: str) -> str:
+    a_poly = f"{a}.kind IN ('polygon', 'multipolygon')"
+    b_poly = f"{b}.kind IN ('polygon', 'multipolygon')"
+    a_line, b_line = f"{a}.kind = 'linestring'", f"{b}.kind = 'linestring'"
+    a_pt = f"{a}.kind IN ('point', 'multipoint')"
+    b_pt = f"{b}.kind IN ('point', 'multipoint')"
+
+    def vertex_in(g, other):
+        return (
+            f"exists(flatten({g}.rings), _v1 -> {_S_strictly_inside(other, '_v1')})"
+        )
+
+    same_pt = (
+        f"exists({a}.pts, _q1 -> exists({b}.pts, _q2 ->"
+        f" (_q1.x = _q2.x) AND (_q1.y = _q2.y)))"
+    )
+    pc = _S_proper_cross_any(a, b)
+    via, vib = vertex_in(a, b), vertex_in(b, a)
+
+    def pt_on_line_interior(pts_g, line_g):
+        return (
+            f"exists({pts_g}.pts, _q5 -> ({_S_on_boundary(line_g, '_q5')})"
+            f" AND NOT ((_q5.x = element_at({line_g}.pts, 1).x)"
+            f" AND (_q5.y = element_at({line_g}.pts, 1).y))"
+            f" AND NOT ((_q5.x = element_at({line_g}.pts, -1).x)"
+            f" AND (_q5.y = element_at({line_g}.pts, -1).y)))"
+        )
+
+    return (
+        f"CASE WHEN ({a_poly}) AND ({b_poly}) THEN ({pc}) OR ({via}) OR ({vib})"
+        f" WHEN ({a_line}) AND ({b_poly}) THEN ({pc}) OR ({via})"
+        f" WHEN ({b_line}) AND ({a_poly}) THEN ({pc}) OR ({vib})"
+        f" WHEN ({a_line}) AND ({b_line}) THEN ({pc}) OR ({_S_collinear_overlap_any(a, b)})"
+        f" WHEN ({a_pt}) AND ({b_poly}) THEN {via}"
+        f" WHEN ({b_pt}) AND ({a_poly}) THEN {vib}"
+        f" WHEN ({a_pt}) AND ({b_line}) THEN {pt_on_line_interior(a, b)}"
+        f" WHEN ({b_pt}) AND ({a_line}) THEN {pt_on_line_interior(b, a)}"
+        f" ELSE {same_pt} END"
+    )
 
 
 def _all_segs(g: Column) -> Column:
@@ -1538,6 +1813,43 @@ def st_crosses(g1, g2) -> Column:
     """ST_Crosses (GeoFunctions.stCrosses): interiors share a point of
     LOWER dimension than max(dim a, dim b) — line transversally crossing
     a line (at a point) or a polygon (entering and leaving)."""
+    an, bn = _S_name(g1), _S_name(g2)
+    if an and bn:  # r14: one-parse SQL template (see _S_* block above)
+        a_line, b_line = f"{an}.kind = 'linestring'", f"{bn}.kind = 'linestring'"
+        a_poly = f"{an}.kind IN ('polygon', 'multipolygon')"
+        b_poly = f"{bn}.kind IN ('polygon', 'multipolygon')"
+        pc = _S_proper_cross_any(an, bn)
+
+        def vsi(g, other):
+            return f"exists({g}.pts, _w1 -> {_S_strictly_inside(other, '_w1')})"
+
+        def vso(g, other):
+            return f"exists({g}.pts, _w2 -> {_S_strictly_outside(other, '_w2')})"
+
+        def line_x_poly(line, poly):
+            return (
+                f"(({vsi(line, poly)}) AND ({vso(line, poly)}))"
+                f" OR (({pc}) AND ({vso(line, poly)}))"
+            )
+
+        def mp_cross(mp, other):
+            return (
+                f"exists({mp}.pts, _w3 -> ({_S_strictly_inside(other, '_w3')})"
+                f" OR ({_S_on_boundary(other, '_w3')}))"
+                f" AND exists({mp}.pts, _w4 -> {_S_strictly_outside(other, '_w4')})"
+            )
+
+        return F.expr(
+            f"CASE WHEN ({a_line}) AND ({b_line}) THEN"
+            f" ({pc}) AND NOT ({_S_collinear_overlap_any(an, bn)})"
+            f" WHEN ({a_line}) AND ({b_poly}) THEN {line_x_poly(an, bn)}"
+            f" WHEN ({b_line}) AND ({a_poly}) THEN {line_x_poly(bn, an)}"
+            f" WHEN ({an}.kind = 'multipoint') AND (({b_line}) OR ({b_poly}))"
+            f" THEN {mp_cross(an, bn)}"
+            f" WHEN ({bn}.kind = 'multipoint') AND (({a_line}) OR ({a_poly}))"
+            f" THEN {mp_cross(bn, an)}"
+            f" ELSE false END"
+        )
     a, b = c(g1), c(g2)
     ak, bk = a.getField("kind"), b.getField("kind")
     a_line, b_line = ak == "linestring", bk == "linestring"
@@ -1581,6 +1893,23 @@ def st_crosses(g1, g2) -> Column:
 def st_overlaps(g1, g2) -> Column:
     """ST_Overlaps (GeoFunctions.stOverlaps): same dimension, interiors
     intersect, neither geometry covers the other."""
+    an, bn = _S_name(g1), _S_name(g2)
+    if an and bn:  # r14: one-parse SQL template (see _S_* block above)
+        pc = _S_proper_cross_any(an, bn)
+
+        def covers(g, other):
+            return (
+                f"(NOT exists(flatten({other}.rings), _w5 ->"
+                f" {_S_strictly_outside(g, '_w5')})) AND NOT ({pc})"
+            )
+
+        return (
+            (st_dimension(an) == st_dimension(bn))
+            & F.expr(
+                f"({_S_interiors_intersect(an, bn)})"
+                f" AND NOT ({covers(an, bn)}) AND NOT ({covers(bn, an)})"
+            )
+        )
     a, b = c(g1), c(g2)
     same_dim = st_dimension(a) == st_dimension(b)
     pc = _proper_cross_any(a, b)  # symmetric; built once, shared
@@ -1602,6 +1931,12 @@ def st_overlaps(g1, g2) -> Column:
 def st_touches(g1, g2) -> Column:
     """ST_Touches (GeoFunctions.stTouches): geometries intersect but
     their interiors don't — contact only along boundaries."""
+    an, bn = _S_name(g1), _S_name(g2)
+    if an and bn:  # r14: one-parse SQL template (see _S_* block above)
+        return F.expr(
+            f"({_S_intersects(an, bn)})"
+            f" AND NOT ({_S_interiors_intersect(an, bn)})"
+        )
     a, b = c(g1), c(g2)
     return st_intersects(a, b) & ~_interiors_intersect(a, b)
 
@@ -1680,6 +2015,35 @@ def st_relate(g1, g2, pattern: str) -> Column:
         from prestodb_presto_spark.functions.geo_setops import relate_exact
 
         return relate_exact(pat)(a, b)
+    an, bn = _S_name(g1), _S_name(g2)
+    if an and bn:  # r14: one-parse SQL template (see the _S_* block above)
+        pc = _S_proper_cross_any(an, bn)
+        s_bb = (
+            f"exists({_S_all_segs(an)}, _z1 -> exists({_S_all_segs(bn)}, _z2 ->"
+            f" {_S_seg_intersects('_z1', '_z2')}))"
+        )
+        s_out_a = f"exists(flatten({an}.rings), _z3 -> {_S_strictly_outside(bn, '_z3')})"
+        s_out_b = f"exists(flatten({bn}.rings), _z4 -> {_S_strictly_outside(an, '_z4')})"
+        s_bi = f"(exists(flatten({an}.rings), _z5 -> {_S_strictly_inside(bn, '_z5')})) OR ({pc})"
+        s_ib = f"(exists(flatten({bn}.rings), _z6 -> {_S_strictly_inside(an, '_z6')})) OR ({pc})"
+        sql_cells = [
+            _S_interiors_intersect(an, bn),   # II
+            s_ib,                             # IB
+            f"({s_out_a}) OR ({pc})",         # IE
+            s_bi,                             # BI
+            s_bb,                             # BB
+            s_out_a,                          # BE
+            f"({s_out_b}) OR ({pc})",         # EI
+            s_out_b,                          # EB
+            "true",                           # EE
+        ]
+        conj = []
+        for ch, cell in zip(pat, sql_cells):
+            if ch in ("T", "0", "1", "2"):
+                conj.append(f"({cell})")
+            elif ch == "F":
+                conj.append(f"(NOT ({cell}))")
+        return F.expr(" AND ".join(conj) if conj else "true")
     bb = F.exists(_all_segs(a), lambda s1: F.exists(_all_segs(b), lambda s2: _seg_intersects(s1, s2)))
     out_a = F.exists(F.flatten(a.getField("rings")), lambda p: _strictly_outside(b, p))
     out_b = F.exists(F.flatten(b.getField("rings")), lambda p: _strictly_outside(a, p))

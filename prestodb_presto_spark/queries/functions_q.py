@@ -401,19 +401,26 @@ def fn_geo_polygon_ops(spark, sf_dir):
         F.lit("POLYGON ((0 0, "), s.cast("string"), F.lit(" 0, 0 "),
         h.cast("string"), F.lit(", 0 0))"),
     )
-    g = P.st_polygon(wkt)
-    probe = P.st_point(s * (2 * (F.col("p_partkey") % 4) + 1) / 8, h / 2)
+    # r14 (guide §7.3): the geometry is projected ONCE under a name so the
+    # measure calls hit the geo predicates' SQL-template fast path (one
+    # F.expr parse instead of thousands of py4j Column ops — construction
+    # 4.8 s → sub-second) and the WKT parse tree is not inlined per use.
+    geoms = part.select(
+        "p_partkey",
+        P.st_polygon(wkt).alias("g"),
+        P.st_point(s * (2 * (F.col("p_partkey") % 4) + 1) / 8, h / 2).alias("probe"),
+    )
     return (
-        part.select(
+        geoms.select(
             "p_partkey",
-            F.round(P.st_area(g), 6).alias("tri_area"),
-            F.round(P.st_length(g), 6).alias("tri_perim"),
-            F.round(P.st_x(P.st_centroid(g)), 6).alias("cx"),
-            F.round(P.st_y(P.st_centroid(g)), 6).alias("cy"),
-            P.st_contains(g, probe).alias("pt_inside"),
-            P.st_num_points(g).cast("int").alias("n_points"),
-            P.st_xmax(g).alias("xmax"),
-            P.st_is_closed(g).alias("closed"),
+            F.round(P.st_area("g"), 6).alias("tri_area"),
+            F.round(P.st_length("g"), 6).alias("tri_perim"),
+            F.round(P.st_x(P.st_centroid("g")), 6).alias("cx"),
+            F.round(P.st_y(P.st_centroid("g")), 6).alias("cy"),
+            P.st_contains("g", "probe").alias("pt_inside"),
+            P.st_num_points("g").cast("int").alias("n_points"),
+            P.st_xmax("g").alias("xmax"),
+            P.st_is_closed("g").alias("closed"),
         )
         .orderBy("p_partkey")
     )

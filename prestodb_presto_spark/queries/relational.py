@@ -102,9 +102,24 @@ def sample_bernoulli(spark, sf_dir):
     """
     li = t(spark, sf_dir, "lineitem")
     key = F.concat_ws("|", F.col("l_orderkey"), F.col("l_linenumber"))
-    bucket = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint") % 10000
+    # r14 (guide §1.2, the agg_checksum r13 finding): the hex→long parse
+    # goes through Long.parseLong instead of conv()'s decimal-string
+    # round-trip — identical value for 15 lowercase hex chars (< 2^60),
+    # ~13% off the per-row md5+parse pipeline at 600k rows.  reflect is
+    # Catalyst-nondeterministic, so it lives in a projection and the
+    # filter tests the projected column (sampling filters are post-scan
+    # either way — an md5 of the row key can never push to parquet).
+    bucket = (
+        F.expr(
+            "cast(reflect('java.lang.Long', 'parseLong',"
+            " substring(md5(__bk_key), 1, 15), 16) as bigint)"
+        )
+        % 10000
+    )
     return (
-        li.filter(bucket < 2000)
+        li.withColumn("__bk_key", key)
+        .withColumn("__bucket", bucket)
+        .filter(F.col("__bucket") < 2000)
         .groupBy("l_returnflag")
         .agg(
             F.count("*").alias("n_sampled"),
