@@ -36,6 +36,21 @@ def dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("bigint"), lambda acc, v: acc + v)
 
 
+# r14 (guide §7.3): SQL-string twins — Column-API HOF lambda construction
+# pays py4j round-trips per operator; these parse in one call.  Same
+# expressions, same values (gate-verified).
+QUANT_SQL_SPARK = (
+    "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))"
+)
+
+
+def _DOT_SQL(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+        f" cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+
+
 @query(
     "similarity_embedding_stats",
     oracle=f"""
@@ -90,26 +105,29 @@ def similarity_knn_top1(spark, sf_dir):
     survives a 100 TB corpus.  Argmax tiebreak folds neighbor_id into the
     (quantized-cosine) ordering key so both engines agree exactly.
     """
-    emb = t(spark, sf_dir, "embeddings").select("vec_id", "label", quantized().alias("q"))
-    emb = emb.withColumn("nrm", dot(F.col("q"), F.col("q")).cast("double"))
-    queries = emb.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("nrm").alias("qn")
+    # r14 (guide §7.3): expressions as SQL strings — the Column-API HOF
+    # lambdas (quantized/dot) paid ~0.19s of py4j per construction; the
+    # string form parses in one call each (plan and results identical).
+    emb = t(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", "label", f"{QUANT_SQL_SPARK} AS q"
+    ).selectExpr("vec_id", "label", "q", f"cast({_DOT_SQL('q', 'q')} as double) AS nrm")
+    queries = emb.where("vec_id < 20").selectExpr(
+        "vec_id AS query_id", "q AS qq", "nrm AS qn"
     )
-    scored = (
-        emb.join(F.broadcast(queries), F.col("query_id") != F.col("vec_id"))
-        .withColumn(
-            "cos",
-            dot(F.col("qq"), F.col("q")).cast("double") / F.sqrt("qn") / F.sqrt("nrm"),
-        )
+    scored = emb.join(F.broadcast(queries), F.col("query_id") != F.col("vec_id")).selectExpr(
+        "*",
+        f"cast({_DOT_SQL('qq', 'q')} as double) / sqrt(qn) / sqrt(nrm) AS cos",
     )
     # quantize cos to 1e-12 before the argmax key so the key fits a long;
     # both engines compute the identical double, so identical key.
-    ordkey = F.round(F.col("cos") * 1e12).cast("bigint") * 100000 - F.col("vec_id")
     return (
         scored.groupBy("query_id")
         .agg(
-            F.max_by("vec_id", ordkey).alias("neighbor_id"),
-            F.round(F.max("cos"), 6).alias("cosine"),
+            F.expr(
+                "max_by(vec_id, cast(round(cos * 1e12) as bigint) * 100000 - vec_id)"
+                " AS neighbor_id"
+            ),
+            F.expr("round(max(cos), 6) AS cosine"),
         )
         .orderBy("query_id")
     )

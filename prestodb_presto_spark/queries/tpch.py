@@ -65,6 +65,31 @@ def _rev_e4():
     return _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
 
 
+# r14 (guide §7.3): SQL-string twins of the helpers below — a stacked-
+# Column build pays a py4j round-trip per operator (measured ~0.25s of
+# driver time per tpch_q01 construction, ~30% of the whole BENCH total
+# was construction); the string forms parse in one call per expression.
+# Values and plans are identical — gate-verified at every SF.
+
+
+def _CENTS_SQL(col: str) -> str:
+    """SQL twin of _cents()."""
+    return f"cast({col} * 100 + 0.5D as long)"
+
+
+_REV_E4_SQL = (
+    f"{_CENTS_SQL('l_extendedprice')} * (100 - {_CENTS_SQL('l_discount')})"
+)
+
+
+def _D38SUM_SQL(col: str, unit: int = 1) -> str:
+    """SQL twin of _d38sum()."""
+    tot = f"sum(cast({col} as decimal(38,0)))"
+    if unit != 1:
+        tot = f"{tot} / {unit}"
+    return f"cast({tot} as double)"
+
+
 def _d38sum(col: str, unit: int = 1):
     """Merge per-partition long partials exactly (128-bit, few rows) and
     scale back from integer units in ONE rounding.
@@ -128,52 +153,53 @@ def tpch_q01(spark, sf_dir):
     aggregate sees only (groups × partitions) rows, so the 128-bit math
     that used to run per input row now runs per partition.
     """
+    # r14 (guide §7.3): the projection/aggregate lists are SQL strings —
+    # the stacked-Column form paid ~550 py4j round-trips per construction
+    # (~0.25s of DRIVER time per bench iteration; measured with cProfile),
+    # the string form parses in one call per expression (0.06s).  The
+    # parsed plan and results are identical (gate-verified at 3 SFs).
     li = t(spark, sf_dir, "lineitem")
-    rows = (
-        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
-        .select(
-            "l_returnflag",
-            "l_linestatus",
-            _cents("l_quantity").alias("qty_c"),
-            _cents("l_extendedprice").alias("ext_c"),
-            _cents("l_discount").alias("disc_c"),
-            _cents("l_tax").alias("tax_c"),
-        )
-        .withColumn("rev_e4", F.col("ext_c") * (F.lit(100) - F.col("disc_c")))
-        .withColumn("charge_e6", F.col("rev_e4") * (F.lit(100) + F.col("tax_c")))
+    rows = li.where("l_shipdate <= timestamp'2000-09-02 00:00:00'").selectExpr(
+        "l_returnflag",
+        "l_linestatus",
+        f"{_CENTS_SQL('l_quantity')} AS qty_c",
+        f"{_CENTS_SQL('l_extendedprice')} AS ext_c",
+        f"{_CENTS_SQL('l_discount')} AS disc_c",
+        f"{_CENTS_SQL('l_tax')} AS tax_c",
+        f"{_REV_E4_SQL} AS rev_e4",
+        f"({_REV_E4_SQL}) * (100 + {_CENTS_SQL('l_tax')}) AS charge_e6",
+        "spark_partition_id() AS _pid",
     )
-    part = rows.groupBy(
-        "l_returnflag", "l_linestatus", F.spark_partition_id().alias("_pid")
-    ).agg(
-        F.sum("qty_c").alias("sq"),
-        F.sum("ext_c").alias("se"),
-        F.sum("disc_c").alias("sd"),
-        F.sum("rev_e4").alias("sr"),
-        F.sum("charge_e6").alias("sc"),
-        F.count("*").alias("n"),
+    part = rows.groupBy("l_returnflag", "l_linestatus", "_pid").agg(
+        F.expr("sum(qty_c) AS sq"),
+        F.expr("sum(ext_c) AS se"),
+        F.expr("sum(disc_c) AS sd"),
+        F.expr("sum(rev_e4) AS sr"),
+        F.expr("sum(charge_e6) AS sc"),
+        F.expr("count(*) AS n"),
     )
-    # r14: each total is scaled back inside _d38sum (exact decimal
+    # r14: each total is scaled back inside _D38SUM_SQL (exact decimal
     # division, then ONE cast to double — the oracle's rounding); the
     # averages divide that same single-rounded double by the count,
     # matching the oracle's CAST(SUM(..) AS DOUBLE) / COUNT(..) shape.
     tot = part.groupBy("l_returnflag", "l_linestatus").agg(
-        _d38sum("sq", 100).alias("sum_qty"),
-        _d38sum("se", 100).alias("sum_base_price"),
-        _d38sum("sd", 100).alias("SD"),
-        _d38sum("sr", 10000).alias("sum_disc_price"),
-        _d38sum("sc", 1000000).alias("sum_charge"),
-        F.sum("n").alias("count_order"),
+        F.expr(f"{_D38SUM_SQL('sq', 100)} AS sum_qty"),
+        F.expr(f"{_D38SUM_SQL('se', 100)} AS sum_base_price"),
+        F.expr(f"{_D38SUM_SQL('sd', 100)} AS SD"),
+        F.expr(f"{_D38SUM_SQL('sr', 10000)} AS sum_disc_price"),
+        F.expr(f"{_D38SUM_SQL('sc', 1000000)} AS sum_charge"),
+        F.expr("sum(n) AS count_order"),
     )
-    return tot.select(
+    return tot.selectExpr(
         "l_returnflag",
         "l_linestatus",
         "sum_qty",
         "sum_base_price",
         "sum_disc_price",
         "sum_charge",
-        (F.col("sum_qty") / F.col("count_order")).alias("avg_qty"),
-        (F.col("sum_base_price") / F.col("count_order")).alias("avg_price"),
-        (F.col("SD") / F.col("count_order")).alias("avg_disc"),
+        "sum_qty / count_order AS avg_qty",
+        "sum_base_price / count_order AS avg_price",
+        "SD / count_order AS avg_disc",
         "count_order",
     )
 
@@ -204,22 +230,23 @@ def tpch_q03(spark, sf_dir):
     filtered & small → AQE broadcasts it; top-N is TakeOrderedAndProject
     (no full sort at scale).
     """
-    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    orders = t(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1997-03-15").cast("timestamp")
+    cust = t(spark, sf_dir, "customer").where("c_mktsegment = 'BUILDING'")
+    orders = t(spark, sf_dir, "orders").where(
+        "o_orderdate < timestamp'1997-03-15 00:00:00'"
     )
     # r13: revenue in exact 1e-4-unit longs, derived BEFORE the join — the
     # join/shuffle carries one 8-byte long instead of two doubles, and the
     # per-order sum is pure long math (a TPC-H order has ≤ 7 lines, so the
     # per-group total is ≤ ~7e9 — no 128-bit merge needed at any SF).
-    li = t(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1997-03-15").cast("timestamp")
-    ).select("l_orderkey", _rev_e4().alias("rev_e4"))
+    # r14: SQL-string construction (guide §7.3 — see _CENTS_SQL note).
+    li = t(spark, sf_dir, "lineitem").where(
+        "l_shipdate > timestamp'1997-03-15 00:00:00'"
+    ).selectExpr("l_orderkey", f"{_REV_E4_SQL} AS rev_e4")
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("l_orderkey", F.to_date("o_orderdate").alias("o_orderdate"))
-        .agg((F.sum("rev_e4") / 10000.0).alias("revenue"))
+        .groupBy("l_orderkey", F.expr("to_date(o_orderdate) AS o_orderdate"))
+        .agg(F.expr("sum(rev_e4) / 10000.0D AS revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
@@ -302,8 +329,8 @@ def tpch_q05(spark, sf_dir):
     # payload + no per-row decimal); per-nation totals can exceed long at
     # 100 TB, so the final sum is two-level (per-partition long partials
     # merged as decimal — see the module note above).
-    li = t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", _rev_e4().alias("rev_e4")
+    li = t(spark, sf_dir, "lineitem").selectExpr(
+        "l_orderkey", "l_suppkey", f"{_REV_E4_SQL} AS rev_e4"
     )
     geo = (
         t(spark, sf_dir, "nation")
@@ -335,10 +362,10 @@ def tpch_q05(spark, sf_dir):
             (F.col("o_custkey") == F.col("c_custkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
-        .groupBy("n_name", F.spark_partition_id().alias("_pid"))
-        .agg(F.sum("rev_e4").alias("sr"))
+        .groupBy("n_name", F.expr("spark_partition_id() AS _pid"))
+        .agg(F.expr("sum(rev_e4) AS sr"))
         .groupBy("n_name")
-        .agg(_d38sum("sr", 10000).alias("revenue"))
+        .agg(F.expr(f"{_D38SUM_SQL('sr', 10000)} AS revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
 
@@ -367,16 +394,18 @@ def tpch_q06(spark, sf_dir):
     # r13: exact ext*disc in 1e-4-unit longs; the single global group can
     # overflow long at extreme SF, so partials per partition, decimal merge
     return (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
-            & (F.col("l_discount").between(0.05, 0.07))
-            & (F.col("l_quantity") < 24)
+        li.where(
+            "l_shipdate >= timestamp'1997-01-01 00:00:00'"
+            " AND l_shipdate < timestamp'1998-01-01 00:00:00'"
+            " AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
         )
-        .select((_cents("l_extendedprice") * _cents("l_discount")).alias("rd_e4"))
-        .groupBy(F.spark_partition_id().alias("_pid"))
-        .agg(F.sum("rd_e4").alias("s"))
-        .agg(_d38sum("s", 10000).alias("revenue"))
+        .selectExpr(
+            f"{_CENTS_SQL('l_extendedprice')} * {_CENTS_SQL('l_discount')} AS rd_e4",
+            "spark_partition_id() AS _pid",
+        )
+        .groupBy("_pid")
+        .agg(F.expr("sum(rd_e4) AS s"))
+        .agg(F.expr(f"{_D38SUM_SQL('s', 10000)} AS revenue"))
     )
 
 
@@ -430,18 +459,19 @@ def tpch_q07(spark, sf_dir):
             ((F.col("n1_key") == 1) & (F.col("n2_key") == 2))
             | ((F.col("n1_key") == 2) & (F.col("n2_key") == 1))
         )
-        .select(
+        .selectExpr(
             "supp_nation",
             "cust_nation",
-            F.year("l_shipdate").cast("long").alias("l_year"),
-            _rev_e4().alias("volume_e4"),  # r13: exact long, not decimal
+            "cast(year(l_shipdate) as long) AS l_year",
+            f"{_REV_E4_SQL} AS volume_e4",  # r13: exact long, not decimal
+            "spark_partition_id() AS _pid",
         )
     )
     return (
-        df.groupBy("supp_nation", "cust_nation", "l_year", F.spark_partition_id().alias("_pid"))
-        .agg(F.sum("volume_e4").alias("sv"))
+        df.groupBy("supp_nation", "cust_nation", "l_year", "_pid")
+        .agg(F.expr("sum(volume_e4) AS sv"))
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(_d38sum("sv", 10000).alias("revenue"))
+        .agg(F.expr(f"{_D38SUM_SQL('sv', 10000)} AS revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -545,34 +575,34 @@ def tpch_q08(spark, sf_dir):
 )
 def tpch_q09(spark, sf_dir):
     """Product-type profit (adapted: p_retailprice stands in for ps_supplycost)."""
-    part = t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select(
-        "p_partkey", _cents("p_retailprice").alias("retail_c")
+    part = t(spark, sf_dir, "part").where("p_name LIKE '%red%'").selectExpr(
+        "p_partkey", f"{_CENTS_SQL('p_retailprice')} AS retail_c"
     )
     # r13: amount in exact 1e-4-unit longs — rev_e4 minus retail_c*qty_c
     # (both 2dp-exact cents products); per-(nation,year) totals exceed
     # long at 100 TB → two-level sum (long partials, decimal merge)
-    li = t(spark, sf_dir, "lineitem").select(
+    li = t(spark, sf_dir, "lineitem").selectExpr(
         "l_partkey", "l_suppkey", "l_orderkey",
-        _rev_e4().alias("rev_e4"), _cents("l_quantity").alias("qty_c"),
+        f"{_REV_E4_SQL} AS rev_e4", f"{_CENTS_SQL('l_quantity')} AS qty_c",
     )
     supp = t(spark, sf_dir, "supplier")
     orders = t(spark, sf_dir, "orders")
     nation = F.broadcast(t(spark, sf_dir, "nation"))
-    amount = F.col("rev_e4") - F.col("retail_c") * F.col("qty_c")
     return (
         part.join(li, F.col("p_partkey") == F.col("l_partkey"))
         .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
-        .select(
-            F.col("n_name").alias("nation"),
-            F.year("o_orderdate").cast("long").alias("o_year"),
-            amount.alias("amount_e4"),
+        .selectExpr(
+            "n_name AS nation",
+            "cast(year(o_orderdate) as long) AS o_year",
+            "rev_e4 - retail_c * qty_c AS amount_e4",
+            "spark_partition_id() AS _pid",
         )
-        .groupBy("nation", "o_year", F.spark_partition_id().alias("_pid"))
-        .agg(F.sum("amount_e4").alias("sa"))
+        .groupBy("nation", "o_year", "_pid")
+        .agg(F.expr("sum(amount_e4) AS sa"))
         .groupBy("nation", "o_year")
-        .agg(_d38sum("sa", 10000).alias("sum_profit"))
+        .agg(F.expr(f"{_D38SUM_SQL('sa', 10000)} AS sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 
@@ -871,19 +901,19 @@ def tpch_q18(spark, sf_dir):
     # single-level long is safe at any SF); 250 ⇔ 25000 cents exactly
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(_cents("l_quantity")).alias("sq_c"))
-        .filter(F.col("sq_c") > 25000)
+        .agg(F.expr(f"sum({_CENTS_SQL('l_quantity')}) AS sq_c"))
+        .where("sq_c > 25000")
     )
     return (
         orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(cust, F.col("c_custkey") == F.col("o_custkey"))
-        .select(
+        .selectExpr(
             "c_name",
             "c_custkey",
             "o_orderkey",
-            F.to_date("o_orderdate").alias("o_orderdate"),
+            "to_date(o_orderdate) AS o_orderdate",
             "o_totalprice",
-            (F.col("sq_c") / 100.0).alias("sum_qty"),
+            "sq_c / 100.0D AS sum_qty",
         )
         .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
         .limit(100)
@@ -1194,26 +1224,23 @@ def tpch_q21(spark, sf_dir):
     fact scan and a fact-sized semi-join probe.
     """
     li = t(spark, sf_dir, "lineitem")
-    is_r = F.col("l_returnflag") == "R"
     per_order = li.groupBy("l_orderkey").agg(
-        F.min("l_suppkey").alias("min_s"),
-        F.max("l_suppkey").alias("max_s"),
-        F.min(F.when(is_r, F.col("l_suppkey"))).alias("min_r"),
-        F.max(F.when(is_r, F.col("l_suppkey"))).alias("max_r"),
-        F.count(F.when(is_r, F.lit(1))).alias("n_r_lines"),
+        F.expr("min(l_suppkey) AS min_s"),
+        F.expr("max(l_suppkey) AS max_s"),
+        F.expr("min(CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS min_r"),
+        F.expr("max(CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS max_r"),
+        F.expr("count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_r_lines"),
     )
     # min_r = max_r is NULL (row dropped) for orders with no R line, so
     # the verdict keeps exactly the orders the old semi-join form kept
-    verdict = per_order.filter(
-        (F.col("min_s") != F.col("max_s")) & (F.col("min_r") == F.col("max_r"))
-    ).select("l_orderkey", F.col("min_r").alias("l_suppkey"), "n_r_lines")
-    nat = t(spark, sf_dir, "nation").filter(
-        F.col("n_nationkey").isin(2, 12, 22)
+    verdict = per_order.where("min_s != max_s AND min_r = max_r").selectExpr(
+        "l_orderkey", "min_r AS l_suppkey", "n_r_lines"
     )
+    nat = t(spark, sf_dir, "nation").where("n_nationkey IN (2, 12, 22)")
     supp = t(spark, sf_dir, "supplier").join(
         F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
     )
-    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    orders = t(spark, sf_dir, "orders").where("o_orderstatus = 'F'")
     waiting = verdict.join(
         orders.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"
     )
@@ -1222,7 +1249,7 @@ def tpch_q21(spark, sf_dir):
     return (
         waiting.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.sum("n_r_lines").alias("numwait"))
+        .agg(F.expr("sum(n_r_lines) AS numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )
