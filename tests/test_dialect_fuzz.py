@@ -31,6 +31,10 @@ from prestodb_presto_spark.dialect import translate
 from tests.abstract_queries_scrape import oracle_compat, scrape
 from tests.test_reference_abstract_queries import aq_env  # noqa: F401 — fixture
 
+# r14 (VERDICT #6): golden/fuzz suite — excluded from the default
+# driver-window run; see pytest.ini (randomized differential fuzz (~8 min)).
+pytestmark = pytest.mark.slow
+
 # ---------------------------------------------------------------- mutators
 
 

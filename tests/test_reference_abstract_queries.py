@@ -54,6 +54,10 @@ import pytest
 from prestodb_presto_spark.testing import _tolerant_cell as _tc0
 from tests.abstract_queries_scrape import oracle_compat, scrape
 
+# r14 (VERDICT #6): golden/fuzz suite — excluded from the default
+# driver-window run; see pytest.ini (reference AbstractTestQueries scrape-and-replay (~6.5 min)).
+pytestmark = pytest.mark.slow
+
 PASS_FLOOR = 1318
 ORACLE_UNRUNNABLE_MAX = 3
 

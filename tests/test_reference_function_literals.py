@@ -39,6 +39,10 @@ import pytest
 
 from tests.reference_literals import scrape
 
+# r14 (VERDICT #6): golden/fuzz suite — excluded from the default
+# driver-window run; see pytest.ini (reference function-literal goldens (~2 min)).
+pytestmark = pytest.mark.slow
+
 # exact-pass count per reference test file (current: 4458/4458 — ALL)
 PASS_FLOORS = {
     "TestArrayExceptFunction.java": 17,

@@ -4,6 +4,8 @@ input; stateful op must produce per-user totals; dedup within watermark.
 
 from __future__ import annotations
 
+import pytest
+
 import time
 import uuid
 
@@ -72,6 +74,10 @@ def test_dedup_within_watermark_stream(spark):
     assert got.n == got.d == batch_n
 
 
+# r14 (VERDICT #6): the one 3-minute test of the suite — multi-epoch
+# stateful replay; the default driver-window run keeps the other
+# streaming tests (incl. the epoch-scoped dedup stream) as the signal.
+@pytest.mark.slow
 def test_stateful_running_totals(spark):
     name = f"stateful_{uuid.uuid4().hex[:8]}"
     stream = running_totals_stateful(read_events_stream(spark, SF_TINY))
